@@ -1,0 +1,203 @@
+"""Deterministic geometry derivation from integer keys — NumPy + SQL twins.
+
+The driver's correctness gate runs each Ray pipeline AND an ANSI-SQL
+oracle side-by-side on the same parquet tables and hash-compares values.
+The test tables carry no coordinates, so the engine derives boxes /
+points / query regions *deterministically from integer key columns* — and
+every formula here exists in two bit-identical renditions:
+
+- a NumPy function (used inside ``map_batches`` stages), and
+- a SQL-expression emitter (used to build the DuckDB oracle query).
+
+Both sides use the same multiply-mod-divide hash (exact in int64 /
+BIGINT for all key ranges involved; quotients < 2**53 so the
+int → double conversion is exact) and the same IEEE-double expression
+shapes in the same evaluation order, so doubles agree bitwise and the
+driver's value hashes match.
+
+Domain: the unit square [0, 1]^2 — same as the reference's benchmark
+workloads (``benchmarks/cpp/workloads.h:45-53``: unit square, box edge
+≤ a few % of extent).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MOD = 1000000007
+# (multiplier, offset) per hash channel; data boxes use 0-3, query
+# regions / points use 4-7 so the two sides are independent.
+CHANNELS = [
+    (2654435761, 97),
+    (2246822519, 131),
+    (3266489917, 193),
+    (668265263, 389),
+    (374761393, 521),
+    (2654435789, 769),
+    (1885133167, 1031),
+    (3431700317, 1543),
+]
+
+# Box-side extents (data boxes small — reference workloads use ≤1-10% of
+# extent; queries are the larger side, as in the reference's query mixes).
+BOX_SCALE = 0.97
+BOX_EDGE_MIN = 0.0005
+BOX_EDGE_VAR = 0.0195
+QUERY_SCALE = 0.93
+QUERY_EDGE_MIN = 0.002
+QUERY_EDGE_VAR = 0.048
+
+
+def _frac(key: np.ndarray, ch: int) -> np.ndarray:
+    a, b = CHANNELS[ch]
+    u = (key.astype(np.int64) * a + b) % MOD
+    return u.astype(np.float64) / 1000000007.0
+
+
+def _frac_sql(key: str, ch: int) -> str:
+    a, b = CHANNELS[ch]
+    return f"((({key} * {a} + {b}) % {MOD}) / 1000000007.0)"
+
+
+# ------------------------------------------------------------------ boxes
+
+
+def derive_boxes(key: np.ndarray) -> dict[str, np.ndarray]:
+    """Data-side boxes from an int64 key column. Matches :func:`boxes_sql`."""
+    f1, f2, f3, f4 = (_frac(key, c) for c in range(4))
+    xmin = f1 * BOX_SCALE
+    ymin = f2 * BOX_SCALE
+    xmax = xmin + BOX_EDGE_MIN + BOX_EDGE_VAR * f3
+    ymax = ymin + BOX_EDGE_MIN + BOX_EDGE_VAR * f4
+    return {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}
+
+
+def boxes_sql(table: str, key: str, idx_name: str = "idx") -> str:
+    """CTE body: ``SELECT idx, xmin, ymin, xmax, ymax FROM <table>``.
+
+    Nested so every expression references a previously-materialized column
+    — identical evaluation structure to :func:`derive_boxes`.
+    """
+    return f"""
+  SELECT {idx_name},
+         f1 * {BOX_SCALE} AS xmin,
+         f2 * {BOX_SCALE} AS ymin,
+         f1 * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * f3 AS xmax,
+         f2 * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * f4 AS ymax
+  FROM (
+    SELECT {key} AS {idx_name},
+           {_frac_sql(key, 0)} AS f1,
+           {_frac_sql(key, 1)} AS f2,
+           {_frac_sql(key, 2)} AS f3,
+           {_frac_sql(key, 3)} AS f4
+    FROM {table}
+  )"""
+
+
+# NOTE on the xmax/ymax SQL shape: ``xmin + c`` with xmin = f1*S would be a
+# lateral alias reference; instead the oracle recomputes ``f1*S + c`` —
+# which is the SAME double because ``a*b + c`` evaluates (a*b) first in both
+# renditions and numpy's ``xmin + c`` starts from the identical (f1*S) value.
+
+
+def derive_query_boxes(key: np.ndarray) -> dict[str, np.ndarray]:
+    """Query-side (probe) regions from an int64 key. Matches
+    :func:`query_boxes_sql`."""
+    f1, f2, f3, f4 = (_frac(key, c) for c in range(4, 8))
+    xmin = f1 * QUERY_SCALE
+    ymin = f2 * QUERY_SCALE
+    xmax = xmin + QUERY_EDGE_MIN + QUERY_EDGE_VAR * f3
+    ymax = ymin + QUERY_EDGE_MIN + QUERY_EDGE_VAR * f4
+    return {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}
+
+
+def query_boxes_sql(table: str, key: str, idx_name: str = "query_id") -> str:
+    return f"""
+  SELECT {idx_name},
+         f1 * {QUERY_SCALE} AS xmin,
+         f2 * {QUERY_SCALE} AS ymin,
+         f1 * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * f3 AS xmax,
+         f2 * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * f4 AS ymax
+  FROM (
+    SELECT {key} AS {idx_name},
+           {_frac_sql(key, 4)} AS f1,
+           {_frac_sql(key, 5)} AS f2,
+           {_frac_sql(key, 6)} AS f3,
+           {_frac_sql(key, 7)} AS f4
+    FROM {table}
+  )"""
+
+
+# ------------------------------------------------------------------ points
+
+
+def derive_points(key: np.ndarray) -> dict[str, np.ndarray]:
+    """Probe points (for point queries / PIP / kNN). Matches
+    :func:`points_sql`."""
+    return {"px": _frac(key, 4), "py": _frac(key, 5)}
+
+
+def points_sql(table: str, key: str, idx_name: str = "query_id") -> str:
+    return f"""
+  SELECT {key} AS {idx_name},
+         {_frac_sql(key, 4)} AS px,
+         {_frac_sql(key, 5)} AS py
+  FROM {table}"""
+
+
+# ------------------------------------------------------------------ tiles
+
+
+def tile_index(coord: np.ndarray, res: int) -> np.ndarray:
+    g = 1 << res
+    return np.clip(np.floor(coord * g).astype(np.int64), 0, g - 1)
+
+
+def tile_cell(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    g = 1 << res
+    return tile_index(x, res) * g + tile_index(y, res)
+
+
+def tile_cell_sql(x: str, y: str, res: int) -> str:
+    g = 1 << res
+    ix = f"LEAST(GREATEST(CAST(FLOOR({x} * {g}) AS BIGINT), 0), {g - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR({y} * {g}) AS BIGINT), 0), {g - 1})"
+    return f"({ix} * {g} + {iy})"
+
+
+# ------------------------------------------------------------------ polygons
+
+# Fixed convex polygon set (regular hexagons, CCW). Vertex doubles are
+# computed once here and embedded verbatim (repr round-trips doubles
+# exactly) into both the NumPy arrays and the SQL VALUES literal, so both
+# sides test against bit-identical vertices.
+_HEX_OFFSETS = [
+    (math.cos(2.0 * math.pi * i / 6.0), math.sin(2.0 * math.pi * i / 6.0))
+    for i in range(6)
+]
+POLYGONS: list[tuple[int, list[tuple[float, float]]]] = []
+for _p in range(8):
+    _cx = 0.1 + 0.1 * _p
+    _cy = 0.15 + 0.09 * _p
+    _r = 0.04 + 0.01 * (_p % 3)
+    POLYGONS.append(
+        (_p, [(_cx + _r * dx, _cy + _r * dy) for dx, dy in _HEX_OFFSETS])
+    )
+
+
+def polygon_arrays() -> list[tuple[int, np.ndarray]]:
+    return [(pid, np.array(v, dtype=np.float64)) for pid, v in POLYGONS]
+
+
+def polygon_edges_sql() -> str:
+    """VALUES literal of polygon edges: (poly_id, x1, y1, x2, y2)."""
+    rows = []
+    for pid, verts in POLYGONS:
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS poly_edges(poly_id, x1, y1, x2, y2)"
