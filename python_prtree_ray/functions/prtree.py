@@ -173,6 +173,14 @@ class PRTree:
         reference's sorted per-query lists (``prtree.h:786-787``) sort when
         assembling list columns.
         """
+        qi, ni = self.batch_query_positions(qboxes)
+        return qi, self.idx[ni]
+
+    def batch_query_positions(self, qboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`batch_query_pairs` but returns PACKED POSITIONS into
+        ``self.idx`` / ``self.boxes`` instead of user indices — callers that
+        need the matched boxes' coordinates (e.g. owner-cell dedup in the
+        distributed join) gather them without a reverse lookup."""
         q = np.asarray(qboxes)
         if q.ndim != 2 or q.shape[1] != 2 * self.ndim:
             raise ValueError(f"queries must be (m, {2 * self.ndim}), got {q.shape}")
@@ -214,7 +222,7 @@ class PRTree:
             ni = cand
 
         hit = _test(qi, ni, self._box_cols)
-        return qi[hit], self.idx[ni[hit]]
+        return qi[hit], ni[hit]
 
     def batch_query(self, qboxes: np.ndarray) -> list[np.ndarray]:
         """Reference-shaped result: per-query sorted int64 index arrays

@@ -1,0 +1,257 @@
+"""Deduplication operators over the documents table.
+
+- :func:`dedup_exact` — hash-partition on normalized text, keep min
+  doc_id per group (one groupby shuffle of (text_hash, doc_id) pairs —
+  the text itself never shuffles).
+- :func:`minhash_pairs` — MinHash + LSH banding near-dup candidates:
+  shingle → minhash signature (vectorized) → band buckets → groupby
+  bucket → verified Jaccard pairs. Two map stages + one groupby.
+- :func:`simhash_64` — 64-bit SimHash fingerprint per document.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard verification for a
+  candidate pair Dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from .text import hash_str
+
+_M61 = (1 << 61) - 1
+
+
+def _token_hashes(text_col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace tokens of every row → (flat int64 hashes, row offsets)."""
+    toks = pc.split_pattern_regex(text_col, r"\s+").combine_chunks()
+    values = toks.values.to_numpy(zero_copy_only=False).astype(str)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(values, return_inverse=True)
+    hval = np.array([hash_str(u) for u in uniq], dtype=np.int64)[inv]
+    return hval, offs
+
+
+def _shingle_hashes(hval: np.ndarray, offs: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes per row (rolling combine), CSR layout."""
+    rows = len(offs) - 1
+    out_h: list[np.ndarray] = []
+    out_off = np.zeros(rows + 1, dtype=np.int64)
+    for i in range(rows):
+        seg = hval[offs[i] : offs[i + 1]]
+        if seg.size == 0:
+            out_off[i + 1] = out_off[i]
+            out_h.append(np.empty(0, dtype=np.int64))
+            continue
+        w = min(k, seg.size)
+        # polynomial rolling combine of w consecutive token hashes
+        sh = seg[: seg.size - w + 1].copy()
+        for j in range(1, w):
+            sh = (sh * 1099511628211 + seg[j : seg.size - w + 1 + j]) & ((1 << 62) - 1)
+        out_h.append(sh)
+        out_off[i + 1] = out_off[i] + sh.size
+    return np.concatenate(out_h) if out_h else np.empty(0, np.int64), out_off
+
+
+def _minhash_sig(sh: np.ndarray, offs: np.ndarray, perms: np.ndarray) -> np.ndarray:
+    """(rows, n_perm) MinHash signatures via (a*x+b) mod M61 permutations."""
+    rows = len(offs) - 1
+    n_perm = perms.shape[0]
+    sig = np.full((rows, n_perm), _M61, dtype=np.int64)
+    a, b = perms[:, 0], perms[:, 1]
+    for i in range(rows):
+        seg = sh[offs[i] : offs[i + 1]]
+        if seg.size == 0:
+            continue
+        # (n_perm, n_shingle) permuted hashes → row-wise min
+        ph = (seg[None, :] * a[:, None] + b[:, None]) % _M61
+        sig[i] = ph.min(axis=1)
+    return sig
+
+
+def _perms(n_perm: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [
+            rng.integers(1, _M61 - 1, size=n_perm),
+            rng.integers(0, _M61 - 1, size=n_perm),
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+
+def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Exact dedup: min id per distinct text. Shuffles only (hash, id)
+    pairs, then one small aggregate per group — the text column is pruned
+    before the shuffle (critical at 100 TB)."""
+
+    def to_hash(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pylist()
+        h = np.array([hash_str(t) for t in texts], dtype=np.int64)
+        return pa.table({"text_hash": h, id_col: tbl.column(id_col)})
+
+    hashed = docs.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+    return agg.select_columns([id_col])
+
+
+def simhash_64(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """(doc_id, simhash): 64-bit SimHash over token hashes."""
+
+    def sh(tbl: pa.Table) -> pa.Table:
+        hval, offs = _token_hashes(tbl.column(text_col))
+        # (T, 64) ±1 bit matrix; per-doc segment sums via prefix sums
+        bits = (((hval[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1).astype(
+            np.int64
+        )
+        pref = np.zeros((hval.shape[0] + 1, 64), dtype=np.int64)
+        np.cumsum(bits, axis=0, out=pref[1:])
+        acc = pref[offs[1:]] - pref[offs[:-1]]  # (rows, 64)
+        pos = (acc > 0).astype(np.uint64)
+        weighted = pos << np.arange(64, dtype=np.uint64)[None, :]
+        out = (
+            np.bitwise_or.reduce(weighted, axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
+        return pa.table({id_col: tbl.column(id_col), "simhash": out})
+
+    return docs.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_pairs(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> Dataset:
+    """Near-duplicate pairs (id_a < id_b, jaccard_pct) via MinHash-LSH.
+
+    map: signature + band-bucket rows → groupby(bucket): candidate pairs
+    verified by signature-estimated Jaccard. A pair appears in several
+    buckets → dedup by reporting it only in its FIRST matching band
+    (owner-band rule — same trick as the spatial owner-cell rule).
+    """
+    perms = _perms(n_perm)
+    rows_per_band = n_perm // bands
+
+    def to_buckets(tbl: pa.Table) -> pa.Table:
+        hval, offs = _token_hashes(tbl.column(text_col))
+        sh, soffs = _shingle_hashes(hval, offs, shingle_k)
+        sig = _minhash_sig(sh, soffs, perms)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_band, out_bucket, out_sig = [], [], [], []
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            bh = seg[:, 0]
+            for j in range(1, rows_per_band):
+                bh = (bh * 1099511628211 + seg[:, j]) & ((1 << 62) - 1)
+            out_id.append(ids)
+            out_band.append(np.full(ids.shape[0], b, dtype=np.int64))
+            out_bucket.append(bh)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                id_col: np.concatenate(out_id),
+                "band": np.concatenate(out_band),
+                "bucket": np.concatenate(out_bucket),
+                "sig": pa.array(
+                    list(np.concatenate(out_sig, axis=0)), type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    bucketed = docs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "id_a": np.empty(0, np.int64),
+                "id_b": np.empty(0, np.int64),
+                "jaccard_pct": np.empty(0, np.int64),
+            }
+        )
+        if n < 2 or n > 2000:  # oversized bucket guard (degenerate hash)
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        band = int(group.column("band")[0].as_py())
+        sig = np.stack(group.column("sig").to_numpy(zero_copy_only=False))
+        ia, ib = np.triu_indices(n, k=1)
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = est >= jaccard_threshold
+        ia, ib, est = ia[keep], ib[keep], est[keep]
+        if ia.size == 0:
+            return empty
+        # owner-band dedup: report only if no EARLIER band bucket matched
+        if band > 0:
+            prior = (
+                sig[ia, : band * rows_per_band].reshape(ia.size, band, rows_per_band)
+                == sig[ib, : band * rows_per_band].reshape(ib.size, band, rows_per_band)
+            ).all(axis=2).any(axis=1)
+            ia, ib, est = ia[~prior], ib[~prior], est[~prior]
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "jaccard_pct": (est * 100).astype(np.int64),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+
+
+def embedding_neardup_pairs(
+    embeddings: Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Embedding-cosine near-dup pairs via LSH random-hyperplane buckets:
+    sign-pattern bucket → in-bucket exact cosine check. One groupby."""
+    # hyperplanes fixed once (identical in every batch/task — seeded)
+    dim_probe = 64
+    planes = np.random.default_rng(11).standard_normal((dim_probe, 12))
+
+    def bucket2(tbl: pa.Table) -> pa.Table:
+        emb = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        p = planes[: emb.shape[1]]
+        signs = (emb @ p) > 0
+        b = np.packbits(signs, axis=1, bitorder="little")[:, :2]
+        bucket_id = b[:, 0].astype(np.int64) * 256 + b[:, 1].astype(np.int64)
+        norm = np.sqrt((emb * emb).sum(axis=1))
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "bucket": bucket_id,
+                "embedding": tbl.column("embedding"),
+                "norm": norm,
+            }
+        )
+
+    bucketed = embeddings.map_batches(bucket2, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
+        n = group.num_rows
+        if n < 2 or n > 5000:
+            return empty
+        emb = np.stack(group.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        norm = group.column("norm").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = (emb @ emb.T) / np.maximum(norm[:, None] * norm[None, :], 1e-30)
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": lo, "id_b": hi})
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")

@@ -1,0 +1,242 @@
+"""Distributed kNN over box centroids.
+
+Distributed analog of a per-query nearest-neighbor search; the
+ring-expansion radius bound mirrors the reference insert's geometrically
+expanding candidate search (``prtree.h:336-369``) but is computed from a
+per-cell histogram instead of repeated probes:
+
+1. Histogram pass: per-cell centroid counts, pre-aggregated per batch,
+   tiny global sum, broadcast to all tasks via ``ray.put``.
+2. Radius bound per query: smallest Chebyshev ring R of cells around the
+   query's cell whose cumulative count >= k. All those centroids lie
+   within Euclidean distance (R+1)*cellw*sqrt(2), so the true k-th
+   neighbor distance is bounded by it (k-th smallest of a candidate
+   SUPERSET's distances bounds the true k-th from above).
+3. Radius join: each query becomes the box [p-rad, p+rad]² and flows
+   through the standard cell-shuffle join, emitting candidate distances.
+4. ``groupby(query_id)`` top-k with deterministic (dist2, idx) tie-break.
+
+Two shuffles total (cell join + per-query top-k); the histogram is
+metadata-sized. dist2 is computed as ``(qx-cx)*(qx-cx)+(qy-cy)*(qy-cy)``
+— the exact SQL-oracle expression, so ordering ties out bitwise.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..functions import cells as cellmod
+from ..stages import spatial as st
+
+
+def _centroid_histogram(boxes: Dataset, res: int) -> np.ndarray:
+    """Dense (g*g,) centroid counts. Grid stays metadata-sized because
+    ``res`` is chosen so cells hold ~1e5 boxes; at res<=10 this is <=1M
+    int64 — broadcastable. (Sparse dict fallback would cover higher res.)"""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        b = st.boxes_np(tbl)
+        cx = (b[:, 0] + b[:, 2]) * 0.5
+        cy = (b[:, 1] + b[:, 3]) * 0.5
+        cell = cellmod.cell_of_points(cx, cy, res)
+        uc, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "n": counts.astype(np.int64)})
+
+    rows = (
+        boxes.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    g = 1 << res
+    grid = np.zeros(g * g, dtype=np.int64)
+    for r in rows:
+        grid[int(r["cell"])] = int(r["n"])
+    return grid
+
+
+def _ring_cumcounts(grid: np.ndarray, res: int, max_ring: int) -> np.ndarray:
+    """(g*g, max_ring+1) cumulative counts of cells within ring r, via 2-D
+    summed-area table — O(g²) regardless of ring count."""
+    g = 1 << res
+    dense = grid.reshape(g, g)
+    sat = np.zeros((g + 1, g + 1), dtype=np.int64)
+    sat[1:, 1:] = dense.cumsum(0).cumsum(1)
+    ix, iy = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+    out = np.empty((g * g, max_ring + 1), dtype=np.int64)
+    for r in range(max_ring + 1):
+        x0 = np.clip(ix - r, 0, g)
+        x1 = np.clip(ix + r + 1, 0, g)
+        y0 = np.clip(iy - r, 0, g)
+        y1 = np.clip(iy + r + 1, 0, g)
+        s = sat[x1, y1] - sat[x0, y1] - sat[x1, y0] + sat[x0, y0]
+        out[:, r] = s.ravel()
+    return out
+
+
+def knn_join(
+    boxes: Dataset,
+    points: Dataset,
+    k: int,
+    res: int = 5,
+) -> Dataset:
+    """k nearest box centroids per query point → (query_id, idx, rank)."""
+    g = 1 << res
+    cellw = 1.0 / g
+    grid = _centroid_histogram(boxes, res)
+    max_ring = g  # worst case covers the whole grid
+    cum = _ring_cumcounts(grid, res, max_ring)
+    # smallest ring with >= k candidates, per cell (k capped at total)
+    k_eff = min(k, int(grid.sum())) or 1
+    ring = np.argmax(cum >= k_eff, axis=1)
+    ring[cum[:, -1] < k_eff] = max_ring
+    ring_ref = ray.put(ring)
+
+    def to_radius_boxes(tbl: pa.Table) -> pa.Table:
+        rng = ray.get(ring_ref)
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        cell = cellmod.cell_of_points(px, py, res)
+        rad = (rng[cell] + 1).astype(np.float64) * cellw * math.sqrt(2.0)
+        return pa.table(
+            {
+                "query_id": st.col_np(tbl, "query_id"),
+                "xmin": px - rad,
+                "ymin": py - rad,
+                "xmax": px + rad,
+                "ymax": py + rad,
+                "px": px,
+                "py": py,
+            }
+        )
+
+    qboxes = points.map_batches(
+        to_radius_boxes, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # centroids as degenerate boxes through the cell join; carry coords
+    def centroid_rows(tbl: pa.Table) -> pa.Table:
+        b = st.boxes_np(tbl)
+        cx = (b[:, 0] + b[:, 2]) * 0.5
+        cy = (b[:, 1] + b[:, 3]) * 0.5
+        return pa.table(
+            {
+                "idx": st.col_np(tbl, "idx"),
+                "xmin": cx,
+                "ymin": cy,
+                "xmax": cx,
+                "ymax": cy,
+            }
+        )
+
+    cents = boxes.map_batches(
+        centroid_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    build = cents.map_batches(
+        st.expand_boxes_to_cells,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(res=res, side=st.SIDE_BUILD, id_col="idx"),
+    )
+    # probe rows need px/py alongside; expand then re-derive px/py from the
+    # (degenerate-free) radius box center: px = (xmin+xmax)*0.5 is exact
+    # only if rad subtraction/addition round-trips — it need not. Carry
+    # px/py explicitly instead.
+    probe = qboxes.map_batches(
+        _expand_probe_with_coords,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(res=res),
+    )
+    union = build.union(probe)
+    pairs = union.groupby("key").map_groups(
+        _make_knn_cell(res), batch_format="pyarrow"
+    )
+
+    def top_k(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        d2 = st.col_np(group, "dist2")
+        idx = st.col_np(group, "idx")
+        order = np.lexsort((idx, d2))[:k]
+        return pa.table(
+            {
+                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
+                "idx": idx[order],
+                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+            }
+        )
+
+    return pairs.groupby("query_id").map_groups(top_k, batch_format="pyarrow")
+
+
+def _expand_probe_with_coords(tbl: pa.Table, res: int) -> pa.Table:
+    b = st.boxes_np(tbl)
+    ids = st.col_np(tbl, "query_id")
+    px = st.col_np(tbl, "px")
+    py = st.col_np(tbl, "py")
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    out = {
+        "key": cell * st.MAX_SALT,
+        "cell": cell,
+        "side": np.full(cell.shape[0], st.SIDE_PROBE, dtype=np.int8),
+        "id": ids[row],
+        "xmin": b[row, 0],
+        "ymin": b[row, 1],
+        "xmax": b[row, 2],
+        "ymax": b[row, 3],
+        "px": px[row],
+        "py": py[row],
+    }
+    return pa.table(out)
+
+
+def _make_knn_cell(res: int):
+    def knn_cell(group: pa.Table) -> pa.Table:
+        side = st.col_np(group, "side")
+        ids = st.col_np(group, "id")
+        b = st.boxes_np(group)
+        bmask = side == st.SIDE_BUILD
+        empty = pa.table(
+            {
+                "query_id": np.empty(0, np.int64),
+                "idx": np.empty(0, np.int64),
+                "dist2": np.empty(0, np.float64),
+            }
+        )
+        if not bmask.any() or bmask.all():
+            return empty
+        qsel = np.nonzero(~bmask)[0]
+        from ..functions.prtree import PRTree
+
+        tree = PRTree(ids[bmask], b[bmask])
+        qi, pos = tree.batch_query_positions(b[qsel])
+        if qi.size == 0:
+            return empty
+        # owner-cell dedup (centroid = degenerate box, lies in ONE cell, but
+        # probe radius boxes span many cells → dedup by centroid's cell)
+        cell_val = int(group.column("cell")[0].as_py())
+        owner = cellmod.cell_of_points(tree.boxes[pos, 0], tree.boxes[pos, 1], res)
+        keep = owner == cell_val
+        qi, pos = qi[keep], pos[keep]
+        if qi.size == 0:
+            return empty
+        px = st.col_np(group, "px")[qsel][qi]
+        py = st.col_np(group, "py")[qsel][qi]
+        cx = tree.boxes[pos, 0]
+        cy = tree.boxes[pos, 1]
+        dx = px - cx
+        dy = py - cy
+        d2 = dx * dx + dy * dy
+        return pa.table(
+            {"query_id": ids[qsel][qi], "idx": tree.idx[pos], "dist2": d2}
+        )
+
+    return knn_cell

@@ -1,0 +1,64 @@
+"""Point-in-polygon: broadcast small polygon set, test points per batch.
+
+The polygon side is small (typical: admin boundaries, zones) → broadcast
+once via ``ray.put`` and read inside every ``map_batches`` task — NO
+shuffle. Each batch runs a vectorized bbox prefilter (the PR-tree-style
+candidate cut) followed by the exact convex half-plane test
+(:func:`..functions.geom.point_in_convex_polygon`), whose expression
+shape the SQL oracle reproduces bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..functions import derive, geom
+from ..stages import spatial as st
+
+
+def pip_join(
+    points: Dataset,
+    polygons: list[tuple[int, np.ndarray]] | None = None,
+) -> Dataset:
+    """(query_id, poly_id) for every point inside a convex polygon.
+
+    ``polygons``: list of (poly_id, (V,2) CCW vertex array); defaults to
+    the engine's deterministic fixture set (derive.POLYGONS).
+    """
+    polys = polygons if polygons is not None else derive.polygon_arrays()
+    # precompute bboxes for the prefilter
+    packed = [
+        (pid, v, v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
+        for pid, v in polys
+    ]
+    polys_ref = ray.put(packed)
+
+    def test_batch(tbl: pa.Table) -> pa.Table:
+        plist = ray.get(polys_ref)
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        qid = st.col_np(tbl, "query_id")
+        out_q: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for pid, verts, x0, y0, x1, y1 in plist:
+            cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            if not cand.any():
+                continue
+            sel = np.nonzero(cand)[0]
+            inside = geom.point_in_convex_polygon(px[sel], py[sel], verts)
+            hit = sel[inside]
+            out_q.append(qid[hit])
+            out_p.append(np.full(hit.shape[0], pid, dtype=np.int64))
+        if not out_q:
+            return pa.table(
+                {"query_id": np.empty(0, np.int64), "poly_id": np.empty(0, np.int64)}
+            )
+        return pa.table(
+            {"query_id": np.concatenate(out_q), "poly_id": np.concatenate(out_p)}
+        )
+
+    return points.map_batches(test_batch, batch_format="pyarrow", zero_copy_batch=True)

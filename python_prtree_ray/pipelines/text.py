@@ -1,0 +1,141 @@
+"""Text-analysis operators over the documents table.
+
+All stateless ``map_batches`` stages using Arrow compute kernels — no
+Python row loops, no shuffle (except where a groupby is the semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+# tiny multilingual stopword lists for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "une"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "una"),
+}
+_EN_STOPWORDS = set(_LANG_MARKERS["en"]) | {"a", "an", "it", "on", "at", "by"}
+
+
+def token_stats(docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_chars): whitespace tokenization + char count —
+    expression-compatible with the DuckDB oracle (regexp split)."""
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        toks = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_alpha, n_punct, stop_ratio_pct, quality_pct):
+    integer-valued quality signals (length, punctuation density, stopword
+    ratio). Integer outputs keep the oracle hash-stable."""
+
+    def score(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        toks = pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(text, r"\s+")), pa.int64()
+        )
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64())
+        nchars = pc.cast(pc.utf8_length(text), pa.int64())
+        # stopword hits via one alternation regex with word boundaries
+        stop_re = r"\b(" + "|".join(sorted(_EN_STOPWORDS)) + r")\b"
+        n_stop = pc.cast(pc.count_substring_regex(text, stop_re), pa.int64())
+        toks_np = toks.to_numpy(zero_copy_only=False)
+        denom = np.maximum(toks_np, 1)
+        stop_pct = (n_stop.to_numpy(zero_copy_only=False) * 100) // denom
+        alpha_np = n_alpha.to_numpy(zero_copy_only=False)
+        nchars_np = np.maximum(nchars.to_numpy(zero_copy_only=False), 1)
+        quality_pct = (alpha_np * 100) // nchars_np
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": toks,
+                "n_alpha": n_alpha,
+                "n_punct": n_punct,
+                "stop_ratio_pct": pa.array(stop_pct, type=pa.int64()),
+                "quality_pct": pa.array(quality_pct, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id(docs: Dataset) -> Dataset:
+    """(doc_id, lang_pred): marker-word language heuristic. Deterministic;
+    tie-break = language order en→de→fr→es."""
+
+    def pred(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        scores = []
+        for lang, words in _LANG_MARKERS.items():
+            rex = r"\b(" + "|".join(words) + r")\b"
+            scores.append(
+                pc.count_substring_regex(text, rex).to_numpy(zero_copy_only=False)
+            )
+        mat = np.stack(scores, axis=1)
+        best = np.argmax(mat, axis=1)  # first max wins = deterministic tiebreak
+        langs = np.array(list(_LANG_MARKERS.keys()))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang_pred": pa.array(langs[best], type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint(docs: Dataset, window: int = 8) -> Dataset:
+    """(doc_id, fp): rolling-hash document fingerprint — min of rolling
+    window hashes over the token stream (winnowing-style, deterministic)."""
+
+    def fp(tbl: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern_regex(tbl.column("text"), r"\s+")
+        flat = toks_list.combine_chunks()
+        values = flat.values.to_numpy(zero_copy_only=False)
+        offs = flat.offsets.to_numpy(zero_copy_only=False)
+        # vectorized token hash: FNV-ish over bytes via numpy frombuffer is
+        # overkill; Python-level hash per unique token instead
+        uniq, inv = np.unique(values.astype(str), return_inverse=True)
+        hval = np.array(
+            [hash_str(u) for u in uniq], dtype=np.int64
+        )[inv]
+        out = np.empty(len(offs) - 1, dtype=np.int64)
+        for i in range(len(offs) - 1):  # per-doc scan over token hashes
+            seg = hval[offs[i] : offs[i + 1]]
+            if seg.size == 0:
+                out[i] = 0
+                continue
+            w = min(window, seg.size)
+            roll = np.convolve(seg, np.ones(w, dtype=np.int64), mode="valid")
+            out[i] = roll.min()
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "fp": pa.array(out, type=pa.int64())}
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_str(s: str) -> int:
+    """Deterministic 63-bit string hash (FNV-1a; process-independent,
+    unlike Python's salted ``hash``)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0x7FFFFFFFFFFFFFFF
+    return h

@@ -1,0 +1,79 @@
+"""H3/S2-style tile-assignment pipelines (stateless map_batches).
+
+Tile assignments are pure functions of geometry → deterministic across
+runs, block orders, and parallelism levels (north-rule requirement:
+"identical H3/S2 tile assignments"). No shuffle — embarrassingly
+parallel over batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions import cells as cellmod
+from ..functions import derive
+from ..stages import spatial as st
+
+
+def tile_centroids(boxes: Dataset, res: int) -> Dataset:
+    """(idx, cell): tile of each box's centroid — the 1:1 assignment."""
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        b = st.boxes_np(tbl)
+        cx = (b[:, 0] + b[:, 2]) * 0.5
+        cy = (b[:, 1] + b[:, 3]) * 0.5
+        cell = derive.tile_cell(cx, cy, res)
+        return pa.table({"idx": st.col_np(tbl, "idx"), "cell": cell})
+
+    return boxes.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tile_cover(boxes: Dataset, res: int) -> Dataset:
+    """(idx, cell): every tile each box overlaps (1:N, closed-interval —
+    a box edge exactly on a tile boundary belongs to both tiles)."""
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        b = st.boxes_np(tbl)
+        ids = st.col_np(tbl, "idx")
+        row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+        return pa.table({"idx": ids[row], "cell": cell})
+
+    return boxes.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tile_points(points: Dataset, res: int) -> Dataset:
+    """(query_id, cell) for point rows (px, py)."""
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        cell = derive.tile_cell(st.col_np(tbl, "px"), st.col_np(tbl, "py"), res)
+        return pa.table({"query_id": st.col_np(tbl, "query_id"), "cell": cell})
+
+    return points.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def raster_tile_join(boxes: Dataset, res: int) -> Dataset:
+    """Raster↔vector assignment: procedurally-generated raster tile grid at
+    resolution ``res`` joined against vector boxes — reduces to the cover
+    expansion plus tile extent columns (no materialized raster table; the
+    grid exists only as arithmetic, which is what makes this scale)."""
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        b = st.boxes_np(tbl)
+        ids = st.col_np(tbl, "idx")
+        row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+        ext = cellmod.cell_bounds(cell, res)
+        return pa.table(
+            {
+                "idx": ids[row],
+                "cell": cell,
+                "tile_xmin": ext[:, 0],
+                "tile_ymin": ext[:, 1],
+                "tile_xmax": ext[:, 2],
+                "tile_ymax": ext[:, 3],
+            }
+        )
+
+    return boxes.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,132 @@
+"""Deterministic synthetic Lance-style interleaved documents.
+
+Input-hint schema (BASELINE.json):
+    doc_id: string
+    spans:  list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+Everything is a pure function of the integer document number (seeded
+multiply-mod hashing — same family as ``functions.derive``), so any two
+runs, at any parallelism, generate identical rows: the per-row
+span-sequence equality invariant (kind, text, media_ref, offset order)
+can be asserted against a regenerated copy at any point in a pipeline.
+
+Generation is a ``map_batches`` over ``ray.data.range`` blocks — no
+driver-side loop, no materialized intermediate; at 10^12 docs this is
+just more blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..functions import derive
+
+_KINDS = ("text", "image", "audio", "video")
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu"
+).split()
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+DOC_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
+
+
+def _h(i: np.ndarray, ch: int) -> np.ndarray:
+    a, b = derive.CHANNELS[ch % len(derive.CHANNELS)]
+    return (i.astype(np.int64) * a + b) % derive.MOD
+
+
+def interleaved_batch(ids: np.ndarray) -> pa.Table:
+    """Build the interleaved table for a vector of doc numbers (vectorized:
+    span attributes are computed column-wise; only the final Arrow
+    ListArray assembly touches offsets)."""
+    n = ids.shape[0]
+    nspans = (_h(ids, 0) % 7 + 2).astype(np.int64)  # 2..8 spans/doc
+    total = int(nspans.sum())
+    doc_of_span = np.repeat(np.arange(n), nspans)
+    span_rank = np.arange(total) - np.repeat(np.cumsum(nspans) - nspans, nspans)
+    sid = ids[doc_of_span] * 16 + span_rank  # unique span key
+    kind_i = (_h(sid, 1) % 4).astype(np.int64)
+    # text spans are 70% of spans: fold media kinds back to text mostly
+    kind_i[(_h(sid, 2) % 10) < 7] = 0
+    w1 = _h(sid, 3) % len(_WORDS)
+    w2 = _h(sid, 4) % len(_WORDS)
+    w3 = _h(sid, 5) % len(_WORDS)
+    is_text = kind_i == 0
+    texts = np.where(
+        is_text,
+        np.char.add(
+            np.char.add(np.array(_WORDS)[w1], " "),
+            np.char.add(np.char.add(np.array(_WORDS)[w2], " "), np.array(_WORDS)[w3]),
+        ),
+        "",
+    )
+    media = np.where(
+        is_text,
+        "",
+        np.char.add(
+            "media://blob/",
+            np.char.mod("%012d", (_h(sid, 6) % 10**12)),
+        ),
+    )
+    kinds = np.array(_KINDS)[kind_i]
+    # offsets: cumulative char offset inside each doc
+    span_len = np.where(is_text, np.char.str_len(texts), 64).astype(np.int64)
+    csum = np.cumsum(span_len)
+    doc_start = np.repeat(csum[np.cumsum(nspans) - nspans] - span_len[np.cumsum(nspans) - nspans], nspans)
+    offsets32 = (csum - span_len - doc_start).astype(np.int32)
+
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, type=pa.string()),
+            pa.array(texts, type=pa.string()),
+            pa.array(media, type=pa.string()),
+            pa.array(offsets32, type=pa.int32()),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    list_offsets = np.concatenate([[0], np.cumsum(nspans)]).astype(np.int32)
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct_arr)
+    doc_id = pa.array(np.char.mod("doc%012d", ids), type=pa.string())
+    return pa.Table.from_arrays([doc_id, spans], schema=DOC_SCHEMA)
+
+
+def interleaved_docs(n_docs: int, override_num_blocks: int | None = None) -> Dataset:
+    """Dataset of n interleaved documents."""
+
+    def gen(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        return interleaved_batch(ids)
+
+    ds = ray.data.range(n_docs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def georef_batch(tbl: pa.Table) -> pa.Table:
+    """Georeference interleaved docs: per-doc bbox derived from the doc
+    number via the shared derive formulas; spans column is carried through
+    UNTOUCHED (zero-copy) so span-sequence equality holds downstream."""
+    import pyarrow.compute as pc
+
+    doc_ids = tbl.column("doc_id")
+    # "doc%012d" → int64, all in Arrow C kernels
+    nums = pc.cast(
+        pc.utf8_slice_codeunits(doc_ids.combine_chunks(), 3), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    cols = derive.derive_boxes(nums)
+    out = tbl.append_column("idx", pa.array(nums, type=pa.int64()))
+    for name, arr in cols.items():
+        out = out.append_column(name, pa.array(arr, type=pa.float64()))
+    return out

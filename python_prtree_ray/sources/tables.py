@@ -1,0 +1,59 @@
+"""Dataset constructors: testdata parquet → geometry-bearing Datasets.
+
+Reads prune to the key column at the parquet reader (column pruning —
+only the int64 key leaves storage), then derive deterministic geometry
+via ``functions.derive`` inside ``map_batches`` (see that module for the
+NumPy/SQL bit-equality contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..functions import derive
+
+
+def _read_keys(sf_dir: str, table: str, key: str):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key])
+
+
+def boxes_dataset(sf_dir: str, table: str = "orders", key: str = "o_orderkey"):
+    """Data-side boxes: (idx, xmin, ymin, xmax, ymax)."""
+
+    def der(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        cols = derive.derive_boxes(k)
+        return pa.table({"idx": k.astype(np.int64), **cols})
+
+    return _read_keys(sf_dir, table, key).map_batches(
+        der, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def query_boxes_dataset(sf_dir: str, table: str = "customer", key: str = "c_custkey"):
+    """Probe-side regions: (query_id, xmin, ymin, xmax, ymax)."""
+
+    def der(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        cols = derive.derive_query_boxes(k)
+        return pa.table({"query_id": k.astype(np.int64), **cols})
+
+    return _read_keys(sf_dir, table, key).map_batches(
+        der, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def points_dataset(sf_dir: str, table: str = "customer", key: str = "c_custkey"):
+    """Probe points: (query_id, px, py)."""
+
+    def der(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        cols = derive.derive_points(k)
+        return pa.table({"query_id": k.astype(np.int64), **cols})
+
+    return _read_keys(sf_dir, table, key).map_batches(
+        der, batch_format="pyarrow", zero_copy_batch=True
+    )

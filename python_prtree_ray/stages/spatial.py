@@ -1,0 +1,175 @@
+"""Batch-level spatial stages: cell expansion, per-cell join kernels.
+
+All functions here are ``map_batches`` / ``map_groups`` callables operating
+on ``pyarrow.Table`` batches (zero-copy from the object store); inside,
+columns are viewed as NumPy arrays and every operation is vectorized.
+
+Distributed-join contract (replaces the reference's single-process BFS
+fan-out, ``prtree.h:699-722``):
+
+1. Both sides are expanded to every grid cell they overlap
+   (:func:`expand_boxes_to_cells` — closed-interval cover, so matches that
+   only touch on a cell boundary are never lost).
+2. A ``groupby(cell)`` shuffle co-locates each cell's rows.
+3. :func:`make_cell_join` builds a packed PR-tree over the cell's
+   build-side rows and probes with the cell's probe-side rows.
+4. A pair discovered in several shared cells is reported only by its
+   OWNER cell — the cell containing the intersection region's min corner
+   — so no global ``distinct`` shuffle is needed (substitute for the
+   reference's in-process dedup at ``prtree.h:891-894``).
+
+Skew: hot cells can be salted (``salt_plan``): build-side rows scatter
+across ``k`` salted sub-keys, probe-side rows replicate to all ``k``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import cells as cellmod
+from ..functions.prtree import PRTree
+
+BOX_COLS = ("xmin", "ymin", "xmax", "ymax")
+# salted group key = cell * MAX_SALT + salt; res <= 26 keeps this in int64
+MAX_SALT = 1 << 10
+
+SIDE_BUILD = 0
+SIDE_PROBE = 1
+
+
+def col_np(tbl: pa.Table, name: str) -> np.ndarray:
+    """Arrow column -> NumPy (zero-copy for non-null numeric columns)."""
+    return tbl.column(name).to_numpy(zero_copy_only=False)
+
+
+def boxes_np(tbl: pa.Table) -> np.ndarray:
+    return np.stack([col_np(tbl, c) for c in BOX_COLS], axis=1)
+
+
+def expand_boxes_to_cells(
+    tbl: pa.Table,
+    res: int,
+    side: int,
+    id_col: str,
+    salt_plan: dict[int, int] | None = None,
+) -> pa.Table:
+    """Replicate each box row to every cell it overlaps (flat_map shape).
+
+    Output columns: ``key`` (salted group key), ``cell`` (unsalted, for
+    owner dedup), ``side``, ``id``, xmin..ymax.
+    """
+    b = boxes_np(tbl)
+    ids = col_np(tbl, id_col)
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    ids_r = ids[row]
+    b_r = b[row]
+    key = cell * MAX_SALT
+    if salt_plan:
+        nsalt = np.ones(cell.shape[0], dtype=np.int64)
+        hot_cells = np.fromiter(salt_plan.keys(), dtype=np.int64)
+        hot_k = np.fromiter(salt_plan.values(), dtype=np.int64)
+        order = np.argsort(hot_cells)
+        hot_cells, hot_k = hot_cells[order], hot_k[order]
+        pos = np.searchsorted(hot_cells, cell)
+        pos = np.clip(pos, 0, hot_cells.shape[0] - 1)
+        is_hot = hot_cells[pos] == cell
+        nsalt[is_hot] = hot_k[pos[is_hot]]
+        if side == SIDE_BUILD:
+            # scatter: one salted key per row, by id hash
+            salt = (ids_r * 2654435761 % MAX_SALT) % nsalt
+            key = key + salt
+        else:
+            # replicate probe rows across all salts of hot cells
+            rep = np.repeat(np.arange(cell.shape[0], dtype=np.int64), nsalt)
+            local = np.arange(rep.shape[0], dtype=np.int64) - np.repeat(
+                np.cumsum(nsalt) - nsalt, nsalt
+            )
+            ids_r = ids_r[rep]
+            b_r = b_r[rep]
+            cell = cell[rep]
+            key = cell * MAX_SALT + local
+    out = {
+        "key": key,
+        "cell": cell,
+        "side": np.full(key.shape[0], side, dtype=np.int8),
+        "id": ids_r,
+    }
+    for j, c in enumerate(BOX_COLS):
+        out[c] = b_r[:, j]
+    return pa.table(out)
+
+
+def make_cell_join(
+    res: int,
+    self_join: bool = False,
+    emit_coords: bool = False,
+):
+    """Build the per-cell ``map_groups`` callable.
+
+    For a two-sided join the group holds build rows (side=0) and probe
+    rows (side=1); for a self-join every row is both sides. Returns pairs
+    ``(query_id, idx)`` (self-join: ``idx_a < idx_b``), deduped by the
+    owner-cell rule.
+    """
+
+    def join_cell(group: pa.Table) -> pa.Table:
+        cell_val = int(group.column("cell")[0].as_py())
+        ids = col_np(group, "id")
+        b = boxes_np(group)
+        side = col_np(group, "side")
+        if self_join:
+            bmask = np.ones(ids.shape[0], dtype=bool)
+        else:
+            bmask = side == SIDE_BUILD
+        bi_ids, bi_boxes = ids[bmask], b[bmask]
+        qmask = bmask if self_join else ~bmask
+        q_ids, q_boxes = ids[qmask], b[qmask]
+        empty = {
+            "query_id": np.empty(0, np.int64),
+            "idx": np.empty(0, np.int64),
+        }
+        if emit_coords:
+            empty.update(
+                qxmin=np.empty(0, np.float64), qymin=np.empty(0, np.float64),
+                bxmin=np.empty(0, np.float64), bymin=np.empty(0, np.float64),
+                bxmax=np.empty(0, np.float64), bymax=np.empty(0, np.float64),
+            )
+        if bi_ids.shape[0] == 0 or q_ids.shape[0] == 0:
+            return pa.table(empty)
+
+        tree = PRTree(bi_ids, bi_boxes)
+        qi, pos = tree.batch_query_positions(q_boxes)
+        if qi.size == 0:
+            return pa.table(empty)
+        # owner-cell dedup: intersection min corner must land in THIS cell
+        mcx = np.maximum(q_boxes[qi, 0], tree.boxes[pos, 0])
+        mcy = np.maximum(q_boxes[qi, 1], tree.boxes[pos, 1])
+        owner = cellmod.cell_of_points(mcx, mcy, res)
+        keep = owner == cell_val
+        qi, pos = qi[keep], pos[keep]
+        out_q, out_b = q_ids[qi], tree.idx[pos]
+        if self_join:
+            m = out_q < out_b
+            qi, pos = qi[m], pos[m]
+            out_q, out_b = out_q[m], out_b[m]
+        res_tbl = {"query_id": out_q, "idx": out_b}
+        if emit_coords:
+            res_tbl.update(
+                qxmin=q_boxes[qi, 0], qymin=q_boxes[qi, 1],
+                bxmin=tree.boxes[pos, 0], bymin=tree.boxes[pos, 1],
+                bxmax=tree.boxes[pos, 2], bymax=tree.boxes[pos, 3],
+            )
+        return pa.table(res_tbl)
+
+    return join_cell
+
+
+def cell_count_batch(tbl: pa.Table, res: int) -> pa.Table:
+    """Partial per-cell box counts for a batch (pre-aggregation before the
+    tiny global ``groupby(cell).sum`` — avoids shuffling raw rows to build
+    the salting / kNN histograms)."""
+    b = boxes_np(tbl)
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    uc, counts = np.unique(cell, return_counts=True)
+    return pa.table({"cell": uc, "n": counts.astype(np.int64)})

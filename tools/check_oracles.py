@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry and its oracle_sql() twin at a given sf, compare row counts, schemas
+and order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        try:
+            return res.to_pandas()
+        except TypeError:
+            pass
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(got)} (no oracle — rows-only)")
+            continue
+        try:
+            want = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            failures += 1
+            continue
+        # exact value compare (dtype-tolerant)
+        eq = True
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                same = np.array_equal(a.astype(np.float64), b.astype(np.float64))
+            else:
+                same = np.array_equal(a.astype(str), b.astype(str)) if a.dtype == object else np.array_equal(a, b)
+            if not same:
+                bad = np.nonzero(~(a == b))[0][:3] if a.shape == b.shape else []
+                print(f"FAIL {name}: column {c} differs at rows {bad}")
+                eq = False
+                break
+        if eq:
+            print(f"OK   {name}: rows={len(got)}")
+        else:
+            failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    rc = main(sf)
+    ray.shutdown()
+    sys.exit(1 if rc else 0)
