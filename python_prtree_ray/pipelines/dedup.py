@@ -126,7 +126,7 @@ def minhash_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     n_perm: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     jaccard_threshold: float = 0.5,
 ) -> Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard_pct) via MinHash-LSH.

@@ -138,4 +138,4 @@ def hash_str(s: str) -> int:
     h = 0xCBF29CE484222325
     for b in s.encode():
         h = ((h ^ b) * 0x100000001B3) & 0x7FFFFFFFFFFFFFFF
-    return h
+    return h & 0x7FFFFFFFFFFFFFFF

@@ -1,0 +1,233 @@
+"""Lifecycle (insert/erase/rebuild), persistence/resume, interleaved docs,
+dedup/ANN/multimodal — table-level parity with the reference's
+integration/legacy suites (SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from python_prtree_ray.api import RayPRTree
+from python_prtree_ray.pipelines import spatial_join as sj
+
+from .conftest import random_boxes
+from .test_pipelines_ray import _boxes_ds, _pairs_set
+
+
+def _query_set(tree: RayPRTree, ray, qs, qids):
+    out = tree.batch_query(_boxes_ds(ray, qs, qids, "query_id")).take_all()
+    return _pairs_set(out)
+
+
+def test_bulk_vs_incremental_equivalence(ray_session):
+    # reference legacy test: bulk build == build-half + insert-half
+    # (tests/legacy/test_PRTree.py:71-113)
+    ray = ray_session
+    rng = np.random.default_rng(21)
+    boxes = random_boxes(rng, 1000, edge=0.05)
+    ids = np.arange(1000, dtype=np.int64)
+    qs = random_boxes(rng, 100, edge=0.1)
+    qids = np.arange(100, dtype=np.int64)
+
+    bulk = RayPRTree(_boxes_ds(ray, boxes, ids), res=4, strict=False)
+    half = RayPRTree(_boxes_ds(ray, boxes[:500], ids[:500]), res=4, strict=False)
+    half.insert_batch(_boxes_ds(ray, boxes[500:], ids[500:]))
+    assert _query_set(bulk, ray, qs, qids) == _query_set(half, ray, qs, qids)
+
+
+def test_erase_then_query_and_rebuild_determinism(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(22)
+    boxes = random_boxes(rng, 600, edge=0.05)
+    ids = np.arange(600, dtype=np.int64)
+    qs = random_boxes(rng, 60, edge=0.15)
+    qids = np.arange(60, dtype=np.int64)
+    tree = RayPRTree(_boxes_ds(ray, boxes, ids), res=4, strict=False)
+    dead = ids[::3]
+    tree._tombstones = dead
+    before = _query_set(tree, ray, qs, qids)
+    assert all(b not in dead for (_, b) in before)
+    tree.rebuild()  # compaction must not change answers
+    assert _query_set(tree, ray, qs, qids) == before
+
+
+def test_strict_duplicate_insert_and_missing_erase(ray_session):
+    # parity: duplicate insert rejected (prtree.h:302-306); erasing a
+    # missing id raises (prtree.h:794-799)
+    ray = ray_session
+    rng = np.random.default_rng(23)
+    boxes = random_boxes(rng, 50, edge=0.05)
+    ids = np.arange(50, dtype=np.int64)
+    tree = RayPRTree(_boxes_ds(ray, boxes, ids, blocks=1), res=3, strict=True)
+    with pytest.raises(ValueError, match="already exists"):
+        tree.insert_batch(_boxes_ds(ray, boxes[:1], ids[:1], blocks=1))
+    with pytest.raises(ValueError, match="not found"):
+        tree.erase([999])
+    tree.erase([0])
+    assert tree.size() == 49
+    # resurrecting a tombstoned id is a fresh insert
+    tree.insert_batch(_boxes_ds(ray, boxes[:1], ids[:1], blocks=1))
+    assert tree.size() == 50
+
+
+def test_save_load_roundtrip_and_empty_save(ray_session, tmp_path):
+    ray = ray_session
+    rng = np.random.default_rng(24)
+    boxes = random_boxes(rng, 400, edge=0.05)
+    ids = np.arange(400, dtype=np.int64)
+    qs = random_boxes(rng, 40, edge=0.2)
+    qids = np.arange(40, dtype=np.int64)
+    tree = RayPRTree(_boxes_ds(ray, boxes, ids), res=4, strict=False)
+    path = str(tmp_path / "tree")
+    tree.save(path)
+    loaded = RayPRTree.load(path, strict=False)
+    assert loaded.res == 4
+    assert _query_set(loaded, ray, qs, qids) == _query_set(tree, ray, qs, qids)
+    # empty save raises (reference core.py:173-178)
+    empty = RayPRTree(res=4, strict=False)
+    with pytest.raises(ValueError, match="empty"):
+        empty.save(str(tmp_path / "empty"))
+
+
+def test_partitioned_write_resume_skips_done(ray_session, tmp_path):
+    from python_prtree_ray.state import manifest as mf
+
+    ray = ray_session
+    rng = np.random.default_rng(25)
+    boxes = random_boxes(rng, 500, edge=0.03)
+    ids = np.arange(500, dtype=np.int64)
+    ds = _boxes_ds(ray, boxes, ids)
+    path = str(tmp_path / "ckpt")
+    man1 = mf.write_partitioned(
+        ds, path, lambda t: mf._partition_of_boxes(t, 1), coarse_res=1
+    )
+    assert len(man1["partitions"]) > 1
+    total1 = sum(p["rows"] for p in man1["partitions"].values())
+    assert total1 == 500
+    # simulate partial failure: drop one partition (file + manifest entry)
+    victim = sorted(man1["partitions"])[0]
+    os.remove(os.path.join(path, man1["partitions"][victim]["file"]))
+    man = json.load(open(os.path.join(path, "manifest.json")))
+    del man["partitions"][victim]
+    json.dump(man, open(os.path.join(path, "manifest.json"), "w"))
+    # resume: only the missing partition is rewritten
+    man2 = mf.write_partitioned(
+        ds, path, lambda t: mf._partition_of_boxes(t, 1), coarse_res=1
+    )
+    assert set(man2["partitions"]) == set(man1["partitions"])
+    rows2 = mf.read_partitioned(path).count()
+    assert rows2 == 500
+
+
+def test_interleaved_span_sequences_preserved(ray_session):
+    # north-rule invariant: per-row span-sequence equality
+    # (kind, text, media_ref, offset order) end to end
+    from python_prtree_ray.sources.synth import interleaved_docs, georef_batch
+
+    docs = interleaved_docs(300, override_num_blocks=5)
+    geo = docs.map_batches(georef_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = {r["doc_id"]: r["spans"] for r in geo.take_all()}
+    ref = {r["doc_id"]: r["spans"] for r in interleaved_docs(300).take_all()}
+    assert set(out) == set(ref)
+    for k in ref:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out[k]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ref[k]]
+        assert got == want
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.dedup import minhash_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+    near = base.replace("echo", "zulu")  # small edit → high jaccard
+    far = "one two three four five six seven eight nine ten " * 5
+    t = pa.table(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [base, near, far],
+        }
+    )
+    out = minhash_pairs(
+        ray.data.from_arrow(t), jaccard_threshold=0.5
+    ).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_neardup_finds_planted(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((50, 16))
+    dup = base[7] + 0.001 * rng.standard_normal(16)
+    emb = np.concatenate([base, dup[None, :]], axis=0)
+    t = pa.table(
+        {
+            "vec_id": np.arange(51, dtype=np.int64),
+            "embedding": pa.array(list(emb.astype(np.float32)), type=pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.99).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (7, 50) in pairs
+
+
+def test_multimodal_actor_stage_plumbing(ray_session):
+    ray = ray_session
+    from python_prtree_ray.stages.multimodal import MediaFeatureExtractor
+
+    t = pa.table(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "kind": ["image", "audio"] * 5,
+            "payload": [bytes([i] * 100) for i in range(10)],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        MediaFeatureExtractor,
+        concurrency=2,
+        batch_size=4,
+        batch_format="pyarrow",
+    )
+    rows = out.take_all()
+    assert len(rows) == 10
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic fake: same payload → same features
+    assert rows[0]["features"] == rows[0]["features"]
+
+
+def test_ann_brute_topk_exact(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import ann_brute_topk
+
+    rng = np.random.default_rng(33)
+    emb = rng.standard_normal((200, 16))
+    t = pa.table(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": pa.array(list(emb.astype(np.float32)), type=pa.list_(pa.float32())),
+        }
+    )
+    q = emb[:5]
+    out = ann_brute_topk(
+        ray.data.from_arrow(t).repartition(6), q, np.arange(5), k=3
+    ).take_all()
+    # oracle
+    emb32 = emb.astype(np.float32).astype(np.float64)
+    n = emb32 / np.linalg.norm(emb32, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = n @ qn.T
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qi in range(5):
+        order = np.lexsort((np.arange(200), -sims[:, qi]))[:3]
+        assert sorted(got[qi]) == [(j + 1, int(v)) for j, v in enumerate(order)]

@@ -1,0 +1,226 @@
+"""Distributed pipelines vs brute-force oracles (reference test strategy:
+every assertion reduces to a numpy brute-force recomputation, never golden
+files — SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from python_prtree_ray.functions.geom import brute_force_pairs, points_to_boxes
+from python_prtree_ray.pipelines import spatial_join as sj
+from python_prtree_ray.pipelines.knn import knn_join
+from python_prtree_ray.pipelines.pip import pip_join
+from python_prtree_ray.functions import derive, geom
+
+from .conftest import random_boxes
+
+
+def _boxes_ds(ray, boxes, ids, id_name="idx", blocks=4):
+    t = pa.table(
+        {
+            id_name: ids.astype(np.int64),
+            "xmin": boxes[:, 0],
+            "ymin": boxes[:, 1],
+            "xmax": boxes[:, 2],
+            "ymax": boxes[:, 3],
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _points_ds(ray, pts, ids, blocks=3):
+    t = pa.table(
+        {
+            "query_id": ids.astype(np.int64),
+            "px": pts[:, 0],
+            "py": pts[:, 1],
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _pairs_set(rows, a="query_id", b="idx"):
+    return {(r[a], r[b]) for r in rows}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_spatial_join_matches_brute_force(ray_session, seed):
+    ray = ray_session
+    rng = np.random.default_rng(seed)
+    boxes = random_boxes(rng, 3000, edge=0.03)
+    qs = random_boxes(rng, 400, edge=0.08)
+    bids = rng.permutation(3000).astype(np.int64)
+    qids = (np.arange(400) * 11 + 5).astype(np.int64)
+    out = sj.spatial_join(
+        _boxes_ds(ray, boxes, bids), _boxes_ds(ray, qs, qids, "query_id"), res=4
+    ).take_all()
+    oq, ob = brute_force_pairs(qs, boxes)
+    want = set(zip(qids[oq].tolist(), bids[ob].tolist()))
+    assert _pairs_set(out) == want
+
+
+def test_spatial_join_boundary_boxes_on_cell_edges(ray_session):
+    # boxes/queries whose edges lie EXACTLY on cell boundaries (res=3 →
+    # boundaries at multiples of 0.125): touching matches must appear
+    # exactly once (closed-interval + owner-cell dedup)
+    ray = ray_session
+    b = np.array(
+        [
+            [0.125, 0.125, 0.25, 0.25],
+            [0.25, 0.25, 0.375, 0.375],
+            [0.0, 0.0, 0.125, 0.125],
+        ]
+    )
+    q = np.array([[0.25, 0.25, 0.25, 0.25], [0.125, 0.125, 0.125, 0.125]])
+    bids = np.array([10, 20, 30])
+    qids = np.array([1, 2])
+    out = sj.spatial_join(
+        _boxes_ds(ray, b, bids), _boxes_ds(ray, q, qids, "query_id"), res=3
+    ).take_all()
+    got = sorted((r["query_id"], r["idx"]) for r in out)
+    oq, ob = brute_force_pairs(q, b)
+    want = sorted(zip(qids[oq].tolist(), bids[ob].tolist()))
+    assert got == want
+    # no duplicates
+    assert len(got) == len(set(got))
+
+
+def test_spatial_join_deterministic_across_parallelism(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(7)
+    boxes = random_boxes(rng, 1500, edge=0.04)
+    qs = random_boxes(rng, 200, edge=0.06)
+    bids = np.arange(1500, dtype=np.int64)
+    qids = np.arange(200, dtype=np.int64)
+    r1 = sj.spatial_join(
+        _boxes_ds(ray, boxes, bids, blocks=1),
+        _boxes_ds(ray, qs, qids, "query_id", blocks=1),
+        res=4,
+    ).take_all()
+    r2 = sj.spatial_join(
+        _boxes_ds(ray, boxes, bids, blocks=13),
+        _boxes_ds(ray, qs, qids, "query_id", blocks=9),
+        res=4,
+    ).take_all()
+    assert _pairs_set(r1) == _pairs_set(r2)
+
+
+def test_spatial_join_with_salting_matches_unsalted(ray_session):
+    # Zipf-skewed boxes concentrated in one hot cell
+    ray = ray_session
+    rng = np.random.default_rng(3)
+    lo = np.concatenate(
+        [rng.random((2000, 2)) * 0.05, rng.random((500, 2))]  # hot corner + rest
+    )
+    boxes = np.concatenate([lo, lo + 0.02], axis=1)
+    qs = random_boxes(rng, 150, edge=0.1)
+    bids = np.arange(2500, dtype=np.int64)
+    qids = np.arange(150, dtype=np.int64)
+    plain = sj.spatial_join(
+        _boxes_ds(ray, boxes, bids), _boxes_ds(ray, qs, qids, "query_id"), res=3
+    ).take_all()
+    salted = sj.spatial_join(
+        _boxes_ds(ray, boxes, bids),
+        _boxes_ds(ray, qs, qids, "query_id"),
+        res=3,
+        salt_threshold=200,
+    ).take_all()
+    assert _pairs_set(plain) == _pairs_set(salted)
+
+
+def test_self_join_matches_brute_force(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(9)
+    boxes = random_boxes(rng, 1200, edge=0.05)
+    ids = rng.permutation(1200).astype(np.int64)
+    out = sj.self_join(_boxes_ds(ray, boxes, ids), res=4).take_all()
+    oq, ob = brute_force_pairs(boxes, boxes)
+    a, b = ids[oq], ids[ob]
+    keep = a < b
+    want = set(zip(a[keep].tolist(), b[keep].tolist()))
+    assert _pairs_set(out) == want
+
+
+def test_point_query_matches_brute_force(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(11)
+    boxes = random_boxes(rng, 2000, edge=0.05)
+    pts = rng.random((300, 2))
+    bids = np.arange(2000, dtype=np.int64)
+    qids = np.arange(300, dtype=np.int64)
+    out = sj.point_query(
+        _boxes_ds(ray, boxes, bids), _points_ds(ray, pts, qids), res=4
+    ).take_all()
+    oq, ob = brute_force_pairs(points_to_boxes(pts), boxes)
+    want = set(zip(qids[oq].tolist(), bids[ob].tolist()))
+    assert _pairs_set(out) == want
+
+
+def test_knn_matches_brute_force(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(13)
+    boxes = random_boxes(rng, 1500, edge=0.02)
+    pts = rng.random((80, 2))
+    bids = rng.permutation(1500).astype(np.int64)
+    qids = np.arange(80, dtype=np.int64)
+    k = 7
+    out = knn_join(
+        _boxes_ds(ray, boxes, bids), _points_ds(ray, pts, qids), k=k, res=4
+    ).take_all()
+    # brute-force oracle with identical centroid/distance formulas
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    d2 = geom.squared_centroid_distance(pts[:, 0], pts[:, 1], cx, cy)
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["idx"]))
+    for qi in range(80):
+        order = np.lexsort((bids, d2[qi]))[:k]
+        want = [(rank + 1, int(bids[j])) for rank, j in enumerate(order)]
+        assert sorted(got[qi]) == want
+
+
+def test_knn_k_larger_than_dataset(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(14)
+    boxes = random_boxes(rng, 5, edge=0.02)
+    pts = rng.random((3, 2))
+    out = knn_join(
+        _boxes_ds(ray, boxes, np.arange(5), blocks=1),
+        _points_ds(ray, pts, np.arange(3), blocks=1),
+        k=50,
+        res=3,
+    ).take_all()
+    assert len(out) == 15  # 3 queries x all 5 boxes
+
+
+def test_pip_matches_kernel(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(15)
+    pts = rng.random((2000, 2))
+    qids = np.arange(2000, dtype=np.int64)
+    out = pip_join(_points_ds(ray, pts, qids)).take_all()
+    want = set()
+    for pid, verts in derive.polygon_arrays():
+        inside = geom.point_in_convex_polygon(pts[:, 0], pts[:, 1], verts)
+        for i in np.nonzero(inside)[0]:
+            want.add((int(qids[i]), pid))
+    assert {(r["query_id"], r["poly_id"]) for r in out} == want
+
+
+def test_match_list_aggregation_sorted(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(17)
+    boxes = random_boxes(rng, 500, edge=0.1)
+    qs = random_boxes(rng, 50, edge=0.2)
+    pairs = sj.spatial_join(
+        _boxes_ds(ray, boxes, np.arange(500)),
+        _boxes_ds(ray, qs, np.arange(50), "query_id"),
+        res=3,
+    )
+    lists = sj.aggregate_match_lists(pairs).take_all()
+    for r in lists:
+        m = r["matches"]
+        assert list(m) == sorted(m)
