@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..config import tune_context
+
 
 def _emb_matrix(tbl: pa.Table, col: str) -> np.ndarray:
     arr = tbl.column(col).combine_chunks()
@@ -33,6 +35,7 @@ def ann_brute_topk(
     emb_col: str = "embedding",
 ) -> Dataset:
     """(query_id, vec_id, rank): exact cosine top-k per query vector."""
+    tune_context()
     q = np.asarray(query_vectors, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
@@ -89,6 +92,7 @@ def ann_lsh_topk(
     """Approximate top-k: sign-LSH buckets; each query probes its own
     bucket plus 1-bit-flip neighbors (multi-probe). Recall < 1 by design;
     the scale path when a full scan per query is too expensive."""
+    tune_context()
     q = np.asarray(query_vectors, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     planes = np.random.default_rng(23).standard_normal((q.shape[1], n_planes))

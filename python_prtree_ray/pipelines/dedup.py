@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
+
+from ..config import tune_context
 from ray.data.aggregate import Min
 
 from .text import hash_str
@@ -87,6 +89,7 @@ def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     """Exact dedup: min id per distinct text. Shuffles only (hash, id)
     pairs, then one small aggregate per group — the text column is pruned
     before the shuffle (critical at 100 TB)."""
+    tune_context()
 
     def to_hash(tbl: pa.Table) -> pa.Table:
         texts = tbl.column(text_col).to_pylist()
@@ -136,6 +139,7 @@ def minhash_pairs(
     buckets → dedup by reporting it only in its FIRST matching band
     (owner-band rule — same trick as the spatial owner-cell rule).
     """
+    tune_context()
     perms = _perms(n_perm)
     rows_per_band = n_perm // bands
 
@@ -214,6 +218,7 @@ def embedding_neardup_pairs(
 ) -> Dataset:
     """Embedding-cosine near-dup pairs via LSH random-hyperplane buckets:
     sign-pattern bucket → in-bucket exact cosine check. One groupby."""
+    tune_context()
     # hyperplanes fixed once (identical in every batch/task — seeded)
     dim_probe = 64
     planes = np.random.default_rng(11).standard_normal((dim_probe, 12))

@@ -33,6 +33,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..functions import cells as cellmod
+from ..config import tune_context
 from ..stages import spatial as st
 
 
@@ -88,6 +89,7 @@ def knn_join(
     res: int = 5,
 ) -> Dataset:
     """k nearest box centroids per query point → (query_id, idx, rank)."""
+    tune_context()
     g = 1 << res
     cellw = 1.0 / g
     grid = _centroid_histogram(boxes, res)

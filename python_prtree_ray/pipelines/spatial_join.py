@@ -28,6 +28,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from ..config import tune_context
 from ..stages import spatial as st
 
 DEFAULT_RES = 6
@@ -66,6 +67,7 @@ def compute_salt_plan(
     Pre-aggregates counts inside each ``map_batches`` call, so the global
     groupby only shuffles (cell, partial_count) rows — tiny at any scale.
     """
+    tune_context()
     partial = boxes.map_batches(
         st.cell_count_batch,
         batch_format="pyarrow",
@@ -92,6 +94,7 @@ def spatial_join(
     ``boxes``: columns (idx, xmin, ymin, xmax, ymax);
     ``queries``: columns (query_id, xmin, ymin, xmax, ymax).
     """
+    tune_context()
     plan = (
         compute_salt_plan(boxes, res, salt_threshold) if salt_threshold else None
     )
@@ -113,6 +116,7 @@ def self_join(
     within-cell pairs, so hot cells replicate the PROBE role instead —
     here we simply run unsalted; skew is handled by resolution choice.
     """
+    tune_context()
     union = _expanded_union(boxes, None, res, None)
     return union.groupby("key").map_groups(
         st.make_cell_join(res, self_join=True), batch_format="pyarrow"

@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
+
+from ..config import tune_context
 from ray.data.aggregate import Sum
 
 
@@ -26,6 +28,7 @@ def tumbling_window_agg(
     """(event_type, window_start, n_events, value_cents) per tumbling
     window. ``value_cents`` sums floor(value*100) as int64 — associative
     and order-independent, unlike a float sum."""
+    tune_context()
 
     def partial(tbl: pa.Table) -> pa.Table:
         win = pc.floor_temporal(tbl.column(ts_col), unit="hour")
