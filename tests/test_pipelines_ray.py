@@ -224,3 +224,48 @@ def test_match_list_aggregation_sorted(ray_session):
     for r in lists:
         m = r["matches"]
         assert list(m) == sorted(m)
+
+
+def test_broadcast_and_shuffle_strategies_agree(ray_session):
+    # spatial_join auto-picks broadcast for a small query side; force the
+    # cell-shuffle path and require identical pair sets (and both == truth)
+    ray = ray_session
+    rng = np.random.default_rng(3)
+    boxes = random_boxes(rng, 4000, edge=0.02)
+    qs = random_boxes(rng, 300, edge=0.1)
+    bids = rng.permutation(4000).astype(np.int64)
+    qids = np.arange(300).astype(np.int64)
+    bds = _boxes_ds(ray, boxes, bids)
+    qds = _boxes_ds(ray, qs, qids, "query_id")
+    got_bc = _pairs_set(sj.spatial_join(bds, qds, res=4).take_all())
+    got_sh = _pairs_set(sj.spatial_join(bds, qds, res=4, broadcast=False).take_all())
+    oq, ob = brute_force_pairs(qs, boxes)
+    want = set(zip(qids[oq].tolist(), bids[ob].tolist()))
+    assert got_bc == want
+    assert got_sh == want
+
+
+def test_broadcast_join_touching_boxes_closed_interval(ray_session):
+    # reference semantics: a_max == b_min intersects (prtree.h:763-777);
+    # must hold through the broadcast path too
+    ray = ray_session
+    boxes = np.array([[0.0, 0.0, 0.25, 0.25]])
+    qs = np.array([[0.25, 0.25, 0.5, 0.5], [0.2500001, 0.0, 0.3, 0.2]])
+    out = sj.spatial_join(
+        _boxes_ds(ray, boxes, np.array([7]), blocks=1),
+        _boxes_ds(ray, qs, np.array([1, 2]), "query_id", blocks=1),
+    ).take_all()
+    assert _pairs_set(out) == {(1, 7)}
+
+
+def test_broadcast_join_empty_sides(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(0)
+    boxes = random_boxes(rng, 50, edge=0.1)
+    bds = _boxes_ds(ray, boxes, np.arange(50), blocks=1)
+    empty_q = _boxes_ds(ray, boxes, np.arange(50), "query_id", blocks=1).filter(
+        lambda r: False
+    )
+    out = sj.spatial_join(bds, empty_q)
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == ["query_id", "idx"]
