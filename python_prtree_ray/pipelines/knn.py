@@ -82,13 +82,166 @@ def _ring_cumcounts(grid: np.ndarray, res: int, max_ring: int) -> np.ndarray:
     return out
 
 
+# Broadcast path bound: at m<=this many query points, a per-batch local
+# top-k scan (O(m * batch) distances) is cheaper than the 3-shuffle ring
+# path — and is exact at any box count. Above it, ring expansion wins.
+KNN_BROADCAST_LIMIT = 100_000
+
+
+def _try_collect_points(points: Dataset, limit: int) -> pa.Table | None:
+    batches: list[pa.Table] = []
+    n = 0
+    for b in points.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+        if n > limit:
+            return None
+        batches.append(b)
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _local_knn_candidates(
+    cx: np.ndarray, cy: np.ndarray, qx: np.ndarray, qy: np.ndarray, kk: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact threshold-inclusive local top-k: for each query point, every
+    centroid position with dist2 <= the local k-th smallest (ties kept).
+    Returns (query_row, centroid_pos, dist2).
+
+    Expanding-radius search over a packed PR-tree of the batch's
+    centroids — the vectorized analog of the reference insert's
+    geometrically expanding candidate loop (``prtree.h:336-369``). A
+    radius-r probe returns all points with Chebyshev distance <= r, so
+    once >= k hits exist and the k-th EUCLIDEAN distance dk <= r, no
+    point outside the box can beat it; otherwise one re-probe at
+    r = sqrt(dk) settles it."""
+    from ..functions.prtree import PRTree
+
+    B = cx.shape[0]
+    tree = PRTree(
+        np.arange(B, dtype=np.int64), np.stack([cx, cy, cx, cy], axis=1)
+    )
+    m = qx.shape[0]
+    rad = np.full(m, max(math.sqrt(kk / max(B, 1)), 1e-6))
+    alive = np.arange(m, dtype=np.int64)
+    out_q: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    for _round in range(64):  # hard cap; stragglers fall back to brute force
+        if not alive.size:
+            break
+        ax, ay, ar = qx[alive], qy[alive], rad[alive]
+        qi, ppos = tree.batch_query_positions(
+            np.stack([ax - ar, ay - ar, ax + ar, ay + ar], axis=1)
+        )
+        pos = tree.idx[ppos]  # packed position -> original centroid row
+        cnt = np.bincount(qi, minlength=alive.size)
+        dx = ax[qi] - cx[pos]
+        dy = ay[qi] - cy[pos]
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((d2, qi))  # sort by (query, dist2)
+        qi_s, pos_s, d2_s = qi[order], pos[order], d2[order]
+        starts = np.searchsorted(qi_s, np.arange(alive.size + 1))
+        enough = cnt >= kk
+        kth = np.full(alive.size, np.inf)
+        rows = np.nonzero(enough)[0]
+        kth[rows] = d2_s[starts[rows] + kk - 1]
+        settled = enough & (kth <= ar * ar)
+        # emit threshold-inclusive hits of settled queries (vectorized)
+        keep = settled[qi_s] & (d2_s <= kth[qi_s])
+        out_q.append(alive[qi_s[keep]])
+        out_p.append(pos_s[keep])
+        out_d.append(d2_s[keep])
+        # unsettled: tighten to sqrt(dk) if enough hits, else double.
+        # sqrt(x)^2 can round BELOW x (1 ulp), which would leave the
+        # settle test false forever — bump such radii one ulp up.
+        grow = ~settled
+        r_k = np.sqrt(np.where(np.isfinite(kth), kth, 1.0))
+        bump = r_k * r_k < np.where(np.isfinite(kth), kth, 0.0)
+        r_k[bump] = np.nextafter(r_k[bump], np.inf)
+        new_rad = np.where(enough, r_k, ar * 2.0)
+        rad[alive[grow]] = new_rad[grow]
+        alive = alive[grow]
+    for a in alive:  # brute-force any capped stragglers (defensive; rare)
+        d2 = (qx[a] - cx) ** 2 + (qy[a] - cy) ** 2
+        thr = np.partition(d2, kk - 1)[kk - 1]
+        hit = np.nonzero(d2 <= thr)[0]
+        out_q.append(np.full(hit.shape[0], a, dtype=np.int64))
+        out_p.append(hit)
+        out_d.append(d2[hit])
+    return (
+        np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+        np.concatenate(out_p) if out_p else np.empty(0, np.int64),
+        np.concatenate(out_d) if out_d else np.empty(0, np.float64),
+    )
+
+
+def knn_broadcast(boxes: Dataset, points_table: pa.Table, k: int) -> Dataset:
+    """Zero-shuffle-build kNN for a small query side: per batch of boxes,
+    each query keeps every candidate with dist2 <= its local k-th
+    smallest (ties INCLUDED, so the global merge can apply the exact
+    (dist2, idx) order) → one tiny ``groupby(query_id)`` merge of ~k
+    rows per query per batch. One small shuffle total."""
+    tune_context()
+    if points_table.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("query_id", pa.int64()), ("idx", pa.int64()), ("rank", pa.int64())]
+            ).empty_table()
+        )
+    qids = points_table.column("query_id").to_numpy(zero_copy_only=False)
+    px = points_table.column("px").to_numpy(zero_copy_only=False)
+    py = points_table.column("py").to_numpy(zero_copy_only=False)
+    side_ref = ray.put((qids.astype(np.int64), px, py))
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        q_ids, qx, qy = ray.get(side_ref)
+        b = st.boxes_np(tbl)
+        ids = st.col_np(tbl, "idx")
+        cx = (b[:, 0] + b[:, 2]) * 0.5
+        cy = (b[:, 1] + b[:, 3]) * 0.5
+        kk = min(k, cx.shape[0])
+        qrow, pos, d2 = _local_knn_candidates(cx, cy, qx, qy, kk)
+        return pa.table(
+            {"query_id": q_ids[qrow], "idx": ids[pos], "dist2": d2}
+        )
+
+    partials = boxes.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        d2 = st.col_np(group, "dist2")
+        idx = st.col_np(group, "idx")
+        order = np.lexsort((idx, d2))[:k]
+        return pa.table(
+            {
+                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
+                "idx": idx[order],
+                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
 def knn_join(
     boxes: Dataset,
     points: Dataset,
     k: int,
     res: int = 5,
+    broadcast: bool | None = None,
 ) -> Dataset:
-    """k nearest box centroids per query point → (query_id, idx, rank)."""
+    """k nearest box centroids per query point → (query_id, idx, rank).
+
+    Small point sides (``KNN_BROADCAST_LIMIT``) take the one-shuffle
+    broadcast local-top-k path; large ones the histogram ring-expansion
+    cell join."""
+    if broadcast is not False:
+        ptbl = _try_collect_points(
+            points, KNN_BROADCAST_LIMIT if broadcast is None else (1 << 62)
+        )
+        if ptbl is not None:
+            return knn_broadcast(boxes, ptbl, k)
     tune_context()
     g = 1 << res
     cellw = 1.0 / g
