@@ -183,6 +183,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
         return dedup.embedding_neardup_pairs(emb, threshold=0.9)
 
+    def q_ngram_jaccard(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+    def q_events_hopping(sf):
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        return windows.hopping_window_agg(ev, window_hours=2, hop_hours=1)
+
+    def q_events_session(sf):
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
+        )
+        return windows.session_window_agg(ev, gap_minutes=30)
+
+    def q_top_events(sf):
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        return windows.top_events_per_type(ev, k=10)
+
+    def q_spatial_join_obj(sf):
+        # return_obj parity: a payload column rides the box batches and is
+        # projected straight into the join output (no second join)
+        import pyarrow as pa
+
+        def with_obj(t: pa.Table) -> pa.Table:
+            ids = t.column("idx").to_numpy(zero_copy_only=False)
+            obj = np.char.add("obj-", ids.astype(str))
+            return t.append_column("obj", pa.array(obj, type=pa.string()))
+
+        boxes = tables.boxes_dataset(sf).map_batches(
+            with_obj, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return sj.broadcast_join(
+            boxes, tables.query_boxes_table(sf), carry_cols=("obj",)
+        )
+
+    def q_batch_query_lists(sf):
+        return sj.aggregate_match_csv(
+            sj.spatial_join(
+                tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), res=RES
+            )
+        )
+
+    def q_ann_lsh(sf):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
+        qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+        qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+        res = ann.ann_lsh_topk(emb, qv, qids, k=ANN_K)
+        return res.select_columns(["query_id", "vec_id", "rank"])
+
     return {
         "spatial_join": q_spatial_join,
         "self_join": q_self_join,
@@ -201,6 +266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "events_hopping": q_events_hopping,
+        "events_session": q_events_session,
+        "top_events": q_top_events,
+        "spatial_join_obj": q_spatial_join_obj,
+        "batch_query_lists": q_batch_query_lists,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -353,6 +425,69 @@ r AS (SELECT query_id, vec_id,
 SELECT query_id, vec_id, rn AS "rank" FROM r WHERE rn <= {ANN_K}
 """
 
+    ngram_jaccard_sql = r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      FROM tok),
+sh AS (SELECT DISTINCT doc_id, g FROM g),
+j AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT j.a AS doc_a, j.b AS doc_b,
+       j.inter * 1.0 / (sa.n + sb.n - j.inter) AS jaccard
+FROM j JOIN sz sa ON sa.doc_id = j.a JOIN sz sb ON sb.doc_id = j.b
+WHERE j.inter * 1.0 / (sa.n + sb.n - j.inter) >= 0.8
+"""
+
+    events_hopping_sql = """
+SELECT event_type,
+       date_trunc('hour', ts) - h.h * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+FROM events, (SELECT range AS h FROM range(0, 2)) h
+GROUP BY 1, 2
+"""
+
+    events_session_sql = """
+WITH o AS (
+  SELECT event_type, user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT event_type, user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+FROM s GROUP BY event_type, user_id, sid
+"""
+
+    top_events_sql = """
+WITH r AS (SELECT event_type, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rn
+           FROM events)
+SELECT event_type, event_id, value, rn AS "rank" FROM r WHERE rn <= 10
+"""
+
+    spatial_join_obj_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust})
+SELECT q.query_id AS query_id, b.idx AS idx,
+       'obj-' || CAST(b.idx AS VARCHAR) AS obj
+FROM q, b WHERE {intersects}
+"""
+
+    batch_query_lists_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust}),
+p AS (SELECT q.query_id AS query_id, b.idx AS idx FROM q, b WHERE {intersects})
+SELECT query_id, array_to_string(list_sort(list(idx)), ',') AS matches
+FROM p GROUP BY query_id
+"""
+
     return {
         "spatial_join": spatial_join_sql,
         "self_join": self_join_sql,
@@ -368,6 +503,13 @@ SELECT query_id, vec_id, rn AS "rank" FROM r WHERE rn <= {ANN_K}
         "lang_id": lang_id_sql,
         "events_window": events_window_sql,
         "ann_topk": ann_topk_sql,
-        # simhash / minhash_pairs / embedding_neardup: algorithm-defined
-        # (hash-seeded) outputs with no ANSI-SQL equivalent → rows-only check.
+        "ngram_jaccard": ngram_jaccard_sql,
+        "events_hopping": events_hopping_sql,
+        "events_session": events_session_sql,
+        "top_events": top_events_sql,
+        "spatial_join_obj": spatial_join_obj_sql,
+        "batch_query_lists": batch_query_lists_sql,
+        # simhash / minhash_pairs / embedding_neardup / ann_lsh:
+        # algorithm-defined (hash-seeded / approximate) outputs with no
+        # ANSI-SQL equivalent → rows-only check.
     }

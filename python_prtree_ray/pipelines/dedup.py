@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from ray.data import Dataset
 
 from ..config import tune_context
@@ -260,3 +262,108 @@ def embedding_neardup_pairs(
         return pa.table({"id_a": lo, "id_b": hi})
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+def _shingle_table(tbl: pa.Table, n: int, text_col: str, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, gram) DISTINCT word-n-gram rows for a batch, vectorized.
+    Tokenization matches the SQL oracle's regexp_split_to_array('\\s+')."""
+    toks = pc.split_pattern_regex(tbl.column(text_col), r"\s+").combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = np.asarray(toks.values.to_pylist(), dtype=object)
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    total = flat.shape[0]
+    if total == 0 or tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    # position i starts an n-gram iff i+n-1 stays inside the same doc
+    doc_of = np.repeat(np.arange(tbl.num_rows), np.diff(offs))
+    valid = np.zeros(total, dtype=bool)
+    lens = np.diff(offs)
+    for d in range(tbl.num_rows):
+        if lens[d] >= n:
+            valid[offs[d] : offs[d] + lens[d] - n + 1] = True
+    starts = np.nonzero(valid)[0]
+    grams = flat[starts].copy()
+    for j in range(1, n):
+        grams = np.char.add(np.char.add(grams.astype(str), " "), flat[starts + j].astype(str))
+    gdoc = ids[doc_of[starts]]
+    # DISTINCT (doc, gram)
+    uniq = np.unique(
+        np.char.add(np.char.add(gdoc.astype(str), "\x1f"), grams.astype(str))
+    )
+    parts = np.char.partition(uniq, "\x1f")
+    return parts[:, 0].astype(np.int64), parts[:, 2]
+
+
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """EXACT word-n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard)
+    for every pair with jaccard >= threshold, doc_a < doc_b.
+
+    Shape: per-batch distinct (doc, gram) rows → ``groupby(gram)`` emits
+    co-occurring pairs → ``groupby(a, b)`` counts the intersection →
+    jaccard from broadcast per-doc shingle counts. Two shuffles, both on
+    small rows (the text never shuffles). Exact counterpart of the
+    approximate :func:`minhash_pairs`; hot grams fan out quadratically,
+    so at corpus scale pair it with a stop-gram cutoff (kept exact here
+    for oracle parity).
+
+    Scale note: per-doc sizes are broadcast via ``ray.put`` — fine up to
+    ~10^8 docs; beyond that replace with a hash join on doc id.
+    """
+    tune_context()
+
+    def shingles(tbl: pa.Table) -> pa.Table:
+        d, g = _shingle_table(tbl, n, text_col, id_col)
+        return pa.table({"doc": d, "gram": g})
+
+    sh = docs.map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sizes(tbl: pa.Table) -> pa.Table:
+        d, _ = _shingle_table(tbl, n, text_col, id_col)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc": u, "n_sh": c.astype(np.int64)})
+
+    size_rows = docs.map_batches(
+        sizes, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    size_map = {int(r["doc"]): int(r["n_sh"]) for r in size_rows}
+    sizes_ref = ray.put(size_map)
+
+    def pairs_of_gram(group: pa.Table) -> pa.Table:
+        d = np.unique(group.column("doc").to_numpy(zero_copy_only=False))
+        if d.shape[0] < 2:
+            return pa.table({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        ai, bi = np.triu_indices(d.shape[0], k=1)
+        return pa.table({"a": d[ai], "b": d[bi]})
+
+    co = sh.groupby("gram").map_groups(pairs_of_gram, batch_format="pyarrow")
+
+    def count_and_filter(group: pa.Table) -> pa.Table:
+        sm = ray.get(sizes_ref)
+        a = int(group.column("a")[0].as_py())
+        b = int(group.column("b")[0].as_py())
+        inter = group.num_rows
+        na, nb = sm[a], sm[b]
+        jac = inter / (na + nb - inter)
+        if jac >= threshold:
+            return pa.table(
+                {
+                    "doc_a": pa.array([a], pa.int64()),
+                    "doc_b": pa.array([b], pa.int64()),
+                    "jaccard": pa.array([jac], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+
+    return co.groupby(["a", "b"]).map_groups(count_and_filter, batch_format="pyarrow")

@@ -124,6 +124,7 @@ def broadcast_join(
     query_id: str = "query_id",
     box_id: str = "idx",
     batch_size: int = 16384,
+    carry_cols: tuple[str, ...] = (),
 ) -> Dataset:
     """Map-only spatial join: the small query side is broadcast raw via
     ``ray.put``; each task builds a packed PR-tree over ITS batch of the
@@ -135,7 +136,11 @@ def broadcast_join(
     """
     tune_context()
     if query_table.num_rows == 0:
-        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+        fields = list(PAIR_SCHEMA)
+        if carry_cols:
+            bschema = boxes.schema().base_schema
+            fields += [bschema.field(c) for c in carry_cols]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
     q_ids = query_table.column(query_id).to_numpy(zero_copy_only=False)
     q_boxes = st.boxes_np(query_table)
     side_ref = ray.put((q_ids.astype(np.int64), q_boxes))
@@ -143,11 +148,16 @@ def broadcast_join(
     def probe(tbl: pa.Table) -> pa.Table:
         qids, qb = ray.get(side_ref)  # shared-memory read after first fetch
         ids = st.col_np(tbl, box_id)
-        tree = PRTree(ids, st.boxes_np(tbl))
-        qi, pos = tree.batch_query_positions(qb)
-        return pa.table(
-            {"query_id": qids[qi], "idx": tree.idx[pos]}, schema=PAIR_SCHEMA
-        )
+        # pack POSITIONS so carried payload columns gather by row, then
+        # map through to user ids (return_obj parity: the payload is a
+        # column projection riding the same batch — core.py:601-603)
+        tree = PRTree(np.arange(ids.shape[0], dtype=np.int64), st.boxes_np(tbl))
+        qi, ppos = tree.batch_query_positions(qb)
+        rows = tree.idx[ppos]
+        out = {"query_id": qids[qi], "idx": ids[rows]}
+        for c in carry_cols:
+            out[c] = tbl.column(c).take(pa.array(rows))
+        return pa.table(out)
 
     return boxes.map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -247,3 +257,22 @@ def aggregate_match_lists(pairs: Dataset) -> Dataset:
         )
 
     return pairs.groupby("query_id").map_groups(to_list, batch_format="pyarrow")
+
+
+def aggregate_match_csv(pairs: Dataset) -> Dataset:
+    """(query_id, matches) with matches = ascending comma-joined idx — the
+    reference ``batch_query`` per-query sorted list contract
+    (``prtree.h:786-787``) in a string form both SQL and Arrow hash
+    identically."""
+
+    def to_csv(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        idx = np.sort(st.col_np(group, "idx"))
+        return pa.table(
+            {
+                "query_id": pa.array([qid], type=pa.int64()),
+                "matches": pa.array([",".join(str(v) for v in idx.tolist())]),
+            }
+        )
+
+    return pairs.groupby("query_id").map_groups(to_csv, batch_format="pyarrow")

@@ -56,3 +56,166 @@ def tumbling_window_agg(
         Sum("n_events", alias_name="n_events"),
         Sum("value_cents", alias_name="value_cents"),
     )
+
+
+def hopping_window_agg(
+    events: Dataset,
+    window_hours: int = 2,
+    hop_hours: int = 1,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Dataset:
+    """Hopping (sliding) window: each event lands in window_hours/hop_hours
+    overlapping windows. Same partial-aggregate shape as tumbling — the
+    replication happens inside the batch, so the shuffle still carries
+    only (key, window) partials."""
+    tune_context()
+    n_win = window_hours // hop_hours
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        win0 = pc.floor_temporal(tbl.column(ts_col), unit="hour")
+        cents = pc.cast(
+            pc.floor(pc.multiply(tbl.column(value_col), pa.scalar(100.0))), pa.int64()
+        )
+        base = pa.table(
+            {
+                key_col: tbl.column(key_col),
+                "win0": win0,
+                "one": np.ones(tbl.num_rows, dtype=np.int64),
+                "value_cents": cents,
+            }
+        )
+        parts = []
+        for h in range(n_win):
+            shifted = pc.subtract(
+                base.column("win0"),
+                pa.scalar(h * 3600_000_000, type=pa.duration("us")),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        key_col: base.column(key_col),
+                        "window_start": shifted,
+                        "one": base.column("one"),
+                        "value_cents": base.column("value_cents"),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [("one", "sum"), ("value_cents", "sum")]
+        )
+        ren = {"one_sum": "n_events", "value_cents_sum": "value_cents"}
+        g = g.rename_columns([ren.get(c, c) for c in g.column_names])
+        return g.select([key_col, "window_start", "n_events", "value_cents"])
+
+    partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+def session_window_agg(
+    events: Dataset,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_cols: tuple[str, str] = ("event_type", "user_id"),
+    value_col: str = "value",
+) -> Dataset:
+    """Gap-based sessionization per (event_type, user_id): a new session
+    starts when the time since the previous event of the same key exceeds
+    the gap. Emits (key..., session_start, n_events, value_cents).
+
+    One shuffle (groupby key); inside each group a vectorized sort +
+    diff + cumsum assigns session ids. Session boundaries depend only on
+    timestamp gaps, so result is order-independent."""
+    tune_context()
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    k1, k2 = key_cols
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s, val_s = ts[order], val[order]
+        brk = np.zeros(ts_s.shape[0], dtype=np.int64)
+        if ts_s.shape[0] > 1:
+            brk[1:] = (np.diff(ts_s) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        starts = np.searchsorted(sid, np.arange(sid[-1] + 2 if sid.size else 1))
+        n_sess = (sid[-1] + 1) if sid.size else 0
+        cents = np.floor(val_s * 100.0).astype(np.int64)
+        n_events = np.diff(starts[: n_sess + 1])
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        v_sess = cum[starts[1 : n_sess + 1]] - cum[starts[:n_sess]]
+        return pa.table(
+            {
+                k1: pa.array([group.column(k1)[0].as_py()] * n_sess),
+                k2: pa.array(
+                    [group.column(k2)[0].as_py()] * n_sess, type=pa.int64()
+                ),
+                "session_start": pa.array(
+                    ts_s[starts[:n_sess]], type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(n_events, type=pa.int64()),
+                "value_cents": pa.array(v_sess, type=pa.int64()),
+            }
+        )
+
+    return events.groupby(list(key_cols)).map_groups(
+        sessions, batch_format="pyarrow"
+    )
+
+
+def top_events_per_type(
+    events: Dataset,
+    k: int = 10,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> Dataset:
+    """Exact distributed top-k rows per key by (value DESC, id ASC):
+    per-batch local top-k (value-threshold inclusive, so cross-batch ties
+    survive) → tiny ``groupby(key)`` merge. Same pattern as the kNN
+    merge — no global sort."""
+    tune_context()
+
+    def local(tbl: pa.Table) -> pa.Table:
+        key = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        val = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(key.shape[0], dtype=bool)
+        for kv in np.unique(key):
+            m = key == kv
+            vv = val[m]
+            kk = min(k, vv.shape[0])
+            thr = np.partition(vv, vv.shape[0] - kk)[vv.shape[0] - kk]
+            keep |= m & (val >= thr)
+        return pa.table(
+            {key_col: key[keep], id_col: ids[keep], value_col: val[keep]}
+        )
+
+    partials = events.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -val))[:k]
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [group.column(key_col)[0].as_py()] * order.shape[0]
+                ),
+                id_col: pa.array(ids[order], type=pa.int64()),
+                value_col: pa.array(val[order], type=pa.float64()),
+                "rank": pa.array(
+                    np.arange(1, order.shape[0] + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")

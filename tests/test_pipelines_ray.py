@@ -269,3 +269,75 @@ def test_broadcast_join_empty_sides(ray_session):
     out = sj.spatial_join(bds, empty_q)
     assert out.count() == 0
     assert [f.name for f in out.schema().base_schema] == ["query_id", "idx"]
+
+
+def test_session_window_gap_semantics(ray_session):
+    # hand-built case: events 10:00, 10:20, 11:10 for one key -> sessions
+    # {10:00,10:20} (gap 20m <= 30m) and {11:10} (gap 50m > 30m)
+    ray = ray_session
+    t0 = np.datetime64("2025-01-01T10:00:00", "us")
+    ts = t0 + np.array([0, 20 * 60, 70 * 60], "timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    t = pa.table(
+        {
+            "event_type": ["a", "a", "a"],
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": [1.5, 2.5, 4.0],
+        }
+    )
+    from python_prtree_ray.pipelines.windows import session_window_agg
+
+    out = session_window_agg(ray.data.from_arrow(t), gap_minutes=30).take_all()
+    got = sorted(
+        (r["session_start"], r["n_events"], r["value_cents"]) for r in out
+    )
+    assert [(g[1], g[2]) for g in got] == [(2, 400), (1, 400)]
+
+
+def test_top_events_threshold_ties_across_batches(ray_session):
+    # value tie at the k-th place split across blocks: smaller event_id wins
+    ray = ray_session
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": ["x"] * 4,
+            "value": [9.0, 5.0, 5.0, 1.0],
+        }
+    )
+    from python_prtree_ray.pipelines.windows import top_events_per_type
+
+    out = top_events_per_type(
+        ray.data.from_arrow(t).repartition(4), k=2
+    ).take_all()
+    got = sorted((r["rank"], r["event_id"]) for r in out)
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_payload_carry_in_broadcast_join(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(5)
+    boxes = random_boxes(rng, 300, edge=0.05)
+    qs = random_boxes(rng, 40, edge=0.1)
+    t = pa.table(
+        {
+            "idx": pa.array(np.arange(300), pa.int64()),
+            "xmin": boxes[:, 0], "ymin": boxes[:, 1],
+            "xmax": boxes[:, 2], "ymax": boxes[:, 3],
+            "obj": [f"payload-{i}" for i in range(300)],
+        }
+    )
+    qt = pa.table(
+        {
+            "query_id": pa.array(np.arange(40), pa.int64()),
+            "xmin": qs[:, 0], "ymin": qs[:, 1],
+            "xmax": qs[:, 2], "ymax": qs[:, 3],
+        }
+    )
+    out = sj.broadcast_join(
+        ray.data.from_arrow(t).repartition(3), qt, carry_cols=("obj",)
+    ).take_all()
+    assert all(r["obj"] == f"payload-{r['idx']}" for r in out)
+    oq, ob = brute_force_pairs(qs, boxes)
+    assert _pairs_set(out) == set(zip(oq.tolist(), ob.tolist()))
