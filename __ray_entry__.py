@@ -237,6 +237,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_spatial_join_3d(sf):
+        return sj.broadcast_join(
+            tables.boxes_3d_dataset(sf),
+            tables.query_boxes_3d_table(sf),
+            box_cols=tables.BOX3D_COLS,
+        )
+
     def q_ann_lsh(sf):
         import ray
         import pyarrow.parquet as pq
@@ -272,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": q_top_events,
         "spatial_join_obj": q_spatial_join_obj,
         "batch_query_lists": q_batch_query_lists,
+        "spatial_join_3d": q_spatial_join_3d,
         "ann_lsh": q_ann_lsh,
     }
 
@@ -488,6 +496,15 @@ SELECT query_id, array_to_string(list_sort(list(idx)), ',') AS matches
 FROM p GROUP BY query_id
 """
 
+    spatial_join_3d_sql = f"""
+WITH b AS ({derive.boxes_3d_sql("orders", "o_orderkey", "idx")}),
+     q AS ({derive.query_boxes_3d_sql("customer", "c_custkey", "query_id")})
+SELECT q.query_id AS query_id, b.idx AS idx
+FROM q, b
+WHERE {intersects}
+  AND q.zmin <= b.zmax AND b.zmin <= q.zmax
+"""
+
     return {
         "spatial_join": spatial_join_sql,
         "self_join": self_join_sql,
@@ -509,6 +526,7 @@ FROM p GROUP BY query_id
         "top_events": top_events_sql,
         "spatial_join_obj": spatial_join_obj_sql,
         "batch_query_lists": batch_query_lists_sql,
+        "spatial_join_3d": spatial_join_3d_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

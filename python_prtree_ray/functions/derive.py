@@ -38,6 +38,11 @@ CHANNELS = [
     (2654435789, 769),
     (1885133167, 1031),
     (3431700317, 1543),
+    # z-axis channels for 3D variants (8-9 data side, 10-11 query side)
+    (2971215073, 2053),
+    (1640531527, 2389),
+    (2484345053, 2741),
+    (3571428571, 3079),
 ]
 
 # Box-side extents (data boxes small — reference workloads use ≤1-10% of
@@ -201,3 +206,71 @@ def polygon_edges_sql() -> str:
             x2, y2 = verts[(i + 1) % n]
             rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
     return "(VALUES " + ", ".join(rows) + ") AS poly_edges(poly_id, x1, y1, x2, y2)"
+
+
+# --------------------------------------------------------------- 3D boxes
+# Reference parity: PRTree supports D in {2,3,4} (python_bindings.cc
+# instantiates 2D/3D/4D classes); the engine's kernel is D-generic, so 3D
+# needs only its own derivation channels (z on 8-11) and a 6-column box.
+
+
+def derive_boxes_3d(key: np.ndarray) -> dict[str, np.ndarray]:
+    out = derive_boxes(key)
+    fz = _frac(key, 8)
+    fe = _frac(key, 9)
+    out["zmin"] = fz * BOX_SCALE
+    out["zmax"] = fz * BOX_SCALE + BOX_EDGE_MIN + BOX_EDGE_VAR * fe
+    return out
+
+
+def boxes_3d_sql(table: str, key: str, idx_name: str = "idx") -> str:
+    a8, b8 = CHANNELS[8]
+    a9, b9 = CHANNELS[9]
+    return f"""
+  SELECT {idx_name},
+         f1 * {BOX_SCALE} AS xmin,
+         f2 * {BOX_SCALE} AS ymin,
+         fz * {BOX_SCALE} AS zmin,
+         f1 * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * f3 AS xmax,
+         f2 * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * f4 AS ymax,
+         fz * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * fe AS zmax
+  FROM (
+    SELECT {key} AS {idx_name},
+           {_frac_sql(key, 0)} AS f1,
+           {_frac_sql(key, 1)} AS f2,
+           {_frac_sql(key, 2)} AS f3,
+           {_frac_sql(key, 3)} AS f4,
+           {_frac_sql(key, 8)} AS fz,
+           {_frac_sql(key, 9)} AS fe
+    FROM {table}
+  )"""
+
+
+def derive_query_boxes_3d(key: np.ndarray) -> dict[str, np.ndarray]:
+    out = derive_query_boxes(key)
+    fz = _frac(key, 10)
+    fe = _frac(key, 11)
+    out["zmin"] = fz * QUERY_SCALE
+    out["zmax"] = fz * QUERY_SCALE + QUERY_EDGE_MIN + QUERY_EDGE_VAR * fe
+    return out
+
+
+def query_boxes_3d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
+    return f"""
+  SELECT {idx_name},
+         f1 * {QUERY_SCALE} AS xmin,
+         f2 * {QUERY_SCALE} AS ymin,
+         fz * {QUERY_SCALE} AS zmin,
+         f1 * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * f3 AS xmax,
+         f2 * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * f4 AS ymax,
+         fz * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * fe AS zmax
+  FROM (
+    SELECT {key} AS {idx_name},
+           {_frac_sql(key, 4)} AS f1,
+           {_frac_sql(key, 5)} AS f2,
+           {_frac_sql(key, 6)} AS f3,
+           {_frac_sql(key, 7)} AS f4,
+           {_frac_sql(key, 10)} AS fz,
+           {_frac_sql(key, 11)} AS fe
+    FROM {table}
+  )"""

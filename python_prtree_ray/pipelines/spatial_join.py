@@ -125,6 +125,7 @@ def broadcast_join(
     box_id: str = "idx",
     batch_size: int = 16384,
     carry_cols: tuple[str, ...] = (),
+    box_cols: tuple[str, ...] = st.BOX_COLS,
 ) -> Dataset:
     """Map-only spatial join: the small query side is broadcast raw via
     ``ray.put``; each task builds a packed PR-tree over ITS batch of the
@@ -133,8 +134,16 @@ def broadcast_join(
     Indexing the streamed side per batch beats probing one big broadcast
     tree ~3x here: query regions overlap heavily, so a tree built over
     them prunes poorly, while each batch's data boxes are compact.
+
+    ``box_cols`` lists coordinate columns in ``[min..., max...]`` order
+    (both sides); pass 6 names for 3D / 8 for 4D — the kernel is
+    D-generic, matching the reference's 2D/3D/4D instantiations.
     """
     tune_context()
+
+    def _stack(t: pa.Table) -> np.ndarray:
+        return np.stack([st.col_np(t, c) for c in box_cols], axis=1)
+
     if query_table.num_rows == 0:
         fields = list(PAIR_SCHEMA)
         if carry_cols:
@@ -142,7 +151,7 @@ def broadcast_join(
             fields += [bschema.field(c) for c in carry_cols]
         return ray.data.from_arrow(pa.schema(fields).empty_table())
     q_ids = query_table.column(query_id).to_numpy(zero_copy_only=False)
-    q_boxes = st.boxes_np(query_table)
+    q_boxes = _stack(query_table)
     side_ref = ray.put((q_ids.astype(np.int64), q_boxes))
 
     def probe(tbl: pa.Table) -> pa.Table:
@@ -151,7 +160,7 @@ def broadcast_join(
         # pack POSITIONS so carried payload columns gather by row, then
         # map through to user ids (return_obj parity: the payload is a
         # column projection riding the same batch — core.py:601-603)
-        tree = PRTree(np.arange(ids.shape[0], dtype=np.int64), st.boxes_np(tbl))
+        tree = PRTree(np.arange(ids.shape[0], dtype=np.int64), _stack(tbl))
         qi, ppos = tree.batch_query_positions(qb)
         rows = tree.idx[ppos]
         out = {"query_id": qids[qi], "idx": ids[rows]}
