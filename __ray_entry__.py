@@ -244,6 +244,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             box_cols=tables.BOX3D_COLS,
         )
 
+    def q_media_features(sf):
+        # interleaved-docs media spans → actor-pool feature extraction
+        # (decode stubbed — no media libs in env; plumbing is real)
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import media_feature_pipeline
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return media_feature_pipeline(interleaved_docs(n))
+
     def q_ann_lsh(sf):
         import ray
         import pyarrow.parquet as pq
@@ -280,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_obj": q_spatial_join_obj,
         "batch_query_lists": q_batch_query_lists,
         "spatial_join_3d": q_spatial_join_3d,
+        "media_features": q_media_features,
         "ann_lsh": q_ann_lsh,
     }
 

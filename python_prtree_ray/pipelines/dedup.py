@@ -277,10 +277,9 @@ def _shingle_table(tbl: pa.Table, n: int, text_col: str, id_col: str) -> tuple[n
     # position i starts an n-gram iff i+n-1 stays inside the same doc
     doc_of = np.repeat(np.arange(tbl.num_rows), np.diff(offs))
     valid = np.zeros(total, dtype=bool)
-    lens = np.diff(offs)
-    for d in range(tbl.num_rows):
-        if lens[d] >= n:
-            valid[offs[d] : offs[d] + lens[d] - n + 1] = True
+    head = total - (n - 1)
+    if head > 0:
+        valid[:head] = doc_of[:head] == doc_of[n - 1 :]
     starts = np.nonzero(valid)[0]
     grams = flat[starts].copy()
     for j in range(1, n):

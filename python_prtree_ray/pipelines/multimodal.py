@@ -1,0 +1,77 @@
+"""Multimodal feature pipeline over interleaved documents.
+
+Drives the actor-pool media stages (:mod:`..stages.multimodal`) end to
+end on the ``input_hint`` table shape: explode the nested ``spans``
+list<struct> column to one row per media span (zero-copy: offsets +
+parent indices, no Python row loop), attach a payload (STUB fetch — a
+deterministic function of ``media_ref``; a real build wires the blob
+store read here), then extract fixed-width features in an actor pool
+(setup once per actor, work per batch).
+
+Scale shape: explode and fetch are stateless ``map_batches``; the
+extractor is a callable CLASS (actor pool) because a real decoder loads
+models/codecs once per actor. Batches stay small (media payloads are
+large in production) via ``batch_size``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import tune_context
+from ..stages.multimodal import MediaFeatureExtractor
+
+
+def explode_media_spans(tbl: pa.Table) -> pa.Table:
+    """docs(doc_id, spans) → one row per NON-text span:
+    (doc_id, offset, kind, media_ref). List offsets drive the doc_id
+    repeat — no Python iteration over rows."""
+    spans = tbl.column("spans").combine_chunks()
+    vals = spans.values
+    list_offs = spans.offsets.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(tbl.num_rows), np.diff(list_offs))
+    kind = np.asarray(vals.field("kind").to_pylist())
+    media = vals.field("media_ref")
+    off = vals.field("offset")
+    doc_id = tbl.column("doc_id").take(pa.array(parent))
+    m = kind != "text"
+    sel = pa.array(m)
+    return pa.table(
+        {
+            "doc_id": doc_id.filter(sel),
+            "offset": off.filter(sel),
+            "kind": pa.array(kind[m]),
+            "media_ref": media.filter(sel),
+        }
+    )
+
+
+def fetch_payload_stub(tbl: pa.Table) -> pa.Table:
+    """STUB blob fetch: payload bytes are a deterministic expansion of the
+    media_ref URI (a real build replaces this one function with an object
+    store / lakehouse read)."""
+    refs = tbl.column("media_ref").to_pylist()
+    payloads = [(r.encode() * 8)[:256] for r in refs]
+    return tbl.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+def media_feature_pipeline(docs: Dataset, concurrency=(1, 8)) -> Dataset:
+    """(doc_id, offset, kind, features[8]) for every media span."""
+    tune_context()
+    spans = docs.map_batches(
+        explode_media_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_payload = spans.map_batches(
+        fetch_payload_stub, batch_format="pyarrow", zero_copy_batch=True
+    )
+    feats = with_payload.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return feats.select_columns(["doc_id", "offset", "kind", "features"])
