@@ -22,7 +22,7 @@ import ray
 from ray.data import Dataset
 
 from ..config import tune_context
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
 
 from .text import hash_str
 
@@ -330,39 +330,44 @@ def ngram_jaccard_pairs(
     size_rows = docs.map_batches(
         sizes, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
-    size_map = {int(r["doc"]): int(r["n_sh"]) for r in size_rows}
-    sizes_ref = ray.put(size_map)
+    size_keys = np.array([r["doc"] for r in size_rows], dtype=np.int64)
+    size_vals = np.array([r["n_sh"] for r in size_rows], dtype=np.int64)
+    order = np.argsort(size_keys)
+    sizes_ref = ray.put((size_keys[order], size_vals[order]))
+
+    # pair doc ids into one int64 key so every hot-path step below is a
+    # vectorized unique/aggregate — a Python-per-pair map_groups here was
+    # 100x slower (millions of 1-row groups)
+    SHIFT = np.int64(32)
 
     def pairs_of_gram(group: pa.Table) -> pa.Table:
         d = np.unique(group.column("doc").to_numpy(zero_copy_only=False))
         if d.shape[0] < 2:
-            return pa.table({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+            return pa.table({"pk": np.empty(0, np.int64), "n": np.empty(0, np.int64)})
         ai, bi = np.triu_indices(d.shape[0], k=1)
-        return pa.table({"a": d[ai], "b": d[bi]})
+        pk = (d[ai] << SHIFT) | d[bi]
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table({"pk": u, "n": c.astype(np.int64)})
 
     co = sh.groupby("gram").map_groups(pairs_of_gram, batch_format="pyarrow")
+    inter = co.groupby("pk").aggregate(Sum("n", alias_name="inter"))
 
-    def count_and_filter(group: pa.Table) -> pa.Table:
-        sm = ray.get(sizes_ref)
-        a = int(group.column("a")[0].as_py())
-        b = int(group.column("b")[0].as_py())
-        inter = group.num_rows
-        na, nb = sm[a], sm[b]
-        jac = inter / (na + nb - inter)
-        if jac >= threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([a], pa.int64()),
-                    "doc_b": pa.array([b], pa.int64()),
-                    "jaccard": pa.array([jac], pa.float64()),
-                }
-            )
+    def jac_filter(tbl: pa.Table) -> pa.Table:
+        keys, vals = ray.get(sizes_ref)
+        pk = tbl.column("pk").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("inter").to_numpy(zero_copy_only=False)
+        a = pk >> SHIFT
+        b = pk & np.int64((1 << 32) - 1)
+        na = vals[np.searchsorted(keys, a)]
+        nb = vals[np.searchsorted(keys, b)]
+        jac = cnt / (na + nb - cnt)
+        keep = jac >= threshold
         return pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "doc_a": a[keep],
+                "doc_b": b[keep],
+                "jaccard": jac[keep],
             }
         )
 
-    return co.groupby(["a", "b"]).map_groups(count_and_filter, batch_format="pyarrow")
+    return inter.map_batches(jac_filter, batch_format="pyarrow", zero_copy_batch=True)
