@@ -268,20 +268,51 @@ def aggregate_match_lists(pairs: Dataset) -> Dataset:
     return pairs.groupby("query_id").map_groups(to_list, batch_format="pyarrow")
 
 
-def aggregate_match_csv(pairs: Dataset) -> Dataset:
+def aggregate_match_csv(pairs: Dataset, n_buckets: int = 256) -> Dataset:
     """(query_id, matches) with matches = ascending comma-joined idx — the
     reference ``batch_query`` per-query sorted list contract
     (``prtree.h:786-787``) in a string form both SQL and Arrow hash
-    identically."""
+    identically.
 
-    def to_csv(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        idx = np.sort(st.col_np(group, "idx"))
+    Groups by a COARSE hash bucket (one ``map_groups`` call per bucket,
+    not per query) and assembles all of a bucket's lists vectorized —
+    per-query ``map_groups`` was ~15k Python calls per 15k queries."""
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        q = st.col_np(tbl, "query_id")
         return pa.table(
             {
-                "query_id": pa.array([qid], type=pa.int64()),
-                "matches": pa.array([",".join(str(v) for v in idx.tolist())]),
+                "bucket": (q * 2654435761 % 1000000007) % n_buckets,
+                "query_id": q,
+                "idx": st.col_np(tbl, "idx"),
             }
         )
 
-    return pairs.groupby("query_id").map_groups(to_csv, batch_format="pyarrow")
+    def to_csv(group: pa.Table) -> pa.Table:
+        q = st.col_np(group, "query_id")
+        idx = st.col_np(group, "idx")
+        if q.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "matches": pa.array([], type=pa.string()),
+                }
+            )
+        order = np.lexsort((idx, q))
+        q, idx = q[order], idx[order]
+        bounds = np.nonzero(np.diff(q))[0] + 1
+        qids = q[np.concatenate([[0], bounds])]
+        offsets = np.concatenate([[0], bounds, [q.size]]).astype(np.int32)
+        # int→string and the join both run as Arrow C++ kernels — a
+        # Python ",".join over millions of ints dominated the runtime
+        idx_str = pa.compute.cast(pa.array(idx), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), idx_str)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "matches": pa.compute.binary_join(lists, ","),
+            }
+        )
+
+    keyed = pairs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(to_csv, batch_format="pyarrow")

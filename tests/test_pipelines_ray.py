@@ -77,7 +77,10 @@ def test_spatial_join_boundary_boxes_on_cell_edges(ray_session):
     bids = np.array([10, 20, 30])
     qids = np.array([1, 2])
     out = sj.spatial_join(
-        _boxes_ds(ray, b, bids), _boxes_ds(ray, q, qids, "query_id"), res=3
+        _boxes_ds(ray, b, bids),
+        _boxes_ds(ray, q, qids, "query_id"),
+        res=3,
+        broadcast=False,
     ).take_all()
     got = sorted((r["query_id"], r["idx"]) for r in out)
     oq, ob = brute_force_pairs(q, b)
@@ -104,7 +107,14 @@ def test_spatial_join_deterministic_across_parallelism(ray_session):
         _boxes_ds(ray, qs, qids, "query_id", blocks=9),
         res=4,
     ).take_all()
+    r3 = sj.spatial_join(
+        _boxes_ds(ray, boxes, bids, blocks=13),
+        _boxes_ds(ray, qs, qids, "query_id", blocks=9),
+        res=4,
+        broadcast=False,
+    ).take_all()
     assert _pairs_set(r1) == _pairs_set(r2)
+    assert _pairs_set(r1) == _pairs_set(r3)
 
 
 def test_spatial_join_with_salting_matches_unsalted(ray_session):
@@ -118,16 +128,27 @@ def test_spatial_join_with_salting_matches_unsalted(ray_session):
     qs = random_boxes(rng, 150, edge=0.1)
     bids = np.arange(2500, dtype=np.int64)
     qids = np.arange(150, dtype=np.int64)
+    # broadcast=False: salting lives on the cell-shuffle path — the auto
+    # strategy would broadcast this small query side and never salt
     plain = sj.spatial_join(
-        _boxes_ds(ray, boxes, bids), _boxes_ds(ray, qs, qids, "query_id"), res=3
+        _boxes_ds(ray, boxes, bids),
+        _boxes_ds(ray, qs, qids, "query_id"),
+        res=3,
+        broadcast=False,
     ).take_all()
     salted = sj.spatial_join(
         _boxes_ds(ray, boxes, bids),
         _boxes_ds(ray, qs, qids, "query_id"),
         res=3,
         salt_threshold=200,
+        broadcast=False,
     ).take_all()
+    plan = sj.compute_salt_plan(_boxes_ds(ray, boxes, bids), res=3, salt_threshold=200)
+    assert plan, "hot corner must actually trigger the salt plan"
+    assert max(plan.values()) >= 2
     assert _pairs_set(plain) == _pairs_set(salted)
+    oq, ob = brute_force_pairs(qs, boxes)
+    assert _pairs_set(salted) == set(zip(qids[oq].tolist(), bids[ob].tolist()))
 
 
 def test_self_join_matches_brute_force(ray_session):
