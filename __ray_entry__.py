@@ -254,6 +254,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
         return media_feature_pipeline(interleaved_docs(n))
 
+    def q_doc_sample(sf):
+        import ray
+        from python_prtree_ray.pipelines.sample import hash_sample
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return hash_sample(docs, "doc_id", rate_pct=5)
+
+    def q_cell_histogram(sf):
+        return tiling.cell_histogram(tables.boxes_dataset(sf), res=TILE_RES)
+
     def q_ann_lsh(sf):
         import ray
         import pyarrow.parquet as pq
@@ -291,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_query_lists": q_batch_query_lists,
         "spatial_join_3d": q_spatial_join_3d,
         "media_features": q_media_features,
+        "doc_sample": q_doc_sample,
+        "cell_histogram": q_cell_histogram,
         "ann_lsh": q_ann_lsh,
     }
 
@@ -507,6 +521,27 @@ SELECT query_id, array_to_string(list_sort(list(idx)), ',') AS matches
 FROM p GROUP BY query_id
 """
 
+    from python_prtree_ray.pipelines.sample import hash_sample_sql
+
+    doc_sample_sql = f"""
+SELECT doc_id, n_chars FROM documents WHERE {hash_sample_sql('doc_id', 5)}
+"""
+
+    g6 = 1 << TILE_RES
+    _ix = f"LEAST(GREATEST(CAST(FLOOR(xmin * {g6}) AS BIGINT), 0), {g6 - 1})"
+    _ix1 = f"LEAST(GREATEST(CAST(FLOOR(xmax * {g6}) AS BIGINT), 0), {g6 - 1})"
+    _iy = f"LEAST(GREATEST(CAST(FLOOR(ymin * {g6}) AS BIGINT), 0), {g6 - 1})"
+    _iy1 = f"LEAST(GREATEST(CAST(FLOOR(ymax * {g6}) AS BIGINT), 0), {g6 - 1})"
+    cell_histogram_sql = f"""
+WITH b AS ({b_orders}),
+r AS (SELECT idx, {_ix} AS ix0, {_ix1} AS ix1, {_iy} AS iy0, {_iy1} AS iy1 FROM b),
+s AS (SELECT range AS i FROM range(0, {g6}))
+SELECT sx.i * {g6} + sy.i AS cell, CAST(COUNT(*) AS BIGINT) AS n_boxes
+FROM r, s sx, s sy
+WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
+GROUP BY 1
+"""
+
     spatial_join_3d_sql = f"""
 WITH b AS ({derive.boxes_3d_sql("orders", "o_orderkey", "idx")}),
      q AS ({derive.query_boxes_3d_sql("customer", "c_custkey", "query_id")})
@@ -538,6 +573,8 @@ WHERE {intersects}
         "spatial_join_obj": spatial_join_obj_sql,
         "batch_query_lists": batch_query_lists_sql,
         "spatial_join_3d": spatial_join_3d_sql,
+        "doc_sample": doc_sample_sql,
+        "cell_histogram": cell_histogram_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

@@ -77,3 +77,25 @@ def raster_tile_join(boxes: Dataset, res: int) -> Dataset:
         )
 
     return boxes.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cell_histogram(boxes: Dataset, res: int) -> Dataset:
+    """(cell, n_boxes): per-cell box-cover counts — the engine's salting /
+    kNN histogram as a user-facing aggregate. Counts pre-reduce inside
+    each batch, so the global groupby shuffles at most one row per
+    distinct cell per batch."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import spatial as st
+
+    partial = boxes.map_batches(
+        st.cell_count_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(res=res),
+    )
+    return (
+        partial.groupby("cell")
+        .aggregate(Sum("n", alias_name="n_boxes"))
+        .select_columns(["cell", "n_boxes"])
+    )
