@@ -128,47 +128,57 @@ def session_window_agg(
     starts when the time since the previous event of the same key exceeds
     the gap. Emits (key..., session_start, n_events, value_cents).
 
-    One shuffle (groupby key); inside each group a vectorized sort +
-    diff + cumsum assigns session ids. Session boundaries depend only on
-    timestamp gaps, so result is order-independent."""
+    Shuffles by a COARSE user-hash bucket (one ``map_groups`` call per
+    bucket, not per (type, user) — per-key grouping would be millions of
+    interpreter calls at scale) and sessionizes the whole bucket in one
+    vectorized pass: lexsort by (type, user, ts), then a key change OR a
+    gap breach starts a session. Boundaries depend only on key + gap, so
+    the result is order- and parallelism-independent."""
     tune_context()
     gap_us = np.int64(gap_minutes) * 60_000_000
     k1, k2 = key_cols
+    n_buckets = 256
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(k2).to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column(
+            "bucket", pa.array((uid * 2654435761 % 1000000007) % n_buckets)
+        )
 
     def sessions(group: pa.Table) -> pa.Table:
         ts = group.column(ts_col).cast(pa.timestamp("us")).to_numpy(
             zero_copy_only=False
         ).astype("datetime64[us]").astype(np.int64)
         val = group.column(value_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
+        uid = group.column(k2).to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(group.column(k1).to_pylist())
+        et_u, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((ts, uid, code))
         ts_s, val_s = ts[order], val[order]
-        brk = np.zeros(ts_s.shape[0], dtype=np.int64)
-        if ts_s.shape[0] > 1:
-            brk[1:] = (np.diff(ts_s) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        starts = np.searchsorted(sid, np.arange(sid[-1] + 2 if sid.size else 1))
-        n_sess = (sid[-1] + 1) if sid.size else 0
+        uid_s, code_s = uid[order], code[order]
+        n = ts_s.shape[0]
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = (np.diff(code_s) == 0) & (np.diff(uid_s) == 0)
+            brk[1:] = ~same_key | (np.diff(ts_s) > gap_us)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [n]])
         cents = np.floor(val_s * 100.0).astype(np.int64)
-        n_events = np.diff(starts[: n_sess + 1])
         cum = np.concatenate([[0], np.cumsum(cents)])
-        v_sess = cum[starts[1 : n_sess + 1]] - cum[starts[:n_sess]]
         return pa.table(
             {
-                k1: pa.array([group.column(k1)[0].as_py()] * n_sess),
-                k2: pa.array(
-                    [group.column(k2)[0].as_py()] * n_sess, type=pa.int64()
-                ),
+                k1: pa.array(et_u[code_s[starts]]),
+                k2: pa.array(uid_s[starts], type=pa.int64()),
                 "session_start": pa.array(
-                    ts_s[starts[:n_sess]], type=pa.timestamp("us")
+                    ts_s[starts], type=pa.timestamp("us")
                 ),
-                "n_events": pa.array(n_events, type=pa.int64()),
-                "value_cents": pa.array(v_sess, type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "value_cents": pa.array(cum[ends] - cum[starts], type=pa.int64()),
             }
         )
 
-    return events.groupby(list(key_cols)).map_groups(
-        sessions, batch_format="pyarrow"
-    )
+    keyed = events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
 def top_events_per_type(
