@@ -337,19 +337,45 @@ def ngram_jaccard_pairs(
 
     # pair doc ids into one int64 key so every hot-path step below is a
     # vectorized unique/aggregate — a Python-per-pair map_groups here was
-    # 100x slower (millions of 1-row groups)
+    # 100x slower (millions of 1-row groups). Grouping is by a COARSE
+    # gram-hash bucket (512 interpreter calls total, any gram
+    # cardinality); inside a bucket the per-gram pair expansion is fully
+    # vectorized (repeat/offset arithmetic, no per-segment loop).
     SHIFT = np.int64(32)
+    N_GBUCKETS = 512
 
-    def pairs_of_gram(group: pa.Table) -> pa.Table:
-        d = np.unique(group.column("doc").to_numpy(zero_copy_only=False))
-        if d.shape[0] < 2:
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        g = tbl.column("gram").to_numpy(zero_copy_only=False)
+        return tbl.append_column("gb", pa.array(_gram_bucket(g, N_GBUCKETS)))
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        grams = group.column("gram").to_numpy(zero_copy_only=False)
+        docs_ = group.column("doc").to_numpy(zero_copy_only=False)
+        _, seg = np.unique(grams, return_inverse=True)
+        order = np.lexsort((docs_, seg))
+        seg_s, d_s = seg[order], docs_[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(seg_s))[0] + 1])
+        sizes_arr = np.diff(np.concatenate([starts, [seg_s.shape[0]]]))
+        # element local rank k in its segment pairs with the s-1-k docs
+        # after it (docs ascending within segment → a < b for free)
+        rank = np.arange(seg_s.shape[0]) - np.repeat(starts, sizes_arr)
+        counts = np.repeat(sizes_arr, sizes_arr) - rank - 1
+        if counts.sum() == 0:
             return pa.table({"pk": np.empty(0, np.int64), "n": np.empty(0, np.int64)})
-        ai, bi = np.triu_indices(d.shape[0], k=1)
-        pk = (d[ai] << SHIFT) | d[bi]
+        a_glob = np.repeat(np.arange(seg_s.shape[0]), counts)
+        run = np.arange(a_glob.shape[0]) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        b_glob = a_glob + run + 1
+        pk = (d_s[a_glob] << SHIFT) | d_s[b_glob]
         u, c = np.unique(pk, return_counts=True)
         return pa.table({"pk": u, "n": c.astype(np.int64)})
 
-    co = sh.groupby("gram").map_groups(pairs_of_gram, batch_format="pyarrow")
+    co = (
+        sh.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+    )
     inter = co.groupby("pk").aggregate(Sum("n", alias_name="inter"))
 
     def jac_filter(tbl: pa.Table) -> pa.Table:
@@ -371,3 +397,19 @@ def ngram_jaccard_pairs(
         )
 
     return inter.map_batches(jac_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gram_bucket(grams: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Vectorized bucket id for an array of gram strings: polynomial hash
+    over the first 32 codepoints (truncation only merges buckets — same
+    gram always lands in the same bucket, which is all partitioning
+    needs)."""
+    if grams.shape[0] == 0:
+        return np.empty(0, np.int64)
+    a = np.asarray(grams, dtype="U32")
+    m = a.view(np.uint32).reshape(a.shape[0], -1).astype(np.int64)
+    h = np.zeros(a.shape[0], np.int64)
+    mask = np.int64((1 << 62) - 1)
+    for col in range(m.shape[1]):
+        h = (h * 1000003 + m[:, col]) & mask
+    return h % n_buckets
