@@ -24,7 +24,7 @@ from ray.data import Dataset
 from ..config import tune_context
 from ray.data.aggregate import Min, Sum
 
-from .text import hash_str
+from .text import hash_str, hash_str_array
 
 _M61 = (1 << 61) - 1
 
@@ -35,7 +35,7 @@ def _token_hashes(text_col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     values = toks.values.to_numpy(zero_copy_only=False).astype(str)
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq, inv = np.unique(values, return_inverse=True)
-    hval = np.array([hash_str(u) for u in uniq], dtype=np.int64)[inv]
+    hval = hash_str_array(uniq)[inv]
     return hval, offs
 
 
@@ -94,8 +94,7 @@ def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     tune_context()
 
     def to_hash(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pylist()
-        h = np.array([hash_str(t) for t in texts], dtype=np.int64)
+        h = hash_str_array(tbl.column(text_col).to_pylist())
         return pa.table({"text_hash": h, id_col: tbl.column(id_col)})
 
     hashed = docs.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)

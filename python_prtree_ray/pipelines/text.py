@@ -139,3 +139,22 @@ def hash_str(s: str) -> int:
     for b in s.encode():
         h = ((h ^ b) * 0x100000001B3) & 0x7FFFFFFFFFFFFFFF
     return h & 0x7FFFFFFFFFFFFFFF
+
+
+def hash_str_array(values) -> "np.ndarray":
+    """Vectorized deterministic string hashing (int64, non-negative).
+
+    Uses polars' xxhash when available (C speed — the per-row Python
+    FNV loop was the only interpreter loop left in a dedup hot path);
+    falls back to :func:`hash_str`. Both are process-independent, so
+    groupings are identical at any parallelism.
+    """
+    import numpy as np
+
+    try:
+        import polars as pl
+
+        h = pl.Series(values=list(values), dtype=pl.Utf8).hash().to_numpy()
+        return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    except Exception:
+        return np.array([hash_str(v) for v in values], dtype=np.int64)
