@@ -40,39 +40,75 @@ def _token_hashes(text_col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(hval: np.ndarray, offs: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """k-token shingle hashes per row (rolling combine), CSR layout."""
+    """k-token shingle hashes per row (rolling combine), CSR layout.
+
+    Vectorized over the FLAT token array: a position starts a shingle iff
+    position+k-1 is still in the same row; rows shorter than k contribute
+    one truncated shingle (their whole token run) to match the previous
+    per-row semantics."""
     rows = len(offs) - 1
-    out_h: list[np.ndarray] = []
+    total = hval.shape[0]
+    lens = np.diff(offs)
+    if total == 0:
+        return np.empty(0, np.int64), np.zeros(rows + 1, dtype=np.int64)
+    row_of = np.repeat(np.arange(rows), lens)
+    mask = np.int64((1 << 62) - 1)
+
+    # full k-shingles: start positions whose (k-1)-th successor shares the row
+    head = total - (k - 1)
+    full_start = np.zeros(total, dtype=bool)
+    if head > 0:
+        full_start[:head] = row_of[:head] == row_of[k - 1 :]
+    starts = np.nonzero(full_start)[0]
+    sh_full = hval[starts].copy()
+    for j in range(1, k):
+        sh_full = (sh_full * 1099511628211 + hval[starts + j]) & mask
+
+    # short rows (0 < len < k): one shingle over all their tokens
+    short_rows = np.nonzero((lens > 0) & (lens < k))[0]
+    sh_short = np.zeros(short_rows.shape[0], dtype=np.int64)
+    if short_rows.size:
+        sh_short = hval[offs[short_rows]].copy()
+        for j in range(1, k):
+            live = lens[short_rows] > j
+            idx2 = offs[short_rows[live]] + j
+            sh_short[live] = (sh_short[live] * 1099511628211 + hval[idx2]) & mask
+
+    # counts per row → CSR offsets; values ordered by row
+    n_full = np.maximum(lens - k + 1, 0) * (lens >= k)
+    n_all = n_full + ((lens > 0) & (lens < k)).astype(np.int64)
     out_off = np.zeros(rows + 1, dtype=np.int64)
-    for i in range(rows):
-        seg = hval[offs[i] : offs[i + 1]]
-        if seg.size == 0:
-            out_off[i + 1] = out_off[i]
-            out_h.append(np.empty(0, dtype=np.int64))
-            continue
-        w = min(k, seg.size)
-        # polynomial rolling combine of w consecutive token hashes
-        sh = seg[: seg.size - w + 1].copy()
-        for j in range(1, w):
-            sh = (sh * 1099511628211 + seg[j : seg.size - w + 1 + j]) & ((1 << 62) - 1)
-        out_h.append(sh)
-        out_off[i + 1] = out_off[i] + sh.size
-    return np.concatenate(out_h) if out_h else np.empty(0, np.int64), out_off
+    np.cumsum(n_all, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.int64)
+    # full shingles are already in row order (starts ascending)
+    full_rows = row_of[starts]
+    pos_full = out_off[full_rows] + (starts - offs[full_rows])
+    out[pos_full] = sh_full
+    out[out_off[short_rows]] = sh_short
+    return out, out_off
 
 
 def _minhash_sig(sh: np.ndarray, offs: np.ndarray, perms: np.ndarray) -> np.ndarray:
-    """(rows, n_perm) MinHash signatures via (a*x+b) mod M61 permutations."""
+    """(rows, n_perm) MinHash signatures via (a*x+b) mod M61 permutations.
+
+    Vectorized: permute ALL shingles at once (total x n_perm), then
+    per-row segment minima via ``np.minimum.reduceat`` — no per-row
+    Python loop. Empty rows keep the M61 sentinel (reduceat yields a
+    bogus value at empty segments; masked afterwards)."""
     rows = len(offs) - 1
     n_perm = perms.shape[0]
     sig = np.full((rows, n_perm), _M61, dtype=np.int64)
+    if rows == 0 or sh.shape[0] == 0:
+        return sig
     a, b = perms[:, 0], perms[:, 1]
-    for i in range(rows):
-        seg = sh[offs[i] : offs[i + 1]]
-        if seg.size == 0:
-            continue
-        # (n_perm, n_shingle) permuted hashes → row-wise min
-        ph = (seg[None, :] * a[:, None] + b[:, None]) % _M61
-        sig[i] = ph.min(axis=1)
+    ph = (sh[:, None] * a[None, :] + b[None, :]) % _M61  # (total, n_perm)
+    lens = np.diff(offs)
+    nonempty = np.nonzero(lens > 0)[0]
+    # reduceat over NONEMPTY rows' starts only: consecutive nonempty
+    # starts bound exactly one row's values (empty rows occupy no
+    # positions), and every index is valid (< total)
+    mins = np.minimum.reduceat(ph, offs[:-1][nonempty], axis=0)
+    sig[nonempty] = mins
     return sig
 
 
