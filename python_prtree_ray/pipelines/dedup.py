@@ -299,33 +299,36 @@ def embedding_neardup_pairs(
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
 
 
-def _shingle_table(tbl: pa.Table, n: int, text_col: str, id_col: str) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_id, gram) DISTINCT word-n-gram rows for a batch, vectorized.
-    Tokenization matches the SQL oracle's regexp_split_to_array('\\s+')."""
-    toks = pc.split_pattern_regex(tbl.column(text_col), r"\s+").combine_chunks()
-    offs = toks.offsets.to_numpy(zero_copy_only=False)
-    flat = np.asarray(toks.values.to_pylist(), dtype=object)
-    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    total = flat.shape[0]
+def _doc_shingle_hashes(
+    tbl: pa.Table, n: int, text_col: str, id_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT (doc_id, gram_hash) rows for a batch — the word-n-gram
+    set in 62-bit rolling-hash space (no string materialization; the
+    whitespace token join is injective, so hash identity == string
+    identity up to negligible 62-bit collisions). Only FULL n-grams
+    count: docs shorter than n tokens contribute nothing, matching the
+    SQL oracle's range(len(w)-n+1) generation."""
+    hval, offs = _token_hashes(tbl.column(text_col))
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = hval.shape[0]
     if total == 0 or tbl.num_rows == 0:
-        return np.empty(0, np.int64), np.empty(0, object)
-    # position i starts an n-gram iff i+n-1 stays inside the same doc
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     doc_of = np.repeat(np.arange(tbl.num_rows), np.diff(offs))
     valid = np.zeros(total, dtype=bool)
     head = total - (n - 1)
     if head > 0:
         valid[:head] = doc_of[:head] == doc_of[n - 1 :]
     starts = np.nonzero(valid)[0]
-    grams = flat[starts].copy()
+    mask = np.int64((1 << 62) - 1)
+    sh = hval[starts].copy()
     for j in range(1, n):
-        grams = np.char.add(np.char.add(grams.astype(str), " "), flat[starts + j].astype(str))
-    gdoc = ids[doc_of[starts]]
-    # DISTINCT (doc, gram)
-    uniq = np.unique(
-        np.char.add(np.char.add(gdoc.astype(str), "\x1f"), grams.astype(str))
-    )
-    parts = np.char.partition(uniq, "\x1f")
-    return parts[:, 0].astype(np.int64), parts[:, 2]
+        sh = (sh * 1099511628211 + hval[starts + j]) & mask
+    d = ids[doc_of[starts]]
+    order = np.lexsort((sh, d))
+    d, sh = d[order], sh[order]
+    keep = np.ones(d.shape[0], dtype=bool)
+    keep[1:] = (np.diff(d) != 0) | (np.diff(sh) != 0)
+    return d[keep], sh[keep]
 
 
 def ngram_jaccard_pairs(
@@ -351,76 +354,77 @@ def ngram_jaccard_pairs(
     """
     tune_context()
 
-    def shingles(tbl: pa.Table) -> pa.Table:
-        d, g = _shingle_table(tbl, n, text_col, id_col)
-        return pa.table({"doc": d, "gram": g})
+    def extract(tbl: pa.Table) -> pa.Table:
+        d, sh = _doc_shingle_hashes(tbl, n, text_col, id_col)
+        # per-doc shingle-set size rides every row: a doc's text lives in
+        # exactly one input batch, so the count is local — no global
+        # sizes aggregate, no driver broadcast (fully scalable)
+        u, inv, c = np.unique(d, return_inverse=True, return_counts=True)
+        return pa.table({"doc": d, "sh": sh, "nsh": c[inv]})
 
-    sh = docs.map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
-
-    def sizes(tbl: pa.Table) -> pa.Table:
-        d, _ = _shingle_table(tbl, n, text_col, id_col)
-        u, c = np.unique(d, return_counts=True)
-        return pa.table({"doc": u, "n_sh": c.astype(np.int64)})
-
-    size_rows = docs.map_batches(
-        sizes, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    size_keys = np.array([r["doc"] for r in size_rows], dtype=np.int64)
-    size_vals = np.array([r["n_sh"] for r in size_rows], dtype=np.int64)
-    order = np.argsort(size_keys)
-    sizes_ref = ray.put((size_keys[order], size_vals[order]))
+    shmat = docs.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
 
     # pair doc ids into one int64 key so every hot-path step below is a
-    # vectorized unique/aggregate — a Python-per-pair map_groups here was
-    # 100x slower (millions of 1-row groups). Grouping is by a COARSE
-    # gram-hash bucket (512 interpreter calls total, any gram
-    # cardinality); inside a bucket the per-gram pair expansion is fully
-    # vectorized (repeat/offset arithmetic, no per-segment loop).
+    # vectorized unique/aggregate; grouping is by a COARSE hash bucket
+    # (512 interpreter calls total at any gram cardinality) and the
+    # within-bucket per-gram pair expansion is pure repeat/offset
+    # arithmetic.
     SHIFT = np.int64(32)
     N_GBUCKETS = 512
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
-        g = tbl.column("gram").to_numpy(zero_copy_only=False)
-        return tbl.append_column("gb", pa.array(_gram_bucket(g, N_GBUCKETS)))
+        sh = tbl.column("sh").to_numpy(zero_copy_only=False)
+        return tbl.append_column("gb", pa.array(sh % np.int64(N_GBUCKETS)))
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        grams = group.column("gram").to_numpy(zero_copy_only=False)
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
         docs_ = group.column("doc").to_numpy(zero_copy_only=False)
-        _, seg = np.unique(grams, return_inverse=True)
-        order = np.lexsort((docs_, seg))
-        seg_s, d_s = seg[order], docs_[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(seg_s))[0] + 1])
-        sizes_arr = np.diff(np.concatenate([starts, [seg_s.shape[0]]]))
-        # element local rank k in its segment pairs with the s-1-k docs
-        # after it (docs ascending within segment → a < b for free)
-        rank = np.arange(seg_s.shape[0]) - np.repeat(starts, sizes_arr)
+        nsh = group.column("nsh").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "pk": np.empty(0, np.int64),
+                "n": np.empty(0, np.int64),
+                "meta": np.empty(0, np.int64),
+            }
+        )
+        order = np.lexsort((docs_, sh))
+        sh_s, d_s, nsh_s = sh[order], docs_[order], nsh[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(sh_s))[0] + 1])
+        sizes_arr = np.diff(np.concatenate([starts, [sh_s.shape[0]]]))
+        rank = np.arange(sh_s.shape[0]) - np.repeat(starts, sizes_arr)
         counts = np.repeat(sizes_arr, sizes_arr) - rank - 1
         if counts.sum() == 0:
-            return pa.table({"pk": np.empty(0, np.int64), "n": np.empty(0, np.int64)})
-        a_glob = np.repeat(np.arange(seg_s.shape[0]), counts)
+            return empty
+        a_glob = np.repeat(np.arange(sh_s.shape[0]), counts)
         run = np.arange(a_glob.shape[0]) - np.repeat(
             np.cumsum(counts) - counts, counts
         )
         b_glob = a_glob + run + 1
         pk = (d_s[a_glob] << SHIFT) | d_s[b_glob]
-        u, c = np.unique(pk, return_counts=True)
-        return pa.table({"pk": u, "n": c.astype(np.int64)})
+        u, first, c = np.unique(pk, return_index=True, return_counts=True)
+        # na/nb are constant per pk — pack into ONE column so the global
+        # aggregate is two reductions (Sum + Min), not three
+        meta = (nsh_s[a_glob[first]] << SHIFT) | nsh_s[b_glob[first]]
+        return pa.table({"pk": u, "n": c.astype(np.int64), "meta": meta})
 
     co = (
-        sh.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        shmat.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gb")
         .map_groups(pairs_of_bucket, batch_format="pyarrow")
     )
-    inter = co.groupby("pk").aggregate(Sum("n", alias_name="inter"))
+    from ray.data.aggregate import Min as _Min
+    inter = co.groupby("pk").aggregate(
+        Sum("n", alias_name="inter"), _Min("meta", alias_name="meta")
+    )
 
     def jac_filter(tbl: pa.Table) -> pa.Table:
-        keys, vals = ray.get(sizes_ref)
         pk = tbl.column("pk").to_numpy(zero_copy_only=False)
         cnt = tbl.column("inter").to_numpy(zero_copy_only=False)
         a = pk >> SHIFT
         b = pk & np.int64((1 << 32) - 1)
-        na = vals[np.searchsorted(keys, a)]
-        nb = vals[np.searchsorted(keys, b)]
+        meta = tbl.column("meta").to_numpy(zero_copy_only=False)
+        na = meta >> SHIFT
+        nb = meta & np.int64((1 << 32) - 1)
         jac = cnt / (na + nb - cnt)
         keep = jac >= threshold
         return pa.table(
