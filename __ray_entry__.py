@@ -266,6 +266,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_cell_histogram(sf):
         return tiling.cell_histogram(tables.boxes_dataset(sf), res=TILE_RES)
 
+    def q_asof_purchase_view(sf):
+        import ray
+        import pyarrow.compute as _pc
+        from python_prtree_ray.pipelines.asof import asof_join
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "event_type", "user_id", "ts"]
+        )
+
+        def side(kind, idname):
+            def f(t):
+                import pyarrow as pa
+                m = _pc.equal(t.column("event_type"), kind)
+                t = t.filter(m)
+                return pa.table({idname: t.column("event_id"), "user_id": t.column("user_id"), "ts": t.column("ts")})
+            return f
+
+        left = ev.map_batches(side("purchase", "l_id"), batch_format="pyarrow", zero_copy_batch=True)
+        right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
+        return asof_join(left, right)
+
     def q_ann_lsh(sf):
         import ray
         import pyarrow.parquet as pq
@@ -305,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
         "cell_histogram": q_cell_histogram,
+        "asof_purchase_view": q_asof_purchase_view,
         "ann_lsh": q_ann_lsh,
     }
 
@@ -542,6 +564,15 @@ WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
 GROUP BY 1
 """
 
+    asof_sql = """
+WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_ts FROM events
+           WHERE event_type = 'purchase'),
+r0 AS (SELECT user_id, ts AS r_ts, MAX(event_id) AS r_id FROM events
+       WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT l.l_id, l.user_id AS key, l.l_ts, r.r_id, r.r_ts
+FROM l ASOF JOIN r0 r ON l.user_id = r.user_id AND l.l_ts >= r.r_ts
+"""
+
     spatial_join_3d_sql = f"""
 WITH b AS ({derive.boxes_3d_sql("orders", "o_orderkey", "idx")}),
      q AS ({derive.query_boxes_3d_sql("customer", "c_custkey", "query_id")})
@@ -575,6 +606,7 @@ WHERE {intersects}
         "spatial_join_3d": spatial_join_3d_sql,
         "doc_sample": doc_sample_sql,
         "cell_histogram": cell_histogram_sql,
+        "asof_purchase_view": asof_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

@@ -1,0 +1,118 @@
+"""Distributed as-of (point-in-time) join — an operator Ray Data lacks.
+
+For every left row, find the LATEST right row of the same key with
+``right.ts <= left.ts`` (inner semantics: unmatched lefts drop).
+
+Shape: both sides shuffle ONCE by a coarse key-hash bucket (same key →
+same bucket, so correctness never crosses group boundaries); inside a
+group the whole match is a vectorized sort + ``searchsorted`` over a
+packed (key_rank, ts_offset) int64 key — no per-key loop, no global
+sort. Right rows that tie on (key, ts) are deduplicated to the max
+right-id first, making the result deterministic (and the SQL oracle
+well-defined).
+
+Partitioning assumption (documented per the custom-operator contract):
+the only requirement is same-key co-location, provided by the bucket
+hash; skewed keys cost only within-group sort time, not correctness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import tune_context
+
+N_BUCKETS = 256
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+) -> Dataset:
+    """left(key, ts, l_id) ASOF right(key, ts, r_id) →
+    (l_id, key, l_ts, r_id, r_ts)."""
+    tune_context()
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "b": (k * 2654435761 % 1000000007) % N_BUCKETS,
+                    "side": np.full(tbl.num_rows, side, dtype=np.int8),
+                    "key": k,
+                    "ts": tbl.column(ts_col).cast(pa.timestamp("us")),
+                    "rid": tbl.column(left_id if side == 0 else right_id).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    union = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        empty = pa.table(
+            {
+                "l_id": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "l_ts": pa.array([], pa.timestamp("us")),
+                "r_id": pa.array([], pa.int64()),
+                "r_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if not lm.any() or lm.all():
+            return empty
+        lk, lt, lid_ = key[lm], ts[lm], rid[lm]
+        rk, rt, rid_ = key[~lm], ts[~lm], rid[~lm]
+        # dedup right per (key, ts): keep max rid (deterministic ties)
+        order = np.lexsort((rid_, rt, rk))
+        rk, rt, rid_ = rk[order], rt[order], rid_[order]
+        last = np.ones(rk.shape[0], dtype=bool)
+        last[:-1] = (np.diff(rk) != 0) | (np.diff(rt) != 0)
+        rk, rt, rid_ = rk[last], rt[last], rid_[last]
+        # pack (key_rank, ts_offset) into one monotonic int64
+        all_keys = np.unique(np.concatenate([lk, rk]))
+        tmin = min(lt.min(), rt.min())
+        span = np.int64(max(lt.max(), rt.max()) - tmin + 2)
+        r_packed = np.searchsorted(all_keys, rk) * span + (rt - tmin)
+        l_packed = np.searchsorted(all_keys, lk) * span + (lt - tmin)
+        pos = np.searchsorted(r_packed, l_packed, side="right") - 1
+        valid = pos >= 0
+        valid[valid] &= rk[pos[valid]] == lk[valid]
+        pos_v = pos[valid]
+        return pa.table(
+            {
+                "l_id": pa.array(lid_[valid], pa.int64()),
+                "key": pa.array(lk[valid], pa.int64()),
+                "l_ts": pa.array(
+                    lt[valid].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "r_id": pa.array(rid_[pos_v], pa.int64()),
+                "r_ts": pa.array(
+                    rt[pos_v].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return union.groupby("b").map_groups(match, batch_format="pyarrow")
