@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_cell_histogram(sf):
         return tiling.cell_histogram(tables.boxes_dataset(sf), res=TILE_RES)
 
+    def q_raster_tiles(sf):
+        return tiling.raster_tile_join(tables.boxes_dataset(sf), res=TILE_RES)
+
     def q_asof_purchase_view(sf):
         import ray
         import pyarrow.compute as _pc
@@ -327,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "cell_histogram": q_cell_histogram,
         "asof_purchase_view": q_asof_purchase_view,
+        "raster_tiles": q_raster_tiles,
         "ann_lsh": q_ann_lsh,
     }
 
@@ -564,6 +568,19 @@ WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
 GROUP BY 1
 """
 
+    raster_tiles_sql = f"""
+WITH b AS ({b_orders}),
+r AS (SELECT idx, {ix} AS ix0, {ix1} AS ix1, {iy} AS iy0, {iy1} AS iy1 FROM b),
+s AS (SELECT range AS i FROM range(0, {g}))
+SELECT r.idx AS idx, sx.i * {g} + sy.i AS cell,
+       CAST(sx.i AS DOUBLE) / {g} AS tile_xmin,
+       CAST(sy.i AS DOUBLE) / {g} AS tile_ymin,
+       CAST(sx.i + 1 AS DOUBLE) / {g} AS tile_xmax,
+       CAST(sy.i + 1 AS DOUBLE) / {g} AS tile_ymax
+FROM r, s sx, s sy
+WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
+"""
+
     asof_sql = """
 WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_ts FROM events
            WHERE event_type = 'purchase'),
@@ -607,6 +624,7 @@ WHERE {intersects}
         "doc_sample": doc_sample_sql,
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,
+        "raster_tiles": raster_tiles_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.
