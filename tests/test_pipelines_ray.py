@@ -362,3 +362,73 @@ def test_payload_carry_in_broadcast_join(ray_session):
     assert all(r["obj"] == f"payload-{r['idx']}" for r in out)
     oq, ob = brute_force_pairs(qs, boxes)
     assert _pairs_set(out) == set(zip(oq.tolist(), ob.tolist()))
+
+
+def test_asof_join_semantics(ray_session):
+    # ties match (<=), duplicate right (key, ts) keeps max id, left with
+    # only-later rights drops — all across multiple blocks
+    ray = ray_session
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+
+    def T(s):
+        return t0 + np.timedelta64(s, "s")
+
+    left = pa.table(
+        {
+            "l_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array([T(100), T(50), T(10)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "r_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "ts": pa.array([T(100), T(100), T(40), T(20)], pa.timestamp("us")),
+        }
+    )
+    from python_prtree_ray.pipelines.asof import asof_join
+
+    out = asof_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(3),
+    ).take_all()
+    assert sorted((r["l_id"], r["r_id"]) for r in out) == [(1, 11), (2, 12)]
+
+
+def test_hash_sample_parallelism_invariant(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.sample import hash_sample
+
+    t = pa.table({"k": pa.array(np.arange(5000), pa.int64())})
+    a = sorted(r["k"] for r in hash_sample(ray.data.from_arrow(t), "k", 7).take_all())
+    b = sorted(
+        r["k"]
+        for r in hash_sample(
+            ray.data.from_arrow(t).repartition(23), "k", 7
+        ).take_all()
+    )
+    assert a == b and 0 < len(a) < 5000
+
+
+def test_raster_tiles_extents_are_dyadic(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import raster_tile_join
+
+    rng = np.random.default_rng(21)
+    boxes = random_boxes(rng, 200, edge=0.1)
+    t = pa.table(
+        {
+            "idx": pa.array(np.arange(200), pa.int64()),
+            "xmin": boxes[:, 0], "ymin": boxes[:, 1],
+            "xmax": boxes[:, 2], "ymax": boxes[:, 3],
+        }
+    )
+    out = raster_tile_join(ray.data.from_arrow(t), res=4).take_all()
+    g = 16
+    for r in out[:50]:
+        ix, iy = r["cell"] // g, r["cell"] % g
+        assert r["tile_xmin"] == ix / g and r["tile_ymax"] == (iy + 1) / g
+        # the box really overlaps its tile (closed interval)
+        i = r["idx"]
+        assert boxes[i, 0] <= r["tile_xmax"] and r["tile_xmin"] <= boxes[i, 2]
