@@ -200,10 +200,18 @@ def main() -> None:
                     capture_output=True,
                     text=True,
                 )
-                line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+                if not lines:
+                    sys.stderr.write(
+                        f"scaling subprocess (num_cpus={n}) produced no JSON; "
+                        f"stderr tail:\n{p.stderr[-2000:]}\n"
+                    )
+                    continue
+                r = json.loads(lines[-1])
                 if n not in results or r["value"] < results[n]["value"]:
                     results[n] = r
+        if lo not in results or hi not in results:
+            raise SystemExit("scaling: no successful run at one or both levels")
         t8 = results[lo]["value"]
         t32 = results[hi]["value"]
         eff = (t8 / t32) / (hi / lo)
