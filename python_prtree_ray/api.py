@@ -43,9 +43,14 @@ class RayPRTree:
         boxes: Dataset | None = None,
         res: int = sj.DEFAULT_RES,
         strict: bool = True,
+        validate: bool = False,
     ):
         self.res = res
         self.strict = strict
+        if validate and boxes is not None:
+            from .functions.validate import validated_boxes_dataset
+
+            boxes = validated_boxes_dataset(boxes)
         self._base = boxes
         self._deltas: list[Dataset] = []
         self._tombstones: np.ndarray = np.empty(0, dtype=np.int64)

@@ -74,3 +74,25 @@ def validate_points(points: np.ndarray) -> None:
         raise ValueError(f"points must have shape (n, D); got {p.shape}")
     if np.isnan(p).any() or np.isinf(p).any():
         raise ValueError("Point coordinates must be finite")
+
+
+def validated_boxes_dataset(ds, config: PrecisionConfig | None = None):
+    """Wrap a boxes Dataset with a pass-through validation stage: every
+    batch is checked (NaN/Inf, min<=max, optional subnormals — reference
+    build-time validation, ``prtree.h:151-185``) and returned unchanged;
+    the first bad batch aborts the pipeline with the same ValueError the
+    kernel raises."""
+    import numpy as np
+    import pyarrow as pa
+
+    def check(tbl: pa.Table) -> pa.Table:
+        cols = [c for c in ("xmin", "ymin", "zmin", "tmin", "xmax", "ymax", "zmax", "tmax") if c in tbl.column_names]
+        half = len(cols) // 2
+        b = np.stack(
+            [tbl.column(c).to_numpy(zero_copy_only=False) for c in cols], axis=1
+        )
+        # reorder to [mins..., maxs...] as validate_boxes expects
+        validate_boxes(b[:, list(range(half)) + list(range(half, 2 * half))], config)
+        return tbl
+
+    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
