@@ -116,8 +116,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tree.insert_batch(
             boxes.map_batches(odd, batch_format="pyarrow", zero_copy_batch=True)
         )
-        all_keys = tables.boxes_dataset(sf).select_columns(["idx"]).take_all()
-        dead = np.array([r["idx"] for r in all_keys if r["idx"] % 10 == 0], np.int64)
+        def dead_only(t: pa.Table) -> pa.Table:
+            ids = t.column("idx").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 10 == 0))
+
+        # filter distributed FIRST; only the tombstoned 10% reaches the driver
+        dead_rows = (
+            tables.boxes_dataset(sf)
+            .select_columns(["idx"])
+            .map_batches(dead_only, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        dead = np.array([r["idx"] for r in dead_rows], np.int64)
         tree._tombstones = dead  # direct set: strict bookkeeping off at scale
         return tree.batch_query(tables.query_boxes_dataset(sf))
 
