@@ -12,9 +12,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ..., "headline_docs": N}
 
---scaling: runs the headline twice in fresh processes (num_cpus=8 and
-32) on the same input and reports throughput at both plus scaling
-efficiency = (T_8 / T_32) / 4 — the sandbox stand-in for the N vs 4N
+--scaling: runs the headline at two parallelism levels in fresh
+processes (default num_cpus=4 and 16; GRAFT_SCALE_LEVELS overrides) on
+the same input and reports throughput at both plus scaling efficiency
+= (T_low / T_high) / (high/low) — the sandbox stand-in for the N vs 4N
 node criterion (see BASELINE.md).
 """
 
