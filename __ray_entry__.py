@@ -311,6 +311,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = ann.ann_lsh_topk(emb, qv, qids, k=ANN_K)
         return res.select_columns(["query_id", "vec_id", "rank"])
 
+    def q_ann_ivf(sf):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
+        qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+        qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+        res = ann.ann_ivf_topk(emb, qv, qids, k=ANN_K)
+        return res.select_columns(["query_id", "vec_id", "rank"])
+
     return {
         "spatial_join": q_spatial_join,
         "self_join": q_self_join,
@@ -342,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": q_asof_purchase_view,
         "raster_tiles": q_raster_tiles,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

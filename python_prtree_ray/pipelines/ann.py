@@ -155,3 +155,83 @@ def ann_lsh_topk(
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def ann_ivf_topk(
+    embeddings: Dataset,
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """IVF approximate top-k — the coarse-quantizer scale path.
+
+    Index: every vector is assigned to its nearest of ``n_cells``
+    centroids (deterministic quantizer: seeded Gaussian directions —
+    no training pass, so any two runs and any parallelism build the
+    identical index). Query: each query probes its ``n_probe`` nearest
+    cells only; within a batch, non-probed vectors are masked out of the
+    cosine matmul. Same per-batch-partial → tiny-merge shape as
+    :func:`ann_brute_topk`; recall < 1 by design (rows-only check).
+    """
+    tune_context()
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    dim = q.shape[1]
+    cents = np.random.default_rng(42).standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # cells each query probes (by centroid cosine)
+    qcell = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), cents, qcell))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        qn_, qids_, cents_, qcell_ = ray.get(ref)
+        m = _emb_matrix(tbl, emb_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vcell = np.argmax(mn @ cents_.T, axis=1)  # each vector's IVF cell
+        out_q, out_v, out_s = [], [], []
+        sims = qn_ @ mn.T  # (nq, batch)
+        # mask: vector participates for query only if its cell is probed
+        probed = np.zeros((qn_.shape[0], mn.shape[0]), dtype=bool)
+        for p in range(qcell_.shape[1]):
+            probed |= vcell[None, :] == qcell_[:, p][:, None]
+        sims = np.where(probed, sims, -np.inf)
+        kk = min(k, mn.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for qi in range(qn_.shape[0]):
+            sel = part[qi][np.isfinite(sims[qi, part[qi]])]
+            out_q.append(np.full(sel.shape[0], qids_[qi], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(sims[qi, sel])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * order.shape[0], pa.int64()),
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, order.shape[0] + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
