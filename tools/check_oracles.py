@@ -60,10 +60,21 @@ def main(sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # entry() smoke first (what the driver checks at sf0.001)
+    try:
+        eds = mod.entry()
+        n_entry = eds.count() if hasattr(eds, "count") else len(eds)
+        print(f"OK   entry(): rows={n_entry}")
+    except Exception as e:
+        print(f"FAIL entry(): {type(e).__name__}: {e}")
+
+    import time
+
     qs = mod.queries()
     oracles = mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        t_start = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
@@ -71,7 +82,7 @@ def main(sf_dir: str) -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(got)} (no oracle — rows-only)")
+            print(f"ok?  {name}: rows={len(got)} (no oracle — rows-only, {time.time() - t_start:.1f}s)")
             continue
         try:
             want = canon(con.execute(oracles[name]).fetchdf())
@@ -101,7 +112,7 @@ def main(sf_dir: str) -> int:
                 eq = False
                 break
         if eq:
-            print(f"OK   {name}: rows={len(got)}")
+            print(f"OK   {name}: rows={len(got)} ({time.time() - t_start:.1f}s)")
         else:
             failures += 1
     return failures
