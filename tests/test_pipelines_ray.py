@@ -432,3 +432,28 @@ def test_raster_tiles_extents_are_dyadic(ray_session):
         # the box really overlaps its tile (closed interval)
         i = r["idx"]
         assert boxes[i, 0] <= r["tile_xmax"] and r["tile_xmin"] <= boxes[i, 2]
+
+
+def test_media_span_explode_preserves_order(ray_session):
+    # span-sequence invariant (kind, media_ref, offset order) through the
+    # multimodal explode — text spans dropped, media spans in doc order
+    ray = ray_session
+    from python_prtree_ray.sources.synth import SPAN_TYPE, DOC_SCHEMA
+    from python_prtree_ray.pipelines.multimodal import media_feature_pipeline
+
+    spans = [
+        [
+            {"kind": "image", "text": "", "media_ref": "m0", "offset": 0},
+            {"kind": "text", "text": "x", "media_ref": "", "offset": 64},
+            {"kind": "audio", "text": "", "media_ref": "m1", "offset": 65},
+            {"kind": "video", "text": "", "media_ref": "m2", "offset": 129},
+        ]
+    ]
+    t = pa.table(
+        {"doc_id": ["d9"], "spans": pa.array(spans, type=pa.list_(SPAN_TYPE))},
+        schema=DOC_SCHEMA,
+    )
+    out = media_feature_pipeline(ray.data.from_arrow(t), concurrency=(1, 2)).take_all()
+    got = sorted((r["offset"], r["kind"]) for r in out)
+    assert got == [(0, "image"), (65, "audio"), (129, "video")]
+    assert all(len(r["features"]) == 8 for r in out)
