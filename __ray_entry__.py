@@ -128,7 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .take_all()
         )
         dead = np.array([r["idx"] for r in dead_rows], np.int64)
-        tree._tombstones = dead  # direct set: strict bookkeeping off at scale
+        tree.erase(dead)  # non-strict: records a generational tombstone, no key check
         return tree.batch_query(tables.query_boxes_dataset(sf))
 
     def q_dedup_exact(sf):
@@ -489,7 +489,7 @@ FROM t
 SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
@@ -526,7 +526,7 @@ WHERE j.inter * 1.0 / (sa.n + sb.n - j.inter) >= 0.8
 SELECT event_type,
        date_trunc('hour', ts) - h.h * INTERVAL 1 HOUR AS window_start,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events, (SELECT range AS h FROM range(0, 2)) h
 GROUP BY 1, 2
 """
@@ -543,7 +543,7 @@ s AS (SELECT *, SUM(brk) OVER (PARTITION BY event_type, user_id
                                ROWS UNBOUNDED PRECEDING) AS sid FROM o)
 SELECT event_type, user_id, MIN(ts) AS session_start,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s GROUP BY event_type, user_id, sid
 """
 

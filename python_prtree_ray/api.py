@@ -18,6 +18,12 @@ append-only delta Datasets + a tombstone set:
 - queries run against (base ∪ delta) with tombstones filtered inside the
   join stages — the "delta table" pattern; nothing mutates in place.
 
+Tombstones are *generational*: each erase records ``(ids, n_deltas)`` so
+it only masks the base and the deltas appended BEFORE it. Re-inserting a
+previously-erased id therefore works in both modes — the old row stays
+filtered (its tombstone predates the new delta) while the new row is
+visible, matching the reference's erase-then-insert semantics.
+
 Key-set tracking note: ``strict`` id bookkeeping holds the live key set
 on the driver (int64 array) — exact parity for reference-scale data. At
 10^12 rows, construct with ``strict=False`` (bookkeeping off) and enforce
@@ -53,7 +59,10 @@ class RayPRTree:
             boxes = validated_boxes_dataset(boxes)
         self._base = boxes
         self._deltas: list[Dataset] = []
-        self._tombstones: np.ndarray = np.empty(0, dtype=np.int64)
+        # generational tombstones: (ids, n_deltas_at_erase) — each entry
+        # masks the base and deltas[:n_deltas_at_erase] only
+        self._tombs: list[tuple[np.ndarray, int]] = []
+        # strict mode tracks the LIVE key set (inserted minus erased)
         self._keys: np.ndarray | None = None
         if strict:
             self._keys = self._collect_keys(boxes) if boxes is not None else np.empty(
@@ -73,24 +82,24 @@ class RayPRTree:
     def insert_batch(self, boxes: Dataset) -> None:
         if self.strict:
             new = self._collect_keys(boxes)
-            live = np.setdiff1d(self._keys, self._tombstones)
-            dup = np.intersect1d(new, live)
+            dup = np.intersect1d(new, self._keys)
             if dup.size:
                 raise ValueError(f"Index already exists: {dup[0]}")
             self._keys = np.concatenate([self._keys, new])
-            # resurrecting a tombstoned id: drop its tombstone
-            self._tombstones = np.setdiff1d(self._tombstones, new)
+        # re-inserting a previously erased id is safe without any tombstone
+        # bookkeeping: prior tombstones are pinned to earlier deltas, so the
+        # old row stays dead while this delta's row is live
         self._deltas.append(boxes)
         self._maybe_rebuild()
 
     def erase(self, ids) -> None:
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
         if self.strict:
-            live = np.setdiff1d(self._keys, self._tombstones)
-            missing = np.setdiff1d(ids, live)
+            missing = np.setdiff1d(ids, self._keys)
             if missing.size:
                 raise ValueError(f"Index not found: {missing[0]}")
-        self._tombstones = np.union1d(self._tombstones, ids)
+            self._keys = np.setdiff1d(self._keys, ids)
+        self._tombs.append((np.unique(ids), len(self._deltas)))
         self._maybe_rebuild()
 
     def _maybe_rebuild(self) -> None:
@@ -111,7 +120,7 @@ class RayPRTree:
             return
         self._base = ds.materialize()
         self._deltas = []
-        self._tombstones = np.empty(0, dtype=np.int64)
+        self._tombs = []
         if self.strict:
             self._keys = self._collect_keys(self._base)
             self._n_at_build = int(self._keys.shape[0])
@@ -120,30 +129,46 @@ class RayPRTree:
 
     # ------------------------------------------------------------ access
 
+    def _dead_for_segment(self, seg: int) -> np.ndarray:
+        """ids erased AFTER segment ``seg`` was appended (base is seg=-1,
+        delta i is seg=i) — only those tombstones mask that segment."""
+        hits = [ids for ids, cutoff in self._tombs if cutoff > seg]
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(hits))
+
+    @staticmethod
+    def _drop_dead(part: Dataset, dead: np.ndarray) -> Dataset:
+        if not dead.size:
+            return part
+
+        def drop(tbl: pa.Table) -> pa.Table:
+            ids = st.col_np(tbl, "idx")
+            return tbl.filter(pa.array(~np.isin(ids, dead)))
+
+        return part.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
     def dataset(self) -> Dataset | None:
-        """The live row set as a lazy Dataset (tombstones filtered)."""
-        parts = ([self._base] if self._base is not None else []) + self._deltas
+        """The live row set as a lazy Dataset (tombstones filtered
+        per-generation: each erase masks only rows inserted before it)."""
+        parts: list[tuple[Dataset, int]] = []
+        if self._base is not None:
+            parts.append((self._base, -1))
+        parts.extend((d, i) for i, d in enumerate(self._deltas))
         if not parts:
             return None
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
-        if self._tombstones.size:
-            dead = self._tombstones
-
-            def drop(tbl: pa.Table) -> pa.Table:
-                ids = st.col_np(tbl, "idx")
-                return tbl.filter(pa.array(~np.isin(ids, dead)))
-
-            ds = ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+        ds = None
+        for part, seg in parts:
+            part = self._drop_dead(part, self._dead_for_segment(seg))
+            ds = part if ds is None else ds.union(part)
         return ds
 
     def size(self) -> int:
+        if self.strict:
+            return int(self._keys.shape[0])
         ds = self.dataset()
         if ds is None:
             return 0
-        if self.strict:
-            return int(np.setdiff1d(self._keys, self._tombstones).shape[0])
         return ds.count()
 
     def __len__(self) -> int:

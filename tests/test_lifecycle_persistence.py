@@ -48,7 +48,7 @@ def test_erase_then_query_and_rebuild_determinism(ray_session):
     qids = np.arange(60, dtype=np.int64)
     tree = RayPRTree(_boxes_ds(ray, boxes, ids), res=4, strict=False)
     dead = ids[::3]
-    tree._tombstones = dead
+    tree.erase(dead)
     before = _query_set(tree, ray, qs, qids)
     assert all(b not in dead for (_, b) in before)
     tree.rebuild()  # compaction must not change answers
@@ -72,6 +72,31 @@ def test_strict_duplicate_insert_and_missing_erase(ray_session):
     # resurrecting a tombstoned id is a fresh insert
     tree.insert_batch(_boxes_ds(ray, boxes[:1], ids[:1], blocks=1))
     assert tree.size() == 50
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_reinsert_after_erase_uses_new_box(ray_session, strict):
+    # ADVICE r1 (high): erase(id) then insert(id, new_box) must neither
+    # resurrect the old row (stale coordinates) nor let a lingering
+    # tombstone hide the new row — generational tombstones fix both modes
+    ray = ray_session
+    rng = np.random.default_rng(26)
+    boxes = random_boxes(rng, 100, edge=0.02)
+    ids = np.arange(100, dtype=np.int64)
+    boxes[7] = [0.10, 0.10, 0.12, 0.12]  # old position of id 7
+    tree = RayPRTree(_boxes_ds(ray, boxes, ids), res=4, strict=strict)
+    tree.erase([7])
+    new_box = np.array([[0.80, 0.80, 0.82, 0.82]])
+    tree.insert_batch(_boxes_ds(ray, new_box, ids[7:8], blocks=1))
+    q = np.array([[0.05, 0.05, 0.20, 0.20], [0.75, 0.75, 0.90, 0.90]])
+    hits = _query_set(tree, ray, q, np.array([0, 1], dtype=np.int64))
+    assert (0, 7) not in hits  # old row stays dead
+    assert (1, 7) in hits  # new row is visible
+    if strict:
+        assert tree.size() == 100
+    # compaction preserves the same answer
+    tree.rebuild()
+    assert _query_set(tree, ray, q, np.array([0, 1], dtype=np.int64)) == hits
 
 
 def test_save_load_roundtrip_and_empty_save(ray_session, tmp_path):

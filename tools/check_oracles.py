@@ -18,19 +18,31 @@ TABLES = (
 ).split()
 
 
-def to_pandas(res) -> pd.DataFrame:
-    if isinstance(res, pd.DataFrame):
-        return res
-    if hasattr(res, "to_pandas"):
-        try:
-            return res.to_pandas()
-        except TypeError:
-            pass
+def to_arrow(res):
+    """Normalize any queries() result to a pyarrow.Table."""
     import pyarrow as pa
 
     if isinstance(res, pa.Table):
-        return res.to_pandas()
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    if hasattr(res, "to_arrow_refs"):  # ray.data.Dataset
+        refs = res.to_arrow_refs()
+        tables = ray.get(refs)
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return ray.get(refs[0]) if refs else pa.table({})
+        return pa.concat_tables(tables, promote_options="default")
+    if hasattr(res, "to_pandas"):
+        return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
     raise TypeError(type(res))
+
+
+def _dtype_kind(df: pd.DataFrame, c: str) -> str:
+    """Pandas dtype kind — the granularity the driver's value hash is
+    sensitive to. Round-1 evidence: int32-vs-int64 and timestamp[s]-vs-[us]
+    hashed equal, but DuckDB HUGEINT→decimal128→object vs int64 did not."""
+    return df[c].dtype.kind
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -76,7 +88,8 @@ def main(sf_dir: str) -> int:
     for name, fn in qs.items():
         t_start = time.time()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got_t = to_arrow(fn(sf_dir))
+            got = canon(got_t.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
@@ -85,7 +98,8 @@ def main(sf_dir: str) -> int:
             print(f"ok?  {name}: rows={len(got)} (no oracle — rows-only, {time.time() - t_start:.1f}s)")
             continue
         try:
-            want = canon(con.execute(oracles[name]).fetchdf())
+            want_t = con.execute(oracles[name]).fetch_arrow_table()
+            want = canon(want_t.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             failures += 1
@@ -96,6 +110,19 @@ def main(sf_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            failures += 1
+            continue
+        # dtype-kind compare: a mismatch here is a driver hash fail even
+        # when values compare equal below (masked events_* in round 1)
+        got_raw, want_raw = got_t.to_pandas(), want_t.to_pandas()
+        type_bad = [
+            (c, got_raw[c].dtype, want_raw[c].dtype)
+            for c in got.columns
+            if _dtype_kind(got_raw, c) != _dtype_kind(want_raw, c)
+        ]
+        if type_bad:
+            for c, a, b in type_bad:
+                print(f"FAIL {name}: column {c} pandas dtype {a} vs oracle {b}")
             failures += 1
             continue
         # exact value compare (dtype-tolerant)
