@@ -191,7 +191,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
-        return dedup.embedding_neardup_pairs(emb, threshold=0.9)
+        # testdata cosines top out ≈0.5-0.6, so probe at 0.4 with wide
+        # buckets (bits=4) — per-pair recall ≈0.75 at this low threshold;
+        # exact twin below is the oracle-checked ground truth
+        return dedup.embedding_neardup_pairs(
+            emb, threshold=0.4, n_tables=8, n_bits=4
+        )
+
+    def q_embedding_neardup_exact(sf):
+        import ray
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        return dedup.embedding_neardup_exact(emb, threshold=0.45)
 
     def q_ngram_jaccard(sf):
         import ray
@@ -252,6 +263,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.boxes_3d_dataset(sf),
             tables.query_boxes_3d_table(sf),
             box_cols=tables.BOX3D_COLS,
+        )
+
+    def q_spatial_join_4d(sf):
+        return sj.broadcast_join(
+            tables.boxes_4d_dataset(sf),
+            tables.query_boxes_4d_table(sf),
+            box_cols=tables.BOX4D_COLS,
         )
 
     def q_media_features(sf):
@@ -340,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "events_hopping": q_events_hopping,
         "events_session": q_events_session,
@@ -347,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_obj": q_spatial_join_obj,
         "batch_query_lists": q_batch_query_lists,
         "spatial_join_3d": q_spatial_join_3d,
+        "spatial_join_4d": q_spatial_join_4d,
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
         "cell_histogram": q_cell_histogram,
@@ -506,6 +526,12 @@ r AS (SELECT query_id, vec_id,
 SELECT query_id, vec_id, rn AS "rank" FROM r WHERE rn <= {ANN_K}
 """
 
+    embedding_neardup_exact_sql = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
     ngram_jaccard_sql = r"""
 WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
 g AS (SELECT doc_id,
@@ -621,6 +647,16 @@ WHERE {intersects}
   AND q.zmin <= b.zmax AND b.zmin <= q.zmax
 """
 
+    spatial_join_4d_sql = f"""
+WITH b AS ({derive.boxes_4d_sql("orders", "o_orderkey", "idx")}),
+     q AS ({derive.query_boxes_4d_sql("customer", "c_custkey", "query_id")})
+SELECT q.query_id AS query_id, b.idx AS idx
+FROM q, b
+WHERE {intersects}
+  AND q.zmin <= b.zmax AND b.zmin <= q.zmax
+  AND q.tmin <= b.tmax AND b.tmin <= q.tmax
+"""
+
     return {
         "spatial_join": spatial_join_sql,
         "self_join": self_join_sql,
@@ -636,6 +672,7 @@ WHERE {intersects}
         "lang_id": lang_id_sql,
         "events_window": events_window_sql,
         "ann_topk": ann_topk_sql,
+        "embedding_neardup_exact": embedding_neardup_exact_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "events_hopping": events_hopping_sql,
         "events_session": events_session_sql,
@@ -643,6 +680,7 @@ WHERE {intersects}
         "spatial_join_obj": spatial_join_obj_sql,
         "batch_query_lists": batch_query_lists_sql,
         "spatial_join_3d": spatial_join_3d_sql,
+        "spatial_join_4d": spatial_join_4d_sql,
         "doc_sample": doc_sample_sql,
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,

@@ -43,6 +43,11 @@ CHANNELS = [
     (1640531527, 2389),
     (2484345053, 2741),
     (3571428571, 3079),
+    # t-axis channels for 4D variants (12-13 data side, 14-15 query side)
+    (2166136261, 3433),
+    (3141592661, 3833),
+    (1099511627, 4241),
+    (2718281821, 4649),
 ]
 
 # Box-side extents (data boxes small — reference workloads use ≤1-10% of
@@ -272,5 +277,78 @@ def query_boxes_3d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
            {_frac_sql(key, 7)} AS f4,
            {_frac_sql(key, 10)} AS fz,
            {_frac_sql(key, 11)} AS fe
+    FROM {table}
+  )"""
+
+# --------------------------------------------------------------- 4D boxes
+# Reference parity: python_bindings.cc instantiates PRTree4D as well; the
+# kernel is D-generic, so 4D needs only a t-axis (channels 12-15) and an
+# 8-column box.
+
+
+def derive_boxes_4d(key: np.ndarray) -> dict[str, np.ndarray]:
+    out = derive_boxes_3d(key)
+    ft = _frac(key, 12)
+    fe = _frac(key, 13)
+    out["tmin"] = ft * BOX_SCALE
+    out["tmax"] = ft * BOX_SCALE + BOX_EDGE_MIN + BOX_EDGE_VAR * fe
+    return out
+
+
+def boxes_4d_sql(table: str, key: str, idx_name: str = "idx") -> str:
+    return f"""
+  SELECT {idx_name},
+         f1 * {BOX_SCALE} AS xmin,
+         f2 * {BOX_SCALE} AS ymin,
+         fz * {BOX_SCALE} AS zmin,
+         ft * {BOX_SCALE} AS tmin,
+         f1 * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * f3 AS xmax,
+         f2 * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * f4 AS ymax,
+         fz * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * fe AS zmax,
+         ft * {BOX_SCALE} + {BOX_EDGE_MIN} + {BOX_EDGE_VAR} * fg AS tmax
+  FROM (
+    SELECT {key} AS {idx_name},
+           {_frac_sql(key, 0)} AS f1,
+           {_frac_sql(key, 1)} AS f2,
+           {_frac_sql(key, 2)} AS f3,
+           {_frac_sql(key, 3)} AS f4,
+           {_frac_sql(key, 8)} AS fz,
+           {_frac_sql(key, 9)} AS fe,
+           {_frac_sql(key, 12)} AS ft,
+           {_frac_sql(key, 13)} AS fg
+    FROM {table}
+  )"""
+
+
+def derive_query_boxes_4d(key: np.ndarray) -> dict[str, np.ndarray]:
+    out = derive_query_boxes_3d(key)
+    ft = _frac(key, 14)
+    fe = _frac(key, 15)
+    out["tmin"] = ft * QUERY_SCALE
+    out["tmax"] = ft * QUERY_SCALE + QUERY_EDGE_MIN + QUERY_EDGE_VAR * fe
+    return out
+
+
+def query_boxes_4d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
+    return f"""
+  SELECT {idx_name},
+         f1 * {QUERY_SCALE} AS xmin,
+         f2 * {QUERY_SCALE} AS ymin,
+         fz * {QUERY_SCALE} AS zmin,
+         ft * {QUERY_SCALE} AS tmin,
+         f1 * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * f3 AS xmax,
+         f2 * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * f4 AS ymax,
+         fz * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * fe AS zmax,
+         ft * {QUERY_SCALE} + {QUERY_EDGE_MIN} + {QUERY_EDGE_VAR} * fg AS tmax
+  FROM (
+    SELECT {key} AS {idx_name},
+           {_frac_sql(key, 4)} AS f1,
+           {_frac_sql(key, 5)} AS f2,
+           {_frac_sql(key, 6)} AS f3,
+           {_frac_sql(key, 7)} AS f4,
+           {_frac_sql(key, 10)} AS fz,
+           {_frac_sql(key, 11)} AS fe,
+           {_frac_sql(key, 14)} AS ft,
+           {_frac_sql(key, 15)} AS fg
     FROM {table}
   )"""

@@ -252,55 +252,195 @@ def minhash_pairs(
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
 
 
+def _emb_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = tbl.column(col).combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
 def embedding_neardup_pairs(
     embeddings: Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_bits: int = 10,
+    bucket_cap: int = 5000,
 ) -> Dataset:
-    """Embedding-cosine near-dup pairs via LSH random-hyperplane buckets:
-    sign-pattern bucket → in-bucket exact cosine check. One groupby."""
-    tune_context()
-    # hyperplanes fixed once (identical in every batch/task — seeded)
-    dim_probe = 64
-    planes = np.random.default_rng(11).standard_normal((dim_probe, 12))
+    """Embedding-cosine near-dup pairs via MULTI-TABLE sign-LSH.
 
-    def bucket2(tbl: pa.Table) -> pa.Table:
-        emb = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        p = planes[: emb.shape[1]]
-        signs = (emb @ p) > 0
-        b = np.packbits(signs, axis=1, bitorder="little")[:, :2]
-        bucket_id = b[:, 0].astype(np.int64) * 256 + b[:, 1].astype(np.int64)
+    Each vector lands in ``n_tables`` independent random-hyperplane
+    buckets (one per table); in-bucket pairs are verified with exact
+    cosine and deduped by the OWNER-TABLE rule (report only in the first
+    table whose patterns collide — every row carries all tables'
+    patterns, so the check is local, same trick as minhash's owner
+    band). Per-pair recall at angle θ is 1-(1-p^bits)^tables with
+    p = 1-θ/π — e.g. ≈0.97 at cosine 0.95 and ≈0.9997 at 0.99 with the
+    defaults. Oversized buckets (degenerate direction clusters) are NOT
+    dropped: they fall back to exact blocked all-pairs within the
+    bucket, with a logged warning. The shuffle ships each embedding
+    ``n_tables``× — bits/tables trade recall against amplification.
+
+    Exact twin (oracle-checked): :func:`embedding_neardup_exact`.
+    """
+    tune_context()
+    dim_probe = 64
+    planes = np.random.default_rng(11).standard_normal((n_tables, dim_probe, n_bits))
+
+    def bucket_rows(tbl: pa.Table) -> pa.Table:
+        emb = _emb_matrix(tbl, "embedding")
+        n, d = emb.shape
+        pats = np.empty((n, n_tables), dtype=np.int64)
+        pw = 1 << np.arange(n_bits, dtype=np.int64)
+        for t in range(n_tables):
+            signs = (emb @ planes[t, :d]) > 0
+            pats[:, t] = signs @ pw
+        idx = np.tile(np.arange(n), n_tables)
+        table_of = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        bucket = table_of * np.int64(1 << n_bits) + pats.T.ravel()
         norm = np.sqrt((emb * emb).sum(axis=1))
         return pa.table(
             {
-                id_col: tbl.column(id_col),
-                "bucket": bucket_id,
-                "embedding": tbl.column("embedding"),
-                "norm": norm,
+                id_col: tbl.column(id_col).take(idx),
+                "bucket": bucket,
+                "embedding": tbl.column("embedding").take(idx),
+                "norm": norm[idx],
+                "pats": pa.array(list(pats[idx].astype(np.int32)), type=pa.list_(pa.int32())),
             }
         )
 
-    bucketed = embeddings.map_batches(bucket2, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = embeddings.map_batches(
+        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _pairs_block(ids, emb, norm, ia, ib):
+        sims = (emb[ia] * emb[ib]).sum(axis=1) / np.maximum(norm[ia] * norm[ib], 1e-30)
+        keep = sims >= threshold
+        ia, ib, sims = ia[keep], ib[keep], sims[keep]
+        a, b = ids[ia], ids[ib]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return ia, ib, lo, hi
 
     def verify(group: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
         n = group.num_rows
-        if n < 2 or n > 5000:
+        if n < 2:
             return empty
-        emb = np.stack(group.column("embedding").to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
+        emb = _emb_matrix(group, "embedding")
         norm = group.column("norm").to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = (emb @ emb.T) / np.maximum(norm[:, None] * norm[None, :], 1e-30)
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ia], ids[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"id_a": lo, "id_b": hi})
+        pats = np.stack(group.column("pats").to_numpy(zero_copy_only=False))
+        table_id = int(group.column("bucket")[0].as_py()) >> n_bits
+        if n > bucket_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_neardup: oversized LSH bucket (n=%d > cap=%d); "
+                "falling back to exact blocked all-pairs within the bucket",
+                n,
+                bucket_cap,
+            )
+        out_a, out_b = [], []
+        # blocked upper-triangle sweep: one block for normal buckets,
+        # exact O(n^2) blocks (no drops) for oversized ones
+        for s0 in range(0, n, bucket_cap):
+            e0 = min(s0 + bucket_cap, n)
+            for s1 in range(s0, n, bucket_cap):
+                e1 = min(s1 + bucket_cap, n)
+                if s0 == s1:
+                    ia, ib = np.triu_indices(e0 - s0, k=1)
+                    ia, ib = ia + s0, ib + s0
+                else:
+                    ia, ib = np.meshgrid(
+                        np.arange(s0, e0), np.arange(s1, e1), indexing="ij"
+                    )
+                    ia, ib = ia.ravel(), ib.ravel()
+                ia2, ib2, lo, hi = _pairs_block(ids, emb, norm, ia, ib)
+                if ia2.size == 0:
+                    continue
+                if table_id > 0:
+                    # owner-table dedup: an earlier table already caught it
+                    prior = (pats[ia2, :table_id] == pats[ib2, :table_id]).any(axis=1)
+                    lo, hi = lo[~prior], hi[~prior]
+                out_a.append(lo)
+                out_b.append(hi)
+        if not out_a:
+            return empty
+        return pa.table(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+def embedding_neardup_exact(
+    embeddings: Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+) -> Dataset:
+    """EXACT all-pairs cosine >= threshold (id_a < id_b) via a blocked
+    self-join: normalized blocks are pinned in the object store once,
+    then one task per unordered block pair computes a matmul and keeps
+    qualifying pairs. O(N²) compute by definition — this is the exact
+    baseline/oracle twin; :func:`embedding_neardup_pairs` (LSH) is the
+    scale path. The block-pair fan-out streams through map_batches, so
+    no task ever holds more than two blocks."""
+    tune_context()
+
+    def normalize(tbl: pa.Table) -> pa.Table:
+        emb = _emb_matrix(tbl, "embedding")
+        nrm = np.maximum(np.sqrt((emb * emb).sum(axis=1, keepdims=True)), 1e-30)
+        nemb = emb / nrm
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "nemb": pa.array(list(nemb), type=pa.list_(pa.float64())),
+            }
+        )
+
+    norm_ds = embeddings.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+    refs = norm_ds.to_arrow_refs()  # blocks stay in the object store
+    nb = len(refs)
+    pair_items = [
+        {"i": i, "j": j} for i in range(nb) for j in range(i, nb)
+    ]
+
+    def block_pair(tbl: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for i, j in zip(
+            tbl.column("i").to_numpy(zero_copy_only=False),
+            tbl.column("j").to_numpy(zero_copy_only=False),
+        ):
+            ta, tb = ray.get([refs[int(i)], refs[int(j)]])
+            if ta.num_rows == 0 or tb.num_rows == 0:
+                continue
+            ea, eb = _emb_matrix(ta, "nemb"), _emb_matrix(tb, "nemb")
+            ids_a = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_b = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = ea @ eb.T
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b = ids_a[ia], ids_b[ib]
+            keep = a != b
+            a, b = a[keep], b[keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            if i == j:
+                # self block: every pair appears twice — keep one
+                pk = lo * np.int64(1 << 32) + hi
+                _, first = np.unique(pk, return_index=True)
+                lo, hi = lo[first], hi[first]
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
+            return pa.table(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
+        return pa.table(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return ray.data.from_items(pair_items).map_batches(
+        block_pair, batch_format="pyarrow", zero_copy_batch=True, batch_size=4
+    )
 
 
 def _doc_shingle_hashes(

@@ -105,3 +105,36 @@ def query_boxes_3d_table(sf_dir: str, table: str = "customer", key: str = "c_cus
     return pa.table(
         {"query_id": k.astype(np.int64), **{c: cols[c] for c in BOX3D_COLS}}
     )
+
+
+BOX4D_COLS = ("xmin", "ymin", "zmin", "tmin", "xmax", "ymax", "zmax", "tmax")
+
+
+def boxes_4d_dataset(sf_dir: str, table: str = "orders", key: str = "o_orderkey"):
+    """4D data boxes: (idx, xmin, ymin, zmin, tmin, xmax, ymax, zmax, tmax)."""
+
+    def der(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        cols = derive.derive_boxes_4d(k)
+        return pa.table(
+            {"idx": k.astype(np.int64), **{c: cols[c] for c in BOX4D_COLS}}
+        )
+
+    return _read_keys(sf_dir, table, key).map_batches(
+        der, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def query_boxes_4d_table(sf_dir: str, table: str = "customer", key: str = "c_custkey") -> pa.Table:
+    """Driver-side 4D probe regions for broadcast joins."""
+    import pyarrow.parquet as pq
+
+    k = (
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key])
+        .column(key)
+        .to_numpy(zero_copy_only=False)
+    )
+    cols = derive.derive_query_boxes_4d(k)
+    return pa.table(
+        {"query_id": k.astype(np.int64), **{c: cols[c] for c in BOX4D_COLS}}
+    )

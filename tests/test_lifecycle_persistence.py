@@ -204,6 +204,66 @@ def test_embedding_neardup_finds_planted(ray_session):
     assert (7, 50) in pairs
 
 
+def test_embedding_neardup_lsh_recall_vs_exact(ray_session):
+    # LSH pairs ⊆ exact pairs (precision 1: candidates are cosine-verified)
+    # and recall over planted near-dups beats the analytic floor
+    ray = ray_session
+    from python_prtree_ray.pipelines.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(37)
+    base = rng.standard_normal((300, 16))
+    planted = base[:40] + 0.08 * rng.standard_normal((40, 16))  # cos ≈ 0.97-0.999
+    emb = np.concatenate([base, planted], axis=0)
+    t = pa.table(
+        {
+            "vec_id": np.arange(340, dtype=np.int64),
+            "embedding": pa.array(
+                list(emb.astype(np.float32)), type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(ds, threshold=0.9).take_all()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(ds, threshold=0.9).take_all()
+    }
+    assert len(lsh) == len(set(lsh))  # owner-table dedup: no double reports
+    assert lsh <= exact
+    assert len(exact) >= 40
+    assert len(lsh) / len(exact) >= 0.8  # analytic recall ≈0.86+ at cos 0.9
+
+
+def test_embedding_neardup_oversized_bucket_not_dropped(ray_session):
+    # a degenerate direction cluster larger than bucket_cap must still be
+    # verified (exact fallback), not silently dropped
+    ray = ray_session
+    from python_prtree_ray.pipelines.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(41)
+    v = rng.standard_normal(8)
+    emb = v[None, :] + 0.001 * rng.standard_normal((30, 8))
+    t = pa.table(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": pa.array(
+                list(emb.astype(np.float32)), type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = embedding_neardup_pairs(
+        ray.data.from_arrow(t), threshold=0.99, bucket_cap=10
+    ).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(pairs) == 30 * 29 // 2  # every pair found despite cap=10
+
+
 def test_multimodal_actor_stage_plumbing(ray_session):
     ray = ray_session
     from python_prtree_ray.stages.multimodal import MediaFeatureExtractor
