@@ -155,6 +155,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return text.lang_id(docs)
 
+    def q_doc_fingerprint(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        # rolling-hash winnowing fingerprint — hash-seeded, no ANSI-SQL
+        # twin (rows-only); determinism across parallelism is pytest-checked
+        return text.fingerprint(docs)
+
+    def q_video_frames(sf):
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import video_frame_pipeline
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return video_frame_pipeline(interleaved_docs(n))
+
     def q_events_window(sf):
         import ray
 
@@ -368,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_3d": q_spatial_join_3d,
         "spatial_join_4d": q_spatial_join_4d,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
+        "doc_fingerprint": q_doc_fingerprint,
         "doc_sample": q_doc_sample,
         "cell_histogram": q_cell_histogram,
         "asof_purchase_view": q_asof_purchase_view,

@@ -1,12 +1,23 @@
 """Approximate / exact nearest-neighbor search over embedding columns.
 
 - :func:`ann_brute_topk` — exact cosine top-k: broadcast the (small)
-  query matrix once via ``ray.put``, per-batch matmul + per-batch partial
-  top-k, then one tiny ``groupby(query)`` top-k merge. The scan side
-  streams; nothing materializes.
-- :func:`ann_lsh_topk` — scale path: random-hyperplane LSH buckets
-  restrict each query to matching buckets (probing the query's bucket
-  ring), trading recall for a bounded candidate set.
+  query matrix once via ``ray.put``, per-batch matmul + THRESHOLD-
+  INCLUSIVE per-batch partial top-k (every row tied with the local k-th
+  survives, so the global merge can apply the deterministic
+  (sim DESC, id ASC) order regardless of partitioning), then one
+  coarse-bucket vectorized merge. The scan side streams; nothing
+  materializes.
+- :func:`ann_lsh_topk` — sign-LSH buckets restrict each query to
+  matching buckets (multi-probe 1-bit flips), trading recall for a
+  bounded candidate set.
+- :func:`ann_ivf_topk` — IVF coarse quantizer: each batch matmuls ONLY
+  the rows that fall in some query's probed cells (the pruning saves
+  FLOPs, not just changes answers).
+
+All merges group by a coarse 256-bucket query hash and rank every query
+in the bucket with one vectorized lexsort — never a per-query
+``map_groups`` (one interpreter call per query would dominate at 1M
+queries).
 """
 
 from __future__ import annotations
@@ -26,6 +37,74 @@ def _emb_matrix(tbl: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(len(arr), -1)
 
 
+def _empty_partial(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": np.empty(0, np.int64),
+            id_col: np.empty(0, np.int64),
+            "sim": np.empty(0, np.float64),
+        }
+    )
+
+
+def _threshold_topk_rows(
+    q: np.ndarray, sim: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query local top-k, threshold-INCLUSIVE: keep every row with
+    sim >= the query's k-th best in this set (ties included). Vectorized
+    over all queries at once (lexsort + segment arithmetic)."""
+    if q.size == 0:
+        return q, sim, ids
+    order = np.lexsort((ids, -sim, q))
+    q_s, sim_s, id_s = q[order], sim[order], ids[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
+    sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
+    kth_pos = starts + np.minimum(k, sizes) - 1
+    kth = np.where(sizes >= k, sim_s[kth_pos], -np.inf)
+    keep = sim_s >= np.repeat(kth, sizes)
+    return q_s[keep], sim_s[keep], id_s[keep]
+
+
+def _merge_topk(partials: Dataset, k: int, id_col: str = "vec_id") -> Dataset:
+    """(query_id, id, sim) partials → (query_id, id, rank): coarse-bucket
+    shuffle + one vectorized multi-query rank pass per bucket."""
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        qv = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "qb", pa.array((qv * 2654435761 % 1000000007) % 256)
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qv = group.column("query_id").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if qv.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, -sim, qv))
+        q_s, id_s = qv[order], ids[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
+        rank = np.arange(q_s.shape[0]) - np.repeat(starts, sizes)
+        keep = rank < k
+        return pa.table(
+            {
+                "query_id": pa.array(q_s[keep], pa.int64()),
+                id_col: pa.array(id_s[keep], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    keyed = partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")
+
+
 def ann_brute_topk(
     embeddings: Dataset,
     query_vectors: np.ndarray,
@@ -43,41 +122,29 @@ def ann_brute_topk(
     def partial(tbl: pa.Table) -> pa.Table:
         qmat, qids = ray.get(ref)
         emb = _emb_matrix(tbl, emb_col)
+        if emb.shape[0] == 0:
+            return _empty_partial(id_col)
         norm = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-30)
         sims = (emb / norm[:, None]) @ qmat.T  # (n, m)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         kk = min(k, emb.shape[0])
-        # per-query partial top-k within this batch
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, m)
-        m = qmat.shape[0]
-        out_q = np.repeat(qids, kk)
-        rows = part.T.ravel()
+        # threshold-inclusive local cut: every row tied at the k-th
+        # similarity survives, so the merged (sim DESC, id ASC) top-k is
+        # partitioning-invariant even with duplicate embeddings
+        kth = -np.partition(-sims, kk - 1, axis=0)[kk - 1]  # (m,)
+        rows, qcols = np.nonzero(sims >= kth[None, :])
         return pa.table(
             {
-                "query_id": out_q,
+                "query_id": qids[qcols],
                 id_col: ids[rows],
-                "sim": sims[rows, np.repeat(np.arange(m), kk)],
+                "sim": sims[rows, qcols],
             }
         )
 
     partials = embeddings.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        sims = group.column("sim").to_numpy(zero_copy_only=False)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -sims))[:k]
-        return pa.table(
-            {
-                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
-                id_col: ids[order],
-                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k, id_col)
 
 
 def ann_lsh_topk(
@@ -110,51 +177,32 @@ def ann_lsh_topk(
     def partial(tbl: pa.Table) -> pa.Table:
         qmat, qids, pl, probes = ray.get(ref)
         emb = _emb_matrix(tbl, emb_col)
+        if emb.shape[0] == 0:
+            return _empty_partial(id_col)
         sig = (emb @ pl) > 0
         buckets = (sig * pw[None, :]).sum(axis=1)
         keep = np.isin(buckets, probes)
         emb = emb[keep]
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[keep]
         if emb.shape[0] == 0:
-            return pa.table(
-                {
-                    "query_id": np.empty(0, np.int64),
-                    id_col: np.empty(0, np.int64),
-                    "sim": np.empty(0, np.float64),
-                }
-            )
+            return _empty_partial(id_col)
         norm = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-30)
         sims = (emb / norm[:, None]) @ qmat.T
         kk = min(k, emb.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        m = qmat.shape[0]
-        rows = part.T.ravel()
+        kth = -np.partition(-sims, kk - 1, axis=0)[kk - 1]
+        rows, qcols = np.nonzero(sims >= kth[None, :])
         return pa.table(
             {
-                "query_id": np.repeat(qids, kk),
+                "query_id": qids[qcols],
                 id_col: ids[rows],
-                "sim": sims[rows, np.repeat(np.arange(m), kk)],
+                "sim": sims[rows, qcols],
             }
         )
 
     partials = embeddings.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        sims = group.column("sim").to_numpy(zero_copy_only=False)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -sims))[:k]
-        return pa.table(
-            {
-                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
-                id_col: ids[order],
-                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k, id_col)
 
 
 def ann_ivf_topk(
@@ -173,9 +221,10 @@ def ann_ivf_topk(
     centroids (deterministic quantizer: seeded Gaussian directions —
     no training pass, so any two runs and any parallelism build the
     identical index). Query: each query probes its ``n_probe`` nearest
-    cells only; within a batch, non-probed vectors are masked out of the
-    cosine matmul. Same per-batch-partial → tiny-merge shape as
-    :func:`ann_brute_topk`; recall < 1 by design (rows-only check).
+    cells only, and each batch matmuls ONLY the rows assigned to some
+    probed cell — FLOPs scale with n_probe/n_cells of a full scan
+    (the cell loop is bounded by n_cells, never by query count).
+    Recall < 1 by design (rows-only check).
     """
     tune_context()
     q = np.asarray(query_vectors, dtype=np.float64)
@@ -190,48 +239,41 @@ def ann_ivf_topk(
     def partial(tbl: pa.Table) -> pa.Table:
         qn_, qids_, cents_, qcell_ = ray.get(ref)
         m = _emb_matrix(tbl, emb_col)
+        if m.shape[0] == 0:
+            return _empty_partial(id_col)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         vcell = np.argmax(mn @ cents_.T, axis=1)  # each vector's IVF cell
+        # invert the cell assignment once (sorted positions + bounds)
+        vorder = np.argsort(vcell, kind="stable")
+        bounds = np.searchsorted(vcell[vorder], np.arange(cents_.shape[0] + 1))
         out_q, out_v, out_s = [], [], []
-        sims = qn_ @ mn.T  # (nq, batch)
-        # mask: vector participates for query only if its cell is probed
-        probed = np.zeros((qn_.shape[0], mn.shape[0]), dtype=bool)
-        for p in range(qcell_.shape[1]):
-            probed |= vcell[None, :] == qcell_[:, p][:, None]
-        sims = np.where(probed, sims, -np.inf)
-        kk = min(k, mn.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        for qi in range(qn_.shape[0]):
-            sel = part[qi][np.isfinite(sims[qi, part[qi]])]
-            out_q.append(np.full(sel.shape[0], qids_[qi], dtype=np.int64))
-            out_v.append(ids[sel])
-            out_s.append(sims[qi, sel])
+        for c in np.unique(qcell_):  # <= n_cells iterations, never per-query
+            vpos = vorder[bounds[c] : bounds[c + 1]]
+            if vpos.size == 0:
+                continue
+            qrows = np.nonzero((qcell_ == c).any(axis=1))[0]
+            if qrows.size == 0:
+                continue
+            sims = qn_[qrows] @ mn[vpos].T  # (nq_c, nv_c) — probed rows only
+            out_q.append(np.repeat(qrows, vpos.size))
+            out_v.append(np.tile(vpos, qrows.size))
+            out_s.append(sims.ravel())
+        if not out_q:
+            return _empty_partial(id_col)
+        q_all = np.concatenate(out_q)
+        v_all = np.concatenate(out_v)
+        s_all = np.concatenate(out_s)
+        q_k, s_k, v_k = _threshold_topk_rows(q_all, s_all, v_all, k)
         return pa.table(
             {
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_v),
-                "sim": np.concatenate(out_s),
+                "query_id": qids_[q_k],
+                id_col: ids[v_k],
+                "sim": s_k,
             }
         )
 
     partials = embeddings.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        sim = group.column("sim").to_numpy(zero_copy_only=False)
-        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((vid, -sim))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * order.shape[0], pa.int64()),
-                "vec_id": pa.array(vid[order], pa.int64()),
-                "rank": pa.array(
-                    np.arange(1, order.shape[0] + 1, dtype=np.int64)
-                ),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k, id_col)

@@ -14,7 +14,8 @@ per-cell histogram instead of repeated probes:
    SUPERSET's distances bounds the true k-th from above).
 3. Radius join: each query becomes the box [p-rad, p+rad]² and flows
    through the standard cell-shuffle join, emitting candidate distances.
-4. ``groupby(query_id)`` top-k with deterministic (dist2, idx) tie-break.
+4. Coarse-bucket (256-way query hash) vectorized top-k with the
+   deterministic (dist2, idx) tie-break — never per-query map_groups.
 
 Two shuffles total (cell join + per-query top-k); the histogram is
 metadata-sized. dist2 is computed as ``(qx-cx)*(qx-cx)+(qy-cy)*(qy-cy)``
@@ -63,23 +64,30 @@ def _centroid_histogram(boxes: Dataset, res: int) -> np.ndarray:
     return grid
 
 
-def _ring_cumcounts(grid: np.ndarray, res: int, max_ring: int) -> np.ndarray:
-    """(g*g, max_ring+1) cumulative counts of cells within ring r, via 2-D
-    summed-area table — O(g²) regardless of ring count."""
+def _ring_for_k(grid: np.ndarray, res: int, k_eff: int) -> np.ndarray:
+    """Per-cell smallest Chebyshev ring R whose cumulative centroid count
+    >= k_eff, via a 2-D summed-area table. Early-exits as soon as every
+    cell is settled — memory stays O(g²) (one ring at a time), never the
+    (g², g) table a precomputed cumcount matrix would need at high res."""
     g = 1 << res
     dense = grid.reshape(g, g)
     sat = np.zeros((g + 1, g + 1), dtype=np.int64)
     sat[1:, 1:] = dense.cumsum(0).cumsum(1)
     ix, iy = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
-    out = np.empty((g * g, max_ring + 1), dtype=np.int64)
-    for r in range(max_ring + 1):
+    ring = np.full(g * g, g, dtype=np.int64)
+    unset = np.ones(g * g, dtype=bool)
+    for r in range(g + 1):
         x0 = np.clip(ix - r, 0, g)
         x1 = np.clip(ix + r + 1, 0, g)
         y0 = np.clip(iy - r, 0, g)
         y1 = np.clip(iy + r + 1, 0, g)
-        s = sat[x1, y1] - sat[x0, y1] - sat[x1, y0] + sat[x0, y0]
-        out[:, r] = s.ravel()
-    return out
+        s = (sat[x1, y1] - sat[x0, y1] - sat[x1, y0] + sat[x0, y0]).ravel()
+        hit = unset & (s >= k_eff)
+        ring[hit] = r
+        unset &= ~hit
+        if not unset.any():
+            break
+    return ring
 
 
 # Broadcast path bound: at m<=this many query points, a per-batch local
@@ -207,10 +215,15 @@ def knn_broadcast(boxes: Dataset, points_table: pa.Table, k: int) -> Dataset:
     partials = boxes.map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
     )
+    return _bucketed_topk(partials, k)
 
-    # merge grouped by a COARSE query-hash bucket (vectorized multi-query
-    # top-k per call) — per-query map_groups would be one interpreter
-    # call per query at corpus scale
+
+def _bucketed_topk(partials: Dataset, k: int) -> Dataset:
+    """(query_id, idx, dist2) partials → (query_id, idx, rank): merge
+    grouped by a COARSE query-hash bucket (vectorized multi-query top-k
+    per call) — per-query map_groups would be one interpreter call per
+    query at corpus scale."""
+
     def add_bucket(tbl: pa.Table) -> pa.Table:
         q = st.col_np(tbl, "query_id")
         return tbl.append_column(
@@ -271,12 +284,9 @@ def knn_join(
     g = 1 << res
     cellw = 1.0 / g
     grid = _centroid_histogram(boxes, res)
-    max_ring = g  # worst case covers the whole grid
-    cum = _ring_cumcounts(grid, res, max_ring)
     # smallest ring with >= k candidates, per cell (k capped at total)
     k_eff = min(k, int(grid.sum())) or 1
-    ring = np.argmax(cum >= k_eff, axis=1)
-    ring[cum[:, -1] < k_eff] = max_ring
+    ring = _ring_for_k(grid, res, k_eff)
     ring_ref = ray.put(ring)
 
     def to_radius_boxes(tbl: pa.Table) -> pa.Table:
@@ -320,11 +330,19 @@ def knn_join(
         centroid_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
+    def expand_build_with_coords(tbl: pa.Table) -> pa.Table:
+        # emit px/py explicitly (zeros) so build and probe rows union with
+        # an IDENTICAL schema — no reliance on implicit null-promotion
+        out = st.expand_boxes_to_cells(
+            tbl, res=res, side=st.SIDE_BUILD, id_col="idx"
+        )
+        zeros = pa.array(np.zeros(out.num_rows, dtype=np.float64))
+        return out.append_column("px", zeros).append_column("py", zeros)
+
     build = cents.map_batches(
-        st.expand_boxes_to_cells,
+        expand_build_with_coords,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs=dict(res=res, side=st.SIDE_BUILD, id_col="idx"),
     )
     # probe rows need px/py alongside; expand then re-derive px/py from the
     # (degenerate-free) radius box center: px = (xmin+xmax)*0.5 is exact
@@ -340,21 +358,7 @@ def knn_join(
     pairs = union.groupby("key").map_groups(
         _make_knn_cell(res), batch_format="pyarrow"
     )
-
-    def top_k(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        d2 = st.col_np(group, "dist2")
-        idx = st.col_np(group, "idx")
-        order = np.lexsort((idx, d2))[:k]
-        return pa.table(
-            {
-                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
-                "idx": idx[order],
-                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
-            }
-        )
-
-    return pairs.groupby("query_id").map_groups(top_k, batch_format="pyarrow")
+    return _bucketed_topk(pairs, k)
 
 
 def _expand_probe_with_coords(tbl: pa.Table, res: int) -> pa.Table:

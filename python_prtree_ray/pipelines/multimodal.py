@@ -22,7 +22,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..config import tune_context
-from ..stages.multimodal import MediaFeatureExtractor
+from ..stages.multimodal import FrameSampler, MediaFeatureExtractor
 
 
 def explode_media_spans(tbl: pa.Table) -> pa.Table:
@@ -75,3 +75,44 @@ def media_feature_pipeline(docs: Dataset, concurrency=(1, 8)) -> Dataset:
         num_cpus=1,
     )
     return feats.select_columns(["doc_id", "offset", "kind", "features"])
+
+
+def video_frame_pipeline(docs: Dataset, every: int = 4, concurrency=(1, 8)) -> Dataset:
+    """(doc_id, offset, n_frames) for every video span: explode → stub
+    fetch → actor-pool frame sampling (every k-th 64-byte window; a real
+    build swaps the stub for an ffmpeg keyframe reader)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    spans = docs.map_batches(
+        explode_media_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def only_video(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.equal(tbl.column("kind"), "video"))
+
+    vids = spans.map_batches(only_video, batch_format="pyarrow", zero_copy_batch=True)
+    with_payload = vids.map_batches(
+        fetch_payload_stub, batch_format="pyarrow", zero_copy_batch=True
+    )
+    framed = with_payload.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(every=every),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "offset": tbl.column("offset"),
+                "n_frames": pc.cast(
+                    pc.list_value_length(tbl.column("frames")), pa.int64()
+                ),
+            }
+        )
+
+    return framed.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)

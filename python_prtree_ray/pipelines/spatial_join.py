@@ -250,22 +250,50 @@ def point_query(
     return spatial_join(boxes, qboxes, res=res)
 
 
-def aggregate_match_lists(pairs: Dataset) -> Dataset:
+def aggregate_match_lists(pairs: Dataset, n_buckets: int = 256) -> Dataset:
     """(query_id, idx) pairs → per-query sorted idx list column — the
     reference's ``batch_query`` return shape (``List[List[int]]`` with
-    ascending per-query order, ``prtree.h:786-787``)."""
+    ascending per-query order, ``prtree.h:786-787``).
 
-    def to_list(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        idx = np.sort(st.col_np(group, "idx"))
+    Same coarse-bucket assembly as :func:`aggregate_match_csv` (one
+    ``map_groups`` call per bucket, never per query); the list is built
+    as an Arrow ListArray straight from segment offsets."""
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        q = st.col_np(tbl, "query_id")
         return pa.table(
             {
-                "query_id": pa.array([qid], type=pa.int64()),
-                "matches": pa.array([idx.tolist()], type=pa.list_(pa.int64())),
+                "bucket": (q * 2654435761 % 1000000007) % n_buckets,
+                "query_id": q,
+                "idx": st.col_np(tbl, "idx"),
             }
         )
 
-    return pairs.groupby("query_id").map_groups(to_list, batch_format="pyarrow")
+    def to_lists(group: pa.Table) -> pa.Table:
+        q = st.col_np(group, "query_id")
+        idx = st.col_np(group, "idx")
+        if q.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "matches": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        order = np.lexsort((idx, q))
+        q, idx = q[order], idx[order]
+        bounds = np.nonzero(np.diff(q))[0] + 1
+        qids = q[np.concatenate([[0], bounds])]
+        offsets = np.concatenate([[0], bounds, [q.size]]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(idx))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "matches": pa.compute.cast(lists, pa.list_(pa.int64())),
+            }
+        )
+
+    keyed = pairs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(to_lists, batch_format="pyarrow")
 
 
 def aggregate_match_csv(pairs: Dataset, n_buckets: int = 256) -> Dataset:

@@ -103,28 +103,45 @@ def lang_id(docs: Dataset) -> Dataset:
 
 def fingerprint(docs: Dataset, window: int = 8) -> Dataset:
     """(doc_id, fp): rolling-hash document fingerprint — min of rolling
-    window hashes over the token stream (winnowing-style, deterministic)."""
+    ``window``-token hash sums over the token stream (winnowing-style,
+    deterministic; docs shorter than the window use one full-span sum,
+    empty docs get 0). Fully vectorized over the FLAT token array: prefix
+    sums give every window sum, ``np.minimum.reduceat`` the per-doc min —
+    no per-doc Python loop."""
 
     def fp(tbl: pa.Table) -> pa.Table:
         toks_list = pc.split_pattern_regex(tbl.column("text"), r"\s+")
         flat = toks_list.combine_chunks()
         values = flat.values.to_numpy(zero_copy_only=False)
-        offs = flat.offsets.to_numpy(zero_copy_only=False)
-        # vectorized token hash: FNV-ish over bytes via numpy frombuffer is
-        # overkill; Python-level hash per unique token instead
+        offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = len(offs) - 1
         uniq, inv = np.unique(values.astype(str), return_inverse=True)
-        hval = np.array(
-            [hash_str(u) for u in uniq], dtype=np.int64
-        )[inv]
-        out = np.empty(len(offs) - 1, dtype=np.int64)
-        for i in range(len(offs) - 1):  # per-doc scan over token hashes
-            seg = hval[offs[i] : offs[i + 1]]
-            if seg.size == 0:
-                out[i] = 0
-                continue
-            w = min(window, seg.size)
-            roll = np.convolve(seg, np.ones(w, dtype=np.int64), mode="valid")
-            out[i] = roll.min()
+        hval = hash_str_array(uniq)[inv]
+        total = hval.shape[0]
+        out = np.zeros(rows, dtype=np.int64)
+        lens = np.diff(offs)
+        if total:
+            pref = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(hval, out=pref[1:])
+            row_of = np.repeat(np.arange(rows), lens)
+            # full-window sums: starts whose (window-1)-th successor is in
+            # the same doc; valid starts are contiguous per doc
+            head = total - (window - 1)
+            valid = np.zeros(total, dtype=bool)
+            if head > 0:
+                valid[:head] = row_of[:head] == row_of[window - 1 :]
+            starts = np.nonzero(valid)[0]
+            roll = pref[starts + window] - pref[starts]
+            long_rows = np.nonzero(lens >= window)[0]
+            if long_rows.size:
+                # segment boundaries of each doc's valid-start run
+                seg_bounds = np.searchsorted(starts, offs[long_rows])
+                out[long_rows] = np.minimum.reduceat(roll, seg_bounds)
+            short_rows = np.nonzero((lens > 0) & (lens < window))[0]
+            if short_rows.size:
+                out[short_rows] = (
+                    pref[offs[short_rows + 1]] - pref[offs[short_rows]]
+                )
         return pa.table(
             {"doc_id": tbl.column("doc_id"), "fp": pa.array(out, type=pa.int64())}
         )

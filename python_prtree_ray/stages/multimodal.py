@@ -5,6 +5,8 @@ decode/feature kernels are STUBBED (no image/audio libraries exist in
 this environment) behind deterministic fakes — the Ray-side plumbing
 (actor ``__init__`` setup, batch signature, schema, output layout) is
 real and tested, so swapping in a real decoder is a one-function change.
+Both stages are fully vectorized over the Arrow binary buffers (offsets
+arithmetic + one gather) — no per-row Python loops.
 
 Usage (actor pool — setup once per actor, work per batch):
 
@@ -18,20 +20,51 @@ import numpy as np
 import pyarrow as pa
 
 
-def _decode_media(payload: np.ndarray, kind: np.ndarray) -> np.ndarray:
-    """STUB decoder: a real build wires PIL/ffmpeg here. The deterministic
-    fake hashes the payload bytes into a fixed-length feature so pipelines
-    and tests exercise real data flow. Raises for unknown kinds exactly as
-    a real decoder would."""
-    out = np.zeros((payload.shape[0], 8), dtype=np.float32)
-    for i, (buf, k) in enumerate(zip(payload, kind)):
-        if k not in ("image", "audio", "video"):
-            raise NotImplementedError(f"no decoder for media kind {k!r}")
-        h = np.frombuffer(
-            buf[:64].ljust(64, b"\0") if buf else b"\0" * 64, dtype=np.uint8
-        ).astype(np.float32)
-        out[i] = h.reshape(8, 8).mean(axis=1) / 255.0
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], flat data[uint8]) of a binary array,
+    slice-offset corrected. Nulls read as empty."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offs = np.frombuffer(off_buf, dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    return offs, data
+
+
+def _prefix_matrix(arr: pa.Array, nbytes: int) -> np.ndarray:
+    """(n, nbytes) uint8 matrix of each value's first ``nbytes`` bytes,
+    zero-padded — one vectorized gather, no per-row loop."""
+    offs, data = _binary_parts(arr)
+    n = len(offs) - 1
+    lens = np.minimum(np.diff(offs), nbytes)
+    out = np.zeros((n, nbytes), dtype=np.uint8)
+    if lens.sum():
+        row = np.repeat(np.arange(n), lens)
+        col = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+        out[row, col] = data[np.repeat(offs[:-1], lens) + col]
     return out
+
+
+def _decode_media(payload: pa.Array, kind: np.ndarray) -> np.ndarray:
+    """STUB decoder: a real build wires PIL/ffmpeg here. The deterministic
+    fake folds the payload's first 64 bytes into a fixed-length feature so
+    pipelines and tests exercise real data flow. Raises for unknown kinds
+    exactly as a real decoder would."""
+    bad = ~np.isin(kind, ("image", "audio", "video"))
+    if bad.any():
+        raise NotImplementedError(
+            f"no decoder for media kind {kind[np.nonzero(bad)[0][0]]!r}"
+        )
+    mat = _prefix_matrix(payload, 64).astype(np.float32)
+    return mat.reshape(-1, 8, 8).mean(axis=2) / 255.0
 
 
 class MediaFeatureExtractor:
@@ -48,12 +81,8 @@ class MediaFeatureExtractor:
         self._feature_dim = 8
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        payload = np.array(
-            [b if b is not None else b"" for b in tbl.column(self.payload_col).to_pylist()],
-            dtype=object,
-        )
-        kind = np.array(tbl.column(self.kind_col).to_pylist())
-        feats = _decode_media(payload, kind)
+        kind = np.asarray(tbl.column(self.kind_col).to_pylist())
+        feats = _decode_media(tbl.column(self.payload_col), kind)
         return tbl.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(
@@ -62,20 +91,41 @@ class MediaFeatureExtractor:
         )
 
 
+FRAME_BYTES = 64
+
+
 class FrameSampler:
     """Actor-pool stage: sample every k-th 'frame' (64-byte window) of a
-    video payload into a list column — stub with real plumbing."""
+    video payload into a list<binary> column — stub decode, real
+    plumbing, fully vectorized (offset arithmetic + one gather)."""
 
     def __init__(self, every: int = 4, payload_col: str = "payload"):
         self.every = every
         self.payload_col = payload_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        frames = []
-        for buf in tbl.column(self.payload_col).to_pylist():
-            buf = buf or b""
-            chunks = [buf[i : i + 64] for i in range(0, len(buf), 64)]
-            frames.append(chunks[:: self.every])
-        return tbl.append_column(
-            "frames", pa.array(frames, type=pa.list_(pa.binary()))
+        offs, data = _binary_parts(tbl.column(self.payload_col))
+        n = len(offs) - 1
+        lens = np.diff(offs)
+        n_chunks = -(-lens // FRAME_BYTES)  # ceil
+        n_sampled = -(-n_chunks // self.every)
+        total = int(n_sampled.sum())
+        # j-th sampled frame of row i starts at offs[i] + FRAME*every*j
+        row = np.repeat(np.arange(n), n_sampled)
+        j = np.arange(total) - np.repeat(np.cumsum(n_sampled) - n_sampled, n_sampled)
+        fstart = offs[:-1][row] + FRAME_BYTES * self.every * j
+        flen = np.minimum(FRAME_BYTES, offs[1:][row] - fstart)
+        fdata_total = int(flen.sum())
+        col = np.arange(fdata_total) - np.repeat(np.cumsum(flen) - flen, flen)
+        out_data = data[np.repeat(fstart, flen) + col]
+        f_offs = np.zeros(total + 1, dtype=np.int32)
+        f_offs[1:] = np.cumsum(flen)
+        frames_flat = pa.Array.from_buffers(
+            pa.binary(),
+            total,
+            [None, pa.py_buffer(f_offs.tobytes()), pa.py_buffer(out_data.tobytes())],
         )
+        row_offs = np.zeros(n + 1, dtype=np.int32)
+        row_offs[1:] = np.cumsum(n_sampled)
+        frames = pa.ListArray.from_arrays(pa.array(row_offs, pa.int32()), frames_flat)
+        return tbl.append_column("frames", frames)

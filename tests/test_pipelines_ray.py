@@ -203,6 +203,35 @@ def test_knn_matches_brute_force(ray_session):
         assert sorted(got[qi]) == want
 
 
+def test_knn_cell_path_matches_broadcast(ray_session):
+    # force the histogram ring-expansion cell-shuffle path (broadcast=False)
+    # and check it agrees with the broadcast path AND brute force
+    ray = ray_session
+    rng = np.random.default_rng(16)
+    boxes = random_boxes(rng, 1200, edge=0.02)
+    pts = rng.random((60, 2))
+    bids = rng.permutation(1200).astype(np.int64)
+    qids = np.arange(60, dtype=np.int64)
+    k = 5
+    cell_out = knn_join(
+        _boxes_ds(ray, boxes, bids),
+        _points_ds(ray, pts, qids),
+        k=k,
+        res=4,
+        broadcast=False,
+    ).take_all()
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    d2 = geom.squared_centroid_distance(pts[:, 0], pts[:, 1], cx, cy)
+    got = {}
+    for r in cell_out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["idx"]))
+    for qi in range(60):
+        order = np.lexsort((bids, d2[qi]))[:k]
+        want = [(rank + 1, int(bids[j])) for rank, j in enumerate(order)]
+        assert sorted(got[qi]) == want
+
+
 def test_knn_k_larger_than_dataset(ray_session):
     ray = ray_session
     rng = np.random.default_rng(14)
