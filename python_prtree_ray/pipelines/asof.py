@@ -91,15 +91,38 @@ def asof_join(
         last = np.ones(rk.shape[0], dtype=bool)
         last[:-1] = (np.diff(rk) != 0) | (np.diff(rt) != 0)
         rk, rt, rid_ = rk[last], rt[last], rid_[last]
-        # pack (key_rank, ts_offset) into one monotonic int64
+        # pack (key_rank, ts_RANK) into one monotonic int64 — ranks, not
+        # microsecond offsets, so the product is bounded by (rows/bucket)²
+        # instead of n_keys × time-span-µs (which overflows at ~400k keys
+        # over 30 years). Equal timestamps share a rank, so <=-ordering is
+        # preserved exactly.
         all_keys = np.unique(np.concatenate([lk, rk]))
-        tmin = min(lt.min(), rt.min())
-        span = np.int64(max(lt.max(), rt.max()) - tmin + 2)
-        r_packed = np.searchsorted(all_keys, rk) * span + (rt - tmin)
-        l_packed = np.searchsorted(all_keys, lk) * span + (lt - tmin)
-        pos = np.searchsorted(r_packed, l_packed, side="right") - 1
-        valid = pos >= 0
-        valid[valid] &= rk[pos[valid]] == lk[valid]
+        all_ts = np.unique(np.concatenate([lt, rt]))
+        span = np.int64(all_ts.shape[0] + 1)
+        if all_keys.shape[0] < (1 << 62) // span:
+            r_packed = np.searchsorted(all_keys, rk) * span + np.searchsorted(
+                all_ts, rt
+            )
+            l_packed = np.searchsorted(all_keys, lk) * span + np.searchsorted(
+                all_ts, lt
+            )
+            pos = np.searchsorted(r_packed, l_packed, side="right") - 1
+            valid = pos >= 0
+            valid[valid] &= rk[pos[valid]] == lk[valid]
+        else:
+            # overflow-proof fallback (only reachable at ~2^31 rows in ONE
+            # bucket): per-key segment searchsorted
+            pos = np.full(lk.shape[0], -1, dtype=np.int64)
+            seg_lo = np.searchsorted(rk, lk, side="left")
+            seg_hi = np.searchsorted(rk, lk, side="right")
+            for key in np.unique(lk):
+                sel = lk == key
+                lo, hi = seg_lo[sel][0], seg_hi[sel][0]
+                if hi > lo:
+                    p = lo + np.searchsorted(rt[lo:hi], lt[sel], side="right") - 1
+                    p[p < lo] = -1
+                    pos[sel] = p
+            valid = pos >= 0
         pos_v = pos[valid]
         return pa.table(
             {

@@ -481,44 +481,51 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_freq: int | None = None,
 ) -> Dataset:
     """EXACT word-n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard)
     for every pair with jaccard >= threshold, doc_a < doc_b.
 
-    Shape: per-batch distinct (doc, gram) rows → ``groupby(gram)`` emits
-    co-occurring pairs → ``groupby(a, b)`` counts the intersection →
-    jaccard from broadcast per-doc shingle counts. Two shuffles, both on
-    small rows (the text never shuffles). Exact counterpart of the
-    approximate :func:`minhash_pairs`; hot grams fan out quadratically,
-    so at corpus scale pair it with a stop-gram cutoff (kept exact here
-    for oracle parity).
+    Shape: per-batch distinct (doc, gram) rows → ``groupby(gram bucket)``
+    emits per-gram co-occurring pairs with local pair-dedup → coarse
+    pair-hash bucket groupby sums intersections and applies the jaccard
+    filter in the same vectorized pass. Two shuffles, both on small rows
+    (the text never shuffles); both reduce sides are 512-bucket
+    ``map_groups`` (one interpreter call per bucket — the native
+    high-cardinality Aggregate was 3-6x slower end to end).
 
-    Scale note: per-doc sizes are broadcast via ``ray.put`` — fine up to
-    ~10^8 docs; beyond that replace with a hash join on doc id.
+    ``max_gram_freq``: optional stop-gram cutoff — grams appearing in
+    more than this many docs are DROPPED from pair expansion (hot grams
+    fan out quadratically). Dropping is logged, never silent, and the
+    result is then a lower bound on jaccard. ``None`` (default) keeps
+    the op exact for the oracle.
+
+    Doc ids may use the full int64 range: pair keys ship as separate
+    (a, b) columns; only the per-doc gram COUNTS are packed (two 31-bit
+    counts in one int64 — a count is bounded by doc length, never by
+    corpus size).
+
+    Scale note: per-doc shingle counts are computed batch-locally (a
+    doc's text lives in exactly one input batch) — no global sizes
+    aggregate, no driver broadcast.
     """
     tune_context()
-
-    def extract(tbl: pa.Table) -> pa.Table:
-        d, sh = _doc_shingle_hashes(tbl, n, text_col, id_col)
-        # per-doc shingle-set size rides every row: a doc's text lives in
-        # exactly one input batch, so the count is local — no global
-        # sizes aggregate, no driver broadcast (fully scalable)
-        u, inv, c = np.unique(d, return_inverse=True, return_counts=True)
-        return pa.table({"doc": d, "sh": sh, "nsh": c[inv]})
-
-    shmat = docs.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
-
-    # pair doc ids into one int64 key so every hot-path step below is a
-    # vectorized unique/aggregate; grouping is by a COARSE hash bucket
-    # (512 interpreter calls total at any gram cardinality) and the
-    # within-bucket per-gram pair expansion is pure repeat/offset
-    # arithmetic.
     SHIFT = np.int64(32)
     N_GBUCKETS = 512
 
-    def add_bucket(tbl: pa.Table) -> pa.Table:
-        sh = tbl.column("sh").to_numpy(zero_copy_only=False)
-        return tbl.append_column("gb", pa.array(sh % np.int64(N_GBUCKETS)))
+    def extract(tbl: pa.Table) -> pa.Table:
+        d, sh = _doc_shingle_hashes(tbl, n, text_col, id_col)
+        u, inv, c = np.unique(d, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "doc": d,
+                "sh": sh,
+                "nsh": c[inv],
+                "gb": sh % np.int64(N_GBUCKETS),
+            }
+        )
+
+    shmat = docs.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         sh = group.column("sh").to_numpy(zero_copy_only=False)
@@ -526,15 +533,41 @@ def ngram_jaccard_pairs(
         nsh = group.column("nsh").to_numpy(zero_copy_only=False)
         empty = pa.table(
             {
-                "pk": np.empty(0, np.int64),
+                "a": np.empty(0, np.int64),
+                "b": np.empty(0, np.int64),
                 "n": np.empty(0, np.int64),
                 "meta": np.empty(0, np.int64),
+                "pkb": np.empty(0, np.int64),
             }
         )
         order = np.lexsort((docs_, sh))
         sh_s, d_s, nsh_s = sh[order], docs_[order], nsh[order]
         starts = np.concatenate([[0], np.nonzero(np.diff(sh_s))[0] + 1])
         sizes_arr = np.diff(np.concatenate([starts, [sh_s.shape[0]]]))
+        if max_gram_freq is not None:
+            hot = sizes_arr > max_gram_freq
+            if hot.any():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard: dropping %d stop-grams (doc freq > %d; "
+                    "hottest=%d docs) — reported jaccard is a lower bound",
+                    int(hot.sum()),
+                    max_gram_freq,
+                    int(sizes_arr.max()),
+                )
+                keep_rows = ~np.repeat(hot, sizes_arr)
+                sh_s, d_s, nsh_s = sh_s[keep_rows], d_s[keep_rows], nsh_s[keep_rows]
+                starts = np.concatenate(
+                    [[0], np.nonzero(np.diff(sh_s))[0] + 1]
+                ) if sh_s.size else np.empty(0, np.int64)
+                sizes_arr = (
+                    np.diff(np.concatenate([starts, [sh_s.shape[0]]]))
+                    if sh_s.size
+                    else np.empty(0, np.int64)
+                )
+        if sh_s.size == 0:
+            return empty
         rank = np.arange(sh_s.shape[0]) - np.repeat(starts, sizes_arr)
         counts = np.repeat(sizes_arr, sizes_arr) - rank - 1
         if counts.sum() == 0:
@@ -544,42 +577,55 @@ def ngram_jaccard_pairs(
             np.cumsum(counts) - counts, counts
         )
         b_glob = a_glob + run + 1
-        pk = (d_s[a_glob] << SHIFT) | d_s[b_glob]
-        u, first, c = np.unique(pk, return_index=True, return_counts=True)
-        # na/nb are constant per pk — pack into ONE column so the global
-        # aggregate is two reductions (Sum + Min), not three
+        pa_ids, pb_ids = d_s[a_glob], d_s[b_glob]
+        # local per-pair dedup (full-int64-safe: lexsort on the id pair)
+        porder = np.lexsort((pb_ids, pa_ids))
+        pa_s, pb_s = pa_ids[porder], pb_ids[porder]
+        pstarts = np.concatenate(
+            [[0], np.nonzero((np.diff(pa_s) != 0) | (np.diff(pb_s) != 0))[0] + 1]
+        )
+        c = np.diff(np.concatenate([pstarts, [pa_s.shape[0]]]))
+        first = porder[pstarts]
+        # na/nb are constant per pair — pack into ONE column (31-bit gram
+        # counts, safe at any corpus size)
         meta = (nsh_s[a_glob[first]] << SHIFT) | nsh_s[b_glob[first]]
-        return pa.table({"pk": u, "n": c.astype(np.int64), "meta": meta})
-
-    co = (
-        shmat.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gb")
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
-    )
-    from ray.data.aggregate import Min as _Min
-    inter = co.groupby("pk").aggregate(
-        Sum("n", alias_name="inter"), _Min("meta", alias_name="meta")
-    )
-
-    def jac_filter(tbl: pa.Table) -> pa.Table:
-        pk = tbl.column("pk").to_numpy(zero_copy_only=False)
-        cnt = tbl.column("inter").to_numpy(zero_copy_only=False)
-        a = pk >> SHIFT
-        b = pk & np.int64((1 << 32) - 1)
-        meta = tbl.column("meta").to_numpy(zero_copy_only=False)
-        na = meta >> SHIFT
-        nb = meta & np.int64((1 << 32) - 1)
-        jac = cnt / (na + nb - cnt)
-        keep = jac >= threshold
+        ua, ub = pa_s[pstarts], pb_s[pstarts]
+        pkb = ((ua * 2654435761 + ub * 97) % 1000000007) % np.int64(N_GBUCKETS)
         return pa.table(
-            {
-                "doc_a": a[keep],
-                "doc_b": b[keep],
-                "jaccard": jac[keep],
-            }
+            {"a": ua, "b": ub, "n": c.astype(np.int64), "meta": meta, "pkb": pkb}
         )
 
-    return inter.map_batches(jac_filter, batch_format="pyarrow", zero_copy_batch=True)
+    co = shmat.groupby("gb").map_groups(pairs_of_bucket, batch_format="pyarrow")
+
+    def sum_bucket(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        cnt = group.column("n").to_numpy(zero_copy_only=False)
+        meta = group.column("meta").to_numpy(zero_copy_only=False)
+        if a.size == 0:
+            return pa.table(
+                {
+                    "doc_a": np.empty(0, np.int64),
+                    "doc_b": np.empty(0, np.int64),
+                    "jaccard": np.empty(0, np.float64),
+                }
+            )
+        order = np.lexsort((b, a))
+        a_s, b_s, n_s, m_s = a[order], b[order], cnt[order], meta[order]
+        starts = np.concatenate(
+            [[0], np.nonzero((np.diff(a_s) != 0) | (np.diff(b_s) != 0))[0] + 1]
+        )
+        inter = np.add.reduceat(n_s, starts)
+        ua, ub, um = a_s[starts], b_s[starts], m_s[starts]
+        na = um >> SHIFT
+        nb = um & np.int64((1 << 31) - 1)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {"doc_a": ua[keep], "doc_b": ub[keep], "jaccard": jac[keep]}
+        )
+
+    return co.groupby("pkb").map_groups(sum_bucket, batch_format="pyarrow")
 
 
 def _gram_bucket(grams: np.ndarray, n_buckets: int) -> np.ndarray:

@@ -388,6 +388,31 @@ def test_ann_lsh_ivf_recall_floors(ray_session):
     assert all((i, i) in p for p in (exact, ivf) for i in range(20))
 
 
+def test_ngram_stopgram_cutoff_is_lower_bound(ray_session):
+    # max_gram_freq drops hot grams from pair expansion (logged, not
+    # silent): result pairs must be a subset of the exact result
+    ray = ray_session
+    from python_prtree_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    hot = "alpha beta gamma"
+    texts = [f"{hot} doc{i}a doc{i}b doc{i}c {hot}" for i in range(20)]
+    t = pa.table({"doc_id": np.arange(20, dtype=np.int64), "text": texts})
+    ds = ray.data.from_arrow(t).repartition(3)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(ds, n=3, threshold=0.05).take_all()
+    }
+    cut = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            ds, n=3, threshold=0.05, max_gram_freq=5
+        ).take_all()
+    }
+    assert len(exact) == 20 * 19 // 2  # every doc pair shares the hot grams
+    assert cut <= exact
+    assert len(cut) < len(exact)
+
+
 def test_minhash_recall_vs_exact_ngram(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.dedup import minhash_pairs, ngram_jaccard_pairs
