@@ -50,13 +50,19 @@ class RayPRTree:
         res: int = sj.DEFAULT_RES,
         strict: bool = True,
         validate: bool = False,
+        precision: "PrecisionConfig | None" = None,
     ):
+        from .functions.validate import PrecisionConfig
+
         self.res = res
         self.strict = strict
+        self._validate = validate
+        self._precision = precision or PrecisionConfig()
+        self._objs: dict[int, object] = {}
         if validate and boxes is not None:
             from .functions.validate import validated_boxes_dataset
 
-            boxes = validated_boxes_dataset(boxes)
+            boxes = validated_boxes_dataset(boxes, self._precision)
         self._base = boxes
         self._deltas: list[Dataset] = []
         # generational tombstones: (ids, n_deltas_at_erase) — each entry
@@ -79,7 +85,38 @@ class RayPRTree:
 
     # ----------------------------------------------------------- mutation
 
+    def insert(self, bb, idx: int | None = None, obj: object | None = None) -> int:
+        """Single-record insert — reference ``insert(bb, idx=None, obj)``
+        parity (``core.py:454-509``): ``idx=None`` auto-assigns ``n + 1``;
+        the box is validated with the live precision config; ``obj`` is
+        attached via :meth:`set_obj`. Sugar over a 1-row delta Dataset.
+        Returns the idx used."""
+        import ray as _ray
+
+        from .functions.validate import validate_boxes
+
+        b = np.asarray(bb, dtype=np.float64).ravel()
+        if b.shape[0] % 2 or b.shape[0] < 4:
+            raise ValueError(f"bb must be (xmin, ymin, ..., xmax, ymax, ...); got {bb!r}")
+        validate_boxes(b[None, :], self._precision)
+        if idx is None:
+            idx = self.size() + 1
+        d = b.shape[0] // 2
+        names = [("xmin", "ymin", "zmin", "tmin")[i] for i in range(d)] + [
+            ("xmax", "ymax", "zmax", "tmax")[i] for i in range(d)
+        ]
+        cols: dict = {"idx": np.array([idx], dtype=np.int64)}
+        cols.update({n: np.array([b[i]]) for i, n in enumerate(names)})
+        self.insert_batch(_ray.data.from_arrow(pa.table(cols)))
+        if obj is not None:
+            self.set_obj(idx, obj)
+        return int(idx)
+
     def insert_batch(self, boxes: Dataset) -> None:
+        if self._validate:
+            from .functions.validate import validated_boxes_dataset
+
+            boxes = validated_boxes_dataset(boxes, self._precision)
         if self.strict:
             new = self._collect_keys(boxes)
             dup = np.intersect1d(new, self._keys)
@@ -100,7 +137,54 @@ class RayPRTree:
                 raise ValueError(f"Index not found: {missing[0]}")
             self._keys = np.setdiff1d(self._keys, ids)
         self._tombs.append((np.unique(ids), len(self._deltas)))
+        for i in ids.tolist():
+            self._objs.pop(i, None)
         self._maybe_rebuild()
+
+    # ------------------------------------------------- objects & precision
+
+    def set_obj(self, idx: int, obj: object) -> None:
+        """Attach a Python payload to a live id (reference ``set_obj``,
+        ``core.py:585-599``). Driver-side registry, broadcast to workers
+        only when a query asks for ``return_obj`` — the scale path for
+        bulk payloads is the ``carry_cols`` column projection instead."""
+        if self.strict and not np.isin(np.int64(idx), self._keys):
+            raise ValueError(f"Index not found: {idx}")
+        self._objs[int(idx)] = obj
+
+    def get_obj(self, idx: int) -> object | None:
+        return self._objs.get(int(idx))
+
+    def set_relative_epsilon(self, v: float) -> None:
+        # reference setter surface: prtree.h:960-975
+        if v < 0:
+            raise ValueError("relative_epsilon must be >= 0")
+        self._precision.relative_epsilon = float(v)
+
+    def get_relative_epsilon(self) -> float:
+        return self._precision.relative_epsilon
+
+    def set_absolute_epsilon(self, v: float) -> None:
+        if v < 0:
+            raise ValueError("absolute_epsilon must be >= 0")
+        self._precision.absolute_epsilon = float(v)
+
+    def get_absolute_epsilon(self) -> float:
+        return self._precision.absolute_epsilon
+
+    def set_adaptive_epsilon(self, on: bool) -> None:
+        self._precision.adaptive_epsilon = bool(on)
+
+    def get_adaptive_epsilon(self) -> bool:
+        return self._precision.adaptive_epsilon
+
+    def set_subnormal_detection(self, on: bool) -> None:
+        # reference toggle: prtree.h:996-1008; applies to every
+        # subsequent validated insert/build
+        self._precision.subnormal_detection = bool(on)
+
+    def get_subnormal_detection(self) -> bool:
+        return self._precision.subnormal_detection
 
     def _maybe_rebuild(self) -> None:
         if not self.strict or self._n_at_build == 0:
@@ -176,11 +260,59 @@ class RayPRTree:
 
     # ----------------------------------------------------------- queries
 
-    def batch_query(self, queries: Dataset, **kw) -> Dataset:
+    def batch_query(
+        self,
+        queries: Dataset,
+        return_obj: bool = False,
+        expand_epsilon: bool = False,
+        **kw,
+    ) -> Dataset:
+        """(query_id, idx) intersections; ``return_obj`` adds the payload
+        registered via :meth:`set_obj` (reference ``batch_query(...,
+        return_obj=True)``). ``expand_epsilon`` widens each query box by the
+        adaptive epsilon (clamp formula, ``prtree.h:81-116``) computed per
+        batch from the boxes' max extent — the distributed analog of the
+        reference's insert-path candidate slack."""
         ds = self.dataset()
         if ds is None:
             raise ValueError("Cannot query an empty tree")
-        return sj.spatial_join(ds, queries, res=self.res, **kw)
+        if expand_epsilon:
+            prec = self._precision
+
+            def widen(tbl: pa.Table) -> pa.Table:
+                cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in tbl.column_names}
+                mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in cols]
+                maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in cols]
+                extent = max(
+                    (float(cols[hi].max() - cols[lo].min()) for lo, hi in zip(mins, maxs)),
+                    default=0.0,
+                )
+                eps = prec.epsilon_for(extent)
+                out = dict(cols)
+                for c in mins:
+                    out[c] = cols[c] - eps
+                for c in maxs:
+                    out[c] = cols[c] + eps
+                return pa.table(out)
+
+            queries = queries.map_batches(
+                widen, batch_format="pyarrow", zero_copy_batch=True
+            )
+        pairs = sj.spatial_join(ds, queries, res=self.res, **kw)
+        if not return_obj:
+            return pairs
+        import ray as _ray
+
+        objs_ref = _ray.put(dict(self._objs))
+
+        def attach(tbl: pa.Table) -> pa.Table:
+            objs = _ray.get(objs_ref)
+            ids = tbl.column("idx").to_numpy(zero_copy_only=False)
+            return tbl.append_column(
+                "obj", pa.array([objs.get(int(i)) for i in ids])
+            )
+
+        return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
     def query_intersections(self, **kw) -> Dataset:
         ds = self.dataset()

@@ -214,12 +214,23 @@ def self_join(
     """All intersecting stored-box pairs, ``idx_a < idx_b`` (reference
     ``query_intersections`` contract incl. its dedup rule).
 
-    Salting note: a self-join cannot scatter the build side without losing
-    within-cell pairs, so hot cells replicate the PROBE role instead —
-    here we simply run unsalted; skew is handled by resolution choice.
+    Salting (``salt_threshold``: max rows per cell before splitting): a
+    self-join cannot scatter the build side without losing within-cell
+    pairs, so hot cells use PROBE-ROLE REPLICATION — each row builds in
+    exactly one salt (id-hash scatter) and probes in every salt; the
+    ``idx_a < idx_b`` rule then reports each pair exactly once (in the
+    larger id's build group). Result row sets are salt-invariant.
     """
     tune_context()
-    union = _expanded_union(boxes, None, res, None)
+    plan = (
+        compute_salt_plan(boxes, res, salt_threshold) if salt_threshold else None
+    )
+    union = boxes.map_batches(
+        st.expand_self_to_cells,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(res=res, id_col="idx", salt_plan=plan),
+    )
     return union.groupby("key").map_groups(
         st.make_cell_join(res, self_join=True), batch_format="pyarrow"
     )

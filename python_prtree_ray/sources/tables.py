@@ -20,26 +20,48 @@ def _read_keys(sf_dir: str, table: str, key: str):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key])
 
 
-def boxes_dataset(sf_dir: str, table: str = "orders", key: str = "o_orderkey"):
-    """Data-side boxes: (idx, xmin, ymin, xmax, ymax)."""
+def boxes_dataset(
+    sf_dir: str,
+    table: str = "orders",
+    key: str = "o_orderkey",
+    dtype=np.float64,
+):
+    """Data-side boxes: (idx, xmin, ymin, xmax, ymax).
+
+    ``dtype`` selects the coordinate precision (reference parity:
+    PRTree auto-selects float32/float64 from the input array dtype,
+    ``core.py:119-145``); every downstream stage is dtype-preserving, so
+    a float32 table joins entirely in float32."""
 
     def der(tbl: pa.Table) -> pa.Table:
         k = tbl.column(key).to_numpy(zero_copy_only=False)
         cols = derive.derive_boxes(k)
-        return pa.table({"idx": k.astype(np.int64), **cols})
+        return pa.table(
+            {"idx": k.astype(np.int64), **{c: v.astype(dtype) for c, v in cols.items()}}
+        )
 
     return _read_keys(sf_dir, table, key).map_batches(
         der, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
-def query_boxes_dataset(sf_dir: str, table: str = "customer", key: str = "c_custkey"):
+def query_boxes_dataset(
+    sf_dir: str,
+    table: str = "customer",
+    key: str = "c_custkey",
+    dtype=np.float64,
+):
     """Probe-side regions: (query_id, xmin, ymin, xmax, ymax)."""
 
     def der(tbl: pa.Table) -> pa.Table:
         k = tbl.column(key).to_numpy(zero_copy_only=False)
         cols = derive.derive_query_boxes(k)
-        return pa.table({"query_id": k.astype(np.int64), **cols})
+        return pa.table(
+            {
+                "query_id": k.astype(np.int64),
+                **{c: v.astype(dtype) for c, v in cols.items()},
+            }
+        )
 
     return _read_keys(sf_dir, table, key).map_batches(
         der, batch_format="pyarrow", zero_copy_batch=True

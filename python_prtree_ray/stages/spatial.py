@@ -36,6 +36,7 @@ MAX_SALT = 1 << 10
 
 SIDE_BUILD = 0
 SIDE_PROBE = 1
+SIDE_SELF = 2  # dual-role row (unsalted self-join cells)
 
 
 def col_np(tbl: pa.Table, name: str) -> np.ndarray:
@@ -100,6 +101,84 @@ def expand_boxes_to_cells(
     return pa.table(out)
 
 
+def expand_self_to_cells(
+    tbl: pa.Table,
+    res: int,
+    id_col: str = "idx",
+    salt_plan: dict[int, int] | None = None,
+) -> pa.Table:
+    """Self-join cell expansion with hot-cell salting by PROBE-ROLE
+    REPLICATION: cold cells emit one dual-role row (``SIDE_SELF``); hot
+    cells emit each row once as BUILD (scattered to ONE salt by id hash)
+    plus PROBE replicas in EVERY salt. A pair (a < b) is then found
+    exactly once — in build-row b's salt group, by probe-row a, under the
+    ``query_id < idx`` rule — so salting never loses within-cell pairs
+    (the reason a plain build-side scatter can't be used for self-joins).
+    """
+    b = boxes_np(tbl)
+    ids = col_np(tbl, id_col)
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    ids_r, b_r = ids[row], b[row]
+    if not salt_plan:
+        out = {
+            "key": cell * MAX_SALT,
+            "cell": cell,
+            "side": np.full(cell.shape[0], SIDE_SELF, dtype=np.int8),
+            "id": ids_r,
+        }
+        for j, c in enumerate(BOX_COLS):
+            out[c] = b_r[:, j]
+        return pa.table(out)
+    nsalt = np.ones(cell.shape[0], dtype=np.int64)
+    hot_cells = np.fromiter(salt_plan.keys(), dtype=np.int64)
+    hot_k = np.fromiter(salt_plan.values(), dtype=np.int64)
+    order = np.argsort(hot_cells)
+    hot_cells, hot_k = hot_cells[order], hot_k[order]
+    pos = np.searchsorted(hot_cells, cell)
+    pos = np.clip(pos, 0, hot_cells.shape[0] - 1)
+    is_hot = hot_cells[pos] == cell
+    nsalt[is_hot] = hot_k[pos[is_hot]]
+    cold = ~is_hot
+
+    parts_key, parts_cell, parts_side, parts_id, parts_box = [], [], [], [], []
+    # cold rows: single dual-role emission
+    parts_key.append(cell[cold] * MAX_SALT)
+    parts_cell.append(cell[cold])
+    parts_side.append(np.full(int(cold.sum()), SIDE_SELF, dtype=np.int8))
+    parts_id.append(ids_r[cold])
+    parts_box.append(b_r[cold])
+    # hot rows: one BUILD row at the id-hash salt...
+    h_ids, h_boxes, h_cell = ids_r[is_hot], b_r[is_hot], cell[is_hot]
+    h_n = nsalt[is_hot]
+    salt = (h_ids * 2654435761 % MAX_SALT) % h_n
+    parts_key.append(h_cell * MAX_SALT + salt)
+    parts_cell.append(h_cell)
+    parts_side.append(np.full(h_ids.shape[0], SIDE_BUILD, dtype=np.int8))
+    parts_id.append(h_ids)
+    parts_box.append(h_boxes)
+    # ...plus PROBE replicas in every salt
+    rep = np.repeat(np.arange(h_cell.shape[0], dtype=np.int64), h_n)
+    local = np.arange(rep.shape[0], dtype=np.int64) - np.repeat(
+        np.cumsum(h_n) - h_n, h_n
+    )
+    parts_key.append(h_cell[rep] * MAX_SALT + local)
+    parts_cell.append(h_cell[rep])
+    parts_side.append(np.full(rep.shape[0], SIDE_PROBE, dtype=np.int8))
+    parts_id.append(h_ids[rep])
+    parts_box.append(h_boxes[rep])
+
+    box_all = np.concatenate(parts_box, axis=0)
+    out = {
+        "key": np.concatenate(parts_key),
+        "cell": np.concatenate(parts_cell),
+        "side": np.concatenate(parts_side),
+        "id": np.concatenate(parts_id),
+    }
+    for j, c in enumerate(BOX_COLS):
+        out[c] = box_all[:, j]
+    return pa.table(out)
+
+
 def make_cell_join(
     res: int,
     self_join: bool = False,
@@ -119,11 +198,14 @@ def make_cell_join(
         b = boxes_np(group)
         side = col_np(group, "side")
         if self_join:
-            bmask = np.ones(ids.shape[0], dtype=bool)
+            # SELF rows play both roles; salted hot-cell groups hold
+            # disjoint BUILD (scattered) and PROBE (replicated) rows
+            bmask = side != SIDE_PROBE
+            qmask = side != SIDE_BUILD
         else:
             bmask = side == SIDE_BUILD
+            qmask = ~bmask
         bi_ids, bi_boxes = ids[bmask], b[bmask]
-        qmask = bmask if self_join else ~bmask
         q_ids, q_boxes = ids[qmask], b[qmask]
         empty = {
             "query_id": np.empty(0, np.int64),

@@ -99,6 +99,77 @@ def test_reinsert_after_erase_uses_new_box(ray_session, strict):
     assert _query_set(tree, ray, q, np.array([0, 1], dtype=np.int64)) == hits
 
 
+def test_single_record_insert_erase_and_obj(ray_session):
+    # reference parity: insert(bb, idx=None) auto-assigns n+1 and returns
+    # it (core.py:454-509); erase(idx) removes; set_obj/get_obj round-trip
+    # and return_obj rides the query output
+    ray = ray_session
+    rng = np.random.default_rng(27)
+    boxes = random_boxes(rng, 30, edge=0.02)
+    ids = np.arange(30, dtype=np.int64)
+    tree = RayPRTree(_boxes_ds(ray, boxes, ids, blocks=1), res=3, strict=True)
+    new_idx = tree.insert([0.4, 0.4, 0.45, 0.45], obj="payload-31")
+    assert new_idx == 31  # auto idx = n + 1
+    assert tree.size() == 31
+    assert tree.get_obj(31) == "payload-31"
+    with pytest.raises(ValueError, match="already exists"):
+        tree.insert([0.1, 0.1, 0.2, 0.2], idx=31)
+    with pytest.raises(ValueError, match="NaN"):
+        tree.insert([0.1, float("nan"), 0.2, 0.2])
+    q = np.array([[0.39, 0.39, 0.46, 0.46]])
+    out = tree.batch_query(
+        _boxes_ds(ray, q, np.array([0], dtype=np.int64), "query_id", blocks=1),
+        return_obj=True,
+    ).take_all()
+    objs = {r["idx"]: r["obj"] for r in out}
+    assert objs.get(31) == "payload-31"
+    tree.erase(31)
+    assert tree.get_obj(31) is None
+    assert tree.size() == 30
+
+
+def test_precision_setters_round_trip_and_plumbing(ray_session):
+    # reference setter surface (prtree.h:960-1015) plumbed into
+    # validation and the adaptive-epsilon query expansion
+    ray = ray_session
+    rng = np.random.default_rng(28)
+    boxes = random_boxes(rng, 20, edge=0.02)
+    ids = np.arange(20, dtype=np.int64)
+    tree = RayPRTree(
+        _boxes_ds(ray, boxes, ids, blocks=1), res=3, strict=True, validate=True
+    )
+    tree.set_relative_epsilon(1e-5)
+    tree.set_absolute_epsilon(1e-7)
+    assert tree.get_relative_epsilon() == 1e-5
+    assert tree.get_absolute_epsilon() == 1e-7
+    tree.set_adaptive_epsilon(False)
+    assert tree.get_adaptive_epsilon() is False
+    tree.set_adaptive_epsilon(True)
+    with pytest.raises(ValueError):
+        tree.set_relative_epsilon(-1.0)
+    # subnormal toggle gates the validated insert path
+    sub = np.array([[5e-324, 0.1, 0.2, 0.2]])
+    with pytest.raises(Exception, match="[Ss]ubnormal"):
+        tree.insert(sub[0])
+    tree.set_subnormal_detection(False)
+    tree.insert(sub[0])  # now accepted
+    assert tree.size() == 21
+    # expand_epsilon pulls in a box the exact query just misses
+    probe_gap = 10.0 * np.finfo(np.float64).eps  # < adaptive epsilon floor
+    boxes2 = np.array([[0.5, 0.5, 0.6, 0.6]])
+    t2 = RayPRTree(
+        _boxes_ds(ray, boxes2, np.array([0], dtype=np.int64), blocks=1),
+        res=3,
+        strict=False,
+    )
+    q = np.array([[0.6 + probe_gap, 0.5, 0.7, 0.6]])  # just outside xmax
+    qd = _boxes_ds(ray, q, np.array([0], dtype=np.int64), "query_id", blocks=1)
+    assert _pairs_set(t2.batch_query(qd).take_all()) == set()
+    assert _pairs_set(
+        t2.batch_query(qd, expand_epsilon=True).take_all()
+    ) == {(0, 0)}
+
+
 def test_save_load_roundtrip_and_empty_save(ray_session, tmp_path):
     ray = ray_session
     rng = np.random.default_rng(24)

@@ -179,6 +179,68 @@ def test_point_query_matches_brute_force(ray_session):
     assert _pairs_set(out) == want
 
 
+def test_self_join_salted_matches_unsalted_on_skew(ray_session):
+    # reference skew evidence (benchmarks/cpp/workloads.h:182-221): Zipf-
+    # clustered boxes make one cell hot; probe-role-replication salting
+    # must return the IDENTICAL pair set as the unsalted join
+    ray = ray_session
+    rng = np.random.default_rng(18)
+    hot = random_boxes(rng, 700, edge=0.01) * 0.04 + 0.5  # all in one res-4 cell
+    cold = random_boxes(rng, 300, edge=0.03)
+    boxes = np.concatenate([hot, cold], axis=0)
+    ids = rng.permutation(1000).astype(np.int64)
+    ds = _boxes_ds(ray, boxes, ids)
+    unsalted = _pairs_set(sj.self_join(ds, res=4).take_all())
+    salted = _pairs_set(
+        sj.self_join(ds, res=4, salt_threshold=100).take_all()
+    )
+    assert salted == unsalted
+    # and both match brute force
+    oq, ob = brute_force_pairs(boxes, boxes)
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(oq, ob)
+        if ids[i] < ids[j]
+    }
+    assert unsalted == want
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_spatial_join_honors_input_dtype(ray_session, dtype):
+    # reference parity: precision follows the input dtype (core.py:119-145
+    # auto-selects float32/float64 from the array dtype); the engine's
+    # stages are dtype-preserving end to end, so a float32 join computes
+    # in float32 and matches a float32 brute force bit-exactly
+    ray = ray_session
+    rng = np.random.default_rng(17)
+    boxes = random_boxes(rng, 2000, edge=0.03, dtype=dtype)
+    qs = random_boxes(rng, 200, edge=0.08, dtype=dtype)
+    bids = rng.permutation(2000).astype(np.int64)
+    qids = np.arange(200, dtype=np.int64)
+    bds = _boxes_ds(ray, boxes, bids)
+    qds = _boxes_ds(ray, qs, qids, "query_id")
+    assert bds.schema().base_schema.field("xmin").type == (
+        pa.float32() if dtype == np.float32 else pa.float64()
+    )
+    out_shuffle = sj.spatial_join(bds, qds, res=4).take_all()
+    out_bcast = sj.broadcast_join(
+        bds,
+        pa.table(
+            {
+                "query_id": qids,
+                "xmin": qs[:, 0],
+                "ymin": qs[:, 1],
+                "xmax": qs[:, 2],
+                "ymax": qs[:, 3],
+            }
+        ),
+    ).take_all()
+    oq, ob = brute_force_pairs(qs, boxes)  # same-dtype comparisons
+    want = set(zip(qids[oq].tolist(), bids[ob].tolist()))
+    assert _pairs_set(out_shuffle) == want
+    assert _pairs_set(out_bcast) == want
+
+
 def test_knn_matches_brute_force(ray_session):
     ray = ray_session
     rng = np.random.default_rng(13)
