@@ -145,7 +145,10 @@ QUERY_SUBSET = (
     "spatial_join self_join point_query knn pip tile_points tile_cover "
     "dedup_exact token_stats quality_score lang_id events_window ann_topk "
     "minhash_pairs simhash ngram_jaccard events_hopping events_session "
-    "top_events spatial_join_obj batch_query_lists spatial_join_3d doc_sample cell_histogram asof_purchase_view raster_tiles ann_ivf"
+    "top_events spatial_join_obj batch_query_lists spatial_join_3d "
+    "spatial_join_4d doc_sample cell_histogram asof_purchase_view "
+    "raster_tiles ann_ivf embedding_neardup embedding_neardup_exact "
+    "doc_fingerprint video_frames"
 ).split()
 
 
