@@ -155,6 +155,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return text.lang_id(docs)
 
+    def q_token_pieces(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return text.token_pieces(docs)
+
+    def q_simhash_pairs(sf):
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        # exact for max_hamming <= bands-1; hash-seeded values → rows-only
+        return dedup.simhash_pairs(docs, max_hamming=3)
+
     def q_doc_fingerprint(sf):
         import ray
 
@@ -372,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "token_pieces": q_token_pieces,
         "minhash_pairs": q_minhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -521,6 +536,16 @@ SELECT doc_id,
             WHEN s_fr >= s_es THEN 'fr'
             ELSE 'es' END AS lang_pred
 FROM t
+"""
+
+    from python_prtree_ray.pipelines.text import NUM_RE, PIECE_RE, WORD_RE
+
+    token_pieces_sql = f"""
+SELECT doc_id,
+       CAST(array_length(regexp_extract_all(text, '{PIECE_RE}')) AS BIGINT) AS n_pieces,
+       CAST(array_length(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT) AS n_word_pieces,
+       CAST(array_length(regexp_extract_all(text, '{NUM_RE}')) AS BIGINT) AS n_num_pieces
+FROM documents
 """
 
     events_window_sql = """
@@ -686,6 +711,7 @@ WHERE {intersects}
         "lifecycle_query": lifecycle_sql,
         "dedup_exact": dedup_exact_sql,
         "token_stats": token_stats_sql,
+        "token_pieces": token_pieces_sql,
         "quality_score": quality_sql,
         "lang_id": lang_id_sql,
         "events_window": events_window_sql,

@@ -138,26 +138,151 @@ def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     return agg.select_columns([id_col])
 
 
+def _simhash_batch(text_col_arr: pa.ChunkedArray) -> np.ndarray:
+    """63-bit SimHash per row (int64, non-negative), fully vectorized."""
+    hval, offs = _token_hashes(text_col_arr)
+    # (T, 64) ±1 bit matrix; per-doc segment sums via prefix sums
+    bits = (((hval[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1).astype(np.int64)
+    pref = np.zeros((hval.shape[0] + 1, 64), dtype=np.int64)
+    np.cumsum(bits, axis=0, out=pref[1:])
+    acc = pref[offs[1:]] - pref[offs[:-1]]  # (rows, 64)
+    pos = (acc > 0).astype(np.uint64)
+    weighted = pos << np.arange(64, dtype=np.uint64)[None, :]
+    return (
+        np.bitwise_or.reduce(weighted, axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    ).astype(np.int64)
+
+
 def simhash_64(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """(doc_id, simhash): 64-bit SimHash over token hashes."""
 
     def sh(tbl: pa.Table) -> pa.Table:
-        hval, offs = _token_hashes(tbl.column(text_col))
-        # (T, 64) ±1 bit matrix; per-doc segment sums via prefix sums
-        bits = (((hval[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1).astype(
-            np.int64
+        return pa.table(
+            {id_col: tbl.column(id_col), "simhash": _simhash_batch(tbl.column(text_col))}
         )
-        pref = np.zeros((hval.shape[0] + 1, 64), dtype=np.int64)
-        np.cumsum(bits, axis=0, out=pref[1:])
-        acc = pref[offs[1:]] - pref[offs[:-1]]  # (rows, 64)
-        pos = (acc > 0).astype(np.uint64)
-        weighted = pos << np.arange(64, dtype=np.uint64)[None, :]
-        out = (
-            np.bitwise_or.reduce(weighted, axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        ).astype(np.int64)
-        return pa.table({id_col: tbl.column(id_col), "simhash": out})
 
     return docs.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element bit count of an int64/uint64 array."""
+    return (
+        np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(x.shape[0], 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_pairs(
+    docs: Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 5000,
+) -> Dataset:
+    """(id_a, id_b, hamming): near-dup pairs whose 64-bit SimHashes differ
+    in <= ``max_hamming`` bits.
+
+    EXACT for ``max_hamming <= 3``: the simhash is banded into 4 x 16-bit
+    bands; <= 3 flipped bits leave at least one band untouched
+    (pigeonhole), so every qualifying pair co-occurs in some band bucket,
+    where it is verified with the exact popcount distance. Owner-band
+    dedup (first matching band reports) keeps each pair once. One map +
+    one groupby; only (id, simhash) rows shuffle — never text. Oversized
+    buckets degrade to exact blocked all-pairs within the bucket (no
+    silent drops), same policy as embedding_neardup.
+    """
+    tune_context()
+    BANDS, BITS = 4, 16
+    MASK = np.int64((1 << BITS) - 1)
+
+    def to_band_rows(tbl: pa.Table) -> pa.Table:
+        sh = _simhash_batch(tbl.column(text_col))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = sh.shape[0]
+        idx = np.tile(np.arange(n), BANDS)
+        band = np.repeat(np.arange(BANDS, dtype=np.int64), n)
+        slice_ = (sh[idx] >> (band * BITS)) & MASK
+        return pa.table(
+            {
+                id_col: ids[idx],
+                "simhash": sh[idx],
+                "bucket": band * np.int64(1 << BITS) + slice_,
+            }
+        )
+
+    banded = docs.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": np.empty(0, np.int64),
+                "id_b": np.empty(0, np.int64),
+                "hamming": np.empty(0, np.int64),
+            }
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sh = group.column("simhash").to_numpy(zero_copy_only=False)
+        band = int(group.column("bucket")[0].as_py()) >> BITS
+        if n > bucket_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_pairs: oversized band bucket (n=%d > cap=%d); exact "
+                "blocked fallback",
+                n,
+                bucket_cap,
+            )
+        out_a, out_b, out_h = [], [], []
+        for s0 in range(0, n, bucket_cap):
+            e0 = min(s0 + bucket_cap, n)
+            for s1 in range(s0, n, bucket_cap):
+                e1 = min(s1 + bucket_cap, n)
+                if s0 == s1:
+                    ia, ib = np.triu_indices(e0 - s0, k=1)
+                    ia, ib = ia + s0, ib + s0
+                else:
+                    ia, ib = np.meshgrid(
+                        np.arange(s0, e0), np.arange(s1, e1), indexing="ij"
+                    )
+                    ia, ib = ia.ravel(), ib.ravel()
+                if ia.size == 0:
+                    continue
+                ham = _popcount64(sh[ia] ^ sh[ib])
+                keep = ham <= max_hamming
+                ia, ib, ham = ia[keep], ib[keep], ham[keep]
+                if ia.size == 0:
+                    continue
+                if band > 0:
+                    # owner-band: an EARLIER untouched band already reported
+                    sl_a = sh[ia, None] >> (np.arange(band) * BITS)[None, :] & MASK
+                    sl_b = sh[ib, None] >> (np.arange(band) * BITS)[None, :] & MASK
+                    prior = (sl_a == sl_b).any(axis=1)
+                    ia, ib, ham = ia[~prior], ib[~prior], ham[~prior]
+                # distinct docs can share a simhash AND ids may repeat in a
+                # bucket only via different docs (each doc emits one row per
+                # band) — drop accidental self-pairs
+                a, b = ids[ia], ids[ib]
+                nz = a != b
+                lo = np.minimum(a[nz], b[nz])
+                hi = np.maximum(a[nz], b[nz])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(ham[nz])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return banded.groupby("bucket").map_groups(verify, batch_format="pyarrow")
 
 
 def minhash_pairs(

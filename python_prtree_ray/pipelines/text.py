@@ -101,6 +101,33 @@ def lang_id(docs: Dataset) -> Dataset:
     return docs.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+# — the classic GPT-2-style coarse split, shared verbatim with the SQL
+# oracle (both sides are RE2, so the match semantics are identical).
+PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WORD_RE = r"[A-Za-z]+"
+NUM_RE = r"[0-9]+"
+
+
+def token_pieces(docs: Dataset) -> Dataset:
+    """(doc_id, n_pieces, n_word_pieces, n_num_pieces): BPE-ish regex
+    pre-tokenization counts — the subword-budget signal a training-data
+    pipeline uses for packing/length filtering. Pure Arrow RE2 kernels."""
+
+    def pieces(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_pieces": pc.cast(pc.count_substring_regex(text, PIECE_RE), pa.int64()),
+                "n_word_pieces": pc.cast(pc.count_substring_regex(text, WORD_RE), pa.int64()),
+                "n_num_pieces": pc.cast(pc.count_substring_regex(text, NUM_RE), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(pieces, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint(docs: Dataset, window: int = 8) -> Dataset:
     """(doc_id, fp): rolling-hash document fingerprint — min of rolling
     ``window``-token hash sums over the token stream (winnowing-style,

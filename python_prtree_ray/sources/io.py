@@ -1,0 +1,53 @@
+"""Format-dispatching table IO — Lance-first, parquet fallback.
+
+The north-rule input is "Lance tables of interleaved text+media
+documents". This sandbox ships no ``lance``/``pylance`` package, so the
+reader dispatches at runtime: a ``.lance`` dataset directory is read via
+``ray.data.read_lance`` when the lance integration is importable,
+otherwise a clear error explains the gap; parquet paths always work.
+Pipelines depend only on :func:`read_table`, so a Lance deployment is a
+zero-code-change switch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+from ray.data import Dataset
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def read_table(path: str, columns: list[str] | None = None, **kw) -> Dataset:
+    """Read a table by extension: ``*.lance`` directory → Lance (column
+    projection pushed down), anything else → parquet. Both return a lazy
+    streaming Dataset; only the requested columns leave storage."""
+    if path.rstrip("/").endswith(".lance"):
+        if not lance_available():
+            raise ImportError(
+                "lance is not installed in this environment; convert the "
+                "dataset to parquet or install pylance (read_table falls "
+                "back to parquet automatically for .parquet paths)"
+            )
+        return ray.data.read_lance(path, columns=columns, **kw)
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def write_table(ds: Dataset, path: str, **kw) -> None:
+    """Write by extension: ``*.lance`` → Lance dataset, else partitioned
+    parquet directory (the resumable layout lives in state/manifest.py)."""
+    if path.rstrip("/").endswith(".lance"):
+        if not lance_available():
+            raise ImportError("lance is not installed in this environment")
+        ds.write_lance(path, **kw)
+        return
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path, **kw)

@@ -92,10 +92,25 @@ def write_partitioned(
         fname = os.path.join(path, f"part-{pkey:012d}.parquet")
         pq.write_table(body, fname + ".tmp")
         os.replace(fname + ".tmp", fname)
+        # order-independent row-set checksum over the first int64-castable
+        # column — lets a resume/audit detect partition content drift
+        ck = np.uint64(0)
+        for name in body.column_names:
+            col = body.column(name)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+                with np.errstate(over="ignore"):
+                    h = v.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    h ^= h >> np.uint64(29)
+                    if v.size:
+                        ck = np.bitwise_xor.reduce(h)
+                break
         return pa.table(
             {
                 "part": pa.array([pkey], type=pa.int64()),
                 "rows": pa.array([body.num_rows], type=pa.int64()),
+                "bytes": pa.array([os.path.getsize(fname)], type=pa.int64()),
+                "checksum": pa.array([int(ck)], type=pa.uint64()),
                 "secs": pa.array([time.time() - t0], type=pa.float64()),
             }
         )
@@ -105,22 +120,43 @@ def write_partitioned(
         man["partitions"][str(int(r["part"]))] = {
             "file": f"part-{int(r['part']):012d}.parquet",
             "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "checksum": int(r["checksum"]),
             "secs": float(r["secs"]),
             "status": "done",
         }
     man["coarse_res"] = coarse_res
     man["updated_at"] = time.time()
+    # manifest-level rollup metrics (per-partition lineage stays per-entry)
+    parts = man["partitions"].values()
+    man["metrics"] = {
+        "n_partitions": len(man["partitions"]),
+        "total_rows": sum(p["rows"] for p in parts),
+        "total_bytes": sum(p.get("bytes", 0) for p in parts),
+    }
     _store_manifest(path, man)
     return man
 
 
-def read_partitioned(path: str) -> Dataset:
+def read_partitioned(path: str, verify: bool = False) -> Dataset:
+    """Lazy Dataset over the done partitions. ``verify=True`` audits the
+    manifest against the files (existence + parquet metadata row counts —
+    metadata-only, no data read) and raises on drift, so a resume never
+    silently builds on a corrupt checkpoint."""
     man = _load_manifest(path)
-    files = [
-        os.path.join(path, v["file"])
-        for v in man["partitions"].values()
-        if v.get("status") == "done"
+    entries = [
+        v for v in man["partitions"].values() if v.get("status") == "done"
     ]
+    files = [os.path.join(path, v["file"]) for v in entries]
+    if verify:
+        for v, f in zip(entries, files):
+            if not os.path.exists(f):
+                raise ValueError(f"checkpoint partition missing: {f}")
+            n = pq.read_metadata(f).num_rows
+            if n != v["rows"]:
+                raise ValueError(
+                    f"checkpoint partition {f} has {n} rows, manifest says {v['rows']}"
+                )
     return ray.data.read_parquet(files)
 
 
