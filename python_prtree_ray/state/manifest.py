@@ -145,7 +145,9 @@ def read_partitioned(path: str, verify: bool = False) -> Dataset:
     silently builds on a corrupt checkpoint."""
     man = _load_manifest(path)
     entries = [
-        v for v in man["partitions"].values() if v.get("status") == "done"
+        v
+        for v in man["partitions"].values()
+        if v.get("status") == "done" and v.get("file")
     ]
     files = [os.path.join(path, v["file"]) for v in entries]
     if verify:

@@ -219,6 +219,45 @@ def test_partitioned_write_resume_skips_done(ray_session, tmp_path):
     assert rows2 == 500
 
 
+def test_resumable_join_skips_done_partitions(ray_session, tmp_path):
+    # north-rule: resumable from checkpoint at partition granularity —
+    # a resume must skip finished partitions BEFORE the join compute and
+    # reproduce the interrupted run's missing output bit-identically
+    ray = ray_session
+    from python_prtree_ray.pipelines.checkpoint import read_join, resumable_join
+
+    rng = np.random.default_rng(49)
+    boxes = random_boxes(rng, 800, edge=0.04)
+    qs = random_boxes(rng, 200, edge=0.10)
+    bids = np.arange(800, dtype=np.int64)
+    qids = np.arange(200, dtype=np.int64)
+    bds = _boxes_ds(ray, boxes, bids)
+    qds = _boxes_ds(ray, qs, qids, "query_id")
+    path = str(tmp_path / "join")
+    man1 = resumable_join(bds, qds, path, res=4, n_parts=8)
+    assert sum(1 for v in man1["partitions"].values() if v["status"] == "done") == 8
+    full = {(r["query_id"], r["idx"]) for r in read_join(path).take_all()}
+    want = _pairs_set(sj.spatial_join(bds, qds, res=4).take_all())
+    assert full == want
+    # simulate a crash that lost one partition
+    victim = next(k for k, v in man1["partitions"].items() if v["file"])
+    os.remove(os.path.join(path, man1["partitions"][victim]["file"]))
+    man = json.load(open(os.path.join(path, "manifest.json")))
+    del man["partitions"][victim]
+    json.dump(man, open(os.path.join(path, "manifest.json"), "w"))
+    # resume rewrites only the victim; untouched files keep their mtime
+    before = {
+        v["file"]: os.path.getmtime(os.path.join(path, v["file"]))
+        for k, v in man["partitions"].items()
+        if v.get("file")
+    }
+    man2 = resumable_join(bds, qds, path, res=4, n_parts=8)
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(path, f)) == mt
+    assert set(man2["partitions"]) == set(man1["partitions"])
+    assert {(r["query_id"], r["idx"]) for r in read_join(path).take_all()} == want
+
+
 def test_interleaved_span_sequences_preserved(ray_session):
     # north-rule invariant: per-row span-sequence equality
     # (kind, text, media_ref, offset order) end to end
