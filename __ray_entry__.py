@@ -255,6 +255,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return windows.session_window_agg(ev, gap_minutes=30)
 
+    def q_distinct_users(sf):
+        import ray
+        from python_prtree_ray.pipelines.sketch import distinct_users
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return distinct_users(ev)
+
+    def q_distinct_users_hll(sf):
+        import ray
+        from python_prtree_ray.pipelines.sketch import distinct_users_hll
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return distinct_users_hll(ev)
+
     def q_top_events(sf):
         import ray
 
@@ -394,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_session": q_events_session,
         "top_events": q_top_events,
+        "distinct_users": q_distinct_users,
+        "distinct_users_hll": q_distinct_users_hll,
         "spatial_join_obj": q_spatial_join_obj,
         "batch_query_lists": q_batch_query_lists,
         "spatial_join_3d": q_spatial_join_3d,
@@ -616,6 +636,11 @@ SELECT event_type, user_id, MIN(ts) AS session_start,
 FROM s GROUP BY event_type, user_id, sid
 """
 
+    distinct_users_sql = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
     top_events_sql = """
 WITH r AS (SELECT event_type, event_id, value,
                   ROW_NUMBER() OVER (PARTITION BY event_type
@@ -721,6 +746,7 @@ WHERE {intersects}
         "events_hopping": events_hopping_sql,
         "events_session": events_session_sql,
         "top_events": top_events_sql,
+        "distinct_users": distinct_users_sql,
         "spatial_join_obj": spatial_join_obj_sql,
         "batch_query_lists": batch_query_lists_sql,
         "spatial_join_3d": spatial_join_3d_sql,

@@ -148,7 +148,8 @@ QUERY_SUBSET = (
     "top_events spatial_join_obj batch_query_lists spatial_join_3d "
     "spatial_join_4d doc_sample cell_histogram asof_purchase_view "
     "raster_tiles ann_ivf embedding_neardup embedding_neardup_exact "
-    "doc_fingerprint video_frames token_pieces simhash_pairs"
+    "doc_fingerprint video_frames token_pieces simhash_pairs "
+    "distinct_users distinct_users_hll"
 ).split()
 
 

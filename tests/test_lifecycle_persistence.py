@@ -563,6 +563,39 @@ def test_simhash_pairs_exact_vs_brute_force(ray_session):
     assert got == want
 
 
+def test_distinct_count_exact_and_hll(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.sketch import distinct_users, distinct_users_hll
+
+    rng = np.random.default_rng(51)
+    n = 40_000
+    types = np.array(["click", "view", "purchase"])[rng.integers(0, 3, size=n)]
+    # per-type distinct pools of very different sizes
+    uid = np.where(
+        types == "click",
+        rng.integers(0, 20_000, size=n),
+        np.where(types == "view", rng.integers(0, 500, size=n), rng.integers(0, 37, size=n)),
+    ).astype(np.int64)
+    t = pa.table({"event_type": types, "user_id": uid})
+    ds = ray.data.from_arrow(t).repartition(6)
+    exact = {r["event_type"]: r["n_users"] for r in distinct_users(ds).take_all()}
+    want = {
+        k: len(np.unique(uid[types == k])) for k in ("click", "view", "purchase")
+    }
+    assert exact == want
+    approx = {
+        r["event_type"]: r["n_users_approx"] for r in distinct_users_hll(ds).take_all()
+    }
+    for k, v in want.items():
+        assert abs(approx[k] - v) / v < 0.05, (k, approx[k], v)  # ~1.6% stderr at p=12
+    # mergeability: estimate is partitioning-invariant
+    approx2 = {
+        r["event_type"]: r["n_users_approx"]
+        for r in distinct_users_hll(ray.data.from_arrow(t).repartition(13)).take_all()
+    }
+    assert approx == approx2
+
+
 def test_io_dispatch_and_manifest_verify(ray_session, tmp_path):
     ray = ray_session
     from python_prtree_ray.sources.io import lance_available, read_table
