@@ -337,6 +337,8 @@ def minhash_pairs(
 
     bucketed = docs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
+    BUCKET_CAP = 2000
+
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         n = group.num_rows
         empty = pa.table(
@@ -346,31 +348,64 @@ def minhash_pairs(
                 "jaccard_pct": np.empty(0, np.int64),
             }
         )
-        if n < 2 or n > 2000:  # oversized bucket guard (degenerate hash)
+        if n < 2:
             return empty
+        if n > BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_pairs: oversized LSH bucket (n=%d > cap=%d); exact "
+                "blocked sweep within the bucket",
+                n,
+                BUCKET_CAP,
+            )
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         band = int(group.column("band")[0].as_py())
         sig = np.stack(group.column("sig").to_numpy(zero_copy_only=False))
-        ia, ib = np.triu_indices(n, k=1)
-        est = (sig[ia] == sig[ib]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        ia, ib, est = ia[keep], ib[keep], est[keep]
-        if ia.size == 0:
+        out_a, out_b, out_e = [], [], []
+        # blocked upper-triangle sweep: one block normally; exact O(n²)
+        # blocks (never a silent drop) for degenerate-hash buckets
+        for s0 in range(0, n, BUCKET_CAP):
+            e0 = min(s0 + BUCKET_CAP, n)
+            for s1 in range(s0, n, BUCKET_CAP):
+                e1 = min(s1 + BUCKET_CAP, n)
+                if s0 == s1:
+                    ia, ib = np.triu_indices(e0 - s0, k=1)
+                    ia, ib = ia + s0, ib + s0
+                else:
+                    ia, ib = np.meshgrid(
+                        np.arange(s0, e0), np.arange(s1, e1), indexing="ij"
+                    )
+                    ia, ib = ia.ravel(), ib.ravel()
+                if ia.size == 0:
+                    continue
+                est = (sig[ia] == sig[ib]).mean(axis=1)
+                keep = est >= jaccard_threshold
+                ia, ib, est = ia[keep], ib[keep], est[keep]
+                if ia.size == 0:
+                    continue
+                # owner-band dedup: report only if no EARLIER band matched
+                if band > 0:
+                    prior = (
+                        sig[ia, : band * rows_per_band].reshape(
+                            ia.size, band, rows_per_band
+                        )
+                        == sig[ib, : band * rows_per_band].reshape(
+                            ib.size, band, rows_per_band
+                        )
+                    ).all(axis=2).any(axis=1)
+                    ia, ib, est = ia[~prior], ib[~prior], est[~prior]
+                a, b = ids[ia], ids[ib]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_e.append((est * 100).astype(np.int64))
+        if not out_a:
             return empty
-        # owner-band dedup: report only if no EARLIER band bucket matched
-        if band > 0:
-            prior = (
-                sig[ia, : band * rows_per_band].reshape(ia.size, band, rows_per_band)
-                == sig[ib, : band * rows_per_band].reshape(ib.size, band, rows_per_band)
-            ).all(axis=2).any(axis=1)
-            ia, ib, est = ia[~prior], ib[~prior], est[~prior]
-        a, b = ids[ia], ids[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {
-                "id_a": lo,
-                "id_b": hi,
-                "jaccard_pct": (est * 100).astype(np.int64),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jaccard_pct": np.concatenate(out_e),
             }
         )
 

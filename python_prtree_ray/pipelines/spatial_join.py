@@ -61,12 +61,19 @@ def _expanded_union(
     salt_plan: dict[int, int] | None,
     box_id: str = "idx",
     query_id: str = "query_id",
+    box_cols: tuple[str, ...] = st.BOX_COLS,
 ) -> Dataset:
     build = boxes.map_batches(
         st.expand_boxes_to_cells,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs=dict(res=res, side=st.SIDE_BUILD, id_col=box_id, salt_plan=salt_plan),
+        fn_kwargs=dict(
+            res=res,
+            side=st.SIDE_BUILD,
+            id_col=box_id,
+            salt_plan=salt_plan,
+            box_cols=box_cols,
+        ),
     )
     if queries is None:
         return build
@@ -74,7 +81,13 @@ def _expanded_union(
         st.expand_boxes_to_cells,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs=dict(res=res, side=st.SIDE_PROBE, id_col=query_id, salt_plan=salt_plan),
+        fn_kwargs=dict(
+            res=res,
+            side=st.SIDE_PROBE,
+            id_col=query_id,
+            salt_plan=salt_plan,
+            box_cols=box_cols,
+        ),
     )
     return build.union(probe)
 
@@ -179,11 +192,15 @@ def spatial_join(
     res: int = DEFAULT_RES,
     salt_threshold: int | None = None,
     broadcast: bool | None = None,
+    box_cols: tuple[str, ...] = st.BOX_COLS,
 ) -> Dataset:
     """All (query_id, idx) closed-interval intersections.
 
-    ``boxes``: columns (idx, xmin, ymin, xmax, ymax);
-    ``queries``: columns (query_id, xmin, ymin, xmax, ymax).
+    ``boxes``: columns (idx, *box_cols); ``queries``: (query_id,
+    *box_cols). ``box_cols`` lists coordinates in (mins..., maxs...)
+    order — 4 names for 2D, 6 for 3D, 8 for 4D; BOTH physical paths are
+    D-generic (the cell shuffle partitions on x/y only and tests the
+    full-D intersection per cell).
 
     ``broadcast=None`` (auto) probes the query side and takes the zero-
     shuffle broadcast path when it fits ``BROADCAST_LIMIT``; pass False to
@@ -196,13 +213,13 @@ def spatial_join(
             queries, BROADCAST_LIMIT if broadcast is None else (1 << 62)
         )
         if qtbl is not None:
-            return broadcast_join(boxes, qtbl)
+            return broadcast_join(boxes, qtbl, box_cols=box_cols)
     plan = (
         compute_salt_plan(boxes, res, salt_threshold) if salt_threshold else None
     )
-    union = _expanded_union(boxes, queries, res, plan)
+    union = _expanded_union(boxes, queries, res, plan, box_cols=box_cols)
     return union.groupby("key").map_groups(
-        st.make_cell_join(res), batch_format="pyarrow"
+        st.make_cell_join(res, box_cols=box_cols), batch_format="pyarrow"
     )
 
 

@@ -44,8 +44,8 @@ def col_np(tbl: pa.Table, name: str) -> np.ndarray:
     return tbl.column(name).to_numpy(zero_copy_only=False)
 
 
-def boxes_np(tbl: pa.Table) -> np.ndarray:
-    return np.stack([col_np(tbl, c) for c in BOX_COLS], axis=1)
+def boxes_np(tbl: pa.Table, box_cols: tuple = BOX_COLS) -> np.ndarray:
+    return np.stack([col_np(tbl, c) for c in box_cols], axis=1)
 
 
 def expand_boxes_to_cells(
@@ -54,15 +54,20 @@ def expand_boxes_to_cells(
     side: int,
     id_col: str,
     salt_plan: dict[int, int] | None = None,
+    box_cols: tuple = BOX_COLS,
 ) -> pa.Table:
     """Replicate each box row to every cell it overlaps (flat_map shape).
 
     Output columns: ``key`` (salted group key), ``cell`` (unsalted, for
-    owner dedup), ``side``, ``id``, xmin..ymax.
+    owner dedup), ``side``, ``id``, then every ``box_cols`` coordinate.
+    Partitioning assumption (documented): cells cover the FIRST TWO
+    dimensions only — valid for any D because the per-cell kernel tests
+    the full D-dimensional intersection; x/y cover merely co-locates.
     """
-    b = boxes_np(tbl)
+    b = boxes_np(tbl, box_cols)
     ids = col_np(tbl, id_col)
-    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    d = len(box_cols) // 2
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, d], b[:, d + 1], res)
     ids_r = ids[row]
     b_r = b[row]
     key = cell * MAX_SALT
@@ -96,7 +101,7 @@ def expand_boxes_to_cells(
         "side": np.full(key.shape[0], side, dtype=np.int8),
         "id": ids_r,
     }
-    for j, c in enumerate(BOX_COLS):
+    for j, c in enumerate(box_cols):
         out[c] = b_r[:, j]
     return pa.table(out)
 
@@ -183,19 +188,25 @@ def make_cell_join(
     res: int,
     self_join: bool = False,
     emit_coords: bool = False,
+    box_cols: tuple = BOX_COLS,
 ):
     """Build the per-cell ``map_groups`` callable.
 
     For a two-sided join the group holds build rows (side=0) and probe
     rows (side=1); for a self-join every row is both sides. Returns pairs
     ``(query_id, idx)`` (self-join: ``idx_a < idx_b``), deduped by the
-    owner-cell rule.
+    owner-cell rule. ``box_cols`` (mins..., maxs... order) makes the
+    kernel D-generic: cells partition on x/y only, the per-cell tree
+    tests the full D-dimensional intersection, and the owner rule uses
+    the intersection's x/y min corner (which both boxes' x/y covers
+    contain, so exactly one covered cell owns any pair).
     """
+    dims = len(box_cols) // 2
 
     def join_cell(group: pa.Table) -> pa.Table:
         cell_val = int(group.column("cell")[0].as_py())
         ids = col_np(group, "id")
-        b = boxes_np(group)
+        b = boxes_np(group, box_cols)
         side = col_np(group, "side")
         if self_join:
             # SELF rows play both roles; salted hot-cell groups hold
@@ -224,7 +235,7 @@ def make_cell_join(
         qi, pos = tree.batch_query_positions(q_boxes)
         if qi.size == 0:
             return pa.table(empty)
-        # owner-cell dedup: intersection min corner must land in THIS cell
+        # owner-cell dedup: intersection x/y min corner must land HERE
         mcx = np.maximum(q_boxes[qi, 0], tree.boxes[pos, 0])
         mcy = np.maximum(q_boxes[qi, 1], tree.boxes[pos, 1])
         owner = cellmod.cell_of_points(mcx, mcy, res)
@@ -240,7 +251,7 @@ def make_cell_join(
             res_tbl.update(
                 qxmin=q_boxes[qi, 0], qymin=q_boxes[qi, 1],
                 bxmin=tree.boxes[pos, 0], bymin=tree.boxes[pos, 1],
-                bxmax=tree.boxes[pos, 2], bymax=tree.boxes[pos, 3],
+                bxmax=tree.boxes[pos, dims], bymax=tree.boxes[pos, dims + 1],
             )
         return pa.table(res_tbl)
 

@@ -179,6 +179,35 @@ def test_point_query_matches_brute_force(ray_session):
     assert _pairs_set(out) == want
 
 
+def test_spatial_join_3d_cell_path_matches_brute_force(ray_session):
+    # the cell-shuffle path is D-generic: x/y cells co-locate, the
+    # per-cell kernel tests the full 3D intersection
+    ray = ray_session
+    rng = np.random.default_rng(19)
+    boxes = random_boxes(rng, 1500, edge=0.06, dim=3)
+    qs = random_boxes(rng, 150, edge=0.12, dim=3)
+    bids = rng.permutation(1500).astype(np.int64)
+    qids = np.arange(150, dtype=np.int64)
+    cols3 = ("xmin", "ymin", "zmin", "xmax", "ymax", "zmax")
+
+    def ds_of(arr, ids, idname):
+        t = pa.table(
+            {idname: ids.astype(np.int64), **{c: arr[:, j] for j, c in enumerate(cols3)}}
+        )
+        return ray.data.from_arrow(t).repartition(4)
+
+    out = sj.spatial_join(
+        ds_of(boxes, bids, "idx"),
+        ds_of(qs, qids, "query_id"),
+        res=3,
+        broadcast=False,
+        box_cols=cols3,
+    ).take_all()
+    oq, ob = brute_force_pairs(qs, boxes)
+    want = set(zip(qids[oq].tolist(), bids[ob].tolist()))
+    assert _pairs_set(out) == want
+
+
 def test_self_join_salted_matches_unsalted_on_skew(ray_session):
     # reference skew evidence (benchmarks/cpp/workloads.h:182-221): Zipf-
     # clustered boxes make one cell hot; probe-role-replication salting
