@@ -22,7 +22,6 @@ import ray
 from ray.data import Dataset
 
 from ..config import tune_context
-from ray.data.aggregate import Min, Sum
 
 from .text import hash_str, hash_str_array
 
@@ -125,17 +124,46 @@ def _perms(n_perm: int, seed: int = 7) -> np.ndarray:
 
 def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Exact dedup: min id per distinct text. Shuffles only (hash, id)
-    pairs, then one small aggregate per group — the text column is pruned
-    before the shuffle (critical at 100 TB)."""
+    pairs — the text column is pruned before the shuffle (critical at
+    100 TB). The reduce side groups by a COARSE 512-way hash bucket and
+    takes all of a bucket's per-hash minima in one lexsort pass: Ray's
+    native per-key aggregate on a key space the size of the corpus was
+    3-6x slower (same lesson as ngram_jaccard). Per-batch pre-dedup
+    keeps at most one (hash, min id) row per distinct text per batch."""
     tune_context()
+    N_BUCKETS = 512
 
     def to_hash(tbl: pa.Table) -> pa.Table:
         h = hash_str_array(tbl.column(text_col).to_pylist())
-        return pa.table({"text_hash": h, id_col: tbl.column(id_col)})
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # map-side combine: min id per hash within the batch
+        order = np.lexsort((ids, h))
+        h_s, id_s = h[order], ids[order]
+        keep = np.ones(h_s.shape[0], dtype=bool)
+        keep[1:] = np.diff(h_s) != 0
+        h_k, id_k = h_s[keep], id_s[keep]
+        return pa.table(
+            {
+                "text_hash": h_k,
+                id_col: id_k,
+                "b": h_k % np.int64(N_BUCKETS),
+            }
+        )
 
     hashed = docs.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hashed.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
-    return agg.select_columns([id_col])
+
+    def min_per_hash(group: pa.Table) -> pa.Table:
+        h = group.column("text_hash").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table({id_col: np.empty(0, np.int64)})
+        order = np.lexsort((ids, h))
+        h_s, id_s = h[order], ids[order]
+        keep = np.ones(h_s.shape[0], dtype=bool)
+        keep[1:] = np.diff(h_s) != 0
+        return pa.table({id_col: id_s[keep]})
+
+    return hashed.groupby("b").map_groups(min_per_hash, batch_format="pyarrow")
 
 
 def _simhash_batch(text_col_arr: pa.ChunkedArray) -> np.ndarray:

@@ -27,10 +27,17 @@ def lance_available() -> bool:
 
 
 def read_table(path: str, columns: list[str] | None = None, **kw) -> Dataset:
-    """Read a table by extension: ``*.lance`` directory → Lance (column
-    projection pushed down), anything else → parquet. Both return a lazy
-    streaming Dataset; only the requested columns leave storage."""
-    if path.rstrip("/").endswith(".lance"):
+    """Read a table by extension — every path returns a lazy streaming
+    Dataset:
+
+    - ``*.lance`` → Lance dataset (column projection pushed down);
+    - ``*.csv`` → ``read_csv`` (projection applied post-read);
+    - ``*.json`` / ``*.jsonl`` → ``read_json`` (projection post-read);
+    - anything else → parquet (projection pushed to the row groups —
+      only the requested columns leave storage).
+    """
+    p = path.rstrip("/")
+    if p.endswith(".lance"):
         if not lance_available():
             raise ImportError(
                 "lance is not installed in this environment; convert the "
@@ -38,6 +45,12 @@ def read_table(path: str, columns: list[str] | None = None, **kw) -> Dataset:
                 "back to parquet automatically for .parquet paths)"
             )
         return ray.data.read_lance(path, columns=columns, **kw)
+    if p.endswith(".csv"):
+        ds = ray.data.read_csv(path, **kw)
+        return ds.select_columns(columns) if columns else ds
+    if p.endswith((".json", ".jsonl")):
+        ds = ray.data.read_json(path, **kw)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 

@@ -611,6 +611,19 @@ def test_io_dispatch_and_manifest_verify(ray_session, tmp_path):
     ds = read_table(f, columns=["a"])
     assert ds.count() == 10
     assert ds.schema().names == ["a"]
+    # csv and jsonl dispatch with post-read projection
+    import pandas as pd
+
+    fc = str(tmp_path / "t.csv")
+    pd.DataFrame({"a": range(6), "b": range(6)}).to_csv(fc, index=False)
+    dc = read_table(fc, columns=["b"])
+    assert dc.count() == 6 and dc.schema().names == ["b"]
+    fj = str(tmp_path / "t.jsonl")
+    pd.DataFrame({"a": range(4), "b": range(4)}).to_json(
+        fj, orient="records", lines=True
+    )
+    dj = read_table(fj, columns=["a"])
+    assert dj.count() == 4 and dj.schema().names == ["a"]
     # .lance dispatch is import-gated with a clear error in this sandbox
     if not lance_available():
         with pytest.raises(ImportError, match="lance"):
