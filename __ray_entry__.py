@@ -255,6 +255,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return windows.session_window_agg(ev, gap_minutes=30)
 
+    def q_value_quantiles(sf):
+        import ray
+        from python_prtree_ray.pipelines.quantiles import value_quantiles
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "value"]
+        )
+        return value_quantiles(ev)
+
     def q_distinct_users(sf):
         import ray
         from python_prtree_ray.pipelines.sketch import distinct_users
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": q_top_events,
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,
+        "value_quantiles": q_value_quantiles,
         "spatial_join_obj": q_spatial_join_obj,
         "batch_query_lists": q_batch_query_lists,
         "spatial_join_3d": q_spatial_join_3d,
@@ -636,6 +646,14 @@ SELECT event_type, user_id, MIN(ts) AS session_start,
 FROM s GROUP BY event_type, user_id, sid
 """
 
+    value_quantiles_sql = """
+SELECT event_type,
+       quantile_cont(CAST(FLOOR(value * 100.0) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(FLOOR(value * 100.0) AS BIGINT), 0.9) AS p90,
+       quantile_cont(CAST(FLOOR(value * 100.0) AS BIGINT), 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
     distinct_users_sql = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
@@ -747,6 +765,7 @@ WHERE {intersects}
         "events_session": events_session_sql,
         "top_events": top_events_sql,
         "distinct_users": distinct_users_sql,
+        "value_quantiles": value_quantiles_sql,
         "spatial_join_obj": spatial_join_obj_sql,
         "batch_query_lists": batch_query_lists_sql,
         "spatial_join_3d": spatial_join_3d_sql,

@@ -1,0 +1,88 @@
+"""Exact distributed quantiles over integer-valued measures.
+
+Shape: per-batch (key, value) COUNTS pre-aggregate inside ``map_batches``
+(the combiner), so the shuffle carries one row per distinct (key, value)
+per batch — bounded by value cardinality, not row count. The per-key
+merge then walks the merged count histogram; quantiles interpolate with
+the same R-7 ``(n-1)*q`` rule DuckDB's ``quantile_cont`` uses, so the
+doubles match bitwise and the op is SQL-oracle-checkable.
+
+Scale note: integer measures (cents, token counts, sizes) have bounded
+cardinality, which makes the exact histogram path viable at any row
+count; for unbounded floats, bucket first or use a sketch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import tune_context
+
+DEFAULT_QS = (0.5, 0.9, 0.99)
+
+
+def _interp_quantiles(vals: np.ndarray, counts: np.ndarray, qs) -> list[float]:
+    """R-7 quantiles from a sorted value histogram — identical arithmetic
+    to DuckDB quantile_cont: h=(n-1)q; (1-frac)*x[lo] + frac*x[lo+1]."""
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    out = []
+    for q in qs:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        frac = h - lo
+        x_lo = float(vals[np.searchsorted(cum, lo + 1)])
+        x_hi = float(vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)])
+        out.append((1.0 - frac) * x_lo + frac * x_hi)
+    return out
+
+
+def value_quantiles(
+    events: Dataset,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = DEFAULT_QS,
+) -> Dataset:
+    """(key, p50, p90, p99): exact quantiles of FLOOR(value*100) cents."""
+    tune_context()
+
+    def partial_counts(tbl: pa.Table) -> pa.Table:
+        key = np.asarray(tbl.column(key_col).to_pylist())
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        uniq_k, codes = np.unique(key, return_inverse=True)
+        pair = codes * np.int64(1 << 40) | (cents + np.int64(1 << 39))
+        u, c = np.unique(pair, return_counts=True)
+        k_of = (u >> np.int64(40)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uniq_k[k_of], pa.string()),
+                "cents": (u & np.int64((1 << 40) - 1)) - np.int64(1 << 39),
+                "n": c.astype(np.int64),
+            }
+        )
+
+    partials = events.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # one group per key — key cardinality is metadata-sized here
+        key = group.column(key_col)[0].as_py()
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        c_s = cents[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(c_s))[0] + 1])
+        vals = c_s[starts]
+        counts = np.add.reduceat(n[order], starts)
+        ps = _interp_quantiles(vals, counts, qs)
+        cols = {key_col: pa.array([key], pa.string())}
+        for q, p in zip(qs, ps):
+            cols[f"p{int(q * 100)}"] = pa.array([p], pa.float64())
+        return pa.table(cols)
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -596,6 +596,34 @@ def test_distinct_count_exact_and_hll(ray_session):
     assert approx == approx2
 
 
+def test_value_quantiles_exact_and_partition_invariant(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.quantiles import value_quantiles
+
+    rng = np.random.default_rng(52)
+    n = 30_000
+    types = np.array(["a", "b"])[rng.integers(0, 2, size=n)]
+    value = np.where(
+        types == "a", rng.exponential(5.0, size=n), rng.normal(100.0, 30.0, size=n)
+    )
+    t = pa.table({"event_type": types, "value": value})
+
+    def run(blocks):
+        out = value_quantiles(
+            ray.data.from_arrow(t).repartition(blocks)
+        ).take_all()
+        return {r["event_type"]: (r["p50"], r["p90"], r["p99"]) for r in out}
+
+    got = run(4)
+    # numpy's 'linear' percentile is the same R-7 rule
+    cents = np.floor(value * 100.0).astype(np.int64)
+    for k in ("a", "b"):
+        v = np.sort(cents[types == k]).astype(np.float64)
+        want = tuple(np.percentile(v, [50, 90, 99], method="linear"))
+        assert got[k] == want, (k, got[k], want)
+    assert run(11) == got  # partitioning-invariant
+
+
 def test_io_dispatch_and_manifest_verify(ray_session, tmp_path):
     ray = ray_session
     from python_prtree_ray.sources.io import lance_available, read_table
