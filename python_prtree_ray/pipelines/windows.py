@@ -229,3 +229,92 @@ def top_events_per_type(
         )
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+class StreamingWindowAggregator:
+    """Incremental tumbling-window aggregator with watermark eviction —
+    the STATEFUL-STREAMING shape Ray Data's batch model doesn't express.
+
+    Feed batches in arrival order with :meth:`update`; windows whose end
+    falls behind the watermark (max event time seen minus
+    ``allowed_lateness``) are emitted EXACTLY ONCE by :meth:`poll`;
+    :meth:`finalize` flushes everything left. Events later than the
+    watermark for an already-emitted window are dropped and counted in
+    ``late_dropped`` (never silently).
+
+    Deployment shape: one aggregator per key-partition actor (wrap in
+    ``map_batches(cls, concurrency=N)`` over a stream partitioned by
+    key — same-key co-location is the only partitioning assumption), or
+    driver-side over ``ds.iter_batches()`` for a single consumer. State
+    is O(open windows × keys), independent of stream length.
+    """
+
+    EVERY_US = 3_600_000_000  # 1h tumbling
+
+    def __init__(self, allowed_lateness_hours: int = 1):
+        self._state: dict[tuple[str, int], list[int]] = {}
+        self._emitted: set[tuple[str, int]] = set()
+        self._max_ts = np.int64(-(1 << 62))
+        self._late_us = np.int64(allowed_lateness_hours) * self.EVERY_US
+        self.late_dropped = 0
+
+    def update(self, tbl: pa.Table) -> None:
+        ts = (
+            tbl.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        if ts.size == 0:
+            return
+        key = np.asarray(tbl.column("event_type").to_pylist())
+        cents = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        win = (ts // self.EVERY_US) * self.EVERY_US
+        self._max_ts = max(self._max_ts, np.int64(ts.max()))
+        uniq_k, codes = np.unique(key, return_inverse=True)
+        pair = codes * np.int64(1 << 48) + (win // self.EVERY_US)
+        u, inv = np.unique(pair, return_inverse=True)
+        n_by = np.bincount(inv)
+        c_by = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(c_by, inv, cents)  # exact int64 accumulation
+        w_by = np.empty(u.shape[0], dtype=np.int64)
+        k_by = (u >> np.int64(48)).astype(np.int64)
+        w_by = (u & np.int64((1 << 48) - 1)) * self.EVERY_US
+        for j in range(u.shape[0]):  # bounded by open (key, window) pairs
+            sk = (str(uniq_k[k_by[j]]), int(w_by[j]))
+            if sk in self._emitted:
+                self.late_dropped += int(n_by[j])
+                continue
+            acc = self._state.setdefault(sk, [0, 0])
+            acc[0] += int(n_by[j])
+            acc[1] += int(c_by[j])
+
+    def _emit(self, keys: list[tuple[str, int]]) -> pa.Table:
+        keys.sort()
+        rows = [(k, w, *self._state.pop((k, w))) for k, w in keys]
+        self._emitted.update(keys)
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "window_start": pa.array(
+                    np.array([r[1] for r in rows], dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "n_events": pa.array([r[2] for r in rows], pa.int64()),
+                "value_cents": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    def poll(self) -> pa.Table:
+        """Emit every window whose end <= watermark, exactly once."""
+        watermark = self._max_ts - self._late_us
+        ready = [
+            (k, w) for (k, w) in self._state if w + self.EVERY_US <= watermark
+        ]
+        return self._emit(ready)
+
+    def finalize(self) -> pa.Table:
+        return self._emit(list(self._state))

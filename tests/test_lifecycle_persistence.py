@@ -596,6 +596,50 @@ def test_distinct_count_exact_and_hll(ray_session):
     assert approx == approx2
 
 
+def test_streaming_window_matches_batch_and_emits_once(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import (
+        StreamingWindowAggregator,
+        tumbling_window_agg,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # mostly-ordered stream with bounded lateness (< 1h)
+    ts = base + (
+        np.sort(rng.integers(0, 48 * 3600, size=n)) * 1_000_000
+        + rng.integers(-1800, 1800, size=n) * 1_000_000
+    ).astype("timedelta64[us]")
+    types = np.array(["click", "view"])[rng.integers(0, 2, size=n)]
+    value = rng.exponential(3.0, size=n)
+    t = pa.table({"ts": ts, "event_type": types, "value": value})
+
+    agg = StreamingWindowAggregator(allowed_lateness_hours=1)
+    outs = []
+    emitted_keys = set()
+    for s in range(0, n, 500):
+        agg.update(t.slice(s, 500))
+        e = agg.poll()
+        ks = set(zip(e.column("event_type").to_pylist(), e.column("window_start").to_pylist()))
+        assert not (ks & emitted_keys)  # exactly-once emission
+        emitted_keys |= ks
+        outs.append(e)
+    outs.append(agg.finalize())
+    got_t = pa.concat_tables(outs)
+    got = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["value_cents"])
+        for r in got_t.to_pylist()
+    }
+    assert agg.late_dropped == 0  # lateness stayed under the watermark slack
+    batch = tumbling_window_agg(ray.data.from_arrow(t).repartition(4)).take_all()
+    want = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["value_cents"])
+        for r in batch
+    }
+    assert got == want
+
+
 def test_value_quantiles_exact_and_partition_invariant(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.quantiles import value_quantiles
