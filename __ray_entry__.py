@@ -347,6 +347,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hash_sample(docs, "doc_id", rate_pct=5)
 
+    def q_doc_sample_stratified(sf):
+        import ray
+        from python_prtree_ray.pipelines.sample import stratified_sample
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        return stratified_sample(
+            docs, "doc_id", "lang", {"en": 10, "de": 40, "fr": 25}
+        )
+
+    def q_events_enriched(sf):
+        import ray
+        import pyarrow.parquet as pq
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+        cust = pq.read_table(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+        )
+        return broadcast_lookup(
+            ev, cust, on="user_id", small_on="c_custkey",
+            carry_cols=("c_nationkey", "c_mktsegment"),
+        )
+
     def q_cell_histogram(sf):
         return tiling.cell_histogram(tables.boxes_dataset(sf), res=TILE_RES)
 
@@ -432,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_sample": q_doc_sample,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "events_enriched": q_events_enriched,
         "cell_histogram": q_cell_histogram,
         "asof_purchase_view": q_asof_purchase_view,
         "raster_tiles": q_raster_tiles,
@@ -681,10 +711,23 @@ SELECT query_id, array_to_string(list_sort(list(idx)), ',') AS matches
 FROM p GROUP BY query_id
 """
 
-    from python_prtree_ray.pipelines.sample import hash_sample_sql
+    from python_prtree_ray.pipelines.sample import (
+        hash_sample_sql,
+        stratified_sample_sql,
+    )
 
     doc_sample_sql = f"""
 SELECT doc_id, n_chars FROM documents WHERE {hash_sample_sql('doc_id', 5)}
+"""
+
+    doc_sample_stratified_sql = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {stratified_sample_sql('doc_id', 'lang', {"en": 10, "de": 40, "fr": 25})}
+"""
+
+    events_enriched_sql = """
+SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
 
     g6 = 1 << TILE_RES
@@ -771,6 +814,8 @@ WHERE {intersects}
         "spatial_join_3d": spatial_join_3d_sql,
         "spatial_join_4d": spatial_join_4d_sql,
         "doc_sample": doc_sample_sql,
+        "doc_sample_stratified": doc_sample_stratified_sql,
+        "events_enriched": events_enriched_sql,
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,
         "raster_tiles": raster_tiles_sql,

@@ -149,7 +149,8 @@ QUERY_SUBSET = (
     "spatial_join_4d doc_sample cell_histogram asof_purchase_view "
     "raster_tiles ann_ivf embedding_neardup embedding_neardup_exact "
     "doc_fingerprint video_frames token_pieces simhash_pairs "
-    "distinct_users distinct_users_hll value_quantiles"
+    "distinct_users distinct_users_hll value_quantiles "
+    "doc_sample_stratified events_enriched"
 ).split()
 
 

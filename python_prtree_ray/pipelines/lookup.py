@@ -1,0 +1,59 @@
+"""Broadcast hash equi-join (lookup enrichment) — the no-shuffle join.
+
+The small dimension side is pinned ONCE in the object store (``ray.put``
+of sorted keys + payload arrays); every task of the streaming big side
+resolves its batch with one vectorized ``searchsorted`` gather. This is
+the canonical 100-TB enrichment shape: a fact stream annotated from a
+dimension table without moving a single fact row — the alternative
+shuffle join moves everything.
+
+Duplicate keys on the small side keep the LAST occurrence (deterministic;
+dedup upstream if other semantics are needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..config import tune_context
+
+
+def broadcast_lookup(
+    big: Dataset,
+    small: pa.Table,
+    on: str,
+    small_on: str | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> Dataset:
+    """Inner-join ``big`` (streaming) to ``small`` (broadcast) on an
+    int64 key, appending ``carry_cols`` from the small side. Rows of
+    ``big`` without a match drop (inner semantics)."""
+    tune_context()
+    small_on = small_on or on
+    keys = small.column(small_on).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")  # stable → last dup wins below
+    keys_s = keys[order]
+    payload = {
+        c: small.column(c).take(pa.array(order)).combine_chunks()
+        for c in carry_cols
+    }
+    ref = ray.put((keys_s, payload))
+
+    def enrich(tbl: pa.Table) -> pa.Table:
+        ks, pay = ray.get(ref)
+        k = tbl.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        # position of the LAST occurrence of each key (side='right' - 1)
+        pos = np.searchsorted(ks, k, side="right") - 1
+        hit = pos >= 0
+        hit[hit] &= ks[pos[hit]] == k[hit]
+        out = tbl.filter(pa.array(hit))
+        idx = pa.array(pos[hit])
+        for c, col in pay.items():
+            out = out.append_column(c, col.take(idx))
+        return out
+
+    return big.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)

@@ -34,3 +34,38 @@ def hash_sample_sql(key: str, rate_pct: int) -> str:
     a, b = derive.CHANNELS[SAMPLE_CHANNEL]
     cut = derive.MOD * rate_pct // 100
     return f"(({key} * {a} + {b}) % {derive.MOD}) < {cut}"
+
+
+def stratified_sample(
+    ds: Dataset, key_col: str, strata_col: str, rates_pct: dict[str, int]
+) -> Dataset:
+    """Per-stratum deterministic sampling: stratum s keeps ~rates_pct[s]%
+    of its rows by key hash (strata absent from the map keep nothing).
+    Hash-gated like :func:`hash_sample`, so the sample is identical at
+    any parallelism and the SQL twin is a CASE-driven WHERE clause."""
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+    items = sorted(rates_pct.items())
+    names = np.array([k for k, _ in items])
+    cuts = np.array(
+        [derive.MOD * int(r) // 100 for _, r in items], dtype=np.int64
+    )
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.asarray(tbl.column(strata_col).to_pylist())
+        pos = np.searchsorted(names, s)
+        pos_c = np.clip(pos, 0, names.shape[0] - 1)
+        known = names[pos_c] == s
+        cut = np.where(known, cuts[pos_c], 0)
+        return tbl.filter(pa.array((k * a + b) % derive.MOD < cut))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_sql(key: str, strata: str, rates_pct: dict[str, int]) -> str:
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+    whens = " ".join(
+        f"WHEN '{s}' THEN {derive.MOD * int(r) // 100}"
+        for s, r in sorted(rates_pct.items())
+    )
+    return f"(({key} * {a} + {b}) % {derive.MOD}) < (CASE {strata} {whens} ELSE 0 END)"
