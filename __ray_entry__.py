@@ -347,6 +347,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hash_sample(docs, "doc_id", rate_pct=5)
 
+    def q_props_extract(sf):
+        import ray
+        from python_prtree_ray.pipelines.text import extract_json_int
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "props"]
+        )
+        return extract_json_int(ev, "props", "k")
+
     def q_doc_sample_stratified(sf):
         import ray
         from python_prtree_ray.pipelines.sample import stratified_sample
@@ -462,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
         "events_enriched": q_events_enriched,
+        "props_extract": q_props_extract,
         "cell_histogram": q_cell_histogram,
         "asof_purchase_view": q_asof_purchase_view,
         "raster_tiles": q_raster_tiles,
@@ -730,6 +740,10 @@ SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
 
+    from python_prtree_ray.pipelines.text import extract_json_int_sql
+
+    props_extract_sql = extract_json_int_sql("props", "k", "event_id")
+
     g6 = 1 << TILE_RES
     _ix = f"LEAST(GREATEST(CAST(FLOOR(xmin * {g6}) AS BIGINT), 0), {g6 - 1})"
     _ix1 = f"LEAST(GREATEST(CAST(FLOOR(xmax * {g6}) AS BIGINT), 0), {g6 - 1})"
@@ -816,6 +830,7 @@ WHERE {intersects}
         "doc_sample": doc_sample_sql,
         "doc_sample_stratified": doc_sample_stratified_sql,
         "events_enriched": events_enriched_sql,
+        "props_extract": props_extract_sql,
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,
         "raster_tiles": raster_tiles_sql,

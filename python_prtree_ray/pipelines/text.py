@@ -202,3 +202,30 @@ def hash_str_array(values) -> "np.ndarray":
         return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     except Exception:
         return np.array([hash_str(v) for v in values], dtype=np.int64)
+
+
+def extract_json_int(
+    ds: Dataset, col: str = "props", field: str = "k", id_col: str = "event_id"
+) -> Dataset:
+    """(id, <field>): pull an integer field out of a JSON-string column
+    with one vectorized RE2 kernel — the flat-JSON fast path a real
+    pipeline uses instead of per-row json.loads (rows with the field
+    absent drop, inner semantics). SQL twin: regexp_extract with the
+    same pattern."""
+    pattern = '"' + field + '":\\s*(-?\\d+)'
+
+    def ex(tbl: pa.Table) -> pa.Table:
+        m = pc.extract_regex(tbl.column(col), '"' + field + '":\\s*(?P<v>-?\\d+)')
+        ok = pc.is_valid(m)
+        vals = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        out = pa.table({id_col: tbl.column(id_col), field: vals})
+        return out.filter(ok)
+
+    return ds.map_batches(ex, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_json_int_sql(col: str = "props", field: str = "k", id_col: str = "event_id") -> str:
+    return (
+        f"SELECT {id_col}, CAST(regexp_extract({col}, '\"{field}\":\\s*(-?\\d+)', 1) AS BIGINT) AS {field} "
+        f"FROM events WHERE regexp_matches({col}, '\"{field}\":\\s*(-?\\d+)')"
+    )
