@@ -28,23 +28,21 @@ from ..stages.multimodal import FrameSampler, MediaFeatureExtractor
 def explode_media_spans(tbl: pa.Table) -> pa.Table:
     """docs(doc_id, spans) → one row per NON-text span:
     (doc_id, offset, kind, media_ref). List offsets drive the doc_id
-    repeat — no Python iteration over rows."""
+    repeat; the kind filter is an Arrow kernel — no Python iteration."""
+    import pyarrow.compute as pc
+
     spans = tbl.column("spans").combine_chunks()
     vals = spans.values
     list_offs = spans.offsets.to_numpy(zero_copy_only=False)
     parent = np.repeat(np.arange(tbl.num_rows), np.diff(list_offs))
-    kind = np.asarray(vals.field("kind").to_pylist())
-    media = vals.field("media_ref")
-    off = vals.field("offset")
     doc_id = tbl.column("doc_id").take(pa.array(parent))
-    m = kind != "text"
-    sel = pa.array(m)
+    sel = pc.not_equal(vals.field("kind"), "text")
     return pa.table(
         {
             "doc_id": doc_id.filter(sel),
-            "offset": off.filter(sel),
-            "kind": pa.array(kind[m]),
-            "media_ref": media.filter(sel),
+            "offset": vals.field("offset").filter(sel),
+            "kind": vals.field("kind").filter(sel),
+            "media_ref": vals.field("media_ref").filter(sel),
         }
     )
 
@@ -52,10 +50,14 @@ def explode_media_spans(tbl: pa.Table) -> pa.Table:
 def fetch_payload_stub(tbl: pa.Table) -> pa.Table:
     """STUB blob fetch: payload bytes are a deterministic expansion of the
     media_ref URI (a real build replaces this one function with an object
-    store / lakehouse read)."""
-    refs = tbl.column("media_ref").to_pylist()
-    payloads = [(r.encode() * 8)[:256] for r in refs]
-    return tbl.append_column("payload", pa.array(payloads, type=pa.binary()))
+    store / lakehouse read). Pure Arrow kernels: repeat → slice → cast
+    reproduces ``(ref.encode() * 8)[:256]`` for the ASCII refs."""
+    import pyarrow.compute as pc
+
+    refs = tbl.column("media_ref")
+    rep = pc.binary_repeat(refs, 8)
+    clipped = pc.utf8_slice_codeunits(rep, 0, 256)
+    return tbl.append_column("payload", pc.cast(clipped, pa.binary()))
 
 
 def media_feature_pipeline(docs: Dataset, concurrency=(1, 8)) -> Dataset:
