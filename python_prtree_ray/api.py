@@ -137,8 +137,9 @@ class RayPRTree:
                 raise ValueError(f"Index not found: {missing[0]}")
             self._keys = np.setdiff1d(self._keys, ids)
         self._tombs.append((np.unique(ids), len(self._deltas)))
-        for i in ids.tolist():
-            self._objs.pop(i, None)
+        if self._objs:  # bulk erases with no registry stay O(1)
+            for i in ids.tolist():
+                self._objs.pop(i, None)
         self._maybe_rebuild()
 
     # ------------------------------------------------- objects & precision
@@ -269,31 +270,43 @@ class RayPRTree:
     ) -> Dataset:
         """(query_id, idx) intersections; ``return_obj`` adds the payload
         registered via :meth:`set_obj` (reference ``batch_query(...,
-        return_obj=True)``). ``expand_epsilon`` widens each query box by the
-        adaptive epsilon (clamp formula, ``prtree.h:81-116``) computed per
-        batch from the boxes' max extent — the distributed analog of the
-        reference's insert-path candidate slack."""
+        return_obj=True)``). ``expand_epsilon`` widens each query box by
+        the adaptive epsilon (clamp formula, ``prtree.h:81-116``) computed
+        from the GLOBAL query extent — one tiny min/max aggregate over the
+        query side, so the widening (and therefore the result set) is
+        identical at any batch partitioning."""
         ds = self.dataset()
         if ds is None:
             raise ValueError("Cannot query an empty tree")
         if expand_epsilon:
             prec = self._precision
+            qschema = queries.schema().base_schema.names
+            mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in qschema]
+            maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in qschema]
+            from ray.data.aggregate import Max as _Max, Min as _Min
+
+            bounds = queries.aggregate(
+                *[_Min(c, alias_name=f"lo_{c}") for c in mins],
+                *[_Max(c, alias_name=f"hi_{c}") for c in maxs],
+            )
+            extent = max(
+                (
+                    float(bounds[f"hi_{hi}"]) - float(bounds[f"lo_{lo}"])
+                    for lo, hi in zip(mins, maxs)
+                ),
+                default=0.0,
+            )
+            eps = prec.epsilon_for(extent)
 
             def widen(tbl: pa.Table) -> pa.Table:
-                cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in tbl.column_names}
-                mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in cols]
-                maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in cols]
-                extent = max(
-                    (float(cols[hi].max() - cols[lo].min()) for lo, hi in zip(mins, maxs)),
-                    default=0.0,
-                )
-                eps = prec.epsilon_for(extent)
-                out = dict(cols)
+                cols = {c: tbl.column(c) for c in tbl.column_names}
+                import pyarrow.compute as pc
+
                 for c in mins:
-                    out[c] = cols[c] - eps
+                    cols[c] = pc.subtract(cols[c], pa.scalar(eps))
                 for c in maxs:
-                    out[c] = cols[c] + eps
-                return pa.table(out)
+                    cols[c] = pc.add(cols[c], pa.scalar(eps))
+                return pa.table(cols)
 
             queries = queries.map_batches(
                 widen, batch_format="pyarrow", zero_copy_batch=True
@@ -308,9 +321,20 @@ class RayPRTree:
         def attach(tbl: pa.Table) -> pa.Table:
             objs = _ray.get(objs_ref)
             ids = tbl.column("idx").to_numpy(zero_copy_only=False)
-            return tbl.append_column(
-                "obj", pa.array([objs.get(int(i)) for i in ids])
-            )
+            vals = [objs.get(int(i)) for i in ids]
+            try:
+                col = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # arbitrary / mixed Python payloads (reference set_obj
+                # accepts anything picklable, core.py:20-31): ship them
+                # pickled, as the reference itself does on the wire
+                import pickle
+
+                col = pa.array(
+                    [None if v is None else pickle.dumps(v) for v in vals],
+                    type=pa.binary(),
+                )
+            return tbl.append_column("obj", col)
 
         return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 

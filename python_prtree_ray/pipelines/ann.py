@@ -66,43 +66,11 @@ def _threshold_topk_rows(
 
 
 def _merge_topk(partials: Dataset, k: int, id_col: str = "vec_id") -> Dataset:
-    """(query_id, id, sim) partials → (query_id, id, rank): coarse-bucket
-    shuffle + one vectorized multi-query rank pass per bucket."""
+    """(query_id, id, sim) partials → (query_id, id, rank) via the shared
+    coarse-bucket merge (sim DESC, id ASC tie-break)."""
+    from .merge import bucketed_topk
 
-    def add_bucket(tbl: pa.Table) -> pa.Table:
-        qv = tbl.column("query_id").to_numpy(zero_copy_only=False)
-        return tbl.append_column(
-            "qb", pa.array((qv * 2654435761 % 1000000007) % 256)
-        )
-
-    def merge(group: pa.Table) -> pa.Table:
-        qv = group.column("query_id").to_numpy(zero_copy_only=False)
-        sim = group.column("sim").to_numpy(zero_copy_only=False)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        if qv.size == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            )
-        order = np.lexsort((ids, -sim, qv))
-        q_s, id_s = qv[order], ids[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
-        sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
-        rank = np.arange(q_s.shape[0]) - np.repeat(starts, sizes)
-        keep = rank < k
-        return pa.table(
-            {
-                "query_id": pa.array(q_s[keep], pa.int64()),
-                id_col: pa.array(id_s[keep], pa.int64()),
-                "rank": pa.array(rank[keep] + 1, pa.int64()),
-            }
-        )
-
-    keyed = partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")
+    return bucketed_topk(partials, k, id_col=id_col, value_col="sim", descending=True)
 
 
 def ann_brute_topk(

@@ -6,7 +6,7 @@ For every left row, find the LATEST right row of the same key with
 Shape: both sides shuffle ONCE by a coarse key-hash bucket (same key →
 same bucket, so correctness never crosses group boundaries); inside a
 group the whole match is a vectorized sort + ``searchsorted`` over a
-packed (key_rank, ts_offset) int64 key — no per-key loop, no global
+packed (key_rank, ts_rank) int64 key — no per-key loop, no global
 sort. Right rows that tie on (key, ts) are deduplicated to the max
 right-id first, making the result deterministic (and the SQL oracle
 well-defined).
@@ -24,6 +24,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..config import tune_context
+from ..functions.buckets import bucket_of
 
 N_BUCKETS = 256
 
@@ -45,7 +46,7 @@ def asof_join(
             k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
                 {
-                    "b": (k * 2654435761 % 1000000007) % N_BUCKETS,
+                    "b": bucket_of(k, N_BUCKETS),
                     "side": np.full(tbl.num_rows, side, dtype=np.int8),
                     "key": k,
                     "ts": tbl.column(ts_col).cast(pa.timestamp("us")),

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..functions.buckets import bucket_of
 from ..state import manifest as mf
 from . import spatial_join as sj
 
@@ -30,7 +31,7 @@ N_PARTS_DEFAULT = 64
 
 
 def _qpart(qids: np.ndarray, n_parts: int) -> np.ndarray:
-    return (qids * 2654435761 % 1000000007) % np.int64(n_parts)
+    return bucket_of(qids, n_parts)
 
 
 def resumable_join(
@@ -46,6 +47,14 @@ def resumable_join(
     call repeatedly: finished partitions are skipped before any join
     compute happens."""
     man = mf._load_manifest(path)
+    if man["partitions"] and man.get("n_parts") not in (None, n_parts):
+        # a resume in a different hash space would skip the wrong queries
+        # and overwrite colliding file names with mismatched contents
+        raise ValueError(
+            f"checkpoint at {path} was written with n_parts="
+            f"{man.get('n_parts')}; resume must use the same value "
+            f"(got {n_parts})"
+        )
     done = {
         int(k) for k, v in man["partitions"].items() if v.get("status") == "done"
     }

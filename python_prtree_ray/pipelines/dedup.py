@@ -23,6 +23,7 @@ from ray.data import Dataset
 
 from ..config import tune_context
 
+from ..functions.buckets import blocked_triangle
 from .text import hash_str, hash_str_array
 
 _M61 = (1 << 61) - 1
@@ -265,18 +266,7 @@ def simhash_pairs(
                 bucket_cap,
             )
         out_a, out_b, out_h = [], [], []
-        for s0 in range(0, n, bucket_cap):
-            e0 = min(s0 + bucket_cap, n)
-            for s1 in range(s0, n, bucket_cap):
-                e1 = min(s1 + bucket_cap, n)
-                if s0 == s1:
-                    ia, ib = np.triu_indices(e0 - s0, k=1)
-                    ia, ib = ia + s0, ib + s0
-                else:
-                    ia, ib = np.meshgrid(
-                        np.arange(s0, e0), np.arange(s1, e1), indexing="ij"
-                    )
-                    ia, ib = ia.ravel(), ib.ravel()
+        for ia, ib in blocked_triangle(n, bucket_cap):
                 if ia.size == 0:
                     continue
                 ham = _popcount64(sh[ia] ^ sh[ib])
@@ -393,18 +383,7 @@ def minhash_pairs(
         out_a, out_b, out_e = [], [], []
         # blocked upper-triangle sweep: one block normally; exact O(n²)
         # blocks (never a silent drop) for degenerate-hash buckets
-        for s0 in range(0, n, BUCKET_CAP):
-            e0 = min(s0 + BUCKET_CAP, n)
-            for s1 in range(s0, n, BUCKET_CAP):
-                e1 = min(s1 + BUCKET_CAP, n)
-                if s0 == s1:
-                    ia, ib = np.triu_indices(e0 - s0, k=1)
-                    ia, ib = ia + s0, ib + s0
-                else:
-                    ia, ib = np.meshgrid(
-                        np.arange(s0, e0), np.arange(s1, e1), indexing="ij"
-                    )
-                    ia, ib = ia.ravel(), ib.ravel()
+        for ia, ib in blocked_triangle(n, BUCKET_CAP):
                 if ia.size == 0:
                     continue
                 est = (sig[ia] == sig[ib]).mean(axis=1)
@@ -531,18 +510,7 @@ def embedding_neardup_pairs(
         out_a, out_b = [], []
         # blocked upper-triangle sweep: one block for normal buckets,
         # exact O(n^2) blocks (no drops) for oversized ones
-        for s0 in range(0, n, bucket_cap):
-            e0 = min(s0 + bucket_cap, n)
-            for s1 in range(s0, n, bucket_cap):
-                e1 = min(s1 + bucket_cap, n)
-                if s0 == s1:
-                    ia, ib = np.triu_indices(e0 - s0, k=1)
-                    ia, ib = ia + s0, ib + s0
-                else:
-                    ia, ib = np.meshgrid(
-                        np.arange(s0, e0), np.arange(s1, e1), indexing="ij"
-                    )
-                    ia, ib = ia.ravel(), ib.ravel()
+        for ia, ib in blocked_triangle(n, bucket_cap):
                 ia2, ib2, lo, hi = _pairs_block(ids, emb, norm, ia, ib)
                 if ia2.size == 0:
                     continue
@@ -613,9 +581,12 @@ def embedding_neardup_exact(
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             if i == j:
                 # self block: every pair appears twice — keep one
-                pk = lo * np.int64(1 << 32) + hi
-                _, first = np.unique(pk, return_index=True)
-                lo, hi = lo[first], hi[first]
+                # (full-int64-safe: lexsort dedup, no bit packing)
+                order = np.lexsort((hi, lo))
+                lo_s, hi_s = lo[order], hi[order]
+                keep2 = np.ones(lo_s.shape[0], dtype=bool)
+                keep2[1:] = (np.diff(lo_s) != 0) | (np.diff(hi_s) != 0)
+                lo, hi = lo_s[keep2], hi_s[keep2]
             out_a.append(lo)
             out_b.append(hi)
         if not out_a:

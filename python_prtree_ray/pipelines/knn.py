@@ -219,47 +219,11 @@ def knn_broadcast(boxes: Dataset, points_table: pa.Table, k: int) -> Dataset:
 
 
 def _bucketed_topk(partials: Dataset, k: int) -> Dataset:
-    """(query_id, idx, dist2) partials → (query_id, idx, rank): merge
-    grouped by a COARSE query-hash bucket (vectorized multi-query top-k
-    per call) — per-query map_groups would be one interpreter call per
-    query at corpus scale."""
+    """(query_id, idx, dist2) partials → (query_id, idx, rank) via the
+    shared coarse-bucket merge (dist2 ASC, idx tie-break)."""
+    from .merge import bucketed_topk
 
-    def add_bucket(tbl: pa.Table) -> pa.Table:
-        q = st.col_np(tbl, "query_id")
-        return tbl.append_column(
-            "qb", pa.array((q * 2654435761 % 1000000007) % 256)
-        )
-
-    def merge_topk(group: pa.Table) -> pa.Table:
-        q = st.col_np(group, "query_id")
-        d2 = st.col_np(group, "dist2")
-        idx = st.col_np(group, "idx")
-        if q.size == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "idx": pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            )
-        order = np.lexsort((idx, d2, q))  # (query, dist2, idx)
-        q_s, idx_s = q[order], idx[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
-        sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
-        rank = np.arange(q_s.shape[0]) - np.repeat(starts, sizes)
-        keep = rank < k
-        return pa.table(
-            {
-                "query_id": pa.array(q_s[keep], pa.int64()),
-                "idx": pa.array(idx_s[keep], pa.int64()),
-                "rank": pa.array(rank[keep] + 1, pa.int64()),
-            }
-        )
-
-    keyed = partials.map_batches(
-        add_bucket, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return keyed.groupby("qb").map_groups(merge_topk, batch_format="pyarrow")
+    return bucketed_topk(partials, k, id_col="idx", value_col="dist2", descending=False)
 
 
 def knn_join(

@@ -1,0 +1,60 @@
+"""Shared coarse-bucket top-k merge.
+
+(query_id, id, value) partials → (query_id, id, rank): shuffle on a
+256-way query-hash bucket, then ONE vectorized lexsort + segment-rank
+pass ranks every query in the bucket — never a per-query ``map_groups``
+(one interpreter call per query would dominate at 1M queries). Used by
+both the ANN merges (sim DESC) and the kNN merges (dist2 ASC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.buckets import bucket_of
+
+N_QBUCKETS = 256
+
+
+def bucketed_topk(
+    partials: Dataset,
+    k: int,
+    id_col: str,
+    value_col: str,
+    descending: bool,
+) -> Dataset:
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        qv = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column("qb", pa.array(bucket_of(qv, N_QBUCKETS)))
+
+    def merge(group: pa.Table) -> pa.Table:
+        qv = group.column("query_id").to_numpy(zero_copy_only=False)
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if qv.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, -val if descending else val, qv))
+        q_s, id_s = qv[order], ids[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
+        rank = np.arange(q_s.shape[0]) - np.repeat(starts, sizes)
+        keep = rank < k
+        return pa.table(
+            {
+                "query_id": pa.array(q_s[keep], pa.int64()),
+                id_col: pa.array(id_s[keep], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    keyed = partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")

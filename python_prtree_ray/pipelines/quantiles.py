@@ -53,15 +53,28 @@ def value_quantiles(
         key = np.asarray(tbl.column(key_col).to_pylist())
         v = tbl.column(value_col).to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0).astype(np.int64)
+        if cents.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         uniq_k, codes = np.unique(key, return_inverse=True)
-        pair = codes * np.int64(1 << 40) | (cents + np.int64(1 << 39))
-        u, c = np.unique(pair, return_counts=True)
-        k_of = (u >> np.int64(40)).astype(np.int64)
+        # full-int64-safe pair dedup: lexsort on (key code, cents), no
+        # bit packing (a pack would corrupt at |cents| >= 2^39)
+        order = np.lexsort((cents, codes))
+        c_s, v_s = codes[order], cents[order]
+        starts = np.concatenate(
+            [[0], np.nonzero((np.diff(c_s) != 0) | (np.diff(v_s) != 0))[0] + 1]
+        )
+        counts = np.diff(np.concatenate([starts, [c_s.shape[0]]]))
         return pa.table(
             {
-                key_col: pa.array(uniq_k[k_of], pa.string()),
-                "cents": (u & np.int64((1 << 40) - 1)) - np.int64(1 << 39),
-                "n": c.astype(np.int64),
+                key_col: pa.array(uniq_k[c_s[starts]], pa.string()),
+                "cents": v_s[starts],
+                "n": counts.astype(np.int64),
             }
         )
 

@@ -42,6 +42,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..config import tune_context
+from ..functions.buckets import bucket_of
 from ..functions.prtree import PRTree
 from ..stages import spatial as st
 
@@ -291,7 +292,7 @@ def aggregate_match_lists(pairs: Dataset, n_buckets: int = 256) -> Dataset:
         q = st.col_np(tbl, "query_id")
         return pa.table(
             {
-                "bucket": (q * 2654435761 % 1000000007) % n_buckets,
+                "bucket": bucket_of(q, n_buckets),
                 "query_id": q,
                 "idx": st.col_np(tbl, "idx"),
             }
@@ -338,7 +339,7 @@ def aggregate_match_csv(pairs: Dataset, n_buckets: int = 256) -> Dataset:
         q = st.col_np(tbl, "query_id")
         return pa.table(
             {
-                "bucket": (q * 2654435761 % 1000000007) % n_buckets,
+                "bucket": bucket_of(q, n_buckets),
                 "query_id": q,
                 "idx": st.col_np(tbl, "idx"),
             }

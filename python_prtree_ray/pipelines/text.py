@@ -211,8 +211,7 @@ def extract_json_int(
     with one vectorized RE2 kernel — the flat-JSON fast path a real
     pipeline uses instead of per-row json.loads (rows with the field
     absent drop, inner semantics). SQL twin: regexp_extract with the
-    same pattern."""
-    pattern = '"' + field + '":\\s*(-?\\d+)'
+    same pattern (modulo the named group Arrow requires)."""
 
     def ex(tbl: pa.Table) -> pa.Table:
         m = pc.extract_regex(tbl.column(col), '"' + field + '":\\s*(?P<v>-?\\d+)')

@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import tune_context
+from ..functions.buckets import bucket_of
 from ray.data.aggregate import Sum
 
 
@@ -142,7 +143,7 @@ def session_window_agg(
     def bucket(tbl: pa.Table) -> pa.Table:
         uid = tbl.column(k2).to_numpy(zero_copy_only=False).astype(np.int64)
         return tbl.append_column(
-            "bucket", pa.array((uid * 2654435761 % 1000000007) % n_buckets)
+            "bucket", pa.array(bucket_of(uid, n_buckets))
         )
 
     def sessions(group: pa.Table) -> pa.Table:
@@ -238,9 +239,9 @@ class StreamingWindowAggregator:
     Feed batches in arrival order with :meth:`update`; windows whose end
     falls behind the watermark (max event time seen minus
     ``allowed_lateness``) are emitted EXACTLY ONCE by :meth:`poll`;
-    :meth:`finalize` flushes everything left. Events later than the
-    watermark for an already-emitted window are dropped and counted in
-    ``late_dropped`` (never silently).
+    :meth:`finalize` flushes everything left. Events whose window ended
+    at or before the LAST EMISSION's watermark (their window is already
+    gone) are dropped and counted in ``late_dropped`` — never silently.
 
     Deployment shape: one aggregator per key-partition actor (wrap in
     ``map_batches(cls, concurrency=N)`` over a stream partitioned by
@@ -253,7 +254,10 @@ class StreamingWindowAggregator:
 
     def __init__(self, allowed_lateness_hours: int = 1):
         self._state: dict[tuple[str, int], list[int]] = {}
-        self._emitted: set[tuple[str, int]] = set()
+        # watermark at the last poll(): windows ending at/before it have
+        # been emitted — an O(1) substitute for remembering every emitted
+        # (key, window) pair, which would grow with stream length
+        self._emit_watermark = np.int64(-(1 << 62))
         self._max_ts = np.int64(-(1 << 62))
         self._late_us = np.int64(allowed_lateness_hours) * self.EVERY_US
         self.late_dropped = 0
@@ -280,14 +284,14 @@ class StreamingWindowAggregator:
         n_by = np.bincount(inv)
         c_by = np.zeros(u.shape[0], dtype=np.int64)
         np.add.at(c_by, inv, cents)  # exact int64 accumulation
-        w_by = np.empty(u.shape[0], dtype=np.int64)
         k_by = (u >> np.int64(48)).astype(np.int64)
         w_by = (u & np.int64((1 << 48) - 1)) * self.EVERY_US
         for j in range(u.shape[0]):  # bounded by open (key, window) pairs
-            sk = (str(uniq_k[k_by[j]]), int(w_by[j]))
-            if sk in self._emitted:
-                self.late_dropped += int(n_by[j])
+            w = int(w_by[j])
+            if w + self.EVERY_US <= self._emit_watermark:
+                self.late_dropped += int(n_by[j])  # window already emitted
                 continue
+            sk = (str(uniq_k[k_by[j]]), w)
             acc = self._state.setdefault(sk, [0, 0])
             acc[0] += int(n_by[j])
             acc[1] += int(c_by[j])
@@ -295,7 +299,6 @@ class StreamingWindowAggregator:
     def _emit(self, keys: list[tuple[str, int]]) -> pa.Table:
         keys.sort()
         rows = [(k, w, *self._state.pop((k, w))) for k, w in keys]
-        self._emitted.update(keys)
         return pa.table(
             {
                 "event_type": pa.array([r[0] for r in rows], pa.string()),
@@ -314,6 +317,7 @@ class StreamingWindowAggregator:
         ready = [
             (k, w) for (k, w) in self._state if w + self.EVERY_US <= watermark
         ]
+        self._emit_watermark = max(self._emit_watermark, watermark)
         return self._emit(ready)
 
     def finalize(self) -> pa.Table:

@@ -21,14 +21,21 @@ import pyarrow as pa
 
 
 def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(offsets[int64, n+1], flat data[uint8]) of a binary array,
-    slice-offset corrected. Nulls read as empty."""
+    """(offsets[int64, n+1], flat data[uint8]) of a binary/large_binary
+    array, slice-offset corrected. Nulls read as empty."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
         arr = arr.fill_null(b"")
     off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
-    offs = np.frombuffer(off_buf, dtype=np.int32)[
+    # large_binary/large_string carry 64-bit offsets — reading them as
+    # int32 would silently garble every length
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(off_buf, dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data = (

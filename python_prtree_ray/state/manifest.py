@@ -116,7 +116,14 @@ def write_partitioned(
         )
 
     stats = tagged.groupby("__part").map_groups(write_group, batch_format="pyarrow")
-    for r in stats.take_all():
+    # stream the per-partition stats and checkpoint the manifest as they
+    # land — a crash mid-run loses at most FLUSH_EVERY finished
+    # partitions' bookkeeping (their files are still on disk and simply
+    # get rewritten), never the whole run's progress
+    FLUSH_EVERY = 16
+    pending_flush = 0
+    man["coarse_res"] = coarse_res
+    for r in stats.iter_rows():
         man["partitions"][str(int(r["part"]))] = {
             "file": f"part-{int(r['part']):012d}.parquet",
             "rows": int(r["rows"]),
@@ -125,7 +132,11 @@ def write_partitioned(
             "secs": float(r["secs"]),
             "status": "done",
         }
-    man["coarse_res"] = coarse_res
+        pending_flush += 1
+        if pending_flush >= FLUSH_EVERY:
+            man["updated_at"] = time.time()
+            _store_manifest(path, man)
+            pending_flush = 0
     man["updated_at"] = time.time()
     # manifest-level rollup metrics (per-partition lineage stays per-entry)
     parts = man["partitions"].values()
