@@ -168,6 +168,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact for max_hamming <= bands-1; hash-seeded values → rows-only
         return dedup.simhash_pairs(docs, max_hamming=3)
 
+    def q_pack_documents(sf):
+        import ray
+        from python_prtree_ray.pipelines.packing import pack_documents
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        # assignment is algorithm-defined (greedy fill) → rows-only;
+        # invariants (budget respected, all docs assigned, deterministic
+        # across partitioning) are pytest-checked
+        return pack_documents(docs, budget=512)
+
     def q_doc_fingerprint(sf):
         import ray
 
@@ -468,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "doc_fingerprint": q_doc_fingerprint,
+        "pack_documents": q_pack_documents,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
         "events_enriched": q_events_enriched,

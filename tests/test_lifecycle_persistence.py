@@ -596,6 +596,45 @@ def test_distinct_count_exact_and_hll(ray_session):
     assert approx == approx2
 
 
+def test_pack_documents_invariants(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.packing import pack_documents
+
+    rng = np.random.default_rng(54)
+    texts = [
+        " ".join("tok%d" % j for j in range(int(n)))
+        for n in rng.integers(1, 200, size=400)
+    ] + [" ".join("big%d" % j for j in range(900))]  # one oversize doc
+    t = pa.table({"doc_id": np.arange(401, dtype=np.int64), "text": texts})
+    budget = 512
+
+    def run(blocks):
+        return pack_documents(
+            ray.data.from_arrow(t).repartition(blocks), budget=budget
+        ).take_all()
+
+    rows = run(4)
+    assert len(rows) == 401  # every doc assigned exactly once
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for b, members in by_bin.items():
+        total = sum(r["n_tokens"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1  # oversize doc isolated
+        else:
+            assert total <= budget
+            # offsets = concatenation order by doc id
+            members.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in members:
+                assert r["bin_offset"] == off
+                off += r["n_tokens"]
+    # deterministic across partitioning
+    key = lambda rows_: sorted((r["doc_id"], r["bin_id"], r["bin_offset"]) for r in rows_)
+    assert key(run(9)) == key(rows)
+
+
 def test_streaming_window_matches_batch_and_emits_once(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.windows import (
