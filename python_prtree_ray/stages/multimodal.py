@@ -136,3 +136,38 @@ class FrameSampler:
         row_offs[1:] = np.cumsum(n_sampled)
         frames = pa.ListArray.from_arrays(pa.array(row_offs, pa.int32()), frames_flat)
         return tbl.append_column("frames", frames)
+
+
+class ImageResizer:
+    """Actor-pool stage: 'resize' an image payload to a fixed byte grid —
+    stub decode (no PIL in this environment), real plumbing. The fake
+    treats the first 256 payload bytes as a 16x16 grid and mean-pools it
+    to ``side``x``side`` — deterministic, fully vectorized over the
+    batch's binary buffers, and shaped exactly like a real thumbnailer
+    (swap _prefix_matrix + pooling for PIL.Image.resize)."""
+
+    GRID = 16
+
+    def __init__(self, side: int = 4, payload_col: str = "payload"):
+        if self.GRID % side:
+            raise ValueError(f"side must divide {self.GRID}; got {side}")
+        self.side = side
+        self.payload_col = payload_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        mat = _prefix_matrix(tbl.column(self.payload_col), self.GRID * self.GRID)
+        n = mat.shape[0]
+        img = mat.reshape(n, self.GRID, self.GRID)
+        f = self.GRID // self.side
+        pooled = (
+            img.reshape(n, self.side, f, self.side, f)
+            .mean(axis=(2, 4))
+            .astype(np.uint8)
+        )
+        flat = pooled.reshape(n, self.side * self.side)
+        return tbl.append_column(
+            "thumb",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(flat.ravel(), type=pa.uint8()), self.side * self.side
+            ),
+        )

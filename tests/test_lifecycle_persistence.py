@@ -792,6 +792,38 @@ def test_minhash_recall_vs_exact_ngram(ray_session):
     assert len(mh & exact) / len(exact) >= 0.8
 
 
+def test_image_resizer_stub_pooling(ray_session):
+    ray = ray_session
+    from python_prtree_ray.stages.multimodal import ImageResizer
+
+    rng = np.random.default_rng(55)
+    payloads = [bytes(rng.integers(0, 256, size=300).tolist()), b"\xff" * 256, b""]
+    t = pa.table(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(ImageResizer, fn_constructor_kwargs=dict(side=4),
+                     batch_format="pyarrow", concurrency=1)
+        .take_all()
+    )
+    got = {r["doc_id"]: r["thumb"] for r in out}
+    # slow reference: 16x16 grid of first 256 bytes (zero-padded), 4x4 mean
+    for i, buf in enumerate(payloads):
+        grid = np.zeros(256, dtype=np.uint8)
+        grid[: min(len(buf), 256)] = np.frombuffer(buf[:256], np.uint8)
+        img = grid.reshape(16, 16)
+        want = (
+            img.reshape(4, 4, 4, 4).mean(axis=(1, 3)).astype(np.uint8).ravel().tolist()
+        )
+        assert got[i] == want, i
+    with pytest.raises(ValueError, match="divide"):
+        ImageResizer(side=5)
+
+
 def test_ann_brute_topk_exact(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.ann import ann_brute_topk
