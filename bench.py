@@ -150,7 +150,8 @@ QUERY_SUBSET = (
     "raster_tiles ann_ivf embedding_neardup embedding_neardup_exact "
     "doc_fingerprint video_frames token_pieces simhash_pairs "
     "distinct_users distinct_users_hll value_quantiles "
-    "doc_sample_stratified events_enriched props_extract pack_documents"
+    "doc_sample_stratified events_enriched props_extract pack_documents "
+    "ann_lsh media_features"
 ).split()
 
 

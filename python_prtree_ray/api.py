@@ -289,13 +289,15 @@ class RayPRTree:
                 *[_Min(c, alias_name=f"lo_{c}") for c in mins],
                 *[_Max(c, alias_name=f"hi_{c}") for c in maxs],
             )
+            if not bounds or any(v is None for v in bounds.values()):
+                bounds = None  # empty query side: epsilon degenerates to abs
             extent = max(
                 (
                     float(bounds[f"hi_{hi}"]) - float(bounds[f"lo_{lo}"])
                     for lo, hi in zip(mins, maxs)
                 ),
                 default=0.0,
-            )
+            ) if bounds else 0.0
             eps = prec.epsilon_for(extent)
 
             def widen(tbl: pa.Table) -> pa.Table:
