@@ -24,7 +24,7 @@ from ray.data import Dataset
 from ..config import tune_context
 
 from ..functions.buckets import blocked_triangle
-from .text import hash_str, hash_str_array
+from .text import hash_str_array
 
 _M61 = (1 << 61) - 1
 

@@ -8,7 +8,6 @@ parallel over batches.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
