@@ -280,6 +280,10 @@ class RayPRTree:
             raise ValueError("Cannot query an empty tree")
         if expand_epsilon:
             prec = self._precision
+            # pin the query side once: the bounds aggregate below consumes
+            # it, and without materialize() the widen pass would re-execute
+            # the whole upstream lineage a second time
+            queries = queries.materialize()
             qschema = queries.schema().base_schema.names
             mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in qschema]
             maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in qschema]
@@ -318,25 +322,27 @@ class RayPRTree:
             return pairs
         import ray as _ray
 
-        objs_ref = _ray.put(dict(self._objs))
+        # decide the obj column's Arrow type ONCE on the driver — a
+        # per-batch decision would give different batches incompatible
+        # schemas (native in one block, pickled in another)
+        try:
+            obj_type = pa.array(list(self._objs.values())).type
+            objs_payload = dict(self._objs)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # arbitrary / mixed Python payloads (reference set_obj accepts
+            # anything picklable, core.py:20-31): ship them pickled, as
+            # the reference itself does on the wire
+            import pickle
+
+            obj_type = pa.binary()
+            objs_payload = {k: pickle.dumps(v) for k, v in self._objs.items()}
+        objs_ref = _ray.put(objs_payload)
 
         def attach(tbl: pa.Table) -> pa.Table:
             objs = _ray.get(objs_ref)
             ids = tbl.column("idx").to_numpy(zero_copy_only=False)
             vals = [objs.get(int(i)) for i in ids]
-            try:
-                col = pa.array(vals)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                # arbitrary / mixed Python payloads (reference set_obj
-                # accepts anything picklable, core.py:20-31): ship them
-                # pickled, as the reference itself does on the wire
-                import pickle
-
-                col = pa.array(
-                    [None if v is None else pickle.dumps(v) for v in vals],
-                    type=pa.binary(),
-                )
-            return tbl.append_column("obj", col)
+            return tbl.append_column("obj", pa.array(vals, type=obj_type))
 
         return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 

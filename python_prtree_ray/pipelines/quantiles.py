@@ -40,6 +40,11 @@ def _interp_quantiles(vals: np.ndarray, counts: np.ndarray, qs) -> list[float]:
     return out
 
 
+def _q_label(q: float) -> str:
+    """Collision-free column label: p50, p90, p99, p99_5 (q=0.995)."""
+    return "p" + (f"{q * 100:g}").replace(".", "_")
+
+
 def value_quantiles(
     events: Dataset,
     key_col: str = "event_type",
@@ -48,6 +53,9 @@ def value_quantiles(
 ) -> Dataset:
     """(key, p50, p90, p99): exact quantiles of FLOOR(value*100) cents."""
     tune_context()
+    labels = [_q_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from qs={qs}")
 
     def partial_counts(tbl: pa.Table) -> pa.Table:
         key = np.asarray(tbl.column(key_col).to_pylist())
@@ -95,7 +103,7 @@ def value_quantiles(
         ps = _interp_quantiles(vals, counts, qs)
         cols = {key_col: pa.array([key], pa.string())}
         for q, p in zip(qs, ps):
-            cols[f"p{int(q * 100)}"] = pa.array([p], pa.float64())
+            cols[_q_label(q)] = pa.array([p], pa.float64())
         return pa.table(cols)
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")

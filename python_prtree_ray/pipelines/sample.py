@@ -52,10 +52,13 @@ def stratified_sample(
 
     def pick(tbl: pa.Table) -> pa.Table:
         k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        s = np.asarray(tbl.column(strata_col).to_pylist())
+        raw = tbl.column(strata_col).to_pylist()
+        # null strata keep nothing — the SQL twin's CASE ... ELSE 0
+        is_null = np.fromiter((x is None for x in raw), dtype=bool, count=len(raw))
+        s = np.asarray(["" if x is None else x for x in raw])
         pos = np.searchsorted(names, s)
         pos_c = np.clip(pos, 0, names.shape[0] - 1)
-        known = names[pos_c] == s
+        known = (names[pos_c] == s) & ~is_null
         cut = np.where(known, cuts[pos_c], 0)
         return tbl.filter(pa.array((k * a + b) % derive.MOD < cut))
 

@@ -279,13 +279,16 @@ class StreamingWindowAggregator:
         win = (ts // self.EVERY_US) * self.EVERY_US
         self._max_ts = max(self._max_ts, np.int64(ts.max()))
         uniq_k, codes = np.unique(key, return_inverse=True)
-        pair = codes * np.int64(1 << 48) + (win // self.EVERY_US)
+        # window index offset keeps the pack positive for pre-1970
+        # timestamps (a negative index would bleed into the key-code bits)
+        W_OFF = np.int64(1 << 47)
+        pair = codes * np.int64(1 << 48) + (win // self.EVERY_US + W_OFF)
         u, inv = np.unique(pair, return_inverse=True)
         n_by = np.bincount(inv)
         c_by = np.zeros(u.shape[0], dtype=np.int64)
         np.add.at(c_by, inv, cents)  # exact int64 accumulation
         k_by = (u >> np.int64(48)).astype(np.int64)
-        w_by = (u & np.int64((1 << 48) - 1)) * self.EVERY_US
+        w_by = ((u & np.int64((1 << 48) - 1)) - W_OFF) * self.EVERY_US
         for j in range(u.shape[0]):  # bounded by open (key, window) pairs
             w = int(w_by[j])
             if w + self.EVERY_US <= self._emit_watermark:

@@ -698,12 +698,19 @@ def test_value_quantiles_exact_and_partition_invariant(ray_session):
         return {r["event_type"]: (r["p50"], r["p90"], r["p99"]) for r in out}
 
     got = run(4)
-    # numpy's 'linear' percentile is the same R-7 rule
+    # reference: the exact R-7 expression the pipeline (and DuckDB
+    # quantile_cont) evaluates — numpy's percentile uses an a+t*(b-a)
+    # lerp that differs in the last ulp on some inputs
     cents = np.floor(value * 100.0).astype(np.int64)
     for k in ("a", "b"):
         v = np.sort(cents[types == k]).astype(np.float64)
-        want = tuple(np.percentile(v, [50, 90, 99], method="linear"))
-        assert got[k] == want, (k, got[k], want)
+        want = []
+        for q in (0.5, 0.9, 0.99):
+            h = (v.shape[0] - 1) * q
+            lo = int(np.floor(h))
+            frac = h - lo
+            want.append((1.0 - frac) * v[lo] + frac * v[min(lo + 1, v.shape[0] - 1)])
+        assert got[k] == tuple(want), (k, got[k], want)
     assert run(11) == got  # partitioning-invariant
 
 
