@@ -18,6 +18,13 @@ driver's value hashes match.
 Domain: the unit square [0, 1]^2 — same as the reference's benchmark
 workloads (``benchmarks/cpp/workloads.h:45-53``: unit square, box edge
 ≤ a few % of extent).
+
+Key domain of the SQL twin: ``key * multiplier`` must fit int64, i.e.
+keys < 2^63 / max(CHANNELS multiplier) ≈ 2.58e9 — beyond that DuckDB
+raises an overflow error (loud, never silently divergent) while the
+NumPy side wraps deterministically. The test tables' keys are far below
+the bound; a >2.5e9-key deployment would cast the oracle through
+HUGEINT (the engine side needs no change).
 """
 
 from __future__ import annotations
