@@ -596,6 +596,37 @@ def test_distinct_count_exact_and_hll(ray_session):
     assert approx == approx2
 
 
+def test_broadcast_lookup_misses_and_dup_keys(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.lookup import broadcast_lookup
+
+    big = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": np.arange(6, dtype=np.int64),
+                "user_id": np.array([1, 2, 3, 99, 2, -5], dtype=np.int64),
+            }
+        )
+    ).repartition(2)
+    small = pa.table(
+        {
+            "c_custkey": np.array([2, 1, 2, 3], dtype=np.int64),  # dup key 2
+            "tag": ["first-2", "one", "last-2", "three"],
+        }
+    )
+    out = broadcast_lookup(
+        big, small, on="user_id", small_on="c_custkey", carry_cols=("tag",)
+    ).take_all()
+    got = {(r["event_id"], r["user_id"]): r["tag"] for r in out}
+    # misses (99, -5) drop; duplicate small key keeps the LAST occurrence
+    assert got == {
+        (0, 1): "one",
+        (1, 2): "last-2",
+        (2, 3): "three",
+        (4, 2): "last-2",
+    }
+
+
 def test_pack_documents_invariants(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.packing import pack_documents
