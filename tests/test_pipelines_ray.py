@@ -208,6 +208,41 @@ def test_spatial_join_3d_cell_path_matches_brute_force(ray_session):
     assert _pairs_set(out) == want
 
 
+def test_spatial_join_4d_both_paths_match_brute_force(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(20)
+    boxes = random_boxes(rng, 1000, edge=0.1, dim=4)
+    qs = random_boxes(rng, 100, edge=0.2, dim=4)
+    bids = rng.permutation(1000).astype(np.int64)
+    qids = np.arange(100, dtype=np.int64)
+    cols4 = ("xmin", "ymin", "zmin", "tmin", "xmax", "ymax", "zmax", "tmax")
+
+    def ds_of(arr, ids, idname):
+        t = pa.table(
+            {idname: ids.astype(np.int64), **{c: arr[:, j] for j, c in enumerate(cols4)}}
+        )
+        return ray.data.from_arrow(t).repartition(3)
+
+    oq, ob = brute_force_pairs(qs, boxes)
+    want = set(zip(qids[oq].tolist(), bids[ob].tolist()))
+    bcast = sj.broadcast_join(
+        ds_of(boxes, bids, "idx"),
+        pa.table(
+            {"query_id": qids, **{c: qs[:, j] for j, c in enumerate(cols4)}}
+        ),
+        box_cols=cols4,
+    ).take_all()
+    assert _pairs_set(bcast) == want
+    cell = sj.spatial_join(
+        ds_of(boxes, bids, "idx"),
+        ds_of(qs, qids, "query_id"),
+        res=3,
+        broadcast=False,
+        box_cols=cols4,
+    ).take_all()
+    assert _pairs_set(cell) == want
+
+
 def test_self_join_salted_matches_unsalted_on_skew(ray_session):
     # reference skew evidence (benchmarks/cpp/workloads.h:182-221): Zipf-
     # clustered boxes make one cell hot; probe-role-replication salting
