@@ -192,7 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.multimodal import video_frame_pipeline
 
         n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
-        return video_frame_pipeline(interleaved_docs(n))
+        # every=2 so frame counts VARY with the stub payload length
+        # (1-2 frames) — the SQL twin reproduces count and byte totals
+        return video_frame_pipeline(interleaved_docs(n), every=2)
 
     def q_events_window(sf):
         import ray
@@ -340,13 +342,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_media_features(sf):
         # interleaved-docs media spans → actor-pool feature extraction
-        # (decode stubbed — no media libs in env; plumbing is real)
+        # (decode stubbed — no media libs in env; plumbing is real).
+        # Features are float32 window-means/255; the driver-checked shape
+        # un-normalizes them back to the INTEGER window sums (lossless:
+        # rint(f * 8 * 255) — float32 error << 0.5), so the DuckDB twin
+        # compares float64-exactly.
+        import pyarrow as pa
+        import pyarrow.compute as _pc
         import pyarrow.parquet as pq
         from python_prtree_ray.sources.synth import interleaved_docs
         from python_prtree_ray.pipelines.multimodal import media_feature_pipeline
 
         n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
-        return media_feature_pipeline(interleaved_docs(n))
+        feats = media_feature_pipeline(interleaved_docs(n))
+
+        def unnorm(tbl: pa.Table) -> pa.Table:
+            fl = tbl.column("features").combine_chunks()
+            mat = (
+                _pc.list_flatten(fl)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(fl), 8)
+            )
+            sums = np.rint(mat * (8.0 * 255.0)).astype(np.int64)
+            cols = {
+                "doc_id": tbl.column("doc_id"),
+                "offset": tbl.column("offset"),
+                "kind": tbl.column("kind"),
+            }
+            for k in range(8):
+                cols[f"f{k}"] = pa.array(sums[:, k])
+            return pa.table(cols)
+
+        return feats.map_batches(unnorm, batch_format="pyarrow", zero_copy_batch=True)
 
     def q_doc_sample(sf):
         import ray
@@ -421,6 +449,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return asof_join(left, right)
 
+    def q_checkpoint_resume(sf):
+        # persistence/resume under the driver's oracle (reference
+        # save/load parity, prtree.h:119-149): run resumable_join, then
+        # run it AGAIN — the second pass must skip every partition
+        # (verified by file mtimes; raises if any compute reran) — and
+        # return the pairs REREAD from the checkpoint files.
+        import os
+        import shutil
+        import tempfile
+
+        from python_prtree_ray.pipelines.checkpoint import read_join, resumable_join
+
+        tag = sf.rstrip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), f"graft_ckpt_resume{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        boxes = tables.boxes_dataset(sf)
+        qs = tables.query_boxes_dataset(sf)
+        resumable_join(boxes, qs, path, res=RES, n_parts=16)
+        mtimes = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+        man2 = resumable_join(boxes, qs, path, res=RES, n_parts=16)
+        for f, mt in mtimes.items():
+            if os.path.getmtime(os.path.join(path, f)) != mt:
+                raise RuntimeError(f"resume recomputed finished partition {f}")
+        if not all(v["status"] == "done" for v in man2["partitions"].values()):
+            raise RuntimeError("resume left partitions pending")
+        return read_join(path)
+
     def q_ann_lsh(sf):
         import ray
         import pyarrow.parquet as pq
@@ -488,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tiles": q_raster_tiles,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "checkpoint_resume": q_checkpoint_resume,
     }
 
 
@@ -792,6 +852,52 @@ SELECT l.l_id, l.user_id AS key, l.l_ts, r.r_id, r.r_ts
 FROM l ASOF JOIN r0 r ON l.user_id = r.user_id AND l.l_ts >= r.r_ts
 """
 
+    # ---- media twins: the stub payload is a pure function of media_ref,
+    # and the interleaved corpus is a pure function of the doc number, so
+    # BOTH media pipelines regenerate exactly in DuckDB (spans CTE twin
+    # verified row-identical in tests/test_pipelines_ray.py).
+    from python_prtree_ray.sources.synth import (
+        MEDIA_PAYLOAD_SQL,
+        MEDIA_PLEN_SQL,
+        interleaved_spans_sql,
+    )
+
+    spans_sql = interleaved_spans_sql(
+        "(SELECT row_number() OVER () - 1 AS i FROM orders)"
+    )
+
+    def _fterm(k: int) -> str:
+        return " + ".join(
+            f"CASE WHEN length(p) >= {8 * k + j + 1} "
+            f"THEN ord(substr(p, {8 * k + j + 1}, 1)) ELSE 0 END"
+            for j in range(8)
+        )
+
+    f_cols = ",\n       ".join(
+        f"CAST({_fterm(k)} AS BIGINT) AS f{k}" for k in range(8)
+    )
+    media_features_sql = f"""
+WITH sp AS ({spans_sql}),
+pay AS (SELECT doc_id, "offset", kind, {MEDIA_PAYLOAD_SQL} AS p FROM sp)
+SELECT doc_id, "offset", kind,
+       {f_cols}
+FROM pay
+"""
+
+    video_frames_sql = f"""
+WITH sp AS ({spans_sql}),
+v AS (SELECT doc_id, "offset", {MEDIA_PLEN_SQL} AS plen FROM sp
+      WHERE kind = 'video'),
+c AS (SELECT doc_id, "offset", plen,
+             CAST(CEIL(plen / 64.0) AS BIGINT) AS n_chunks FROM v)
+SELECT doc_id, "offset",
+       CAST(CEIL(n_chunks / 2.0) AS BIGINT) AS n_frames,
+       CAST(LEAST(64, plen) +
+            CASE WHEN n_chunks > 2 THEN LEAST(64, plen - 128) ELSE 0 END
+            AS BIGINT) AS frame_bytes
+FROM c
+"""
+
     spatial_join_3d_sql = f"""
 WITH b AS ({derive.boxes_3d_sql("orders", "o_orderkey", "idx")}),
      q AS ({derive.query_boxes_3d_sql("customer", "c_custkey", "query_id")})
@@ -845,6 +951,10 @@ WHERE {intersects}
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,
         "raster_tiles": raster_tiles_sql,
+        "media_features": media_features_sql,
+        "video_frames": video_frames_sql,
+        # resume reread must equal the plain join's pair set
+        "checkpoint_resume": spatial_join_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

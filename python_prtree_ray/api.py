@@ -51,11 +51,19 @@ class RayPRTree:
         strict: bool = True,
         validate: bool = False,
         precision: "PrecisionConfig | None" = None,
+        spill_dir: str | None = None,
     ):
         from .functions.validate import PrecisionConfig
 
         self.res = res
         self.strict = strict
+        # compaction target: rebuild() streams the compacted base HERE
+        # (partitioned parquet via state/manifest) and reloads it lazily —
+        # never pinning the whole table in the object store. None → a
+        # process-lifetime temp dir (single-node default); at cluster
+        # scale pass shared storage.
+        self._spill_dir = spill_dir
+        self._compact_gen = 0
         self._validate = validate
         self._precision = precision or PrecisionConfig()
         self._objs: dict[int, object] = {}
@@ -87,14 +95,24 @@ class RayPRTree:
 
     def insert(self, bb, idx: int | None = None, obj: object | None = None) -> int:
         """Single-record insert — reference ``insert(bb, idx=None, obj)``
-        parity (``core.py:454-509``): ``idx=None`` auto-assigns ``n + 1``;
-        the box is validated with the live precision config; ``obj`` is
-        attached via :meth:`set_obj`. Sugar over a 1-row delta Dataset.
-        Returns the idx used."""
+        parity (``core.py:454-509``): at least one of ``idx``/``obj`` must
+        be given (``core.py:455-456`` "Specify index or obj"); ``idx=None``
+        auto-assigns ``n + 1``; ``obj`` is attached via :meth:`set_obj`.
+        Sugar over a 1-row delta Dataset. Returns the idx used.
+
+        The box is ALWAYS validated with the live precision config,
+        regardless of the ``validate`` construction flag — parity with the
+        reference, whose single-record insert unconditionally checks
+        coordinates (raises on min > max / NaN). Bulk
+        :meth:`insert_batch` validation stays opt-in (``validate=True``):
+        at 100-TB scale per-row validation is a deliberate, paid-for pass.
+        """
         import ray as _ray
 
         from .functions.validate import validate_boxes
 
+        if idx is None and obj is None:
+            raise ValueError("Specify index or obj")
         b = np.asarray(bb, dtype=np.float64).ravel()
         if b.shape[0] % 2 or b.shape[0] < 4:
             raise ValueError(f"bb must be (xmin, ymin, ..., xmax, ymax, ...); got {bb!r}")
@@ -113,6 +131,9 @@ class RayPRTree:
         return int(idx)
 
     def insert_batch(self, boxes: Dataset) -> None:
+        """Bulk insert of a box Dataset. Validation runs only when the tree
+        was constructed with ``validate=True`` (the scale-path default is
+        off; see :meth:`insert` for the single-record contrast)."""
         if self._validate:
             from .functions.validate import validated_boxes_dataset
 
@@ -197,20 +218,48 @@ class RayPRTree:
             self.rebuild()
 
     def rebuild(self) -> None:
-        """Compaction: materialize (base ∪ delta − tombstones) as the new
-        base — per-cell deterministic, the distributed analog of the
-        reference's DFS-harvest + bulk re-build (``prtree.h:420-468``)."""
+        """Compaction: stream (base ∪ delta − tombstones) to partitioned
+        parquet (``state/manifest.save_tree``) and reload it as the new
+        lazy base — per-cell deterministic, the distributed analog of the
+        reference's DFS-harvest + bulk re-build (``prtree.h:420-468``).
+        Storage-backed (not ``materialize()``): the 1.25× auto-trigger
+        never pins the full table in the object store; each generation's
+        files are dropped once the next generation lands."""
+        import os
+        import shutil
+        import tempfile
+
+        from .state.manifest import load_tree, save_tree
+
         ds = self.dataset()
         if ds is None:
             return
-        self._base = ds.materialize()
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="rayprtree-compact-")
+        gen = self._compact_gen + 1
+        path = os.path.join(self._spill_dir, f"gen-{gen:06d}")
+        man = save_tree(ds, path, res=self.res)
+        if man["metrics"]["total_rows"] == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            self._base = None
+        else:
+            self._base, _ = load_tree(path)
+        if self._compact_gen:
+            shutil.rmtree(
+                os.path.join(self._spill_dir, f"gen-{self._compact_gen:06d}"),
+                ignore_errors=True,
+            )
+        self._compact_gen = gen
         self._deltas = []
         self._tombs = []
-        if self.strict:
+        if self._base is None:
+            self._keys = np.empty(0, dtype=np.int64) if self.strict else None
+            self._n_at_build = 0
+        elif self.strict:
             self._keys = self._collect_keys(self._base)
             self._n_at_build = int(self._keys.shape[0])
         else:
-            self._n_at_build = self._base.count()
+            self._n_at_build = int(man["metrics"]["total_rows"])
 
     # ------------------------------------------------------------ access
 

@@ -29,13 +29,34 @@ from .text import hash_str_array
 _M61 = (1 << 61) - 1
 
 
+def _uniform_lists(flat2d: np.ndarray, typ: pa.DataType) -> pa.ListArray:
+    """2D (n, w) array → ``list<typ>`` column from one offsets buffer —
+    no per-row Python list objects (same pattern as the FixedSizeList
+    assembly in ``stages/multimodal.py``; kept as variable-width list so
+    the column type is unchanged for consumers)."""
+    n, w = flat2d.shape
+    offs = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+    return pa.ListArray.from_arrays(pa.array(offs), pa.array(flat2d.ravel(), type=typ))
+
+
+def _lists_matrix(col, dtype=None) -> np.ndarray:
+    """Uniform-width list column → 2D numpy view of the flat buffer
+    (replaces ``np.stack(col.to_numpy())``'s per-row array objects).
+    ``list_flatten`` (not ``.values``) so sliced arrays read correctly."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    if dtype is not None:
+        flat = flat.astype(dtype)
+    return flat.reshape(len(arr), -1)
+
+
 def _token_hashes(text_col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """Whitespace tokens of every row → (flat int64 hashes, row offsets)."""
+    """Whitespace tokens of every row → (flat int64 hashes, row offsets).
+    Tokens are hashed straight off the Arrow UTF-8 buffer (zero-copy into
+    polars) — no numpy-unicode materialization of the token text."""
     toks = pc.split_pattern_regex(text_col, r"\s+").combine_chunks()
-    values = toks.values.to_numpy(zero_copy_only=False).astype(str)
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq, inv = np.unique(values, return_inverse=True)
-    hval = hash_str_array(uniq)[inv]
+    hval = hash_str_array(toks.values)
     return hval, offs
 
 
@@ -135,7 +156,7 @@ def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     N_BUCKETS = 512
 
     def to_hash(tbl: pa.Table) -> pa.Table:
-        h = hash_str_array(tbl.column(text_col).to_pylist())
+        h = hash_str_array(tbl.column(text_col))
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         # map-side combine: min id per hash within the batch
         order = np.lexsort((ids, h))
@@ -347,9 +368,7 @@ def minhash_pairs(
                 id_col: np.concatenate(out_id),
                 "band": np.concatenate(out_band),
                 "bucket": np.concatenate(out_bucket),
-                "sig": pa.array(
-                    list(np.concatenate(out_sig, axis=0)), type=pa.list_(pa.int16())
-                ),
+                "sig": _uniform_lists(np.concatenate(out_sig, axis=0), pa.int16()),
             }
         )
 
@@ -379,7 +398,7 @@ def minhash_pairs(
             )
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         band = int(group.column("band")[0].as_py())
-        sig = np.stack(group.column("sig").to_numpy(zero_copy_only=False))
+        sig = _lists_matrix(group.column("sig"))
         out_a, out_b, out_e = [], [], []
         # blocked upper-triangle sweep: one block normally; exact O(n²)
         # blocks (never a silent drop) for degenerate-hash buckets
@@ -421,7 +440,7 @@ def minhash_pairs(
 
 def _emb_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = tbl.column(col).combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(arr), -1)
 
 
@@ -471,7 +490,7 @@ def embedding_neardup_pairs(
                 "bucket": bucket,
                 "embedding": tbl.column("embedding").take(idx),
                 "norm": norm[idx],
-                "pats": pa.array(list(pats[idx].astype(np.int32)), type=pa.list_(pa.int32())),
+                "pats": _uniform_lists(pats[idx].astype(np.int32), pa.int32()),
             }
         )
 
@@ -496,7 +515,7 @@ def embedding_neardup_pairs(
         emb = _emb_matrix(group, "embedding")
         norm = group.column("norm").to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        pats = np.stack(group.column("pats").to_numpy(zero_copy_only=False))
+        pats = _lists_matrix(group.column("pats"))
         table_id = int(group.column("bucket")[0].as_py()) >> n_bits
         if n > bucket_cap:
             import logging
@@ -550,7 +569,7 @@ def embedding_neardup_exact(
         return pa.table(
             {
                 id_col: tbl.column(id_col),
-                "nemb": pa.array(list(nemb), type=pa.list_(pa.float64())),
+                "nemb": _uniform_lists(nemb, pa.float64()),
             }
         )
 

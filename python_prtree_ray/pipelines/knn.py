@@ -38,16 +38,36 @@ from ..config import tune_context
 from ..stages import spatial as st
 
 
-def _centroid_histogram(boxes: Dataset, res: int) -> np.ndarray:
-    """Dense (g*g,) centroid counts. Grid stays metadata-sized because
-    ``res`` is chosen so cells hold ~1e5 boxes; at res<=10 this is <=1M
-    int64 — broadcastable. (Sparse dict fallback would cover higher res.)"""
+def _centroids(b: np.ndarray) -> np.ndarray:
+    """(n, 2D) box matrix → (n, D) centroid matrix. For D=2 this is
+    bitwise ``(xmin+xmax)*0.5`` / ``(ymin+ymax)*0.5`` — the SQL-oracle
+    expressions."""
+    d = b.shape[1] // 2
+    return np.stack([(b[:, j] + b[:, d + j]) * 0.5 for j in range(d)], axis=1)
+
+
+def _cell_nd(P: np.ndarray, res: int) -> np.ndarray:
+    """(n, D) points → flat row-major D-dim cell index (matches
+    ``grid.reshape((g,)*D)`` raveling; for D=2 equals
+    ``cells.cell_of_points``)."""
+    g = 1 << res
+    idx = np.clip(np.floor(P * g).astype(np.int64), 0, g - 1)
+    flat = np.zeros(P.shape[0], dtype=np.int64)
+    for d in range(P.shape[1]):
+        flat = flat * g + idx[:, d]
+    return flat
+
+
+def _centroid_histogram(
+    boxes: Dataset, res: int, box_cols: tuple = st.BOX_COLS
+) -> np.ndarray:
+    """Dense (g^D,) centroid counts over the FULL-D grid (a 2-D histogram
+    cannot bound D-dim distance). Stays metadata-sized: pick ``res`` so
+    g^D <= ~1M (res 5 covers 2D/3D; use res<=5 for 4D)."""
 
     def partial(tbl: pa.Table) -> pa.Table:
-        b = st.boxes_np(tbl)
-        cx = (b[:, 0] + b[:, 2]) * 0.5
-        cy = (b[:, 1] + b[:, 3]) * 0.5
-        cell = cellmod.cell_of_points(cx, cy, res)
+        C = _centroids(st.boxes_np(tbl, box_cols))
+        cell = _cell_nd(C, res)
         uc, counts = np.unique(cell, return_counts=True)
         return pa.table({"cell": uc, "n": counts.astype(np.int64)})
 
@@ -58,30 +78,38 @@ def _centroid_histogram(boxes: Dataset, res: int) -> np.ndarray:
         .take_all()
     )
     g = 1 << res
-    grid = np.zeros(g * g, dtype=np.int64)
+    dims = len(box_cols) // 2
+    grid = np.zeros(g**dims, dtype=np.int64)
     for r in rows:
         grid[int(r["cell"])] = int(r["n"])
     return grid
 
 
-def _ring_for_k(grid: np.ndarray, res: int, k_eff: int) -> np.ndarray:
+def _ring_for_k(grid: np.ndarray, res: int, k_eff: int, dims: int = 2) -> np.ndarray:
     """Per-cell smallest Chebyshev ring R whose cumulative centroid count
-    >= k_eff, via a 2-D summed-area table. Early-exits as soon as every
-    cell is settled — memory stays O(g²) (one ring at a time), never the
-    (g², g) table a precomputed cumcount matrix would need at high res."""
+    >= k_eff, via a D-dim summed-area table (inclusion-exclusion over the
+    2^D box corners). Early-exits as soon as every cell is settled —
+    memory stays O(g^D) (one ring at a time)."""
     g = 1 << res
-    dense = grid.reshape(g, g)
-    sat = np.zeros((g + 1, g + 1), dtype=np.int64)
-    sat[1:, 1:] = dense.cumsum(0).cumsum(1)
-    ix, iy = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
-    ring = np.full(g * g, g, dtype=np.int64)
-    unset = np.ones(g * g, dtype=bool)
+    dense = grid.reshape((g,) * dims)
+    sat = np.zeros((g + 1,) * dims, dtype=np.int64)
+    sat[(slice(1, None),) * dims] = dense
+    for ax in range(dims):
+        np.cumsum(sat, axis=ax, out=sat)
+    idx = np.indices((g,) * dims)
+    ring = np.full(g**dims, g, dtype=np.int64)
+    unset = np.ones(g**dims, dtype=bool)
     for r in range(g + 1):
-        x0 = np.clip(ix - r, 0, g)
-        x1 = np.clip(ix + r + 1, 0, g)
-        y0 = np.clip(iy - r, 0, g)
-        y1 = np.clip(iy + r + 1, 0, g)
-        s = (sat[x1, y1] - sat[x0, y1] - sat[x1, y0] + sat[x0, y0]).ravel()
+        lo = [np.clip(idx[d] - r, 0, g) for d in range(dims)]
+        hi = [np.clip(idx[d] + r + 1, 0, g) for d in range(dims)]
+        s = np.zeros((g,) * dims, dtype=np.int64)
+        for mask in range(1 << dims):
+            sel = tuple(lo[d] if (mask >> d) & 1 else hi[d] for d in range(dims))
+            if bin(mask).count("1") % 2:
+                s -= sat[sel]
+            else:
+                s += sat[sel]
+        s = s.ravel()
         hit = unset & (s >= k_eff)
         ring[hit] = r
         unset &= ~hit
@@ -107,11 +135,24 @@ def _try_collect_points(points: Dataset, limit: int) -> pa.Table | None:
     return pa.concat_tables(batches) if batches else pa.table({})
 
 
+def _dist2(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise squared distance of two (n, D) matrices, accumulated
+    dim-by-dim — for D=2 this is bitwise ``dx*dx + dy*dy``, the SQL-
+    oracle expression."""
+    d = Q[:, 0] - C[:, 0]
+    acc = d * d
+    for j in range(1, Q.shape[1]):
+        d = Q[:, j] - C[:, j]
+        acc = acc + d * d
+    return acc
+
+
 def _local_knn_candidates(
-    cx: np.ndarray, cy: np.ndarray, qx: np.ndarray, qy: np.ndarray, kk: int
+    C: np.ndarray, Q: np.ndarray, kk: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Exact threshold-inclusive local top-k: for each query point, every
-    centroid position with dist2 <= the local k-th smallest (ties kept).
+    """Exact threshold-inclusive local top-k: for each query point (row of
+    ``Q``, shape (m, D)), every centroid (row of ``C``, shape (B, D))
+    with dist2 <= the local k-th smallest (ties kept).
     Returns (query_row, centroid_pos, dist2).
 
     Expanding-radius search over a packed PR-tree of the batch's
@@ -120,15 +161,14 @@ def _local_knn_candidates(
     radius-r probe returns all points with Chebyshev distance <= r, so
     once >= k hits exist and the k-th EUCLIDEAN distance dk <= r, no
     point outside the box can beat it; otherwise one re-probe at
-    r = sqrt(dk) settles it."""
+    r = sqrt(dk) settles it. D-generic (reference kNN workloads are 2D;
+    3D/4D ride the same kernel)."""
     from ..functions.prtree import PRTree
 
-    B = cx.shape[0]
-    tree = PRTree(
-        np.arange(B, dtype=np.int64), np.stack([cx, cy, cx, cy], axis=1)
-    )
-    m = qx.shape[0]
-    rad = np.full(m, max(math.sqrt(kk / max(B, 1)), 1e-6))
+    B, dims = C.shape
+    tree = PRTree(np.arange(B, dtype=np.int64), np.hstack([C, C]))
+    m = Q.shape[0]
+    rad = np.full(m, max((kk / max(B, 1)) ** (1.0 / dims), 1e-6))
     alive = np.arange(m, dtype=np.int64)
     out_q: list[np.ndarray] = []
     out_p: list[np.ndarray] = []
@@ -136,15 +176,13 @@ def _local_knn_candidates(
     for _round in range(64):  # hard cap; stragglers fall back to brute force
         if not alive.size:
             break
-        ax, ay, ar = qx[alive], qy[alive], rad[alive]
+        aq, ar = Q[alive], rad[alive]
         qi, ppos = tree.batch_query_positions(
-            np.stack([ax - ar, ay - ar, ax + ar, ay + ar], axis=1)
+            np.hstack([aq - ar[:, None], aq + ar[:, None]])
         )
         pos = tree.idx[ppos]  # packed position -> original centroid row
         cnt = np.bincount(qi, minlength=alive.size)
-        dx = ax[qi] - cx[pos]
-        dy = ay[qi] - cy[pos]
-        d2 = dx * dx + dy * dy
+        d2 = _dist2(aq[qi], C[pos])
         order = np.lexsort((d2, qi))  # sort by (query, dist2)
         qi_s, pos_s, d2_s = qi[order], pos[order], d2[order]
         starts = np.searchsorted(qi_s, np.arange(alive.size + 1))
@@ -169,7 +207,7 @@ def _local_knn_candidates(
         rad[alive[grow]] = new_rad[grow]
         alive = alive[grow]
     for a in alive:  # brute-force any capped stragglers (defensive; rare)
-        d2 = (qx[a] - cx) ** 2 + (qy[a] - cy) ** 2
+        d2 = _dist2(np.broadcast_to(Q[a], C.shape), C)
         thr = np.partition(d2, kk - 1)[kk - 1]
         hit = np.nonzero(d2 <= thr)[0]
         out_q.append(np.full(hit.shape[0], a, dtype=np.int64))
@@ -182,12 +220,24 @@ def _local_knn_candidates(
     )
 
 
-def knn_broadcast(boxes: Dataset, points_table: pa.Table, k: int) -> Dataset:
+POINT_COLS = ("px", "py")
+POINT3D_COLS = ("px", "py", "pz")
+POINT4D_COLS = ("px", "py", "pz", "pt")
+
+
+def knn_broadcast(
+    boxes: Dataset,
+    points_table: pa.Table,
+    k: int,
+    box_cols: tuple = st.BOX_COLS,
+    point_cols: tuple = POINT_COLS,
+) -> Dataset:
     """Zero-shuffle-build kNN for a small query side: per batch of boxes,
     each query keeps every candidate with dist2 <= its local k-th
     smallest (ties INCLUDED, so the global merge can apply the exact
     (dist2, idx) order) → one tiny ``groupby(query_id)`` merge of ~k
-    rows per query per batch. One small shuffle total."""
+    rows per query per batch. One small shuffle total. D-generic via
+    ``box_cols``/``point_cols`` (6/3 names for 3D, 8/4 for 4D)."""
     tune_context()
     if points_table.num_rows == 0:
         return ray.data.from_arrow(
@@ -196,18 +246,21 @@ def knn_broadcast(boxes: Dataset, points_table: pa.Table, k: int) -> Dataset:
             ).empty_table()
         )
     qids = points_table.column("query_id").to_numpy(zero_copy_only=False)
-    px = points_table.column("px").to_numpy(zero_copy_only=False)
-    py = points_table.column("py").to_numpy(zero_copy_only=False)
-    side_ref = ray.put((qids.astype(np.int64), px, py))
+    Q = np.stack(
+        [
+            points_table.column(c).to_numpy(zero_copy_only=False)
+            for c in point_cols
+        ],
+        axis=1,
+    )
+    side_ref = ray.put((qids.astype(np.int64), Q))
 
     def local_topk(tbl: pa.Table) -> pa.Table:
-        q_ids, qx, qy = ray.get(side_ref)
-        b = st.boxes_np(tbl)
+        q_ids, qm = ray.get(side_ref)
+        C = _centroids(st.boxes_np(tbl, box_cols))
         ids = st.col_np(tbl, "idx")
-        cx = (b[:, 0] + b[:, 2]) * 0.5
-        cy = (b[:, 1] + b[:, 3]) * 0.5
-        kk = min(k, cx.shape[0])
-        qrow, pos, d2 = _local_knn_candidates(cx, cy, qx, qy, kk)
+        kk = min(k, C.shape[0])
+        qrow, pos, d2 = _local_knn_candidates(C, qm, kk)
         return pa.table(
             {"query_id": q_ids[qrow], "idx": ids[pos], "dist2": d2}
         )
@@ -232,44 +285,49 @@ def knn_join(
     k: int,
     res: int = 5,
     broadcast: bool | None = None,
+    box_cols: tuple = st.BOX_COLS,
+    point_cols: tuple = POINT_COLS,
 ) -> Dataset:
     """k nearest box centroids per query point → (query_id, idx, rank).
 
     Small point sides (``KNN_BROADCAST_LIMIT``) take the one-shuffle
     broadcast local-top-k path; large ones the histogram ring-expansion
-    cell join."""
+    cell join. Both paths are D-generic (``box_cols``/``point_cols``:
+    6/3 names for 3D, 8/4 for 4D); the cell join partitions on x/y only
+    (like the spatial join) while the radius bound comes from a FULL-D
+    histogram — keep ``res`` small enough that g^D stays metadata-sized
+    (res<=5 for 4D)."""
+    dims = len(point_cols)
     if broadcast is not False:
         ptbl = _try_collect_points(
             points, KNN_BROADCAST_LIMIT if broadcast is None else (1 << 62)
         )
         if ptbl is not None:
-            return knn_broadcast(boxes, ptbl, k)
+            return knn_broadcast(boxes, ptbl, k, box_cols, point_cols)
     tune_context()
     g = 1 << res
     cellw = 1.0 / g
-    grid = _centroid_histogram(boxes, res)
+    grid = _centroid_histogram(boxes, res, box_cols)
     # smallest ring with >= k candidates, per cell (k capped at total)
     k_eff = min(k, int(grid.sum())) or 1
-    ring = _ring_for_k(grid, res, k_eff)
+    ring = _ring_for_k(grid, res, k_eff, dims)
     ring_ref = ray.put(ring)
+    d = dims
+    mins, maxs = box_cols[:d], box_cols[d:]
 
     def to_radius_boxes(tbl: pa.Table) -> pa.Table:
         rng = ray.get(ring_ref)
-        px = st.col_np(tbl, "px")
-        py = st.col_np(tbl, "py")
-        cell = cellmod.cell_of_points(px, py, res)
-        rad = (rng[cell] + 1).astype(np.float64) * cellw * math.sqrt(2.0)
-        return pa.table(
-            {
-                "query_id": st.col_np(tbl, "query_id"),
-                "xmin": px - rad,
-                "ymin": py - rad,
-                "xmax": px + rad,
-                "ymax": py + rad,
-                "px": px,
-                "py": py,
-            }
-        )
+        P = np.stack([st.col_np(tbl, c) for c in point_cols], axis=1)
+        cell = _cell_nd(P, res)
+        rad = (rng[cell] + 1).astype(np.float64) * cellw * math.sqrt(float(d))
+        cols = {"query_id": st.col_np(tbl, "query_id")}
+        for j, c in enumerate(mins):
+            cols[c] = P[:, j] - rad
+        for j, c in enumerate(maxs):
+            cols[c] = P[:, j] + rad
+        for j, c in enumerate(point_cols):
+            cols[c] = P[:, j]
+        return pa.table(cols)
 
     qboxes = points.map_batches(
         to_radius_boxes, batch_format="pyarrow", zero_copy_batch=True
@@ -277,80 +335,83 @@ def knn_join(
 
     # centroids as degenerate boxes through the cell join; carry coords
     def centroid_rows(tbl: pa.Table) -> pa.Table:
-        b = st.boxes_np(tbl)
-        cx = (b[:, 0] + b[:, 2]) * 0.5
-        cy = (b[:, 1] + b[:, 3]) * 0.5
-        return pa.table(
-            {
-                "idx": st.col_np(tbl, "idx"),
-                "xmin": cx,
-                "ymin": cy,
-                "xmax": cx,
-                "ymax": cy,
-            }
-        )
+        C = _centroids(st.boxes_np(tbl, box_cols))
+        cols = {"idx": st.col_np(tbl, "idx")}
+        for j, c in enumerate(mins):
+            cols[c] = C[:, j]
+        for j, c in enumerate(maxs):
+            cols[c] = C[:, j]
+        return pa.table(cols)
 
     cents = boxes.map_batches(
         centroid_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def expand_build_with_coords(tbl: pa.Table) -> pa.Table:
-        # emit px/py explicitly (zeros) so build and probe rows union with
-        # an IDENTICAL schema — no reliance on implicit null-promotion
+        # emit point cols explicitly (zeros) so build and probe rows union
+        # with an IDENTICAL schema — no reliance on implicit null-promotion
         out = st.expand_boxes_to_cells(
-            tbl, res=res, side=st.SIDE_BUILD, id_col="idx"
+            tbl, res=res, side=st.SIDE_BUILD, id_col="idx", box_cols=box_cols
         )
         zeros = pa.array(np.zeros(out.num_rows, dtype=np.float64))
-        return out.append_column("px", zeros).append_column("py", zeros)
+        for c in point_cols:
+            out = out.append_column(c, zeros)
+        return out
 
     build = cents.map_batches(
         expand_build_with_coords,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # probe rows need px/py alongside; expand then re-derive px/py from the
-    # (degenerate-free) radius box center: px = (xmin+xmax)*0.5 is exact
-    # only if rad subtraction/addition round-trips — it need not. Carry
-    # px/py explicitly instead.
+    # probe rows need the point coords alongside; expand then re-derive
+    # from the radius box center would need rad add/sub to round-trip —
+    # it need not. Carry the coords explicitly instead.
     probe = qboxes.map_batches(
         _expand_probe_with_coords,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs=dict(res=res),
+        fn_kwargs=dict(res=res, box_cols=box_cols, point_cols=point_cols),
     )
     union = build.union(probe)
     pairs = union.groupby("key").map_groups(
-        _make_knn_cell(res), batch_format="pyarrow"
+        _make_knn_cell(res, box_cols, point_cols), batch_format="pyarrow"
     )
     return _bucketed_topk(pairs, k)
 
 
-def _expand_probe_with_coords(tbl: pa.Table, res: int) -> pa.Table:
-    b = st.boxes_np(tbl)
+def _expand_probe_with_coords(
+    tbl: pa.Table,
+    res: int,
+    box_cols: tuple = st.BOX_COLS,
+    point_cols: tuple = POINT_COLS,
+) -> pa.Table:
+    b = st.boxes_np(tbl, box_cols)
     ids = st.col_np(tbl, "query_id")
-    px = st.col_np(tbl, "px")
-    py = st.col_np(tbl, "py")
-    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    d = len(point_cols)
+    # cell partitioning on x/y only (dims 0/1), like the spatial join
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, d], b[:, d + 1], res)
     out = {
         "key": cell * st.MAX_SALT,
         "cell": cell,
         "side": np.full(cell.shape[0], st.SIDE_PROBE, dtype=np.int8),
         "id": ids[row],
-        "xmin": b[row, 0],
-        "ymin": b[row, 1],
-        "xmax": b[row, 2],
-        "ymax": b[row, 3],
-        "px": px[row],
-        "py": py[row],
     }
+    for j, c in enumerate(box_cols):
+        out[c] = b[row, j]
+    for c in point_cols:
+        out[c] = st.col_np(tbl, c)[row]
     return pa.table(out)
 
 
-def _make_knn_cell(res: int):
+def _make_knn_cell(
+    res: int, box_cols: tuple = st.BOX_COLS, point_cols: tuple = POINT_COLS
+):
+    d = len(point_cols)
+
     def knn_cell(group: pa.Table) -> pa.Table:
         side = st.col_np(group, "side")
         ids = st.col_np(group, "id")
-        b = st.boxes_np(group)
+        b = st.boxes_np(group, box_cols)
         bmask = side == st.SIDE_BUILD
         empty = pa.table(
             {
@@ -368,21 +429,19 @@ def _make_knn_cell(res: int):
         qi, pos = tree.batch_query_positions(b[qsel])
         if qi.size == 0:
             return empty
-        # owner-cell dedup (centroid = degenerate box, lies in ONE cell, but
-        # probe radius boxes span many cells → dedup by centroid's cell)
+        # owner-cell dedup (centroid = degenerate box, lies in ONE x/y
+        # cell, but probe radius boxes span many cells)
         cell_val = int(group.column("cell")[0].as_py())
         owner = cellmod.cell_of_points(tree.boxes[pos, 0], tree.boxes[pos, 1], res)
         keep = owner == cell_val
         qi, pos = qi[keep], pos[keep]
         if qi.size == 0:
             return empty
-        px = st.col_np(group, "px")[qsel][qi]
-        py = st.col_np(group, "py")[qsel][qi]
-        cx = tree.boxes[pos, 0]
-        cy = tree.boxes[pos, 1]
-        dx = px - cx
-        dy = py - cy
-        d2 = dx * dx + dy * dy
+        P = np.stack(
+            [st.col_np(group, c)[qsel][qi] for c in point_cols], axis=1
+        )
+        C = tree.boxes[pos, :d]  # degenerate box mins == centroid coords
+        d2 = _dist2(P, C)
         return pa.table(
             {"query_id": ids[qsel][qi], "idx": tree.idx[pos], "dist2": d2}
         )

@@ -7,8 +7,11 @@ the canonical 100-TB enrichment shape: a fact stream annotated from a
 dimension table without moving a single fact row — the alternative
 shuffle join moves everything.
 
-Duplicate keys on the small side keep the LAST occurrence (deterministic;
-dedup upstream if other semantics are needed).
+Duplicate keys on the small side RAISE by default (``on_dup="error"``) —
+a broadcast lookup resolves each fact row to at most one dimension row,
+so a dup-keyed dimension table diverges from a SQL fan-out join and the
+divergence would be silent. Pass ``on_dup="last"`` to deterministically
+keep the last occurrence instead (explicitly non-SQL semantics).
 """
 
 from __future__ import annotations
@@ -28,13 +31,23 @@ def broadcast_lookup(
     on: str,
     small_on: str | None = None,
     carry_cols: tuple[str, ...] = (),
+    on_dup: str = "error",
 ) -> Dataset:
     """Inner-join ``big`` (streaming) to ``small`` (broadcast) on an
     int64 key, appending ``carry_cols`` from the small side. Rows of
-    ``big`` without a match drop (inner semantics)."""
+    ``big`` without a match drop (inner semantics). ``on_dup``:
+    ``"error"`` (default) raises if the small side's keys are not unique;
+    ``"last"`` keeps the last occurrence per key."""
     tune_context()
+    if on_dup not in ("error", "last"):
+        raise ValueError(f"on_dup must be 'error' or 'last'; got {on_dup!r}")
     small_on = small_on or on
     keys = small.column(small_on).to_numpy(zero_copy_only=False).astype(np.int64)
+    if on_dup == "error" and np.unique(keys).size != keys.size:
+        raise ValueError(
+            f"broadcast_lookup: duplicate keys in small side column "
+            f"{small_on!r}; dedup upstream or pass on_dup='last'"
+        )
     order = np.argsort(keys, kind="stable")  # stable → last dup wins below
     keys_s = keys[order]
     payload = {

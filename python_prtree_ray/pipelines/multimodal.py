@@ -50,12 +50,24 @@ def explode_media_spans(tbl: pa.Table) -> pa.Table:
 def fetch_payload_stub(tbl: pa.Table) -> pa.Table:
     """STUB blob fetch: payload bytes are a deterministic expansion of the
     media_ref URI (a real build replaces this one function with an object
-    store / lakehouse read). Pure Arrow kernels: repeat → slice → cast
-    reproduces ``(ref.encode() * 8)[:256]`` for the ASCII refs."""
+    store / lakehouse read). The repeat count varies with the ref's LAST
+    byte (``1 + byte % 12``) so payload LENGTHS vary — downstream frame
+    counts and zero-padding are exercised — and the whole stub stays a
+    pure SQL-expressible function of ``media_ref`` (DuckDB twin:
+    ``substr(repeat(ref, 1 + ord(substr(ref, length(ref))) % 12), 1,
+    256)``), which lets the driver hash-check both media pipelines."""
     import pyarrow.compute as pc
 
+    from ..stages.multimodal import _binary_parts
+
     refs = tbl.column("media_ref")
-    rep = pc.binary_repeat(refs, 8)
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    offs, data = _binary_parts(refs)
+    lens = np.diff(offs)
+    last = np.where(lens > 0, data[np.maximum(offs[1:] - 1, 0)], 0).astype(np.int64)
+    reps = (1 + last % 12).astype(np.int32)
+    rep = pc.binary_repeat(refs, pa.array(reps))
     clipped = pc.utf8_slice_codeunits(rep, 0, 256)
     return tbl.append_column("payload", pc.cast(clipped, pa.binary()))
 
@@ -107,13 +119,26 @@ def video_frame_pipeline(docs: Dataset, every: int = 4, concurrency=(1, 8)) -> D
     )
 
     def summarize(tbl: pa.Table) -> pa.Table:
+        fl = tbl.column("frames").combine_chunks()
+        counts = pc.list_value_length(fl).to_numpy(zero_copy_only=False).astype(np.int64)
+        # total sampled bytes per row: flat frame lengths, segment-summed
+        # via prefix sums (checks the gather math, not just the counts)
+        blens = (
+            pc.binary_length(pc.list_flatten(fl))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offs = np.zeros(len(fl) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        pref = np.zeros(blens.shape[0] + 1, dtype=np.int64)
+        np.cumsum(blens, out=pref[1:])
+        fbytes = pref[offs[1:]] - pref[offs[:-1]]
         return pa.table(
             {
                 "doc_id": tbl.column("doc_id"),
                 "offset": tbl.column("offset"),
-                "n_frames": pc.cast(
-                    pc.list_value_length(tbl.column("frames")), pa.int64()
-                ),
+                "n_frames": pa.array(counts, type=pa.int64()),
+                "frame_bytes": pa.array(fbytes, type=pa.int64()),
             }
         )
 

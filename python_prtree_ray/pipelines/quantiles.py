@@ -58,7 +58,6 @@ def value_quantiles(
         raise ValueError(f"duplicate quantile labels from qs={qs}")
 
     def partial_counts(tbl: pa.Table) -> pa.Table:
-        key = np.asarray(tbl.column(key_col).to_pylist())
         v = tbl.column(value_col).to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0).astype(np.int64)
         if cents.size == 0:
@@ -69,7 +68,9 @@ def value_quantiles(
                     "n": pa.array([], pa.int64()),
                 }
             )
-        uniq_k, codes = np.unique(key, return_inverse=True)
+        # Arrow dictionary-encode — no Python-object key materialization
+        d = tbl.column(key_col).combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         # full-int64-safe pair dedup: lexsort on (key code, cents), no
         # bit packing (a pack would corrupt at |cents| >= 2^39)
         order = np.lexsort((cents, codes))
@@ -80,7 +81,7 @@ def value_quantiles(
         counts = np.diff(np.concatenate([starts, [c_s.shape[0]]]))
         return pa.table(
             {
-                key_col: pa.array(uniq_k[c_s[starts]], pa.string()),
+                key_col: d.dictionary.take(pa.array(c_s[starts])),
                 "cents": v_s[starts],
                 "n": counts.astype(np.int64),
             }

@@ -51,15 +51,22 @@ def stratified_sample(
     )
 
     def pick(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        raw = tbl.column(strata_col).to_pylist()
-        # null strata keep nothing — the SQL twin's CASE ... ELSE 0
-        is_null = np.fromiter((x is None for x in raw), dtype=bool, count=len(raw))
-        s = np.asarray(["" if x is None else x for x in raw])
-        pos = np.searchsorted(names, s)
+        # dictionary-encode: only the (tiny) distinct-strata dictionary is
+        # materialized as Python strings, never the full column
+        col = tbl.column(strata_col).combine_chunks()
+        d = col.dictionary_encode()
+        is_null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        codes = d.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = np.asarray(d.dictionary.to_pylist() + [""])  # [""] pads empty dict
+        pos = np.searchsorted(names, dic)
         pos_c = np.clip(pos, 0, names.shape[0] - 1)
-        known = (names[pos_c] == s) & ~is_null
-        cut = np.where(known, cuts[pos_c], 0)
+        known_d = names[pos_c] == dic
+        cut_d = np.where(known_d, cuts[pos_c], 0)
+        # null strata keep nothing — the SQL twin's CASE ... ELSE 0
+        cut = np.where(is_null, 0, cut_d[codes])
         return tbl.filter(pa.array((k * a + b) % derive.MOD < cut))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

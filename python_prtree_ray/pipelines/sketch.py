@@ -41,17 +41,19 @@ def distinct_users(
     tune_context()
 
     def local_pairs(tbl: pa.Table) -> pa.Table:
-        et = np.asarray(tbl.column(key_col).to_pylist())
+        # dictionary-encode the low-cardinality key column in Arrow —
+        # no Python-object or numpy-unicode materialization of the keys
+        d = tbl.column(key_col).combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uid = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq_et, codes = np.unique(et, return_inverse=True)
-        ph = _pair_hash(hash_str_array(uniq_et)[codes], uid)
+        ph = _pair_hash(hash_str_array(d.dictionary)[codes], uid)
         order = np.lexsort((uid, codes))
         c_s, u_s, ph_s = codes[order], uid[order], ph[order]
         keep = np.ones(c_s.shape[0], dtype=bool)
         keep[1:] = (np.diff(c_s) != 0) | (np.diff(u_s) != 0)
         return pa.table(
             {
-                key_col: pa.array(uniq_et[c_s[keep]], pa.string()),
+                key_col: d.dictionary.take(pa.array(c_s[keep])),
                 id_col: u_s[keep],
                 "b": ph_s[keep] % np.int64(N_BUCKETS),
             }
@@ -60,21 +62,21 @@ def distinct_users(
     pairs = events.map_batches(local_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
     def count_bucket(group: pa.Table) -> pa.Table:
-        et = np.asarray(group.column(key_col).to_pylist())
-        uid = group.column(id_col).to_numpy(zero_copy_only=False)
-        if et.shape[0] == 0:
+        if group.num_rows == 0:
             return pa.table(
                 {key_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        uniq_et, codes = np.unique(et, return_inverse=True)
+        d = group.column(key_col).combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = group.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((uid, codes))
         c_s, u_s = codes[order], uid[order]
         keep = np.ones(c_s.shape[0], dtype=bool)
         keep[1:] = (np.diff(c_s) != 0) | (np.diff(u_s) != 0)
-        cnt = np.bincount(c_s[keep], minlength=uniq_et.shape[0])
+        cnt = np.bincount(c_s[keep], minlength=len(d.dictionary))
         return pa.table(
             {
-                key_col: pa.array(uniq_et, pa.string()),
+                key_col: pa.compute.cast(d.dictionary, pa.string()),
                 "n": cnt.astype(np.int64),
             }
         )
@@ -125,9 +127,9 @@ def distinct_users_hll(
     tune_context()
 
     def local_regs(tbl: pa.Table) -> pa.Table:
-        et = np.asarray(tbl.column(key_col).to_pylist())
+        d = tbl.column(key_col).combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uid = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq_et, codes = np.unique(et, return_inverse=True)
         # splitmix64 finalizer: a plain multiplicative hash preserves the
         # input's trailing-zero count, which biases HLL ranks badly
         with np.errstate(over="ignore"):
@@ -138,11 +140,18 @@ def distinct_users_hll(
             h *= np.uint64(0x94D049BB133111EB)
             h ^= h >> np.uint64(31)
             uh = (h & np.uint64((1 << 62) - 1)).astype(np.int64)
-        regs = _hll_registers(uh, codes, uniq_et.shape[0])
+        regs = _hll_registers(uh, codes, len(d.dictionary))
+        # list column straight from the flat register buffer — one
+        # offsets array, no per-row Python list objects
+        m = 1 << HLL_P
+        regs_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, regs.size + 1, m, dtype=np.int32)),
+            pa.array(regs.ravel(), type=pa.int8()),
+        )
         return pa.table(
             {
-                key_col: pa.array(uniq_et, pa.string()),
-                "regs": pa.array(list(regs), type=pa.list_(pa.int8())),
+                key_col: pa.compute.cast(d.dictionary, pa.string()),
+                "regs": regs_col,
             }
         )
 
@@ -152,7 +161,9 @@ def distinct_users_hll(
         # key cardinality is tiny (one group per event_type) — the per-key
         # map_groups rule does not apply to metadata-sized key spaces
         key = group.column(key_col)[0].as_py()
-        regs = np.stack(group.column("regs").to_numpy(zero_copy_only=False))
+        col = group.column("regs").combine_chunks()
+        # every list is exactly 2^p long — reshape the flat buffer
+        regs = col.values.to_numpy(zero_copy_only=False).reshape(len(col), -1)
         merged = regs.max(axis=0)
         return pa.table(
             {

@@ -52,6 +52,11 @@ DEFAULT_RES = 6
 # store — read once per node, cheap next to any all-to-all of the big side.
 BROADCAST_LIMIT = 2_000_000
 
+# Hard ceiling for broadcast=True (forced): ~8x the auto limit ≈ 640 MB of
+# boxes on the driver. Beyond this the collect would OOM the driver before
+# any error surfaced — raise loudly instead.
+FORCE_BROADCAST_LIMIT = 8 * BROADCAST_LIMIT
+
 PAIR_SCHEMA = pa.schema([("query_id", pa.int64()), ("idx", pa.int64())])
 
 
@@ -206,15 +211,22 @@ def spatial_join(
     ``broadcast=None`` (auto) probes the query side and takes the zero-
     shuffle broadcast path when it fits ``BROADCAST_LIMIT``; pass False to
     force the cell-shuffle path (both sides huge), True to force
-    broadcast (raises if the side doesn't fit driver memory).
+    broadcast — which raises ``ValueError`` if the query side exceeds
+    ``FORCE_BROADCAST_LIMIT`` rows (the bounded driver collect gives up
+    at limit+1 rows; it never OOMs first).
     """
     tune_context()
     if broadcast is not False:
-        qtbl = _try_collect_small(
-            queries, BROADCAST_LIMIT if broadcast is None else (1 << 62)
-        )
+        cap = BROADCAST_LIMIT if broadcast is None else FORCE_BROADCAST_LIMIT
+        qtbl = _try_collect_small(queries, cap)
         if qtbl is not None:
             return broadcast_join(boxes, qtbl, box_cols=box_cols)
+        if broadcast is True:
+            raise ValueError(
+                f"spatial_join(broadcast=True): query side exceeds "
+                f"FORCE_BROADCAST_LIMIT ({FORCE_BROADCAST_LIMIT} rows); "
+                f"use broadcast=None (auto) or broadcast=False (cell shuffle)"
+            )
     plan = (
         compute_salt_plan(boxes, res, salt_threshold) if salt_threshold else None
     )

@@ -139,11 +139,11 @@ def fingerprint(docs: Dataset, window: int = 8) -> Dataset:
     def fp(tbl: pa.Table) -> pa.Table:
         toks_list = pc.split_pattern_regex(tbl.column("text"), r"\s+")
         flat = toks_list.combine_chunks()
-        values = flat.values.to_numpy(zero_copy_only=False)
         offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         rows = len(offs) - 1
-        uniq, inv = np.unique(values.astype(str), return_inverse=True)
-        hval = hash_str_array(uniq)[inv]
+        # hash the flat token buffer directly (zero-copy into polars) —
+        # no numpy-unicode materialization, no np.unique round trip
+        hval = hash_str_array(flat.values)
         total = hval.shape[0]
         out = np.zeros(rows, dtype=np.int64)
         lens = np.diff(offs)
@@ -188,19 +188,27 @@ def hash_str(s: str) -> int:
 def hash_str_array(values) -> "np.ndarray":
     """Vectorized deterministic string hashing (int64, non-negative).
 
-    Uses polars' xxhash when available (C speed — the per-row Python
-    FNV loop was the only interpreter loop left in a dedup hot path);
-    falls back to :func:`hash_str`. Both are process-independent, so
-    groupings are identical at any parallelism.
+    Accepts a pyarrow (Chunked)Array, numpy array, or Python sequence.
+    Arrow input is the hot path: polars views the UTF-8 buffer zero-copy
+    (``pl.from_arrow``) and hashes it in C — no Python-object or
+    numpy-U-dtype round trip (hash values are identical across all input
+    forms; pytest-asserted). Falls back to :func:`hash_str`. Both are
+    process-independent, so groupings are identical at any parallelism.
     """
     import numpy as np
 
     try:
         import polars as pl
 
-        h = pl.Series(values=list(values), dtype=pl.Utf8).hash().to_numpy()
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            s = pl.from_arrow(values)  # zero-copy view of the UTF-8 buffer
+        else:
+            s = pl.Series(values=list(values), dtype=pl.Utf8)
+        h = s.hash().to_numpy()
         return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     except Exception:
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = values.to_pylist()
         return np.array([hash_str(v) for v in values], dtype=np.int64)
 
 

@@ -152,8 +152,9 @@ def session_window_agg(
         ).astype("datetime64[us]").astype(np.int64)
         val = group.column(value_col).to_numpy(zero_copy_only=False)
         uid = group.column(k2).to_numpy(zero_copy_only=False).astype(np.int64)
-        et = np.asarray(group.column(k1).to_pylist())
-        et_u, code = np.unique(et, return_inverse=True)
+        # Arrow dictionary-encode — no Python-object key materialization
+        d = group.column(k1).combine_chunks().dictionary_encode()
+        code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ts, uid, code))
         ts_s, val_s = ts[order], val[order]
         uid_s, code_s = uid[order], code[order]
@@ -168,7 +169,7 @@ def session_window_agg(
         cum = np.concatenate([[0], np.cumsum(cents)])
         return pa.table(
             {
-                k1: pa.array(et_u[code_s[starts]]),
+                k1: d.dictionary.take(pa.array(code_s[starts])),
                 k2: pa.array(uid_s[starts], type=pa.int64()),
                 "session_start": pa.array(
                     ts_s[starts], type=pa.timestamp("us")
@@ -272,13 +273,16 @@ class StreamingWindowAggregator:
         )
         if ts.size == 0:
             return
-        key = np.asarray(tbl.column("event_type").to_pylist())
+        d = tbl.column("event_type").combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # only the distinct-key dictionary is materialized as Python
+        # strings (cardinality-sized), never the full column
+        uniq_k = np.asarray(d.dictionary.to_pylist())
         cents = np.floor(
             tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         win = (ts // self.EVERY_US) * self.EVERY_US
         self._max_ts = max(self._max_ts, np.int64(ts.max()))
-        uniq_k, codes = np.unique(key, return_inverse=True)
         # window index offset keeps the pack positive for pre-1970
         # timestamps (a negative index would bleed into the key-code bits)
         W_OFF = np.int64(1 << 47)

@@ -31,8 +31,15 @@ def read_table(path: str, columns: list[str] | None = None, **kw) -> Dataset:
     Dataset:
 
     - ``*.lance`` → Lance dataset (column projection pushed down);
-    - ``*.csv`` → ``read_csv`` (projection applied post-read);
-    - ``*.json`` / ``*.jsonl`` → ``read_json`` (projection post-read);
+    - ``*.csv`` → ``read_csv`` (projection pushed to the Arrow CSV
+      PARSER via ``ConvertOptions(include_columns=...)`` — unused
+      columns are never materialized; the bytes are still scanned, an
+      inherent cost of row-major text formats);
+    - ``*.json`` / ``*.jsonl`` → ``read_json`` (projection applied
+      post-read via ``select_columns``: the Arrow JSON parser has no
+      column selection, so full objects are parsed then pruned — a
+      documented limitation of the format, not of this reader; convert
+      to parquet/lance for scan-heavy workloads);
     - anything else → parquet (projection pushed to the row groups —
       only the requested columns leave storage).
     """
@@ -46,6 +53,12 @@ def read_table(path: str, columns: list[str] | None = None, **kw) -> Dataset:
             )
         return ray.data.read_lance(path, columns=columns, **kw)
     if p.endswith(".csv"):
+        if columns and "convert_options" not in kw:
+            from pyarrow import csv as pacsv
+
+            kw = dict(kw)
+            kw["convert_options"] = pacsv.ConvertOptions(include_columns=columns)
+            return ray.data.read_csv(path, **kw)
         ds = ray.data.read_csv(path, **kw)
         return ds.select_columns(columns) if columns else ds
     if p.endswith((".json", ".jsonl")):

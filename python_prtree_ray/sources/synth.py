@@ -119,6 +119,80 @@ def interleaved_docs(n_docs: int, override_num_blocks: int | None = None) -> Dat
     return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def interleaved_spans_sql(n_docs) -> str:
+    """DuckDB twin of the NON-TEXT spans of :func:`interleaved_batch`:
+    ``SELECT doc_id, offset, kind, media_ref`` for the first ``n_docs``
+    documents — the same multiply-mod hash channels, word-length table
+    and cumulative char offsets as the NumPy side, so the driver can
+    hash-check the media pipelines end to end (offsets are a window SUM
+    over ALL spans including text, filtered to media at the end).
+
+    ``n_docs``: an int, or a SQL table expression yielding a column ``i``
+    of doc numbers (e.g. ``(SELECT row_number() OVER () - 1 AS i FROM
+    orders)`` to mirror the engine's sf-proportional doc count)."""
+    a0, b0 = derive.CHANNELS[0]
+    a1, b1 = derive.CHANNELS[1]
+    a2, b2 = derive.CHANNELS[2]
+    a3, b3 = derive.CHANNELS[3]
+    a4, b4 = derive.CHANNELS[4]
+    a5, b5 = derive.CHANNELS[5]
+    a6, b6 = derive.CHANNELS[6]
+    M = derive.MOD
+    wl_sql = "[" + ",".join(str(len(w)) for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    ids_sql = (
+        f"(SELECT range AS i FROM range(0, {n_docs}))"
+        if isinstance(n_docs, int)
+        else n_docs
+    )
+
+    def _w(ch_a: int, ch_b: int) -> str:
+        return (
+            f"{wl_sql}[CAST(((sid * {ch_a} + {ch_b}) % {M}) % {nw} AS INTEGER) + 1]"
+        )
+
+    return f"""
+  SELECT printf('doc%012d', i) AS doc_id,
+         CAST("offset" AS INTEGER) AS "offset",
+         CASE kind_i WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+         printf('media://blob/%012d', (sid * {a6} + {b6}) % {M}) AS media_ref
+  FROM (
+    SELECT i, j, sid, kind_i,
+           CAST(COALESCE(SUM(span_len) OVER (
+             PARTITION BY i ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+             AS "offset"
+    FROM (
+      SELECT i, j, sid, kind_i,
+             CASE WHEN kind_i = 0
+                  THEN {_w(a3, b3)} + {_w(a4, b4)} + {_w(a5, b5)} + 2
+                  ELSE 64 END AS span_len
+      FROM (
+        SELECT i, j, sid,
+               CASE WHEN ((sid * {a2} + {b2}) % {M}) % 10 < 7 THEN 0
+                    ELSE ((sid * {a1} + {b1}) % {M}) % 4 END AS kind_i
+        FROM (
+          SELECT d.i AS i, j.j AS j, d.i * 16 + j.j AS sid
+          FROM (SELECT i, ((i * {a0} + {b0}) % {M}) % 7 + 2 AS nspans
+                FROM {ids_sql}) d,
+               (SELECT range AS j FROM range(0, 8)) j
+          WHERE j.j < d.nspans
+        )
+      )
+    )
+  )
+  WHERE kind_i <> 0"""
+
+
+# Media-stub payload SQL pieces (twins of pipelines/multimodal.py
+# fetch_payload_stub): repeat count and clipped payload length.
+MEDIA_REP_SQL = "(1 + ord(substr(media_ref, length(media_ref))) % 12)"
+MEDIA_PAYLOAD_SQL = (
+    f"substr(repeat(media_ref, CAST({MEDIA_REP_SQL} AS INTEGER)), 1, 256)"
+)
+MEDIA_PLEN_SQL = f"LEAST(length(media_ref) * {MEDIA_REP_SQL}, 256)"
+
+
 def georef_batch(tbl: pa.Table) -> pa.Table:
     """Georeference interleaved docs: per-doc bbox derived from the doc
     number via the shared derive formulas; spans column is carried through

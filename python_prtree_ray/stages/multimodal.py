@@ -60,16 +60,18 @@ def _prefix_matrix(arr: pa.Array, nbytes: int) -> np.ndarray:
     return out
 
 
-def _decode_media(payload: pa.Array, kind: np.ndarray) -> np.ndarray:
+def _decode_media(payload: pa.Array, kind: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     """STUB decoder: a real build wires PIL/ffmpeg here. The deterministic
     fake folds the payload's first 64 bytes into a fixed-length feature so
     pipelines and tests exercise real data flow. Raises for unknown kinds
-    exactly as a real decoder would."""
-    bad = ~np.isin(kind, ("image", "audio", "video"))
-    if bad.any():
-        raise NotImplementedError(
-            f"no decoder for media kind {kind[np.nonzero(bad)[0][0]]!r}"
-        )
+    exactly as a real decoder would. The kind check is an Arrow ``is_in``
+    kernel — no Python-object materialization of the string column."""
+    import pyarrow.compute as pc
+
+    ok = pc.is_in(kind, value_set=pa.array(["image", "audio", "video"]))
+    if len(kind) and not pc.min(ok).as_py():
+        first_bad = pc.filter(kind, pc.invert(pc.fill_null(ok, False)))[0].as_py()
+        raise NotImplementedError(f"no decoder for media kind {first_bad!r}")
     mat = _prefix_matrix(payload, 64).astype(np.float32)
     return mat.reshape(-1, 8, 8).mean(axis=2) / 255.0
 
@@ -88,8 +90,9 @@ class MediaFeatureExtractor:
         self._feature_dim = 8
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        kind = np.asarray(tbl.column(self.kind_col).to_pylist())
-        feats = _decode_media(tbl.column(self.payload_col), kind)
+        feats = _decode_media(
+            tbl.column(self.payload_col), tbl.column(self.kind_col)
+        )
         return tbl.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(
@@ -125,16 +128,20 @@ class FrameSampler:
         fdata_total = int(flen.sum())
         col = np.arange(fdata_total) - np.repeat(np.cumsum(flen) - flen, flen)
         out_data = data[np.repeat(fstart, flen) + col]
-        f_offs = np.zeros(total + 1, dtype=np.int32)
+        # int64 offsets + large_binary: a batch holding >2 GiB of sampled
+        # frame bytes must not silently wrap 32-bit offsets
+        f_offs = np.zeros(total + 1, dtype=np.int64)
         f_offs[1:] = np.cumsum(flen)
         frames_flat = pa.Array.from_buffers(
-            pa.binary(),
+            pa.large_binary(),
             total,
             [None, pa.py_buffer(f_offs.tobytes()), pa.py_buffer(out_data.tobytes())],
         )
-        row_offs = np.zeros(n + 1, dtype=np.int32)
+        row_offs = np.zeros(n + 1, dtype=np.int64)
         row_offs[1:] = np.cumsum(n_sampled)
-        frames = pa.ListArray.from_arrays(pa.array(row_offs, pa.int32()), frames_flat)
+        frames = pa.LargeListArray.from_arrays(
+            pa.array(row_offs, pa.int64()), frames_flat
+        )
         return tbl.append_column("frames", frames)
 
 

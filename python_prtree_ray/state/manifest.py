@@ -71,6 +71,18 @@ def write_partitioned(
     """
     os.makedirs(path, exist_ok=True)
     man = _load_manifest(path)
+    if not resume and man["partitions"]:
+        # fresh run: drop prior partition entries AND their files so a
+        # stale partition (whose key never reappears) can't survive into
+        # the new result set
+        for v in man["partitions"].values():
+            if v.get("file"):
+                try:
+                    os.remove(os.path.join(path, v["file"]))
+                except FileNotFoundError:
+                    pass
+        man["partitions"] = {}
+        _store_manifest(path, man)
     if extra:
         man.update(extra)
     done = {int(k) for k, v in man["partitions"].items() if v.get("status") == "done"}
@@ -112,6 +124,12 @@ def write_partitioned(
                 "bytes": pa.array([os.path.getsize(fname)], type=pa.int64()),
                 "checksum": pa.array([int(ck)], type=pa.uint64()),
                 "secs": pa.array([time.time() - t0], type=pa.float64()),
+                # serialized Arrow schema — lets read_partitioned return a
+                # correctly-typed EMPTY Dataset when no partition produced
+                # rows (e.g. an empty query side)
+                "schema_hex": pa.array(
+                    [body.schema.serialize().to_pybytes().hex()], type=pa.string()
+                ),
             }
         )
 
@@ -124,6 +142,7 @@ def write_partitioned(
     pending_flush = 0
     man["coarse_res"] = coarse_res
     for r in stats.iter_rows():
+        man.setdefault("schema_hex", r["schema_hex"])
         man["partitions"][str(int(r["part"]))] = {
             "file": f"part-{int(r['part']):012d}.parquet",
             "rows": int(r["rows"]),
@@ -161,6 +180,15 @@ def read_partitioned(path: str, verify: bool = False) -> Dataset:
         if v.get("status") == "done" and v.get("file")
     ]
     files = [os.path.join(path, v["file"]) for v in entries]
+    if not files:
+        # every partition completed without output (e.g. empty query side):
+        # return a typed empty Dataset instead of read_parquet([]) raising
+        if man.get("schema_hex"):
+            schema = pa.ipc.read_schema(
+                pa.py_buffer(bytes.fromhex(man["schema_hex"]))
+            )
+            return ray.data.from_arrow(schema.empty_table())
+        return ray.data.from_arrow(pa.table({}))
     if verify:
         for v, f in zip(entries, files):
             if not os.path.exists(f):

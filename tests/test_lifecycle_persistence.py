@@ -99,6 +99,32 @@ def test_reinsert_after_erase_uses_new_box(ray_session, strict):
     assert _query_set(tree, ray, q, np.array([0, 1], dtype=np.int64)) == hits
 
 
+def test_rebuild_is_storage_backed(ray_session, tmp_path):
+    # rebuild() must stream the compacted base to partitioned parquet and
+    # reload lazily — NOT pin the table in the object store (VERDICT-r2
+    # #7); successive rebuilds keep exactly one generation on disk
+    ray = ray_session
+    rng = np.random.default_rng(31)
+    boxes = random_boxes(rng, 200, edge=0.03)
+    spill = tmp_path / "spill"
+    tree = RayPRTree(
+        _boxes_ds(ray, boxes, np.arange(200, dtype=np.int64)),
+        res=4, strict=True, spill_dir=str(spill),
+    )
+    q = random_boxes(rng, 30, edge=0.1)
+    qds = _boxes_ds(ray, q, np.arange(30, dtype=np.int64), "query_id")
+    want = {(r["query_id"], r["idx"]) for r in tree.batch_query(qds).take_all()}
+    tree.rebuild()
+    assert list(spill.glob("gen-000001/part-*.parquet"))  # file-backed base
+    got = {(r["query_id"], r["idx"]) for r in tree.batch_query(qds).take_all()}
+    assert got == want
+    tree.rebuild()
+    gens = sorted(p.name for p in spill.iterdir() if p.is_dir())
+    assert gens == ["gen-000002"]  # previous generation dropped
+    got2 = {(r["query_id"], r["idx"]) for r in tree.batch_query(qds).take_all()}
+    assert got2 == want
+
+
 def test_single_record_insert_erase_and_obj(ray_session):
     # reference parity: insert(bb, idx=None) auto-assigns n+1 and returns
     # it (core.py:454-509); erase(idx) removes; set_obj/get_obj round-trip
@@ -115,7 +141,10 @@ def test_single_record_insert_erase_and_obj(ray_session):
     with pytest.raises(ValueError, match="already exists"):
         tree.insert([0.1, 0.1, 0.2, 0.2], idx=31)
     with pytest.raises(ValueError, match="NaN"):
-        tree.insert([0.1, float("nan"), 0.2, 0.2])
+        tree.insert([0.1, float("nan"), 0.2, 0.2], idx=99)
+    # reference parity (core.py:455-456): idx and obj both None raises
+    with pytest.raises(ValueError, match="Specify index or obj"):
+        tree.insert([0.1, 0.1, 0.2, 0.2])
     q = np.array([[0.39, 0.39, 0.46, 0.46]])
     out = tree.batch_query(
         _boxes_ds(ray, q, np.array([0], dtype=np.int64), "query_id", blocks=1),
@@ -150,9 +179,9 @@ def test_precision_setters_round_trip_and_plumbing(ray_session):
     # subnormal toggle gates the validated insert path
     sub = np.array([[5e-324, 0.1, 0.2, 0.2]])
     with pytest.raises(Exception, match="[Ss]ubnormal"):
-        tree.insert(sub[0])
+        tree.insert(sub[0], idx=100)
     tree.set_subnormal_detection(False)
-    tree.insert(sub[0])  # now accepted
+    tree.insert(sub[0], idx=100)  # now accepted
     assert tree.size() == 21
     # expand_epsilon pulls in a box the exact query just misses
     probe_gap = 10.0 * np.finfo(np.float64).eps  # < adaptive epsilon floor
@@ -217,6 +246,56 @@ def test_partitioned_write_resume_skips_done(ray_session, tmp_path):
     assert set(man2["partitions"]) == set(man1["partitions"])
     rows2 = mf.read_partitioned(path).count()
     assert rows2 == 500
+
+
+def test_partitioned_write_resume_false_starts_fresh(ray_session, tmp_path):
+    # resume=False must clear prior partition entries and delete their
+    # files — a stale partition whose key never reappears must not
+    # survive into the new result set
+    from python_prtree_ray.state import manifest as mf
+
+    ray = ray_session
+    rng = np.random.default_rng(26)
+    boxes = random_boxes(rng, 300, edge=0.03)
+    ids = np.arange(300, dtype=np.int64)
+    path = str(tmp_path / "fresh")
+    mf.write_partitioned(
+        _boxes_ds(ray, boxes, ids), path,
+        lambda t: mf._partition_of_boxes(t, 1), coarse_res=1,
+    )
+    # second run over a DISJOINT, smaller row set confined to one corner:
+    # with resume=True the old partitions would be skipped (stale rows
+    # kept); with resume=False only the new rows survive
+    boxes2 = random_boxes(rng, 40, edge=0.01) * 0.25
+    ids2 = np.arange(10_000, 10_040, dtype=np.int64)
+    man2 = mf.write_partitioned(
+        _boxes_ds(ray, boxes2, ids2), path,
+        lambda t: mf._partition_of_boxes(t, 1), coarse_res=1, resume=False,
+    )
+    assert sum(p["rows"] for p in man2["partitions"].values()) == 40
+    got_ids = {r["idx"] for r in mf.read_partitioned(path).take_all()}
+    assert got_ids == set(ids2.tolist())
+    # no orphan files from the first run
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == {v["file"] for v in man2["partitions"].values()}
+
+
+def test_read_join_all_empty_partitions(ray_session, tmp_path):
+    # a checkpoint whose every partition produced no output (empty query
+    # side) must read back as an EMPTY Dataset, not raise
+    ray = ray_session
+    from python_prtree_ray.pipelines.checkpoint import read_join, resumable_join
+
+    rng = np.random.default_rng(50)
+    boxes = random_boxes(rng, 100, edge=0.02)
+    bds = _boxes_ds(ray, boxes, np.arange(100, dtype=np.int64))
+    # query boxes entirely outside the data extent: zero pairs
+    far = random_boxes(rng, 20, edge=0.01) + 50.0
+    qds = _boxes_ds(ray, far, np.arange(20, dtype=np.int64), "query_id")
+    path = str(tmp_path / "emptyjoin")
+    man = resumable_join(bds, qds, path, res=4, n_parts=4)
+    assert all(v["status"] == "done" for v in man["partitions"].values())
+    assert read_join(path).count() == 0
 
 
 def test_resumable_join_skips_done_partitions(ray_session, tmp_path):
@@ -614,8 +693,15 @@ def test_broadcast_lookup_misses_and_dup_keys(ray_session):
             "tag": ["first-2", "one", "last-2", "three"],
         }
     )
+    # default on_dup="error": a dup-keyed dimension table raises loudly
+    # (silent divergence from a SQL fan-out join otherwise)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_lookup(
+            big, small, on="user_id", small_on="c_custkey", carry_cols=("tag",)
+        )
     out = broadcast_lookup(
-        big, small, on="user_id", small_on="c_custkey", carry_cols=("tag",)
+        big, small, on="user_id", small_on="c_custkey", carry_cols=("tag",),
+        on_dup="last",
     ).take_all()
     got = {(r["event_id"], r["user_id"]): r["tag"] for r in out}
     # misses (99, -5) drop; duplicate small key keeps the LAST occurrence

@@ -329,33 +329,51 @@ def test_knn_matches_brute_force(ray_session):
         assert sorted(got[qi]) == want
 
 
-def test_knn_cell_path_matches_broadcast(ray_session):
+@pytest.mark.parametrize("dims", [2, 3, 4])
+def test_knn_cell_path_matches_broadcast(ray_session, dims):
     # force the histogram ring-expansion cell-shuffle path (broadcast=False)
-    # and check it agrees with the broadcast path AND brute force
+    # and check it agrees with the broadcast path AND brute force — in
+    # every supported dimensionality (full-D histogram, x/y partitioning)
     ray = ray_session
-    rng = np.random.default_rng(16)
-    boxes = random_boxes(rng, 1200, edge=0.02)
-    pts = rng.random((60, 2))
-    bids = rng.permutation(1200).astype(np.int64)
-    qids = np.arange(60, dtype=np.int64)
-    k = 5
+    from python_prtree_ray.pipelines import knn as knnmod
+
+    box_cols = {
+        2: ("xmin", "ymin", "xmax", "ymax"),
+        3: ("xmin", "ymin", "zmin", "xmax", "ymax", "zmax"),
+        4: ("xmin", "ymin", "zmin", "tmin", "xmax", "ymax", "zmax", "tmax"),
+    }[dims]
+    point_cols = {
+        2: knnmod.POINT_COLS, 3: knnmod.POINT3D_COLS, 4: knnmod.POINT4D_COLS
+    }[dims]
+    rng = np.random.default_rng(16 + dims)
+    n, m, k = 900, 40, 5
+    boxes = random_boxes(rng, n, edge=0.02, dim=dims)
+    pts = rng.random((m, dims))
+    bids = rng.permutation(n).astype(np.int64)
+    qids = np.arange(m, dtype=np.int64)
+    bcols = {"idx": bids}
+    for j, c in enumerate(box_cols):
+        bcols[c] = boxes[:, j]
+    bds = ray.data.from_arrow(pa.table(bcols)).repartition(4)
+    pcols = {"query_id": qids}
+    for j, c in enumerate(point_cols):
+        pcols[c] = pts[:, j]
+    pds = ray.data.from_arrow(pa.table(pcols)).repartition(2)
+    kw = dict(k=k, box_cols=box_cols, point_cols=point_cols)
     cell_out = knn_join(
-        _boxes_ds(ray, boxes, bids),
-        _points_ds(ray, pts, qids),
-        k=k,
-        res=4,
-        broadcast=False,
+        bds, pds, res=3 if dims == 4 else 4, broadcast=False, **kw
     ).take_all()
-    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
-    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
-    d2 = geom.squared_centroid_distance(pts[:, 0], pts[:, 1], cx, cy)
-    got = {}
-    for r in cell_out:
-        got.setdefault(r["query_id"], []).append((r["rank"], r["idx"]))
-    for qi in range(60):
-        order = np.lexsort((bids, d2[qi]))[:k]
-        want = [(rank + 1, int(bids[j])) for rank, j in enumerate(order)]
-        assert sorted(got[qi]) == want
+    bc_out = knn_join(bds, pds, **kw).take_all()
+    C = (boxes[:, :dims] + boxes[:, dims:]) * 0.5
+    d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    for out in (cell_out, bc_out):
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["idx"]))
+        for qi in range(m):
+            order = np.lexsort((bids, d2[qi]))[:k]
+            want = [(rank + 1, int(bids[j])) for rank, j in enumerate(order)]
+            assert sorted(got[qi]) == want
 
 
 def test_knn_k_larger_than_dataset(ray_session):
@@ -432,6 +450,23 @@ def test_broadcast_join_touching_boxes_closed_interval(ray_session):
         _boxes_ds(ray, qs, np.array([1, 2]), "query_id", blocks=1),
     ).take_all()
     assert _pairs_set(out) == {(1, 7)}
+
+
+def test_forced_broadcast_overflow_raises(ray_session, monkeypatch):
+    # broadcast=True must fail LOUDLY when the query side exceeds the
+    # forced-broadcast cap — never collect unboundedly toward driver OOM
+    ray = ray_session
+    rng = np.random.default_rng(11)
+    boxes = random_boxes(rng, 50, edge=0.05)
+    qs = random_boxes(rng, 40, edge=0.05)
+    bds = _boxes_ds(ray, boxes, np.arange(50), blocks=1)
+    qds = _boxes_ds(ray, qs, np.arange(40), "query_id", blocks=2)
+    monkeypatch.setattr(sj, "FORCE_BROADCAST_LIMIT", 10)
+    with pytest.raises(ValueError, match="FORCE_BROADCAST_LIMIT"):
+        sj.spatial_join(bds, qds, broadcast=True)
+    # under the cap it still joins
+    monkeypatch.setattr(sj, "FORCE_BROADCAST_LIMIT", 1000)
+    assert sj.spatial_join(bds, qds, broadcast=True).count() >= 0
 
 
 def test_broadcast_join_empty_sides(ray_session):
@@ -587,6 +622,46 @@ def test_raster_tiles_extents_are_dyadic(ray_session):
         # the box really overlaps its tile (closed interval)
         i = r["idx"]
         assert boxes[i, 0] <= r["tile_xmax"] and r["tile_xmin"] <= boxes[i, 2]
+
+
+def test_interleaved_spans_sql_twin_matches_engine(ray_session):
+    # the DuckDB regeneration of the interleaved corpus' media spans must
+    # be row-identical to the engine's explode — this is the foundation
+    # of the media_features / video_frames driver oracles
+    import duckdb
+
+    from python_prtree_ray.sources.synth import (
+        interleaved_batch,
+        interleaved_spans_sql,
+    )
+    from python_prtree_ray.pipelines.multimodal import explode_media_spans
+
+    tbl = interleaved_batch(np.arange(400, dtype=np.int64))
+    eng = (
+        explode_media_spans(tbl)
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        'SELECT * FROM (' + interleaved_spans_sql(400) + ') ORDER BY doc_id, "offset"'
+    ).fetchdf()
+    assert eng[["doc_id", "offset", "kind", "media_ref"]].astype(
+        {"offset": "int64"}
+    ).equals(want.astype({"offset": "int64"}))
+
+
+def test_payload_stub_variable_reps(ray_session):
+    # stub payload = (ref * (1 + last_byte % 12))[:256] — length varies
+    # with the ref; empty refs give empty payloads
+    from python_prtree_ray.pipelines.multimodal import fetch_payload_stub
+
+    refs = ["media://blob/000000000123", "m0", "media://blob/999999999999", ""]
+    out = fetch_payload_stub(pa.table({"media_ref": refs}))
+    for ref, payload in zip(refs, out.column("payload").to_pylist()):
+        rep = 1 + (ord(ref[-1]) % 12) if ref else 1
+        assert payload == (ref.encode() * rep)[:256]
 
 
 def test_media_span_explode_preserves_order(ray_session):
