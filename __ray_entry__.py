@@ -82,6 +82,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             res=5,
         )
 
+    def q_knn_3d(sf):
+        # D-generic kNN (broadcast local-top-k path) over 3D centroids —
+        # reference kNN is a 2D north-rule op; 3D rides the same kernel
+        from python_prtree_ray.sources.tables import BOX3D_COLS, points_3d_dataset
+
+        return knn.knn_join(
+            tables.boxes_3d_dataset(sf),
+            points_3d_dataset(sf),
+            k=KNN_K,
+            res=4,
+            box_cols=BOX3D_COLS,
+            point_cols=knn.POINT3D_COLS,
+        )
+
     def q_pip(sf):
         return pip.pip_join(tables.points_dataset(sf))
 
@@ -507,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "self_join": q_self_join,
         "point_query": q_point_query,
         "knn": q_knn,
+        "knn_3d": q_knn_3d,
         "pip": q_pip,
         "tile_points": q_tile_points,
         "tile_cover": q_tile_cover,
@@ -593,6 +608,21 @@ WITH b AS ({b_orders}), p AS ({p_supp}),
 c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy FROM b),
 d AS (SELECT p.query_id, c.idx,
              (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) AS dist2
+      FROM p, c),
+r AS (SELECT query_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
+      FROM d)
+SELECT query_id, idx, rn AS "rank" FROM r WHERE rn <= {KNN_K}
+"""
+
+    knn_3d_sql = f"""
+WITH b AS ({derive.boxes_3d_sql("orders", "o_orderkey", "idx")}),
+     p AS ({derive.points_3d_sql("supplier", "s_suppkey", "query_id")}),
+c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy,
+             (zmin + zmax) * 0.5 AS cz FROM b),
+d AS (SELECT p.query_id, c.idx,
+             (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy)
+               + (p.pz - c.cz) * (p.pz - c.cz) AS dist2
       FROM p, c),
 r AS (SELECT query_id, idx,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
@@ -922,6 +952,7 @@ WHERE {intersects}
         "self_join": self_join_sql,
         "point_query": point_query_sql,
         "knn": knn_sql,
+        "knn_3d": knn_3d_sql,
         "pip": pip_sql,
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,

@@ -164,6 +164,23 @@ def points_sql(table: str, key: str, idx_name: str = "query_id") -> str:
   FROM {table}"""
 
 
+def derive_points_3d(key: np.ndarray) -> dict[str, np.ndarray]:
+    """3D probe points (z on the query-side channel 10, matching
+    :func:`derive_query_boxes_3d`). Matches :func:`points_3d_sql`."""
+    out = derive_points(key)
+    out["pz"] = _frac(key, 10)
+    return out
+
+
+def points_3d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
+    return f"""
+  SELECT {key} AS {idx_name},
+         {_frac_sql(key, 4)} AS px,
+         {_frac_sql(key, 5)} AS py,
+         {_frac_sql(key, 10)} AS pz
+  FROM {table}"""
+
+
 # ------------------------------------------------------------------ tiles
 
 

@@ -376,6 +376,29 @@ def test_knn_cell_path_matches_broadcast(ray_session, dims):
             assert sorted(got[qi]) == want
 
 
+def test_ring_for_k_nd_matches_brute_force(ray_session):
+    # the D-dim summed-area-table ring bound must equal the brute-force
+    # smallest Chebyshev radius with >= k points, in every dimensionality
+    from python_prtree_ray.pipelines.knn import _cell_nd, _ring_for_k
+
+    rng = np.random.default_rng(5)
+    for dims, res in ((2, 3), (3, 2), (4, 2)):
+        g = 1 << res
+        P = rng.random((300, dims))
+        grid = np.bincount(_cell_nd(P, res), minlength=g**dims)
+        k = 7
+        ring = _ring_for_k(grid, res, k, dims)
+        dense = grid.reshape((g,) * dims)
+        for flat, idx in enumerate(np.ndindex(*(g,) * dims)):
+            for r in range(g + 1):
+                sl = tuple(
+                    slice(max(0, i - r), min(g, i + r + 1)) for i in idx
+                )
+                if dense[sl].sum() >= k:
+                    assert ring[flat] == r
+                    break
+
+
 def test_knn_k_larger_than_dataset(ray_session):
     ray = ray_session
     rng = np.random.default_rng(14)
