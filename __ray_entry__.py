@@ -463,6 +463,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return asof_join(left, right)
 
+    def q_save_load(sf):
+        # reference save/load parity (prtree.h:119-149, core.py:146-183)
+        # as a driver-green round trip: build → save (partitioned parquet
+        # + manifest) → load (lazy) → query; pairs must equal the plain
+        # spatial join's.
+        import os
+        import shutil
+        import tempfile
+
+        from python_prtree_ray.api import RayPRTree
+
+        tag = sf.rstrip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), f"graft_saveload{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        tree = RayPRTree(tables.boxes_dataset(sf), res=RES, strict=False)
+        tree.save(path)
+        tree2 = RayPRTree.load(path, strict=False)
+        return tree2.batch_query(tables.query_boxes_dataset(sf))
+
     def q_checkpoint_resume(sf):
         # persistence/resume under the driver's oracle (reference
         # save/load parity, prtree.h:119-149): run resumable_join, then
@@ -563,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "checkpoint_resume": q_checkpoint_resume,
+        "save_load": q_save_load,
     }
 
 
@@ -986,6 +1006,8 @@ WHERE {intersects}
         "video_frames": video_frames_sql,
         # resume reread must equal the plain join's pair set
         "checkpoint_resume": spatial_join_sql,
+        # a saved+loaded tree must answer queries identically
+        "save_load": spatial_join_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.
