@@ -463,6 +463,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return asof_join(left, right)
 
+    def q_interval_join(sf):
+        # per-user temporal interval join (view inside [purchase, +2h])
+        # expressed as the existing 2D spatial join: time on x, the user
+        # key embedded as an exact-hash point on y — no new join code
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray
+        from python_prtree_ray.pipelines.interval import interval_point_join
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "event_type", "user_id", "ts"],
+        )
+
+        def side(kind, idname):
+            def f(t):
+                t = t.filter(_pc.equal(t.column("event_type"), kind))
+                return pa.table(
+                    {
+                        idname: t.column("event_id"),
+                        "user_id": t.column("user_id"),
+                        "ts": t.column("ts"),
+                    }
+                )
+
+            return f
+
+        left = ev.map_batches(side("purchase", "l_id"), batch_format="pyarrow", zero_copy_batch=True)
+        right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
+        return interval_point_join(left, right, window_us=2 * 3600 * 1_000_000)
+
+    def q_doc_cap_per_lang(sf):
+        import ray
+        from python_prtree_ray.pipelines.sample import sample_per_key
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return sample_per_key(docs, key_col="lang", id_col="doc_id", n=50)
+
     def q_save_load(sf):
         # reference save/load parity (prtree.h:119-149, core.py:146-183)
         # as a driver-green round trip: build → save (partitioned parquet
@@ -583,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "checkpoint_resume": q_checkpoint_resume,
         "save_load": q_save_load,
+        "interval_join": q_interval_join,
+        "doc_cap_per_lang": q_doc_cap_per_lang,
     }
 
 
@@ -948,6 +990,29 @@ SELECT doc_id, "offset",
 FROM c
 """
 
+    interval_join_sql = """
+WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     r AS (SELECT event_id AS r_id, user_id, ts FROM events
+           WHERE event_type = 'view')
+SELECT l.l_id, r.r_id
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 2 HOUR
+"""
+
+    from python_prtree_ray.pipelines.sample import SAMPLE_CHANNEL as _SCH
+
+    _sa, _sb = derive.CHANNELS[_SCH]
+    doc_cap_per_lang_sql = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {_sa} + {_sb}) % {derive.MOD}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 50
+"""
+
     spatial_join_3d_sql = f"""
 WITH b AS ({derive.boxes_3d_sql("orders", "o_orderkey", "idx")}),
      q AS ({derive.query_boxes_3d_sql("customer", "c_custkey", "query_id")})
@@ -1008,6 +1073,8 @@ WHERE {intersects}
         "checkpoint_resume": spatial_join_sql,
         # a saved+loaded tree must answer queries identically
         "save_load": spatial_join_sql,
+        "interval_join": interval_join_sql,
+        "doc_cap_per_lang": doc_cap_per_lang_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

@@ -151,7 +151,8 @@ QUERY_SUBSET = (
     "doc_fingerprint video_frames token_pieces simhash_pairs "
     "distinct_users distinct_users_hll value_quantiles "
     "doc_sample_stratified events_enriched props_extract pack_documents "
-    "ann_lsh media_features checkpoint_resume knn_3d save_load"
+    "ann_lsh media_features checkpoint_resume knn_3d save_load "
+    "interval_join doc_cap_per_lang"
 ).split()
 
 

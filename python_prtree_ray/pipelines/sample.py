@@ -72,6 +72,58 @@ def stratified_sample(
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_per_key(
+    ds: Dataset,
+    key_col: str,
+    id_col: str,
+    n: int,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Deterministic per-key cap: keep the ``n`` rows of each key with the
+    SMALLEST ``(id * a + b) % MOD`` hash (ties broken by id) — the
+    "at most n documents per domain" primitive of training-data
+    pipelines, hash-gated so the sample is identical at any parallelism.
+
+    Scale shape: map-side combine keeps <= n rows per key per batch
+    BEFORE the shuffle (global top-n per key == top-n of the union of
+    per-batch top-n), so shuffle volume is O(keys x n) per block, never
+    the corpus; the reduce groups by a coarse key-hash bucket and ranks
+    every key in the bucket in one lexsort pass. Emits (key, id)."""
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+
+    def _top_n(tbl: pa.Table) -> pa.Table:
+        d = tbl.column(key_col).combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * a + b) % derive.MOD
+        order = np.lexsort((ids, h, codes))
+        c_s = codes[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(c_s))[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [c_s.shape[0]]]))
+        rank = np.arange(c_s.shape[0]) - np.repeat(starts, sizes)
+        keep = order[rank < n]
+        return pa.table(
+            {
+                key_col: tbl.column(key_col).take(pa.array(keep)),
+                id_col: ids[keep],
+            }
+        )
+
+    def local(tbl: pa.Table) -> pa.Table:
+        from .text import hash_str_array
+
+        out = _top_n(tbl)
+        bucket = hash_str_array(out.column(key_col)) % np.int64(n_buckets)
+        return out.append_column("kb", pa.array(bucket))
+
+    combined = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        return _top_n(group)
+
+    return combined.groupby("kb").map_groups(reduce_bucket, batch_format="pyarrow")
+
+
 def stratified_sample_sql(key: str, strata: str, rates_pct: dict[str, int]) -> str:
     a, b = derive.CHANNELS[SAMPLE_CHANNEL]
     whens = " ".join(

@@ -713,6 +713,80 @@ def test_broadcast_lookup_misses_and_dup_keys(ray_session):
     }
 
 
+def test_interval_point_join_matches_brute_force(ray_session):
+    # closed-interval semantics (BETWEEN): boundary hits at ts == lo and
+    # ts == lo + window must match; keys never cross
+    ray = ray_session
+    from python_prtree_ray.pipelines.interval import interval_point_join
+
+    rng = np.random.default_rng(60)
+    W = 3600 * 1_000_000  # 1h in us
+    base = np.datetime64("2025-03-01T00:00:00", "us").astype(np.int64)
+    l_ts = base + rng.integers(0, 86_400, size=80) * 1_000_000
+    r_ts = base + rng.integers(0, 86_400, size=400) * 1_000_000
+    # plant exact boundary collisions
+    r_ts[0], r_ts[1] = l_ts[0], l_ts[0] + W
+    l_key = rng.integers(0, 9, size=80)
+    r_key = rng.integers(0, 9, size=400)
+    r_key[0] = r_key[1] = l_key[0]
+    lt = pa.table({
+        "l_id": np.arange(80, dtype=np.int64), "user_id": l_key,
+        "ts": l_ts.astype("datetime64[us]"),
+    })
+    rt = pa.table({
+        "r_id": np.arange(400, dtype=np.int64), "user_id": r_key,
+        "ts": r_ts.astype("datetime64[us]"),
+    })
+    out = interval_point_join(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt).repartition(4),
+        window_us=W,
+    ).take_all()
+    got = {(r["l_id"], r["r_id"]) for r in out}
+    want = {
+        (int(i), int(j))
+        for i in range(80)
+        for j in range(400)
+        if l_key[i] == r_key[j] and l_ts[i] <= r_ts[j] <= l_ts[i] + W
+    }
+    assert got == want
+    assert (0, 0) in got and (0, 1) in got  # boundary inclusivity
+
+
+def test_sample_per_key_cap_and_determinism(ray_session):
+    ray = ray_session
+    from python_prtree_ray.functions import derive
+    from python_prtree_ray.pipelines.sample import SAMPLE_CHANNEL, sample_per_key
+
+    rng = np.random.default_rng(61)
+    keys = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, size=500)]
+    ids = rng.permutation(500).astype(np.int64)
+    t = pa.table({"lang": keys, "doc_id": ids})
+    n = 20
+
+    def run(blocks):
+        out = sample_per_key(
+            ray.data.from_arrow(t).repartition(blocks), "lang", "doc_id", n
+        ).take_all()
+        return {(r["lang"], r["doc_id"]) for r in out}
+
+    got = run(3)
+    assert got == run(11)  # partitioning-invariant
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+    want = set()
+    for k in "abcd":
+        kids = np.sort(ids[keys == k])
+        h = (kids * a + b) % derive.MOD
+        order = np.lexsort((kids, h))[:n]
+        want |= {(k, int(kids[j])) for j in order}
+    assert got == want
+    # per-key counts capped at min(n, group size)
+    from collections import Counter
+    cnt = Counter(k for k, _ in got)
+    for k in "abcd":
+        assert cnt[k] == min(n, int((keys == k).sum()))
+
+
 def test_pack_documents_invariants(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.packing import pack_documents
