@@ -238,6 +238,10 @@ class RayPRTree:
             self._spill_dir = tempfile.mkdtemp(prefix="rayprtree-compact-")
         gen = self._compact_gen + 1
         path = os.path.join(self._spill_dir, f"gen-{gen:06d}")
+        # a stale generation dir (same spill_dir reused across processes)
+        # carries a completed manifest whose resume logic would skip ALL
+        # new rows and silently adopt the OLD table — always start clean
+        shutil.rmtree(path, ignore_errors=True)
         man = save_tree(ds, path, res=self.res)
         if man["metrics"]["total_rows"] == 0:
             shutil.rmtree(path, ignore_errors=True)

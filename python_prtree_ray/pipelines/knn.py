@@ -299,11 +299,18 @@ def knn_join(
     (res<=5 for 4D)."""
     dims = len(point_cols)
     if broadcast is not False:
-        ptbl = _try_collect_points(
-            points, KNN_BROADCAST_LIMIT if broadcast is None else (1 << 62)
-        )
+        from .spatial_join import FORCE_BROADCAST_LIMIT
+
+        cap = KNN_BROADCAST_LIMIT if broadcast is None else FORCE_BROADCAST_LIMIT
+        ptbl = _try_collect_points(points, cap)
         if ptbl is not None:
             return knn_broadcast(boxes, ptbl, k, box_cols, point_cols)
+        if broadcast is True:
+            raise ValueError(
+                f"knn_join(broadcast=True): point side exceeds "
+                f"FORCE_BROADCAST_LIMIT ({FORCE_BROADCAST_LIMIT} rows); "
+                f"use broadcast=None (auto) or broadcast=False (ring path)"
+            )
     tune_context()
     g = 1 << res
     cellw = 1.0 / g

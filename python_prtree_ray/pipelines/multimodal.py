@@ -65,7 +65,14 @@ def fetch_payload_stub(tbl: pa.Table) -> pa.Table:
         refs = refs.combine_chunks()
     offs, data = _binary_parts(refs)
     lens = np.diff(offs)
-    last = np.where(lens > 0, data[np.maximum(offs[1:] - 1, 0)], 0).astype(np.int64)
+    # np.where evaluates both branches: guard the gather for a batch of
+    # ALL-empty refs (data buffer has size 0 — indexing it would raise)
+    gathered = (
+        data[np.maximum(offs[1:] - 1, 0)]
+        if data.size
+        else np.zeros(lens.shape[0], dtype=np.uint8)
+    )
+    last = np.where(lens > 0, gathered, 0).astype(np.int64)
     reps = (1 + last % 12).astype(np.int32)
     rep = pc.binary_repeat(refs, pa.array(reps))
     clipped = pc.utf8_slice_codeunits(rep, 0, 256)

@@ -143,15 +143,12 @@ def distinct_users_hll(
         regs = _hll_registers(uh, codes, len(d.dictionary))
         # list column straight from the flat register buffer — one
         # offsets array, no per-row Python list objects
-        m = 1 << HLL_P
-        regs_col = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, regs.size + 1, m, dtype=np.int32)),
-            pa.array(regs.ravel(), type=pa.int8()),
-        )
+        from .dedup import _uniform_lists
+
         return pa.table(
             {
                 key_col: pa.compute.cast(d.dictionary, pa.string()),
-                "regs": regs_col,
+                "regs": _uniform_lists(regs, pa.int8()),
             }
         )
 

@@ -68,7 +68,9 @@ def _decode_media(payload: pa.Array, kind: "pa.Array | pa.ChunkedArray") -> np.n
     kernel — no Python-object materialization of the string column."""
     import pyarrow.compute as pc
 
-    ok = pc.is_in(kind, value_set=pa.array(["image", "audio", "video"]))
+    ok = pc.fill_null(
+        pc.is_in(kind, value_set=pa.array(["image", "audio", "video"])), False
+    )
     if len(kind) and not pc.min(ok).as_py():
         first_bad = pc.filter(kind, pc.invert(pc.fill_null(ok, False)))[0].as_py()
         raise NotImplementedError(f"no decoder for media kind {first_bad!r}")

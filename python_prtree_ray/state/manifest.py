@@ -82,6 +82,7 @@ def write_partitioned(
                 except FileNotFoundError:
                     pass
         man["partitions"] = {}
+        man.pop("schema_hex", None)  # a fresh run may carry a new schema
         _store_manifest(path, man)
     if extra:
         man.update(extra)
@@ -142,7 +143,7 @@ def write_partitioned(
     pending_flush = 0
     man["coarse_res"] = coarse_res
     for r in stats.iter_rows():
-        man.setdefault("schema_hex", r["schema_hex"])
+        man["schema_hex"] = r["schema_hex"]  # one run == one schema
         man["partitions"][str(int(r["part"]))] = {
             "file": f"part-{int(r['part']):012d}.parquet",
             "rows": int(r["rows"]),

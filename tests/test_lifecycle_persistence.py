@@ -737,20 +737,22 @@ def test_interval_point_join_matches_brute_force(ray_session):
         "r_id": np.arange(400, dtype=np.int64), "user_id": r_key,
         "ts": r_ts.astype("datetime64[us]"),
     })
-    out = interval_point_join(
-        ray.data.from_arrow(lt).repartition(3),
-        ray.data.from_arrow(rt).repartition(4),
-        window_us=W,
-    ).take_all()
-    got = {(r["l_id"], r["r_id"]) for r in out}
     want = {
         (int(i), int(j))
         for i in range(80)
         for j in range(400)
         if l_key[i] == r_key[j] and l_ts[i] <= r_ts[j] <= l_ts[i] + W
     }
-    assert got == want
-    assert (0, 0) in got and (0, 1) in got  # boundary inclusivity
+    for bc in (None, False):  # broadcast AND exactly-normalized cell path
+        out = interval_point_join(
+            ray.data.from_arrow(lt).repartition(3),
+            ray.data.from_arrow(rt).repartition(4),
+            window_us=W,
+            broadcast=bc,
+        ).take_all()
+        got = {(r["l_id"], r["r_id"]) for r in out}
+        assert got == want, f"broadcast={bc}"
+        assert (0, 0) in got and (0, 1) in got  # boundary inclusivity
 
 
 def test_sample_per_key_cap_and_determinism(ray_session):
