@@ -494,6 +494,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return interval_point_join(left, right, window_us=2 * 3600 * 1_000_000)
 
+    def q_dup_clusters(sf):
+        # near-dup pair mining → connected components → canonical doc per
+        # cluster (min id): the cluster-dedup step of a training pipeline
+        import ray
+        from python_prtree_ray.pipelines.graph import connected_components
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        return connected_components(pairs, id_a="doc_a", id_b="doc_b")
+
     def q_doc_cap_per_lang(sf):
         import ray
         from python_prtree_ray.pipelines.sample import sample_per_key
@@ -625,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "save_load": q_save_load,
         "interval_join": q_interval_join,
         "doc_cap_per_lang": q_doc_cap_per_lang,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -822,6 +835,21 @@ SELECT j.a AS doc_a, j.b AS doc_b,
        j.inter * 1.0 / (sa.n + sb.n - j.inter) AS jaccard
 FROM j JOIN sz sa ON sa.doc_id = j.a JOIN sz sb ON sb.doc_id = j.b
 WHERE j.inter * 1.0 / (sa.n + sb.n - j.inter) >= 0.8
+"""
+
+    # transitive closure via recursive CTE — fine at oracle scale; the
+    # engine side is the O(log-diameter) label-propagation operator
+    dup_clusters_sql = f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_sql}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS d FROM sym),
+reach(d, n) AS (
+  SELECT d, d FROM nodes
+  UNION
+  SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.n
+)
+SELECT d AS doc_id, MIN(n) AS cluster_id FROM reach GROUP BY d
 """
 
     events_hopping_sql = """
@@ -1075,6 +1103,7 @@ WHERE {intersects}
         "save_load": spatial_join_sql,
         "interval_join": interval_join_sql,
         "doc_cap_per_lang": doc_cap_per_lang_sql,
+        "dup_clusters": dup_clusters_sql,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

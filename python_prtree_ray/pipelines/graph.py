@@ -1,0 +1,238 @@
+"""Connected components over near-dup pair graphs — cluster dedup.
+
+After pair mining (minhash / simhash / ngram / embedding near-dups), a
+training-data pipeline groups pairs into CLUSTERS and keeps one
+canonical document per cluster. This is connected components with the
+canonical label = MIN doc id in the component.
+
+Algorithm: min-label propagation with pointer jumping (the simple member
+of the large-star/small-star family — Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14). Each round is exactly TWO
+coarse-bucket shuffles:
+
+1. message pass: every symmetrized edge (u, v) sends ``label[u]`` to
+   ``v`` — an in-bucket hash join (coarse ``bucket_of(node)`` groupby,
+   vectorized searchsorted inside the bucket; never per-node groups).
+   The pointer jump rides the SAME shuffle: each labeled node v emits a
+   VIRTUAL edge ``lab[v] → v``, so v also receives ``lab[lab[v]]`` —
+   chains shortcut and convergence is O(log diameter), not O(diameter).
+2. min reduce: ``label'[v] = min(label[v], incoming messages)`` — a
+   second coarse-bucket groupby with a lexsort segment-min, which also
+   counts changed labels (the self-message carries the previous label).
+
+Rounds run until no label changes. Per round the shuffle volume is
+O(|E| + |V|) (node, int64) pairs — the labels table holds only nodes
+that HAVE an edge, a tiny fraction of the corpus. Labels are
+materialized per round (bounded by |V|), never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..config import tune_context
+from ..functions.buckets import bucket_of
+
+N_BUCKETS = 512
+
+
+def _seed_labels(pairs: Dataset, id_a: str, id_b: str) -> Dataset:
+    """(node, lab=node) for every node appearing in any pair — per-batch
+    dedup, coarse-bucket global dedup."""
+
+    def local(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.unique(np.concatenate([a, b]))
+        return pa.table({"node": n, "kb": bucket_of(n, N_BUCKETS)})
+
+    def dedup(group: pa.Table) -> pa.Table:
+        n = np.unique(group.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({"node": n, "lab": n})
+
+    return (
+        pairs.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+
+# The near-dup EDGE LIST is tiny relative to the corpus (only docs with
+# a close twin appear). Up to this many pairs, collect it (bounded, like
+# the spatial broadcast path) and run the vectorized label propagation
+# locally — Ray's per-round shuffle overhead dwarfs the compute for
+# small graphs. Past the limit, the distributed 2-shuffle rounds run.
+CC_COLLECT_LIMIT = 4_000_000
+
+
+def _collect_pairs(pairs: Dataset, limit: int) -> pa.Table | None:
+    batches: list[pa.Table] = []
+    n = 0
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+        if n > limit:
+            return None
+        batches.append(b)
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _local_cc(tbl: pa.Table, id_a: str, id_b: str) -> Dataset:
+    """Driver-side vectorized min-label propagation with pointer jumping
+    (same algorithm as the distributed rounds, numpy arrays instead of
+    shuffles)."""
+    import ray
+
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+            .empty_table()
+        )
+    a = tbl.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lab = np.arange(nodes.shape[0], dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = lab[lab]  # pointer jump
+        if np.array_equal(lab, prev):
+            break
+    # lab holds indices; nodes is sorted, so min reachable index == min id
+    return ray.data.from_arrow(
+        pa.table({"doc_id": nodes, "cluster_id": nodes[lab]})
+    )
+
+
+def connected_components(
+    pairs: Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+    collect_limit: int = CC_COLLECT_LIMIT,
+) -> Dataset:
+    """(doc_id, cluster_id) for every node in ``pairs``; ``cluster_id``
+    is the smallest doc id reachable through the pair graph. Edge lists
+    up to ``collect_limit`` rows take the bounded-collect local path;
+    larger graphs run the distributed 2-shuffle rounds."""
+    tune_context()
+    if collect_limit:
+        tbl = _collect_pairs(pairs, collect_limit)
+        if tbl is not None:
+            return _local_cc(tbl, id_a, id_b)
+
+    # symmetrized edge list, bucketed by the SENDING node — static across
+    # rounds, so materialize once and reuse
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "kb": bucket_of(src, N_BUCKETS),
+                "src": src,
+                "dst": dst,
+                "lab": np.full(src.shape[0], -1, dtype=np.int64),
+            }
+        )
+
+    edges = pairs.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    labels = _seed_labels(pairs, id_a, id_b).materialize()
+
+    for _round in range(max_rounds):
+        # label-entry rows (dst=-1) + VIRTUAL jump edges lab[v] -> v
+        def tag_labels(tbl: pa.Table) -> pa.Table:
+            n = tbl.column("node").to_numpy(zero_copy_only=False)
+            l = tbl.column("lab").to_numpy(zero_copy_only=False)
+            v = l != n  # jump edges only where the label moved off self
+            return pa.table(
+                {
+                    "kb": np.concatenate(
+                        [bucket_of(n, N_BUCKETS), bucket_of(l[v], N_BUCKETS)]
+                    ),
+                    "src": np.concatenate([n, l[v]]),
+                    "dst": np.concatenate(
+                        [np.full(n.shape[0], -1, dtype=np.int64), n[v]]
+                    ),
+                    "lab": np.concatenate(
+                        [l, np.full(int(v.sum()), -1, dtype=np.int64)]
+                    ),
+                }
+            )
+
+        tagged = labels.map_batches(
+            tag_labels, batch_format="pyarrow", zero_copy_batch=True
+        ).union(edges)
+
+        def send(group: pa.Table) -> pa.Table:
+            src = group.column("src").to_numpy(zero_copy_only=False)
+            dst = group.column("dst").to_numpy(zero_copy_only=False)
+            lab = group.column("lab").to_numpy(zero_copy_only=False)
+            is_lab = dst == -1
+            nodes = src[is_lab]
+            labs = lab[is_lab]
+            order = np.argsort(nodes)
+            nodes_s, labs_s = nodes[order], labs[order]
+            e = ~is_lab
+            pos = np.searchsorted(nodes_s, src[e])
+            # messages to every edge target + each node's own label
+            # (own=1 marks the self-message so the reduce can compare the
+            # new min against the node's PREVIOUS label exactly)
+            ne = int(e.sum())
+            node_out = np.concatenate([dst[e], nodes_s])
+            return pa.table(
+                {
+                    "mb": bucket_of(node_out, N_BUCKETS),
+                    "node": node_out,
+                    "lab": np.concatenate([labs_s[pos], labs_s]),
+                    "own": np.concatenate(
+                        [
+                            np.zeros(ne, dtype=np.int8),
+                            np.ones(nodes_s.shape[0], dtype=np.int8),
+                        ]
+                    ),
+                }
+            )
+
+        msgs = tagged.groupby("kb").map_groups(send, batch_format="pyarrow")
+
+        # min reduce per node + changed flag vs the node's previous label
+        def min_reduce(group: pa.Table) -> pa.Table:
+            n = group.column("node").to_numpy(zero_copy_only=False)
+            lab = group.column("lab").to_numpy(zero_copy_only=False)
+            own = group.column("own").to_numpy(zero_copy_only=False)
+            order = np.lexsort((lab, n))
+            n_s, lab_s = n[order], lab[order]
+            starts = np.concatenate([[0], np.nonzero(np.diff(n_s))[0] + 1])
+            new_lab = lab_s[starts]
+            sel = own == 1
+            own_order = np.argsort(n[sel])
+            old_lab = lab[sel][own_order]  # aligned with n_s[starts]
+            changed = (new_lab < old_lab).astype(np.int64)
+            return pa.table(
+                {"node": n_s[starts], "lab": new_lab, "changed": changed}
+            )
+
+        new_labels = (
+            msgs.groupby("mb").map_groups(min_reduce, batch_format="pyarrow")
+        ).materialize()
+        n_changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
+        labels = new_labels  # 'changed' column is ignored by tag_labels
+        if n_changed == 0:
+            break
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": tbl.column("node"), "cluster_id": tbl.column("lab")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

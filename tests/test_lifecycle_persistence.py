@@ -789,6 +789,56 @@ def test_sample_per_key_cap_and_determinism(ray_session):
         assert cnt[k] == min(n, int((keys == k).sum()))
 
 
+def test_connected_components_matches_union_find(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.graph import connected_components
+
+    rng = np.random.default_rng(62)
+    # random sparse graph over scattered ids + a long chain (forces
+    # multiple propagation rounds) + singleton pairs
+    ids = rng.choice(100_000, size=120, replace=False).astype(np.int64)
+    a = ids[rng.integers(0, 120, size=150)]
+    b = ids[rng.integers(0, 120, size=150)]
+    keep = a != b
+    a, b = a[keep], b[keep]
+    chain = np.sort(rng.choice(200_000, size=30, replace=False) + 500_000)
+    a = np.concatenate([a, chain[:-1]])
+    b = np.concatenate([b, chain[1:]])
+    t = pa.table({"id_a": a, "id_b": b})
+
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        parent[find(x)] = find(y)
+    nodes = sorted(parent)
+    comp_min: dict[int, int] = {}
+    for x in nodes:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {(x, comp_min[find(x)]) for x in nodes}
+
+    # local (bounded-collect) path at two partitionings
+    for blocks in (2, 7):
+        out = connected_components(
+            ray.data.from_arrow(t).repartition(blocks)
+        ).take_all()
+        got = {(r["doc_id"], r["cluster_id"]) for r in out}
+        assert got == want
+    # distributed 2-shuffle rounds (collect_limit=0 forces the big-graph
+    # path) must produce the identical clustering
+    out = connected_components(
+        ray.data.from_arrow(t).repartition(3), collect_limit=0
+    ).take_all()
+    assert {(r["doc_id"], r["cluster_id"]) for r in out} == want
+
+
 def test_pack_documents_invariants(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.packing import pack_documents
