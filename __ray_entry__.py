@@ -494,6 +494,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return interval_point_join(left, right, window_us=2 * 3600 * 1_000_000)
 
+    def q_events_rolling(sf):
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        return windows.rolling_window_sum(ev, window_minutes=30)
+
+    def q_lineitem_orders(sf):
+        # big-big shuffle equi-join: both sides too large to broadcast,
+        # co-partitioned on a coarse key-hash bucket, vectorized in-bucket
+        # range-match (pipelines/join.py)
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        )
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        return hash_equi_join(
+            li, od,
+            on="l_orderkey", right_on="o_orderkey",
+            left_cols=("l_linenumber", "l_quantity"),
+            right_cols=("o_custkey",),
+        )
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -638,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "doc_cap_per_lang": q_doc_cap_per_lang,
         "dup_clusters": q_dup_clusters,
+        "lineitem_orders": q_lineitem_orders,
+        "events_rolling": q_events_rolling,
     }
 
 
@@ -1104,6 +1136,18 @@ WHERE {intersects}
         "interval_join": interval_join_sql,
         "doc_cap_per_lang": doc_cap_per_lang_sql,
         "dup_clusters": dup_clusters_sql,
+        "lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "events_rolling": """
+SELECT event_id, event_type,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER (
+         PARTITION BY event_type ORDER BY ts
+         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS roll_cents
+FROM events
+""",
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

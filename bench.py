@@ -152,7 +152,8 @@ QUERY_SUBSET = (
     "distinct_users distinct_users_hll value_quantiles "
     "doc_sample_stratified events_enriched props_extract pack_documents "
     "ann_lsh media_features checkpoint_resume knn_3d save_load "
-    "interval_join doc_cap_per_lang dup_clusters"
+    "interval_join doc_cap_per_lang dup_clusters lineitem_orders "
+    "events_rolling"
 ).split()
 
 

@@ -1,0 +1,125 @@
+"""Big-big equi-join: co-partitioned shuffle hash join.
+
+The complement of :mod:`.lookup`'s broadcast join — when NEITHER side
+fits in memory, both sides shuffle ONCE on a coarse hash bucket of the
+key (same key → same bucket), and each bucket joins vectorized:
+sort one side by key, range-match the other with ``searchsorted``, and
+expand matches with a repeat/arange walk — full duplicate semantics on
+both sides (every left row pairs with every matching right row), no
+Python row loop.
+
+Scale shape: ONE all-to-all of each side's PROJECTED columns (prune to
+``left_cols``/``right_cols`` before the shuffle — never ship unused
+columns), coarse buckets so a ``map_groups`` call handles thousands of
+keys at once, and per-bucket memory bounded by the bucket's rows (salt
+the key upstream if one key dominates; see the self-join salting notes
+in :mod:`.spatial_join`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import tune_context
+from ..functions.buckets import bucket_of
+
+N_BUCKETS = 512
+
+
+def hash_equi_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+    n_buckets: int = N_BUCKETS,
+) -> Dataset:
+    """Inner equi-join on an int64 key. Output columns: the key (named
+    ``on``) + ``left_cols`` + ``right_cols`` (names must not collide —
+    rename upstream if they do)."""
+    tune_context()
+    right_on = right_on or on
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"column name collision across sides: {sorted(overlap)}")
+
+    def tag(cols_keep: tuple[str, ...], key_col: str, side_val: int):
+        def f(tbl: pa.Table) -> pa.Table:
+            k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {
+                "b": bucket_of(k, n_buckets),
+                "k": k,
+                "side": np.full(k.shape[0], side_val, dtype=np.int8),
+            }
+            for c in left_cols:
+                out[c] = (
+                    tbl.column(c)
+                    if side_val == 0
+                    else pa.nulls(tbl.num_rows, tbl_schema_type(c))
+                )
+            for c in right_cols:
+                out[c] = (
+                    tbl.column(c)
+                    if side_val == 1
+                    else pa.nulls(tbl.num_rows, tbl_schema_type(c))
+                )
+            return pa.table(out)
+
+        return f
+
+    # both sides must union with an IDENTICAL schema: resolve each
+    # payload column's Arrow type from whichever side owns it
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+
+    def tbl_schema_type(c: str) -> pa.DataType:
+        if c in lschema.names:
+            return lschema.field(c).type
+        return rschema.field(c).type
+
+    tagged = left.select_columns([on, *left_cols]).map_batches(
+        tag(left_cols, on, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([right_on, *right_cols]).map_batches(
+            tag(right_cols, right_on, 1),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rsel = np.nonzero(~lmask)[0]
+        lsel = np.nonzero(lmask)[0]
+        empty_cols = {on: pa.array([], pa.int64())}
+        for c in (*left_cols, *right_cols):
+            empty_cols[c] = pa.array([], tbl_schema_type(c))
+        if not lsel.size or not rsel.size:
+            return pa.table(empty_cols)
+        rk = k[rsel]
+        order = np.argsort(rk, kind="stable")
+        rk_s = rk[order]
+        lo = np.searchsorted(rk_s, k[lsel], side="left")
+        hi = np.searchsorted(rk_s, k[lsel], side="right")
+        cnt = hi - lo
+        li = np.repeat(np.arange(lsel.shape[0]), cnt)
+        # right positions: each left row's [lo, hi) range expanded
+        ri = np.arange(int(cnt.sum())) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        ) + np.repeat(lo, cnt)
+        lrows = lsel[li]
+        rrows = rsel[order[ri]]
+        out = {on: k[lrows]}
+        for c in left_cols:
+            out[c] = group.column(c).take(pa.array(lrows))
+        for c in right_cols:
+            out[c] = group.column(c).take(pa.array(rrows))
+        return pa.table(out)
+
+    return tagged.groupby("b").map_groups(join_bucket, batch_format="pyarrow")

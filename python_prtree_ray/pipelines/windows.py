@@ -183,6 +183,73 @@ def session_window_agg(
     return keyed.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
+def rolling_window_sum(
+    events: Dataset,
+    window_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> Dataset:
+    """Per-event rolling sum: for each event, the sum of
+    ``floor(value*100)`` cents over SAME-KEY events with timestamp in
+    ``[ts - window, ts]`` — closed on both ends INCLUDING equal-ts peers,
+    which is exactly SQL's ``RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW`` frame.
+
+    One key-hash-bucket shuffle; inside a bucket, each key's segment is
+    sorted once and every row's window resolves with two vectorized
+    ``searchsorted`` probes against a prefix-sum array — no per-row
+    loop (the per-SEGMENT loop is bounded by key cardinality)."""
+    tune_context()
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        from .text import hash_str_array
+
+        kb = hash_str_array(tbl.column(key_col)) % np.int64(n_buckets)
+        return tbl.append_column("rb", pa.array(kb))
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.floor(
+            group.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = group.column(key_col).combine_chunks().dictionary_encode()
+        code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, code))
+        ts_s, cents_s, code_s = ts[order], cents[order], code[order]
+        out = np.empty(ts_s.shape[0], dtype=np.int64)
+        starts = np.concatenate([[0], np.nonzero(np.diff(code_s))[0] + 1])
+        ends = np.concatenate([starts[1:], [code_s.shape[0]]])
+        for s, e in zip(starts, ends):  # bounded by key cardinality
+            seg = ts_s[s:e]
+            pref = np.zeros(e - s + 1, dtype=np.int64)
+            np.cumsum(cents_s[s:e], out=pref[1:])
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = pref[hi] - pref[lo]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.shape[0])
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                key_col: group.column(key_col),
+                "roll_cents": pa.array(out[inv], type=pa.int64()),
+            }
+        )
+
+    keyed = events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("rb").map_groups(roll, batch_format="pyarrow")
+
+
 def top_events_per_type(
     events: Dataset,
     k: int = 10,

@@ -789,6 +789,60 @@ def test_sample_per_key_cap_and_determinism(ray_session):
         assert cnt[k] == min(n, int((keys == k).sum()))
 
 
+def test_rolling_window_sum_peers_and_bounds(ray_session):
+    # SQL RANGE-frame semantics: equal-ts peers included for each other,
+    # closed window bounds, keys independent
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import rolling_window_sum
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
+    m = 60_000_000
+    ts = (t0 + np.array([0, 10 * m, 10 * m, 45 * m, 0])).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": ts,
+            "event_type": ["a", "a", "a", "a", "b"],
+            "value": [0.01, 0.02, 0.03, 0.04, 0.99],
+        }
+    )
+    out = rolling_window_sum(
+        ray.data.from_arrow(t).repartition(2), window_minutes=30
+    ).take_all()
+    got = {r["event_id"]: r["roll_cents"] for r in out}
+    # t=10m rows are peers: each sees 1+2+3; t=45m window [15m,45m]
+    # excludes them; key 'b' independent
+    assert got == {0: 1, 1: 6, 2: 6, 3: 4, 4: 99}
+
+
+def test_hash_equi_join_duplicates_both_sides(ray_session):
+    # full duplicate semantics: every left row pairs with every matching
+    # right row; misses drop; result partitioning-invariant
+    ray = ray_session
+    import pandas as pd
+    from python_prtree_ray.pipelines.join import hash_equi_join
+
+    rng = np.random.default_rng(63)
+    lk = rng.integers(0, 40, size=300).astype(np.int64)
+    rk = rng.integers(20, 60, size=200).astype(np.int64)  # partial overlap
+    lt = pa.table({"k": lk, "lv": np.arange(300, dtype=np.int64)})
+    rt = pa.table({"k": rk, "rv": np.arange(1000, 1200, dtype=np.int64)})
+    out = hash_equi_join(
+        ray.data.from_arrow(lt).repartition(4),
+        ray.data.from_arrow(rt).repartition(3),
+        on="k", left_cols=("lv",), right_cols=("rv",),
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    want_df = lt.to_pandas().merge(rt.to_pandas(), on="k")
+    want = sorted(map(tuple, want_df[["k", "lv", "rv"]].to_numpy()))
+    assert got == want
+    with pytest.raises(ValueError, match="collision"):
+        hash_equi_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", left_cols=("lv",), right_cols=("lv",),
+        )
+
+
 def test_connected_components_matches_union_find(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.graph import connected_components
