@@ -494,6 +494,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return interval_point_join(left, right, window_us=2 * 3600 * 1_000_000)
 
+    def q_events_enriched_left(sf):
+        # LEFT broadcast lookup: unmatched facts kept with NULL carries
+        # (filled to -1 so the float-NaN-free oracle compare is exact)
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+        sup = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        out = broadcast_lookup(
+            ev, sup, on="user_id", small_on="s_suppkey",
+            carry_cols=("s_nationkey",), how="left",
+        )
+
+        def fill(tbl: pa.Table) -> pa.Table:
+            col = _pc.cast(
+                _pc.fill_null(tbl.column("s_nationkey"), -1), pa.int64()
+            )
+            return tbl.set_column(
+                tbl.schema.get_field_index("s_nationkey"), "s_nationkey", col
+            )
+
+        return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
     def q_events_rolling(sf):
         import ray
 
@@ -670,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "lineitem_orders": q_lineitem_orders,
         "events_rolling": q_events_rolling,
+        "events_enriched_left": q_events_enriched_left,
     }
 
 
@@ -1148,6 +1179,11 @@ SELECT event_id, event_type,
          AS BIGINT) AS roll_cents
 FROM events
 """,
+        "events_enriched_left": (
+            "SELECT e.event_id, e.user_id, "
+            "CAST(COALESCE(s.s_nationkey, -1) AS BIGINT) AS s_nationkey "
+            "FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey"
+        ),
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no
         # ANSI-SQL equivalent → rows-only check.

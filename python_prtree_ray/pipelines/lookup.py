@@ -32,15 +32,19 @@ def broadcast_lookup(
     small_on: str | None = None,
     carry_cols: tuple[str, ...] = (),
     on_dup: str = "error",
+    how: str = "inner",
 ) -> Dataset:
-    """Inner-join ``big`` (streaming) to ``small`` (broadcast) on an
-    int64 key, appending ``carry_cols`` from the small side. Rows of
-    ``big`` without a match drop (inner semantics). ``on_dup``:
-    ``"error"`` (default) raises if the small side's keys are not unique;
-    ``"last"`` keeps the last occurrence per key."""
+    """Join ``big`` (streaming) to ``small`` (broadcast) on an int64
+    key, appending ``carry_cols`` from the small side. ``how="inner"``
+    (default) drops unmatched big rows; ``how="left"`` keeps them with
+    NULL carry columns. ``on_dup``: ``"error"`` (default) raises if the
+    small side's keys are not unique; ``"last"`` keeps the last
+    occurrence per key."""
     tune_context()
     if on_dup not in ("error", "last"):
         raise ValueError(f"on_dup must be 'error' or 'last'; got {on_dup!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left'; got {how!r}")
     small_on = small_on or on
     keys = small.column(small_on).to_numpy(zero_copy_only=False).astype(np.int64)
     if on_dup == "error" and np.unique(keys).size != keys.size:
@@ -57,16 +61,32 @@ def broadcast_lookup(
     ref = ray.put((keys_s, payload))
 
     def enrich(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ks, pay = ray.get(ref)
         k = tbl.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
         # position of the LAST occurrence of each key (side='right' - 1)
         pos = np.searchsorted(ks, k, side="right") - 1
         hit = pos >= 0
         hit[hit] &= ks[pos[hit]] == k[hit]
-        out = tbl.filter(pa.array(hit))
-        idx = pa.array(pos[hit])
+        if how == "inner":
+            out = tbl.filter(pa.array(hit))
+            idx = pa.array(pos[hit])
+            for c, col in pay.items():
+                out = out.append_column(c, col.take(idx))
+            return out
+        # left: keep every big row; misses carry NULLs
+        out = tbl
+        hit_arr = pa.array(hit)
+        idx = pa.array(np.where(hit, pos, 0))
         for c, col in pay.items():
-            out = out.append_column(c, col.take(idx))
+            if len(col) == 0:  # empty small side: every carry is NULL
+                out = out.append_column(c, pa.nulls(tbl.num_rows, col.type))
+                continue
+            taken = col.take(idx)
+            out = out.append_column(
+                c, pc.if_else(hit_arr, taken, pa.nulls(len(taken), taken.type))
+            )
         return out
 
     return big.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)

@@ -711,6 +711,22 @@ def test_broadcast_lookup_misses_and_dup_keys(ray_session):
         (2, 3): "three",
         (4, 2): "last-2",
     }
+    # how="left": misses kept with NULL carries
+    out_l = broadcast_lookup(
+        big, small, on="user_id", small_on="c_custkey", carry_cols=("tag",),
+        on_dup="last", how="left",
+    ).take_all()
+    got_l = {r["event_id"]: r["tag"] for r in out_l}
+    assert len(out_l) == 6
+    assert got_l[3] is None and got_l[5] is None  # users 99 and -5
+    assert got_l[1] == "last-2"
+    # left against an EMPTY small side: all carries NULL, rows kept
+    empty_small = small.slice(0, 0)
+    out_e = broadcast_lookup(
+        big, empty_small, on="user_id", small_on="c_custkey",
+        carry_cols=("tag",), how="left",
+    ).take_all()
+    assert len(out_e) == 6 and all(r["tag"] is None for r in out_e)
 
 
 def test_interval_point_join_matches_brute_force(ray_session):
