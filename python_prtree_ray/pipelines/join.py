@@ -46,14 +46,17 @@ def hash_equi_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"column name collision across sides: {sorted(overlap)}")
+    reserved = {"__jb", "__jk", "__jside"} & {on, *left_cols, *right_cols}
+    if reserved:
+        raise ValueError(f"reserved internal column names: {sorted(reserved)}")
 
-    def tag(cols_keep: tuple[str, ...], key_col: str, side_val: int):
+    def tag(key_col: str, side_val: int):
         def f(tbl: pa.Table) -> pa.Table:
             k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
             out = {
-                "b": bucket_of(k, n_buckets),
-                "k": k,
-                "side": np.full(k.shape[0], side_val, dtype=np.int8),
+                "__jb": bucket_of(k, n_buckets),
+                "__jk": k,
+                "__jside": np.full(k.shape[0], side_val, dtype=np.int8),
             }
             for c in left_cols:
                 out[c] = (
@@ -82,25 +85,25 @@ def hash_equi_join(
         return rschema.field(c).type
 
     tagged = left.select_columns([on, *left_cols]).map_batches(
-        tag(left_cols, on, 0), batch_format="pyarrow", zero_copy_batch=True
+        tag(on, 0), batch_format="pyarrow", zero_copy_batch=True
     ).union(
         right.select_columns([right_on, *right_cols]).map_batches(
-            tag(right_cols, right_on, 1),
+            tag(right_on, 1),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
     )
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        k = group.column("k").to_numpy(zero_copy_only=False)
+        side = group.column("__jside").to_numpy(zero_copy_only=False)
+        k = group.column("__jk").to_numpy(zero_copy_only=False)
         lmask = side == 0
         rsel = np.nonzero(~lmask)[0]
         lsel = np.nonzero(lmask)[0]
-        empty_cols = {on: pa.array([], pa.int64())}
-        for c in (*left_cols, *right_cols):
-            empty_cols[c] = pa.array([], tbl_schema_type(c))
         if not lsel.size or not rsel.size:
+            empty_cols = {on: pa.array([], pa.int64())}
+            for c in (*left_cols, *right_cols):
+                empty_cols[c] = pa.array([], tbl_schema_type(c))
             return pa.table(empty_cols)
         rk = k[rsel]
         order = np.argsort(rk, kind="stable")
@@ -122,4 +125,4 @@ def hash_equi_join(
             out[c] = group.column(c).take(pa.array(rrows))
         return pa.table(out)
 
-    return tagged.groupby("b").map_groups(join_bucket, batch_format="pyarrow")
+    return tagged.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")

@@ -857,6 +857,19 @@ def test_hash_equi_join_duplicates_both_sides(ray_session):
             ray.data.from_arrow(lt), ray.data.from_arrow(rt),
             on="k", left_cols=("lv",), right_cols=("lv",),
         )
+    # payload columns named like former internals must NOT corrupt the
+    # join (regression: 'k'/'b'/'side' used to shadow the key/bucket)
+    lt2 = pa.table({"id": np.array([1, 2, 3], np.int64),
+                    "k": np.array([9, 9, 9], np.int64)})
+    rt2 = pa.table({"id": np.array([1, 1, 4], np.int64),
+                    "side": ["x", "y", "z"]})
+    out2 = hash_equi_join(
+        ray.data.from_arrow(lt2), ray.data.from_arrow(rt2),
+        on="id", left_cols=("k",), right_cols=("side",),
+    ).take_all()
+    assert sorted((r["id"], r["k"], r["side"]) for r in out2) == [
+        (1, 9, "x"), (1, 9, "y")
+    ]
 
 
 def test_connected_components_matches_union_find(ray_session):
