@@ -494,6 +494,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return interval_point_join(left, right, window_us=2 * 3600 * 1_000_000)
 
+    def q_events_unmatched(sf):
+        # anti-join: facts whose user has NO supplier row (NOT EXISTS)
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+        sup = pq.read_table(f"{sf}/supplier.parquet", columns=["s_suppkey"])
+        return broadcast_lookup(
+            ev, sup, on="user_id", small_on="s_suppkey", how="anti"
+        )
+
+    def q_text_normalize(sf):
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return text.normalize_text(docs)
+
     def q_events_enriched_left(sf):
         # LEFT broadcast lookup: unmatched facts kept with NULL carries
         # (filled to -1 so the float-NaN-free oracle compare is exact)
@@ -701,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders": q_lineitem_orders,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
+        "events_unmatched": q_events_unmatched,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -1183,6 +1207,15 @@ FROM events
             "SELECT e.event_id, e.user_id, "
             "CAST(COALESCE(s.s_nationkey, -1) AS BIGINT) AS s_nationkey "
             "FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey"
+        ),
+        "events_unmatched": (
+            "SELECT event_id, user_id FROM events e WHERE NOT EXISTS "
+            "(SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)"
+        ),
+        "text_normalize": (
+            "SELECT doc_id, "
+            r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm "
+            "FROM documents"
         ),
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no

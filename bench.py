@@ -153,7 +153,7 @@ QUERY_SUBSET = (
     "doc_sample_stratified events_enriched props_extract pack_documents "
     "ann_lsh media_features checkpoint_resume knn_3d save_load "
     "interval_join doc_cap_per_lang dup_clusters lineitem_orders "
-    "events_rolling events_enriched_left"
+    "events_rolling events_enriched_left events_unmatched text_normalize"
 ).split()
 
 

@@ -37,14 +37,15 @@ def broadcast_lookup(
     """Join ``big`` (streaming) to ``small`` (broadcast) on an int64
     key, appending ``carry_cols`` from the small side. ``how="inner"``
     (default) drops unmatched big rows; ``how="left"`` keeps them with
-    NULL carry columns. ``on_dup``: ``"error"`` (default) raises if the
-    small side's keys are not unique; ``"last"`` keeps the last
-    occurrence per key."""
+    NULL carry columns; ``how="anti"`` keeps ONLY the unmatched rows
+    (no carry columns — the NOT-EXISTS filter). ``on_dup``: ``"error"``
+    (default) raises if the small side's keys are not unique; ``"last"``
+    keeps the last occurrence per key."""
     tune_context()
     if on_dup not in ("error", "last"):
         raise ValueError(f"on_dup must be 'error' or 'last'; got {on_dup!r}")
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left'; got {how!r}")
+    if how not in ("inner", "left", "anti"):
+        raise ValueError(f"how must be 'inner', 'left' or 'anti'; got {how!r}")
     small_on = small_on or on
     keys = small.column(small_on).to_numpy(zero_copy_only=False).astype(np.int64)
     if on_dup == "error" and np.unique(keys).size != keys.size:
@@ -69,6 +70,8 @@ def broadcast_lookup(
         pos = np.searchsorted(ks, k, side="right") - 1
         hit = pos >= 0
         hit[hit] &= ks[pos[hit]] == k[hit]
+        if how == "anti":
+            return tbl.filter(pa.array(~hit))
         if how == "inner":
             out = tbl.filter(pa.array(hit))
             idx = pa.array(pos[hit])

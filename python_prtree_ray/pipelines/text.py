@@ -128,6 +128,21 @@ def token_pieces(docs: Dataset) -> Dataset:
     return docs.map_batches(pieces, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def normalize_text(docs: Dataset, text_col: str = "text") -> Dataset:
+    """(doc_id, norm): canonical text form — lowercase, trimmed,
+    whitespace runs collapsed to single spaces. Three Arrow/RE2 kernels,
+    no shuffle; SQL twin: ``regexp_replace(lower(trim(text)), '\\s+',
+    ' ', 'g')``. The usual first step before exact dedup so trivially
+    different copies hash together."""
+
+    def norm(tbl: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(tbl.column(text_col)))
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        return pa.table({"doc_id": tbl.column("doc_id"), "norm": t})
+
+    return docs.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint(docs: Dataset, window: int = 8) -> Dataset:
     """(doc_id, fp): rolling-hash document fingerprint — min of rolling
     ``window``-token hash sums over the token stream (winnowing-style,

@@ -720,6 +720,13 @@ def test_broadcast_lookup_misses_and_dup_keys(ray_session):
     assert len(out_l) == 6
     assert got_l[3] is None and got_l[5] is None  # users 99 and -5
     assert got_l[1] == "last-2"
+    # how="anti": ONLY the unmatched rows, no carry columns
+    out_a = broadcast_lookup(
+        big, small, on="user_id", small_on="c_custkey", on_dup="last",
+        how="anti",
+    ).take_all()
+    assert sorted(r["event_id"] for r in out_a) == [3, 5]
+    assert all("tag" not in r for r in out_a)
     # left against an EMPTY small side: all carries NULL, rows kept
     empty_small = small.slice(0, 0)
     out_e = broadcast_lookup(
