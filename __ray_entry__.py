@@ -576,6 +576,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=("o_custkey",),
         )
 
+    def q_orders_cust_left(sf):
+        # LEFT flavor of the co-partitioned shuffle join: unmatched
+        # orders keep a sentinel name ('' after fill) — same one-shuffle
+        # plan as inner (pipelines/join.py, how="left")
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        cu = ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(
+            ["c_custkey", "c_name"]
+        )
+        out = hash_equi_join(
+            od, cu,
+            on="o_custkey", right_on="c_custkey",
+            left_cols=("o_orderkey",), right_cols=("c_name",),
+            how="left",
+        )
+
+        def fill(tbl: pa.Table) -> pa.Table:
+            col = _pc.fill_null(tbl.column("c_name"), "")
+            return tbl.set_column(
+                tbl.schema.get_field_index("c_name"), "cname", col
+            )
+
+        return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_orders_with_returns(sf):
+        # SEMI flavor: orders having at least one returned lineitem —
+        # each order emitted once regardless of match multiplicity
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        ).filter(expr="l_returnflag == 'R'").select_columns(["l_orderkey"])
+        return hash_equi_join(
+            od, li,
+            on="o_orderkey", right_on="l_orderkey",
+            left_cols=("o_custkey",),
+            how="semi",
+        )
+
+    def q_orders_no_returns(sf):
+        # ANTI flavor on the same shapes: orders with NO returned lineitem
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        ).filter(expr="l_returnflag == 'R'").select_columns(["l_orderkey"])
+        return hash_equi_join(
+            od, li,
+            on="o_orderkey", right_on="l_orderkey",
+            left_cols=("o_custkey",),
+            how="anti",
+        )
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -721,6 +791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cap_per_lang": q_doc_cap_per_lang,
         "dup_clusters": q_dup_clusters,
         "lineitem_orders": q_lineitem_orders,
+        "orders_cust_left": q_orders_cust_left,
+        "orders_with_returns": q_orders_with_returns,
+        "orders_no_returns": q_orders_no_returns,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1194,6 +1267,21 @@ WHERE {intersects}
         "lineitem_orders": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "orders_cust_left": (
+            "SELECT o.o_custkey, o.o_orderkey, COALESCE(c.c_name, '') AS cname "
+            "FROM orders o LEFT JOIN "
+            "(SELECT c_custkey, c_name FROM customer "
+            " WHERE c_mktsegment = 'BUILDING') c "
+            "ON o.o_custkey = c.c_custkey"
+        ),
+        "orders_with_returns": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey IN "
+            "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
+        ),
+        "orders_no_returns": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey NOT IN "
+            "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
         ),
         "events_rolling": """
 SELECT event_id, event_type,

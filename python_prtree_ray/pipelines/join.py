@@ -37,11 +37,28 @@ def hash_equi_join(
     left_cols: tuple[str, ...] = (),
     right_cols: tuple[str, ...] = (),
     n_buckets: int = N_BUCKETS,
+    how: str = "inner",
 ) -> Dataset:
-    """Inner equi-join on an int64 key. Output columns: the key (named
+    """Equi-join on an int64 key. Output columns: the key (named
     ``on``) + ``left_cols`` + ``right_cols`` (names must not collide —
-    rename upstream if they do)."""
+    rename upstream if they do).
+
+    ``how`` selects the join flavor (all share the ONE-shuffle
+    co-partitioned plan — outer/semi/anti cost the same as inner):
+
+    - ``"inner"``: every (left, right) key match.
+    - ``"left"``: inner matches + unmatched left rows with nulls in
+      ``right_cols``.
+    - ``"semi"``: each left row at most once, kept iff the key exists on
+      the right; ``right_cols`` must be empty.
+    - ``"anti"``: each left row kept iff the key does NOT exist on the
+      right; ``right_cols`` must be empty.
+    """
     tune_context()
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"how={how!r} cannot project right-side columns")
     right_on = right_on or on
     overlap = set(left_cols) & set(right_cols)
     if overlap:
@@ -94,23 +111,49 @@ def hash_equi_join(
         )
     )
 
+    out_cols = (
+        (*left_cols,) if how in ("semi", "anti") else (*left_cols, *right_cols)
+    )
+
+    def _empty() -> pa.Table:
+        cols = {on: pa.array([], pa.int64())}
+        for c in out_cols:
+            cols[c] = pa.array([], tbl_schema_type(c))
+        return pa.table(cols)
+
+    def _left_only(group: pa.Table, lsel: np.ndarray, k: np.ndarray) -> pa.Table:
+        # emit left rows verbatim; right cols (left join only) all-null
+        out = {on: k[lsel]}
+        take = pa.array(lsel)
+        for c in left_cols:
+            out[c] = group.column(c).take(take)
+        if how == "left":
+            for c in right_cols:
+                out[c] = pa.nulls(lsel.shape[0], tbl_schema_type(c))
+        return pa.table(out)
+
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group.column("__jside").to_numpy(zero_copy_only=False)
         k = group.column("__jk").to_numpy(zero_copy_only=False)
         lmask = side == 0
         rsel = np.nonzero(~lmask)[0]
         lsel = np.nonzero(lmask)[0]
-        if not lsel.size or not rsel.size:
-            empty_cols = {on: pa.array([], pa.int64())}
-            for c in (*left_cols, *right_cols):
-                empty_cols[c] = pa.array([], tbl_schema_type(c))
-            return pa.table(empty_cols)
+        if not lsel.size:
+            return _empty()
+        if not rsel.size:
+            if how in ("left", "anti"):
+                return _left_only(group, lsel, k)
+            return _empty()
         rk = k[rsel]
         order = np.argsort(rk, kind="stable")
         rk_s = rk[order]
         lo = np.searchsorted(rk_s, k[lsel], side="left")
         hi = np.searchsorted(rk_s, k[lsel], side="right")
         cnt = hi - lo
+        if how == "semi":
+            return _left_only(group, lsel[cnt > 0], k)
+        if how == "anti":
+            return _left_only(group, lsel[cnt == 0], k)
         li = np.repeat(np.arange(lsel.shape[0]), cnt)
         # right positions: each left row's [lo, hi) range expanded
         ri = np.arange(int(cnt.sum())) - np.repeat(
@@ -123,6 +166,12 @@ def hash_equi_join(
             out[c] = group.column(c).take(pa.array(lrows))
         for c in right_cols:
             out[c] = group.column(c).take(pa.array(rrows))
-        return pa.table(out)
+        matched = pa.table(out)
+        if how != "left":
+            return matched
+        miss = lsel[cnt == 0]
+        if not miss.size:
+            return matched
+        return pa.concat_tables([matched, _left_only(group, miss, k)])
 
     return tagged.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")

@@ -879,6 +879,60 @@ def test_hash_equi_join_duplicates_both_sides(ray_session):
     ]
 
 
+def test_hash_equi_join_left_semi_anti(ray_session):
+    # outer/semi/anti flavors against a pandas ground truth, including
+    # dup right keys (left join fans out, semi does not) and an
+    # all-miss bucket (right side empty for some buckets)
+    ray = ray_session
+    from python_prtree_ray.pipelines.join import hash_equi_join
+
+    rng = np.random.default_rng(64)
+    lk = rng.integers(0, 50, size=400).astype(np.int64)
+    rk = rng.integers(30, 80, size=120).astype(np.int64)  # keys 0-29 miss
+    lt = pa.table({"k": lk, "lv": np.arange(400, dtype=np.int64)})
+    rt = pa.table({"k": rk, "rv": np.arange(2000, 2120, dtype=np.int64)})
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    lds = ray.data.from_arrow(lt).repartition(5)
+    rds = ray.data.from_arrow(rt).repartition(3)
+
+    out_l = hash_equi_join(
+        lds, rds, on="k", left_cols=("lv",), right_cols=("rv",), how="left"
+    ).take_all()
+    got_l = sorted(
+        (r["k"], r["lv"], -1 if r["rv"] is None else r["rv"]) for r in out_l
+    )
+    want_df = ldf.merge(rdf, on="k", how="left")
+    want_l = sorted(
+        (int(k), int(lv), -1 if np.isnan(rv) else int(rv))
+        for k, lv, rv in want_df[["k", "lv", "rv"]].to_numpy()
+    )
+    assert got_l == want_l
+
+    matched_keys = set(rdf["k"])
+    out_s = hash_equi_join(lds, rds, on="k", left_cols=("lv",), how="semi").take_all()
+    got_s = sorted((r["k"], r["lv"]) for r in out_s)
+    want_s = sorted(
+        (int(k), int(lv))
+        for k, lv in ldf[["k", "lv"]].to_numpy()
+        if k in matched_keys
+    )
+    assert got_s == want_s
+
+    out_a = hash_equi_join(lds, rds, on="k", left_cols=("lv",), how="anti").take_all()
+    got_a = sorted((r["k"], r["lv"]) for r in out_a)
+    want_a = sorted(
+        (int(k), int(lv))
+        for k, lv in ldf[["k", "lv"]].to_numpy()
+        if k not in matched_keys
+    )
+    assert got_a == want_a
+
+    with pytest.raises(ValueError, match="right-side"):
+        hash_equi_join(lds, rds, on="k", right_cols=("rv",), how="anti")
+    with pytest.raises(ValueError, match="unsupported"):
+        hash_equi_join(lds, rds, on="k", how="outer")
+
+
 def test_connected_components_matches_union_find(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.graph import connected_components

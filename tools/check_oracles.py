@@ -53,7 +53,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(
             address="local", num_cpus=8, include_dashboard=False,
@@ -72,17 +72,25 @@ def main(sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    # entry() smoke first (what the driver checks at sf0.001)
-    try:
-        eds = mod.entry()
-        n_entry = eds.count() if hasattr(eds, "count") else len(eds)
-        print(f"OK   entry(): rows={n_entry}")
-    except Exception as e:
-        print(f"FAIL entry(): {type(e).__name__}: {e}")
+    # entry() smoke first (what the driver checks at sf0.001);
+    # skipped when iterating on specific queries via --only
+    if not only:
+        try:
+            eds = mod.entry()
+            n_entry = eds.count() if hasattr(eds, "count") else len(eds)
+            print(f"OK   entry(): rows={n_entry}")
+        except Exception as e:
+            print(f"FAIL entry(): {type(e).__name__}: {e}")
 
     import time
 
     qs = mod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+        missing = only - set(qs)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            return 1
     oracles = mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -146,7 +154,13 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    rc = main(sf, only=only)
     ray.shutdown()
     sys.exit(1 if rc else 0)
