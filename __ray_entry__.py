@@ -23,6 +23,7 @@ RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
 KNN_K = 5
 ANN_K = 5
+RADIUS = 0.02  # radius_join fixed search radius (unit-square coords)
 
 
 # ------------------------------------------------------------------ entry
@@ -94,6 +95,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             res=4,
             box_cols=BOX3D_COLS,
             point_cols=knn.POINT3D_COLS,
+        )
+
+    def q_radius_join(sf):
+        # fixed-radius within-distance join: supplier points vs order-box
+        # centroids (zero-shuffle broadcast path at this probe size)
+        return knn.radius_join(
+            tables.boxes_dataset(sf),
+            tables.points_dataset(sf, "supplier", "s_suppkey"),
+            radius=RADIUS,
+            res=5,
         )
 
     def q_pip(sf):
@@ -745,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_query": q_point_query,
         "knn": q_knn,
         "knn_3d": q_knn_3d,
+        "radius_join": q_radius_join,
         "pip": q_pip,
         "tile_points": q_tile_points,
         "tile_cover": q_tile_cover,
@@ -863,6 +875,16 @@ r AS (SELECT query_id, idx,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
       FROM d)
 SELECT query_id, idx, rn AS "rank" FROM r WHERE rn <= {KNN_K}
+"""
+
+    radius_join_sql = f"""
+WITH b AS ({b_orders}), p AS ({p_supp}),
+c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy FROM b)
+SELECT p.query_id AS query_id, c.idx AS idx,
+       (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) AS dist2
+FROM p, c
+WHERE (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy)
+      <= {RADIUS} * {RADIUS}
 """
 
     pip_sql = f"""
@@ -1226,6 +1248,7 @@ WHERE {intersects}
         "point_query": point_query_sql,
         "knn": knn_sql,
         "knn_3d": knn_3d_sql,
+        "radius_join": radius_join_sql,
         "pip": pip_sql,
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,

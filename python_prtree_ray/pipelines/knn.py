@@ -339,6 +339,26 @@ def knn_join(
     qboxes = points.map_batches(
         to_radius_boxes, batch_format="pyarrow", zero_copy_batch=True
     )
+    pairs = _cell_dist_pairs(boxes, qboxes, res, box_cols, point_cols)
+    return _bucketed_topk(pairs, k)
+
+
+def _cell_dist_pairs(
+    boxes: Dataset,
+    qboxes: Dataset,
+    res: int,
+    box_cols: tuple = st.BOX_COLS,
+    point_cols: tuple = POINT_COLS,
+) -> Dataset:
+    """Cell-shuffle (query point, box centroid, dist2) candidates.
+
+    ``qboxes`` carries per-query search boxes (*box_cols*) plus the point
+    coordinates (*point_cols*); every centroid falling inside a query's
+    search box is emitted once (owner-cell dedup) with its exact dist2.
+    Shared by the kNN ring path (per-query adaptive radius → top-k merge)
+    and :func:`radius_join` (constant radius → threshold filter)."""
+    d = len(point_cols)
+    mins, maxs = box_cols[:d], box_cols[d:]
 
     # centroids as degenerate boxes through the cell join; carry coords
     def centroid_rows(tbl: pa.Table) -> pa.Table:
@@ -380,10 +400,119 @@ def knn_join(
         fn_kwargs=dict(res=res, box_cols=box_cols, point_cols=point_cols),
     )
     union = build.union(probe)
-    pairs = union.groupby("key").map_groups(
+    return union.groupby("key").map_groups(
         _make_knn_cell(res, box_cols, point_cols), batch_format="pyarrow"
     )
-    return _bucketed_topk(pairs, k)
+
+
+def radius_join(
+    boxes: Dataset,
+    points: Dataset,
+    radius: float,
+    res: int = 5,
+    broadcast: bool | None = None,
+    box_cols: tuple = st.BOX_COLS,
+    point_cols: tuple = POINT_COLS,
+) -> Dataset:
+    """Within-distance join: every (query_id, idx, dist2) with the
+    EUCLIDEAN distance from the query point to the box centroid
+    <= ``radius`` — the fixed-radius sibling of :func:`knn_join`
+    (reference analog: a ``batch_query`` over ``[p-r, p+r]`` boxes,
+    ``prtree.h:587-729``, tightened from the Chebyshev superset to the
+    exact circle).
+
+    Small point sides broadcast (map-only, ZERO shuffle — the threshold
+    is a global constant, so no per-query merge is needed, unlike kNN);
+    large ones take the one-shuffle cell path. dist2 is computed as the
+    literal per-dim ``(p-c)*(p-c)`` sum — the SQL-oracle expression —
+    so results tie out bitwise."""
+    tune_context()
+    from ..functions.prtree import PRTree
+
+    d = len(point_cols)
+    mins, maxs = box_cols[:d], box_cols[d:]
+    r2 = radius * radius
+
+    if broadcast is not False:
+        from .spatial_join import FORCE_BROADCAST_LIMIT
+
+        cap = KNN_BROADCAST_LIMIT if broadcast is None else FORCE_BROADCAST_LIMIT
+        ptbl = _try_collect_points(points, cap)
+        if ptbl is None:
+            if broadcast is True:
+                raise ValueError(
+                    f"radius_join(broadcast=True): point side exceeds "
+                    f"FORCE_BROADCAST_LIMIT ({FORCE_BROADCAST_LIMIT} rows); "
+                    f"use broadcast=None (auto) or broadcast=False (cell path)"
+                )
+        else:
+            if ptbl.num_rows == 0:
+                return ray.data.from_arrow(
+                    pa.schema(
+                        [
+                            ("query_id", pa.int64()),
+                            ("idx", pa.int64()),
+                            ("dist2", pa.float64()),
+                        ]
+                    ).empty_table()
+                )
+            qids = (
+                ptbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            Q = np.stack(
+                [ptbl.column(c).to_numpy(zero_copy_only=False) for c in point_cols],
+                axis=1,
+            )
+            # Chebyshev superset boxes once, driver-side (small by contract)
+            qb = np.hstack([Q - radius, Q + radius])
+            side_ref = ray.put((qids, Q, qb))
+
+            def probe(tbl: pa.Table) -> pa.Table:
+                q_ids, qm, qbx = ray.get(side_ref)
+                C = _centroids(st.boxes_np(tbl, box_cols))
+                ids = st.col_np(tbl, "idx")
+                tree = PRTree(np.arange(C.shape[0], dtype=np.int64), np.hstack([C, C]))
+                qi, ppos = tree.batch_query_positions(qbx)
+                pos = tree.idx[ppos]
+                d2 = _dist2(qm[qi], C[pos])
+                keep = d2 <= r2
+                return pa.table(
+                    {
+                        "query_id": q_ids[qi[keep]],
+                        "idx": ids[pos[keep]],
+                        "dist2": d2[keep],
+                    }
+                )
+
+            return boxes.map_batches(
+                probe,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=16384,
+            )
+
+    # cell path: constant-radius search boxes through the shared kernel
+    def to_search_boxes(tbl: pa.Table) -> pa.Table:
+        P = np.stack([st.col_np(tbl, c) for c in point_cols], axis=1)
+        cols = {"query_id": st.col_np(tbl, "query_id")}
+        for j, c in enumerate(mins):
+            cols[c] = P[:, j] - radius
+        for j, c in enumerate(maxs):
+            cols[c] = P[:, j] + radius
+        for j, c in enumerate(point_cols):
+            cols[c] = P[:, j]
+        return pa.table(cols)
+
+    qboxes = points.map_batches(
+        to_search_boxes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = _cell_dist_pairs(boxes, qboxes, res, box_cols, point_cols)
+
+    def threshold(tbl: pa.Table) -> pa.Table:
+        d2 = st.col_np(tbl, "dist2")
+        return tbl.filter(pa.array(d2 <= r2))
+
+    return pairs.map_batches(threshold, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _expand_probe_with_coords(

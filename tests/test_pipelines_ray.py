@@ -710,3 +710,93 @@ def test_media_span_explode_preserves_order(ray_session):
     got = sorted((r["offset"], r["kind"]) for r in out)
     assert got == [(0, "image"), (65, "audio"), (129, "video")]
     assert all(len(r["features"]) == 8 for r in out)
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_radius_join_both_paths_match_brute_force(ray_session, dims):
+    # fixed-radius within-distance join: broadcast (zero-shuffle) and
+    # cell-shuffle paths must both equal the brute-force circle test,
+    # threshold inclusive, in 2D and 3D
+    ray = ray_session
+    from python_prtree_ray.pipelines import knn as knnmod
+
+    box_cols = {
+        2: ("xmin", "ymin", "xmax", "ymax"),
+        3: ("xmin", "ymin", "zmin", "xmax", "ymax", "zmax"),
+    }[dims]
+    point_cols = {2: knnmod.POINT_COLS, 3: knnmod.POINT3D_COLS}[dims]
+    rng = np.random.default_rng(77 + dims)
+    n, m, radius = 800, 60, 0.15
+    boxes = random_boxes(rng, n, edge=0.02, dim=dims)
+    pts = rng.random((m, dims))
+    bids = rng.permutation(n).astype(np.int64)
+    qids = np.arange(m, dtype=np.int64)
+    bcols = {"idx": bids}
+    for j, c in enumerate(box_cols):
+        bcols[c] = boxes[:, j]
+    bds = ray.data.from_arrow(pa.table(bcols)).repartition(4)
+    pcols = {"query_id": qids}
+    for j, c in enumerate(point_cols):
+        pcols[c] = pts[:, j]
+    pds = ray.data.from_arrow(pa.table(pcols)).repartition(2)
+    kw = dict(radius=radius, box_cols=box_cols, point_cols=point_cols)
+    bc_out = knnmod.radius_join(bds, pds, **kw).take_all()
+    cell_out = knnmod.radius_join(bds, pds, res=4, broadcast=False, **kw).take_all()
+    C = (boxes[:, :dims] + boxes[:, dims:]) * 0.5
+    d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    want = sorted(
+        (int(qi), int(bids[j]))
+        for qi in range(m)
+        for j in np.nonzero(d2[qi] <= radius * radius)[0]
+    )
+    assert want  # non-degenerate fixture
+    for out in (bc_out, cell_out):
+        got = sorted((r["query_id"], r["idx"]) for r in out)
+        assert got == want
+        for r in out:
+            assert r["dist2"] <= radius * radius
+
+
+def test_radius_join_empty_and_forced_broadcast_guard(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines import knn as knnmod
+
+    rng = np.random.default_rng(5)
+    boxes = random_boxes(rng, 50, edge=0.02)
+    bt = pa.table(
+        {
+            "idx": np.arange(50, dtype=np.int64),
+            "xmin": boxes[:, 0], "ymin": boxes[:, 1],
+            "xmax": boxes[:, 2], "ymax": boxes[:, 3],
+        }
+    )
+    bds = ray.data.from_arrow(bt)
+    empty_pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": np.empty(0, np.int64),
+                "px": np.empty(0, np.float64),
+                "py": np.empty(0, np.float64),
+            }
+        )
+    )
+    assert knnmod.radius_join(bds, empty_pts, radius=0.1).count() == 0
+
+    big = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": np.arange(10, dtype=np.int64),
+                "px": np.full(10, 0.5),
+                "py": np.full(10, 0.5),
+            }
+        )
+    )
+    import python_prtree_ray.pipelines.spatial_join as sjmod
+
+    orig = sjmod.FORCE_BROADCAST_LIMIT
+    sjmod.FORCE_BROADCAST_LIMIT = 5
+    try:
+        with pytest.raises(ValueError, match="FORCE_BROADCAST_LIMIT"):
+            knnmod.radius_join(bds, big, radius=0.1, broadcast=True)
+    finally:
+        sjmod.FORCE_BROADCAST_LIMIT = orig
