@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_pip(sf):
         return pip.pip_join(tables.points_dataset(sf))
 
+    def q_zonal_stats(sf):
+        # per-polygon point aggregates (zonal statistics): broadcast
+        # zones, map-side combine, tiny poly_id groupby
+        return pip.zonal_stats(tables.points_dataset(sf))
+
     def q_tile_points(sf):
         return tiling.tile_points(tables.points_dataset(sf), res=TILE_RES)
 
@@ -758,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_3d": q_knn_3d,
         "radius_join": q_radius_join,
         "pip": q_pip,
+        "zonal_stats": q_zonal_stats,
         "tile_points": q_tile_points,
         "tile_cover": q_tile_cover,
         "lifecycle_query": q_lifecycle,
@@ -893,6 +899,22 @@ SELECT p.query_id AS query_id, e.poly_id AS poly_id
 FROM p, e
 GROUP BY p.query_id, e.poly_id
 HAVING bool_and((e.x2 - e.x1) * (p.py - e.y1) - (e.y2 - e.y1) * (p.px - e.x1) >= 0.0)
+"""
+
+    zonal_stats_sql = f"""
+WITH p AS ({p_cust}), e AS (SELECT * FROM {derive.polygon_edges_sql()}),
+hits AS (
+  SELECT p.query_id AS query_id, e.poly_id AS poly_id,
+         MIN(p.px) AS px, MIN(p.py) AS py
+  FROM p, e
+  GROUP BY p.query_id, e.poly_id
+  HAVING bool_and((e.x2 - e.x1) * (p.py - e.y1) - (e.y2 - e.y1) * (p.px - e.x1) >= 0.0)
+)
+SELECT poly_id, COUNT(*) AS n_points,
+       CAST(SUM(query_id) AS BIGINT) AS sum_qid,
+       MIN(px) AS min_px, MIN(py) AS min_py,
+       MAX(px) AS max_px, MAX(py) AS max_py
+FROM hits GROUP BY poly_id
 """
 
     tile_points_sql = f"""
@@ -1250,6 +1272,7 @@ WHERE {intersects}
         "knn_3d": knn_3d_sql,
         "radius_join": radius_join_sql,
         "pip": pip_sql,
+        "zonal_stats": zonal_stats_sql,
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,
         "lifecycle_query": lifecycle_sql,

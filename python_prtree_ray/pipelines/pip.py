@@ -62,3 +62,75 @@ def pip_join(
         )
 
     return points.map_batches(test_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zonal_stats(
+    points: Dataset,
+    polygons: list[tuple[int, np.ndarray]] | None = None,
+) -> Dataset:
+    """Per-polygon (zone) aggregates of the points it contains:
+    ``(poly_id, n_points, sum_qid, min_px, min_py, max_px, max_py)``.
+
+    Scale shape: the polygon set broadcasts (zero shuffle), each batch
+    pre-aggregates to AT MOST one row per polygon (map-side combine), and
+    the global ``groupby(poly_id)`` shuffles only those tiny partials —
+    O(batches x polygons) rows at any point count. Sums are over the
+    int64 id (order-independent, exact); the float extrema are min/max
+    (also order-independent), never a float sum."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    polys = polygons if polygons is not None else derive.polygon_arrays()
+    packed = [
+        (pid, v, v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
+        for pid, v in polys
+    ]
+    polys_ref = ray.put(packed)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        plist = ray.get(polys_ref)
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        qid = st.col_np(tbl, "query_id")
+        rows: dict[str, list] = {
+            "poly_id": [], "n": [], "sum_qid": [],
+            "min_px": [], "min_py": [], "max_px": [], "max_py": [],
+        }
+        for pid, verts, x0, y0, x1, y1 in plist:
+            cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            if not cand.any():
+                continue
+            sel = np.nonzero(cand)[0]
+            inside = geom.point_in_convex_polygon(px[sel], py[sel], verts)
+            hit = sel[inside]
+            if not hit.size:
+                continue
+            rows["poly_id"].append(pid)
+            rows["n"].append(hit.shape[0])
+            rows["sum_qid"].append(int(qid[hit].sum()))
+            rows["min_px"].append(px[hit].min())
+            rows["min_py"].append(py[hit].min())
+            rows["max_px"].append(px[hit].max())
+            rows["max_py"].append(py[hit].max())
+        return pa.table(
+            {
+                "poly_id": pa.array(rows["poly_id"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sum_qid": pa.array(rows["sum_qid"], pa.int64()),
+                "min_px": pa.array(rows["min_px"], pa.float64()),
+                "min_py": pa.array(rows["min_py"], pa.float64()),
+                "max_px": pa.array(rows["max_px"], pa.float64()),
+                "max_py": pa.array(rows["max_py"], pa.float64()),
+            }
+        )
+
+    partials = points.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("poly_id").aggregate(
+        Sum("n", alias_name="n_points"),
+        Sum("sum_qid", alias_name="sum_qid"),
+        Min("min_px", alias_name="min_px"),
+        Min("min_py", alias_name="min_py"),
+        Max("max_px", alias_name="max_px"),
+        Max("max_py", alias_name="max_py"),
+    )

@@ -800,3 +800,33 @@ def test_radius_join_empty_and_forced_broadcast_guard(ray_session):
             knnmod.radius_join(bds, big, radius=0.1, broadcast=True)
     finally:
         sjmod.FORCE_BROADCAST_LIMIT = orig
+
+
+def test_zonal_stats_matches_brute_force(ray_session):
+    # per-polygon aggregates equal a numpy recomputation over the same
+    # convex-polygon predicate, independent of partitioning
+    ray = ray_session
+    from python_prtree_ray.pipelines.pip import zonal_stats
+
+    rng = np.random.default_rng(23)
+    pts = rng.random((2000, 2))
+    qids = rng.permutation(2000).astype(np.int64)
+    polys = derive.polygon_arrays()
+    for blocks in (1, 7):
+        out = zonal_stats(_points_ds(ray, pts, qids, blocks=blocks)).take_all()
+        got = {r["poly_id"]: r for r in out}
+        n_nonempty = 0
+        for pid, verts in polys:
+            inside = geom.point_in_convex_polygon(pts[:, 0], pts[:, 1], verts)
+            if not inside.any():
+                assert pid not in got
+                continue
+            n_nonempty += 1
+            r = got[pid]
+            assert r["n_points"] == int(inside.sum())
+            assert r["sum_qid"] == int(qids[inside].sum())
+            assert r["min_px"] == pts[inside, 0].min()
+            assert r["max_px"] == pts[inside, 0].max()
+            assert r["min_py"] == pts[inside, 1].min()
+            assert r["max_py"] == pts[inside, 1].max()
+        assert len(got) == n_nonempty
