@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tile_cover(sf):
         return tiling.tile_cover(tables.boxes_dataset(sf), res=TILE_RES)
 
+    def q_tile_extent(sf):
+        # per-tile count + envelope of overlapping boxes (zonal raster
+        # statistics over the procedural tile grid)
+        return tiling.tile_extent(tables.boxes_dataset(sf), res=TILE_RES)
+
     def q_lifecycle(sf):
         # build on even keys, insert odd keys, erase keys % 10 == 0, query:
         # exercises delta + tombstone + query union (reference
@@ -766,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "tile_points": q_tile_points,
         "tile_cover": q_tile_cover,
+        "tile_extent": q_tile_extent,
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -933,6 +939,22 @@ s AS (SELECT range AS i FROM range(0, {g}))
 SELECT r.idx AS idx, sx.i * {g} + sy.i AS cell
 FROM r, s sx, s sy
 WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
+"""
+
+    tile_extent_sql = f"""
+WITH b AS ({b_orders}),
+r AS (SELECT idx, xmin, ymin, xmax, ymax,
+             {ix} AS ix0, {ix1} AS ix1, {iy} AS iy0, {iy1} AS iy1 FROM b),
+s AS (SELECT range AS i FROM range(0, {g})),
+cov AS (
+  SELECT r.xmin, r.ymin, r.xmax, r.ymax, sx.i * {g} + sy.i AS cell
+  FROM r, s sx, s sy
+  WHERE sx.i BETWEEN r.ix0 AND r.ix1 AND sy.i BETWEEN r.iy0 AND r.iy1
+)
+SELECT cell, COUNT(*) AS n_boxes,
+       MIN(xmin) AS env_xmin, MIN(ymin) AS env_ymin,
+       MAX(xmax) AS env_xmax, MAX(ymax) AS env_ymax
+FROM cov GROUP BY cell
 """
 
     lifecycle_sql = f"""
@@ -1275,6 +1297,7 @@ WHERE {intersects}
         "zonal_stats": zonal_stats_sql,
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,
+        "tile_extent": tile_extent_sql,
         "lifecycle_query": lifecycle_sql,
         "dedup_exact": dedup_exact_sql,
         "token_stats": token_stats_sql,

@@ -78,6 +78,60 @@ def raster_tile_join(boxes: Dataset, res: int) -> Dataset:
     return boxes.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def tile_extent(boxes: Dataset, res: int) -> Dataset:
+    """Per-tile box statistics: ``(cell, n_boxes, env_xmin, env_ymin,
+    env_xmax, env_ymax)`` — the count and the envelope (bounding-box
+    union) of every box overlapping each tile.
+
+    Scale shape: each batch reduces its cover expansion to ONE row per
+    distinct cell (sorted-run ``reduceat``, no Python loop), so the
+    global groupby shuffles at most one row per (cell, batch); count and
+    min/max are order-independent, so results are bitwise-stable across
+    partitionings."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        b = st.boxes_np(tbl)
+        row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+        if not cell.size:
+            return pa.table(
+                {
+                    "cell": np.empty(0, np.int64),
+                    "n": np.empty(0, np.int64),
+                    "env_xmin": np.empty(0, np.float64),
+                    "env_ymin": np.empty(0, np.float64),
+                    "env_xmax": np.empty(0, np.float64),
+                    "env_ymax": np.empty(0, np.float64),
+                }
+            )
+        order = np.argsort(cell, kind="stable")
+        cs, rs = cell[order], row[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        return pa.table(
+            {
+                "cell": cs[starts],
+                "n": np.diff(np.r_[starts, cs.size]).astype(np.int64),
+                "env_xmin": np.minimum.reduceat(b[rs, 0], starts),
+                "env_ymin": np.minimum.reduceat(b[rs, 1], starts),
+                "env_xmax": np.maximum.reduceat(b[rs, 2], starts),
+                "env_ymax": np.maximum.reduceat(b[rs, 3], starts),
+            }
+        )
+
+    partials = boxes.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("cell").aggregate(
+        Sum("n", alias_name="n_boxes"),
+        Min("env_xmin", alias_name="env_xmin"),
+        Min("env_ymin", alias_name="env_ymin"),
+        Max("env_xmax", alias_name="env_xmax"),
+        Max("env_ymax", alias_name="env_ymax"),
+    )
+
+
 def cell_histogram(boxes: Dataset, res: int) -> Dataset:
     """(cell, n_boxes): per-cell box-cover counts — the engine's salting /
     kNN histogram as a user-facing aggregate. Counts pre-reduce inside

@@ -830,3 +830,37 @@ def test_zonal_stats_matches_brute_force(ray_session):
             assert r["min_py"] == pts[inside, 1].min()
             assert r["max_py"] == pts[inside, 1].max()
         assert len(got) == n_nonempty
+
+
+def test_tile_extent_matches_brute_force(ray_session):
+    # per-tile envelope/count equal a numpy recomputation; stable across
+    # partitionings (min/max/count are order-independent)
+    ray = ray_session
+    from python_prtree_ray.functions import cells as cellmod
+    from python_prtree_ray.pipelines.tiling import tile_extent
+
+    rng = np.random.default_rng(31)
+    boxes = random_boxes(rng, 1200, edge=0.1)
+    ids = np.arange(1200, dtype=np.int64)
+    res = 3
+    row, cell = cellmod.cover_boxes(
+        boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], res
+    )
+    want = {}
+    for c in np.unique(cell):
+        rs = row[cell == c]
+        want[int(c)] = (
+            rs.size,
+            boxes[rs, 0].min(), boxes[rs, 1].min(),
+            boxes[rs, 2].max(), boxes[rs, 3].max(),
+        )
+    for blocks in (1, 9):
+        out = tile_extent(_boxes_ds(ray, boxes, ids, blocks=blocks), res=res).take_all()
+        got = {
+            r["cell"]: (
+                r["n_boxes"], r["env_xmin"], r["env_ymin"],
+                r["env_xmax"], r["env_ymax"],
+            )
+            for r in out
+        }
+        assert got == want
