@@ -630,6 +630,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
+    def q_orders_cust_outer(sf):
+        # FULL-OUTER flavor: only every-third order survives the left
+        # filter, so both sides contribute unmatched rows (sentinel-fill
+        # -1 / '' keeps the driver hash NaN-free)
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+
+        def every_third(t: pa.Table) -> pa.Table:
+            ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ok % 3 == 0))
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(every_third, batch_format="pyarrow", zero_copy_batch=True)
+        cu = ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(
+            ["c_custkey", "c_name"]
+        )
+        out = hash_equi_join(
+            od, cu,
+            on="o_custkey", right_on="c_custkey",
+            left_cols=("o_orderkey",), right_cols=("c_name",),
+            how="outer",
+        )
+
+        def fill(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("o_orderkey"),
+                "o_orderkey",
+                _pc.fill_null(tbl.column("o_orderkey"), -1),
+            )
+            return tbl.set_column(
+                tbl.schema.get_field_index("c_name"),
+                "cname",
+                _pc.fill_null(tbl.column("c_name"), ""),
+            )
+
+        return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
     def q_orders_with_returns(sf):
         # SEMI flavor: orders having at least one returned lineitem —
         # each order emitted once regardless of match multiplicity
@@ -816,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "lineitem_orders": q_lineitem_orders,
         "orders_cust_left": q_orders_cust_left,
+        "orders_cust_outer": q_orders_cust_outer,
         "orders_with_returns": q_orders_with_returns,
         "orders_no_returns": q_orders_no_returns,
         "events_rolling": q_events_rolling,
@@ -1342,6 +1386,16 @@ WHERE {intersects}
             "FROM orders o LEFT JOIN "
             "(SELECT c_custkey, c_name FROM customer "
             " WHERE c_mktsegment = 'BUILDING') c "
+            "ON o.o_custkey = c.c_custkey"
+        ),
+        "orders_cust_outer": (
+            "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "COALESCE(o.o_orderkey, -1) AS o_orderkey, "
+            "COALESCE(c.c_name, '') AS cname "
+            "FROM (SELECT o_orderkey, o_custkey FROM orders "
+            "      WHERE o_orderkey % 3 = 0) o "
+            "FULL JOIN (SELECT c_custkey, c_name FROM customer "
+            "           WHERE c_mktsegment = 'BUILDING') c "
             "ON o.o_custkey = c.c_custkey"
         ),
         "orders_with_returns": (

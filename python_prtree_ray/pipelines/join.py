@@ -49,13 +49,16 @@ def hash_equi_join(
     - ``"inner"``: every (left, right) key match.
     - ``"left"``: inner matches + unmatched left rows with nulls in
       ``right_cols``.
+    - ``"outer"``: full outer — inner matches + unmatched rows from BOTH
+      sides (nulls in the other side's payload columns; the key column
+      is always populated, from whichever side the row came).
     - ``"semi"``: each left row at most once, kept iff the key exists on
       the right; ``right_cols`` must be empty.
     - ``"anti"``: each left row kept iff the key does NOT exist on the
       right; ``right_cols`` must be empty.
     """
     tune_context()
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"how={how!r} cannot project right-side columns")
@@ -122,14 +125,24 @@ def hash_equi_join(
         return pa.table(cols)
 
     def _left_only(group: pa.Table, lsel: np.ndarray, k: np.ndarray) -> pa.Table:
-        # emit left rows verbatim; right cols (left join only) all-null
+        # emit left rows verbatim; right cols (left/outer join) all-null
         out = {on: k[lsel]}
         take = pa.array(lsel)
         for c in left_cols:
             out[c] = group.column(c).take(take)
-        if how == "left":
+        if how in ("left", "outer"):
             for c in right_cols:
                 out[c] = pa.nulls(lsel.shape[0], tbl_schema_type(c))
+        return pa.table(out)
+
+    def _right_only(group: pa.Table, rpos: np.ndarray, k: np.ndarray) -> pa.Table:
+        # outer join: unmatched right rows, left payload all-null
+        out = {on: k[rpos]}
+        take = pa.array(rpos)
+        for c in left_cols:
+            out[c] = pa.nulls(rpos.shape[0], tbl_schema_type(c))
+        for c in right_cols:
+            out[c] = group.column(c).take(take)
         return pa.table(out)
 
     def join_bucket(group: pa.Table) -> pa.Table:
@@ -139,9 +152,11 @@ def hash_equi_join(
         rsel = np.nonzero(~lmask)[0]
         lsel = np.nonzero(lmask)[0]
         if not lsel.size:
+            if how == "outer" and rsel.size:
+                return _right_only(group, rsel, k)
             return _empty()
         if not rsel.size:
-            if how in ("left", "anti"):
+            if how in ("left", "outer", "anti"):
                 return _left_only(group, lsel, k)
             return _empty()
         rk = k[rsel]
@@ -167,11 +182,19 @@ def hash_equi_join(
         for c in right_cols:
             out[c] = group.column(c).take(pa.array(rrows))
         matched = pa.table(out)
-        if how != "left":
+        if how == "inner":
             return matched
+        parts = [matched]
         miss = lsel[cnt == 0]
-        if not miss.size:
-            return matched
-        return pa.concat_tables([matched, _left_only(group, miss, k)])
+        if miss.size:
+            parts.append(_left_only(group, miss, k))
+        if how == "outer":
+            # right rows never hit by any left range-expansion
+            hit = np.zeros(rk_s.shape[0], dtype=bool)
+            hit[ri] = True
+            rmiss = rsel[order[~hit]]
+            if rmiss.size:
+                parts.append(_right_only(group, rmiss, k))
+        return pa.concat_tables(parts) if len(parts) > 1 else matched
 
     return tagged.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")

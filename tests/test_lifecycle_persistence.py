@@ -927,10 +927,28 @@ def test_hash_equi_join_left_semi_anti(ray_session):
     )
     assert got_a == want_a
 
+    out_o = hash_equi_join(
+        lds, rds, on="k", left_cols=("lv",), right_cols=("rv",), how="outer"
+    ).take_all()
+    got_o = sorted(
+        (
+            r["k"],
+            -1 if r["lv"] is None else r["lv"],
+            -1 if r["rv"] is None else r["rv"],
+        )
+        for r in out_o
+    )
+    want_odf = ldf.merge(rdf, on="k", how="outer")
+    want_o = sorted(
+        (int(k), -1 if np.isnan(lv) else int(lv), -1 if np.isnan(rv) else int(rv))
+        for k, lv, rv in want_odf[["k", "lv", "rv"]].to_numpy()
+    )
+    assert got_o == want_o
+
     with pytest.raises(ValueError, match="right-side"):
         hash_equi_join(lds, rds, on="k", right_cols=("rv",), how="anti")
     with pytest.raises(ValueError, match="unsupported"):
-        hash_equi_join(lds, rds, on="k", how="outer")
+        hash_equi_join(lds, rds, on="k", how="cross")
 
 
 def test_connected_components_matches_union_find(ray_session):
