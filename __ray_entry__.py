@@ -302,6 +302,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return windows.session_window_agg(ev, gap_minutes=30)
 
+    def q_events_sessionized(sf):
+        # per-event session labeling (the assignment step the session
+        # aggregate is built on) — windowed-join surface over the stream
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["ts", "event_type", "user_id", "event_id"],
+        )
+        return windows.sessionize_events(ev, gap_minutes=30)
+
     def q_value_quantiles(sf):
         import ray
         from python_prtree_ray.pipelines.quantiles import value_quantiles
@@ -831,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "events_hopping": q_events_hopping,
         "events_session": q_events_session,
+        "events_sessionized": q_events_sessionized,
         "top_events": q_top_events,
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1147,6 +1159,21 @@ SELECT event_type, user_id, MIN(ts) AS session_start,
 FROM s GROUP BY event_type, user_id, sid
 """
 
+    events_sessionized_sql = """
+WITH o AS (
+  SELECT event_type, user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT event_id,
+       MIN(ts) OVER (PARTITION BY event_type, user_id, sid) AS session_start
+FROM s
+"""
+
     value_quantiles_sql = """
 SELECT event_type,
        quantile_cont(CAST(FLOOR(value * 100.0) AS BIGINT), 0.5) AS p50,
@@ -1354,6 +1381,7 @@ WHERE {intersects}
         "ngram_jaccard": ngram_jaccard_sql,
         "events_hopping": events_hopping_sql,
         "events_session": events_session_sql,
+        "events_sessionized": events_sessionized_sql,
         "top_events": top_events_sql,
         "distinct_users": distinct_users_sql,
         "value_quantiles": value_quantiles_sql,

@@ -183,6 +183,61 @@ def session_window_agg(
     return keyed.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
+def sessionize_events(
+    events: Dataset,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_cols: tuple[str, str] = ("event_type", "user_id"),
+    id_col: str = "event_id",
+) -> Dataset:
+    """Per-event session LABELING: ``(event_id, session_start)`` — every
+    event tagged with the start timestamp of its gap-session (same
+    session definition as :func:`session_window_agg`, which aggregates
+    the sessions this function assigns).
+
+    Same scale shape as the aggregate: ONE coarse user-hash-bucket
+    shuffle, whole-bucket vectorized sessionization (lexsort + run
+    boundaries + cumulative run id), never per-key ``map_groups``."""
+    tune_context()
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    k1, k2 = key_cols
+    n_buckets = 256
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(k2).to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column("bucket", pa.array(bucket_of(uid, n_buckets)))
+
+    def label(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = group.column(k2).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group.column(k1).combine_chunks().dictionary_encode()
+        code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid, code))
+        ts_s, eid_s = ts[order], eid[order]
+        uid_s, code_s = uid[order], code[order]
+        n = ts_s.shape[0]
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = (np.diff(code_s) == 0) & (np.diff(uid_s) == 0)
+            brk[1:] = ~same_key | (np.diff(ts_s) > gap_us)
+        starts = np.nonzero(brk)[0]
+        run_id = np.cumsum(brk) - 1  # which session each event belongs to
+        return pa.table(
+            {
+                id_col: pa.array(eid_s, type=pa.int64()),
+                "session_start": pa.array(
+                    ts_s[starts][run_id], type=pa.timestamp("us")
+                ),
+            }
+        )
+
+    keyed = events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(label, batch_format="pyarrow")
+
+
 def rolling_window_sum(
     events: Dataset,
     window_minutes: int = 30,

@@ -864,3 +864,56 @@ def test_tile_extent_matches_brute_force(ray_session):
             for r in out
         }
         assert got == want
+
+
+def test_sessionize_events_agrees_with_session_aggregate(ray_session):
+    # every event gets exactly one session label; grouping the labeled
+    # events by (key, session_start) reproduces session_window_agg's
+    # n_events — on randomized multi-key data across partitionings
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import (
+        session_window_agg,
+        sessionize_events,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    t0 = np.datetime64("2025-03-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 72 * 3600, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "event_type": pa.array(
+                np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+            ),
+            "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(rng.random(n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    labeled = sessionize_events(ds, gap_minutes=30).take_all()
+    assert len(labeled) == n
+    assert len({r["event_id"] for r in labeled}) == n
+    agg = session_window_agg(ds, gap_minutes=30).take_all()
+    # rebuild per-event key lookup to group labels by (key, session_start)
+    key_of = {
+        int(e): (ty, int(u))
+        for e, ty, u in zip(
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("user_id").to_pylist(),
+        )
+    }
+    from collections import Counter
+
+    label_counts = Counter(
+        (*key_of[r["event_id"]], r["session_start"]) for r in labeled
+    )
+    agg_counts = {
+        (r["event_type"], r["user_id"], r["session_start"]): r["n_events"]
+        for r in agg
+    }
+    assert dict(label_counts) == agg_counts
