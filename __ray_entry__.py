@@ -721,6 +721,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             how="anti",
         )
 
+    def q_q3_revenue(sf):
+        # TPC-H Q3-shaped composite: broadcast dim filter (customer →
+        # orders, zero shuffle) + map-side revenue combine + ONE groupby
+        # shuffle + co-partitioned semi join. Revenue in integer cents so
+        # the distributed sum is order-independent and oracle-exact.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from ray.data.aggregate import Sum
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        import pyarrow.compute as _pc
+
+        bkeys = cust.filter(
+            _pc.equal(cust.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"])
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        filt_orders = broadcast_lookup(
+            orders, bkeys, on="o_custkey", small_on="c_custkey"
+        ).select_columns(["o_orderkey"])
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+
+        def rev_partial(tbl: pa.Table) -> pa.Table:
+            ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+            order = np.argsort(ok, kind="stable")
+            ks, cs = ok[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "l_orderkey": ks[starts],
+                    "revenue_cents": np.add.reduceat(cs, starts),
+                }
+            )
+
+        li_agg = (
+            li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        )
+        return hash_equi_join(
+            li_agg,
+            filt_orders,
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols=("revenue_cents",),
+            how="semi",
+        )
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -874,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cust_outer": q_orders_cust_outer,
         "orders_with_returns": q_orders_with_returns,
         "orders_no_returns": q_orders_no_returns,
+        "q3_revenue": q_q3_revenue,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1433,6 +1496,14 @@ WHERE {intersects}
         "orders_no_returns": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey NOT IN "
             "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
+        ),
+        "q3_revenue": (
+            "SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
+            "GROUP BY l_orderkey"
         ),
         "events_rolling": """
 SELECT event_id, event_type,
