@@ -495,6 +495,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return asof_join(left, right)
 
+    def q_events_band_join(sf):
+        # windowed 1:N join: every view in the hour BEFORE each purchase
+        # by the same user (the band sibling of the asof join)
+        import ray
+        import pyarrow.compute as _pc
+        from python_prtree_ray.pipelines.asof import band_join
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "event_type", "user_id", "ts"]
+        )
+
+        def side(kind, idname):
+            def f(t):
+                import pyarrow as pa
+                m = _pc.equal(t.column("event_type"), kind)
+                t = t.filter(m)
+                return pa.table({idname: t.column("event_id"), "user_id": t.column("user_id"), "ts": t.column("ts")})
+            return f
+
+        left = ev.map_batches(side("purchase", "l_id"), batch_format="pyarrow", zero_copy_batch=True)
+        right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
+        return band_join(left, right)
+
     def q_interval_join(sf):
         # per-user temporal interval join (view inside [purchase, +2h])
         # expressed as the existing 2D spatial join: time on x, the user
@@ -923,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "cell_histogram": q_cell_histogram,
         "asof_purchase_view": q_asof_purchase_view,
+        "events_band_join": q_events_band_join,
         "raster_tiles": q_raster_tiles,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1332,6 +1356,16 @@ SELECT l.l_id, l.user_id AS key, l.l_ts, r.r_id, r.r_ts
 FROM l ASOF JOIN r0 r ON l.user_id = r.user_id AND l.l_ts >= r.r_ts
 """
 
+    events_band_join_sql = """
+WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS r_id, user_id, ts AS r_ts FROM events
+      WHERE event_type = 'view')
+SELECT l.l_id, l.user_id AS key, l.l_ts, r.r_id, r.r_ts
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE r.r_ts <= l.l_ts AND r.r_ts >= l.l_ts - INTERVAL 1 HOUR
+"""
+
     # ---- media twins: the stub payload is a pure function of media_ref,
     # and the interleaved corpus is a pure function of the doc number, so
     # BOTH media pipelines regenerate exactly in DuckDB (spans CTE twin
@@ -1458,6 +1492,7 @@ WHERE {intersects}
         "props_extract": props_extract_sql,
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,
+        "events_band_join": events_band_join_sql,
         "raster_tiles": raster_tiles_sql,
         "media_features": media_features_sql,
         "video_frames": video_frames_sql,

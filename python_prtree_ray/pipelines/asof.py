@@ -140,3 +140,108 @@ def asof_join(
         )
 
     return union.groupby("b").map_groups(match, batch_format="pyarrow")
+
+
+def band_join(
+    left: Dataset,
+    right: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    lo_offset_us: int = -3_600_000_000,
+    hi_offset_us: int = 0,
+) -> Dataset:
+    """Time-BAND join: every (left, right) pair of the same key with
+    ``left.ts + lo_offset <= right.ts <= left.ts + hi_offset`` (both ends
+    inclusive; the default band is "right events in the hour BEFORE each
+    left event"). The 1:N windowed sibling of :func:`asof_join` (which
+    keeps only the latest match).
+
+    Same shape: ONE coarse key-hash-bucket shuffle of both sides, then a
+    fully vectorized in-bucket range match — right sorted by (key, ts)
+    once, per-left [lo, hi) bounds via rank-packed ``searchsorted``, and
+    a repeat/arange expansion (the same walk as the hash join's
+    duplicate-key expansion). No per-key loop, no global sort."""
+    tune_context()
+    if lo_offset_us > hi_offset_us:
+        raise ValueError("lo_offset_us must be <= hi_offset_us")
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "b": bucket_of(k, N_BUCKETS),
+                    "side": np.full(tbl.num_rows, side, dtype=np.int8),
+                    "key": k,
+                    "ts": tbl.column(ts_col).cast(pa.timestamp("us")),
+                    "rid": tbl.column(left_id if side == 0 else right_id).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    union = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        empty = pa.table(
+            {
+                "l_id": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "l_ts": pa.array([], pa.timestamp("us")),
+                "r_id": pa.array([], pa.int64()),
+                "r_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if not lm.any() or lm.all():
+            return empty
+        lk, lt, lid_ = key[lm], ts[lm], rid[lm]
+        rk, rt, rid_ = key[~lm], ts[~lm], rid[~lm]
+        order = np.lexsort((rid_, rt, rk))
+        rk, rt, rid_ = rk[order], rt[order], rid_[order]
+        lo_val, hi_val = lt + lo_offset_us, lt + hi_offset_us
+        # rank-pack (key, ts) so ONE sorted array answers every range
+        # (see asof_join's overflow note: ranks, not raw microseconds)
+        all_keys = np.unique(np.concatenate([lk, rk]))
+        all_ts = np.unique(np.concatenate([rt, lo_val, hi_val]))
+        span = np.int64(all_ts.shape[0] + 1)
+        if all_keys.shape[0] >= (1 << 62) // span:  # ~2^31 rows in a bucket
+            raise ValueError("band_join bucket too large to rank-pack")
+        kr_r = np.searchsorted(all_keys, rk) * span
+        r_packed = kr_r + np.searchsorted(all_ts, rt)
+        kr_l = np.searchsorted(all_keys, lk) * span
+        lo = np.searchsorted(r_packed, kr_l + np.searchsorted(all_ts, lo_val), "left")
+        hi = np.searchsorted(r_packed, kr_l + np.searchsorted(all_ts, hi_val), "right")
+        cnt = hi - lo
+        li = np.repeat(np.arange(lk.shape[0]), cnt)
+        ri = (
+            np.arange(int(cnt.sum()))
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(lo, cnt)
+        )
+        return pa.table(
+            {
+                "l_id": pa.array(lid_[li], pa.int64()),
+                "key": pa.array(lk[li], pa.int64()),
+                "l_ts": pa.array(lt[li].astype("datetime64[us]"), pa.timestamp("us")),
+                "r_id": pa.array(rid_[ri], pa.int64()),
+                "r_ts": pa.array(rt[ri].astype("datetime64[us]"), pa.timestamp("us")),
+            }
+        )
+
+    return union.groupby("b").map_groups(match, batch_format="pyarrow")

@@ -917,3 +917,44 @@ def test_sessionize_events_agrees_with_session_aggregate(ray_session):
         for r in agg
     }
     assert dict(label_counts) == agg_counts
+
+
+def test_band_join_matches_brute_force(ray_session):
+    # randomized band join vs an O(n*m) pandas recomputation, including
+    # boundary-inclusive hits at both band edges and duplicate timestamps
+    ray = ray_session
+    from python_prtree_ray.pipelines.asof import band_join
+
+    rng = np.random.default_rng(53)
+    nl, nr = 300, 500
+    t0 = np.datetime64("2025-04-01T00:00:00", "us")
+    # coarse ts grid (minutes) → plenty of exact boundary/tie collisions
+    lts = t0 + (rng.integers(0, 48 * 60, nl) * 60_000_000).astype("timedelta64[us]")
+    rts = t0 + (rng.integers(0, 48 * 60, nr) * 60_000_000).astype("timedelta64[us]")
+    lk = rng.integers(0, 25, nl).astype(np.int64)
+    rk = rng.integers(0, 25, nr).astype(np.int64)
+    lid = np.arange(nl, dtype=np.int64)
+    rid = np.arange(1000, 1000 + nr, dtype=np.int64)
+    lds = ray.data.from_arrow(
+        pa.table({"l_id": lid, "user_id": lk, "ts": pa.array(lts, pa.timestamp("us"))})
+    ).repartition(4)
+    rds = ray.data.from_arrow(
+        pa.table({"r_id": rid, "user_id": rk, "ts": pa.array(rts, pa.timestamp("us"))})
+    ).repartition(3)
+    band = 3_600_000_000  # 1 hour
+    out = band_join(
+        lds, rds, lo_offset_us=-band, hi_offset_us=0
+    ).take_all()
+    got = sorted((r["l_id"], r["r_id"]) for r in out)
+    lts_i = lts.astype(np.int64)
+    rts_i = rts.astype(np.int64)
+    want = sorted(
+        (int(lid[i]), int(rid[j]))
+        for i in range(nl)
+        for j in range(nr)
+        if lk[i] == rk[j] and lts_i[i] - band <= rts_i[j] <= lts_i[i]
+    )
+    assert want  # fixture non-degenerate
+    assert got == want
+    with pytest.raises(ValueError, match="lo_offset"):
+        band_join(lds, rds, lo_offset_us=10, hi_offset_us=0)
