@@ -806,6 +806,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             how="semi",
         )
 
+    def q_label_centroids(sf):
+        # distributed per-label embedding centroid (quantized integer
+        # component sums in long format — order-independent reduction)
+        import ray
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding", "label"]
+        )
+        return ann.label_centroid_sums(emb)
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -961,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": q_orders_with_returns,
         "orders_no_returns": q_orders_no_returns,
         "q3_revenue": q_q3_revenue,
+        "label_centroids": q_label_centroids,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1539,6 +1550,15 @@ WHERE {intersects}
             "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
+        ),
+        "label_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 10000.0::DOUBLE) AS BIGINT)) "
+            "AS BIGINT) AS sum_q, "
+            "COUNT(*) AS n_vecs FROM ("
+            "  SELECT label, unnest(embedding) AS e, "
+            "         generate_subscripts(embedding, 1) AS dim"
+            "  FROM embeddings) GROUP BY label, dim"
         ),
         "events_rolling": """
 SELECT event_id, event_type,

@@ -245,3 +245,58 @@ def ann_ivf_topk(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return _merge_topk(partials, k, id_col)
+
+
+def label_centroid_sums(
+    embeddings: Dataset,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 10000.0,
+) -> Dataset:
+    """Distributed per-label vector aggregation in LONG format:
+    ``(label, dim, sum_q, n_vecs)`` where ``sum_q`` is the sum of the
+    component quantized as ``floor(v * scale)`` — the centroid is
+    ``sum_q / (scale * n_vecs)`` to quantization precision. Integer sums
+    keep the reduction order-independent (bit-exact across partitionings
+    and vs SQL), unlike a float mean.
+
+    Scale shape: each batch reduces to at most (labels x D) rows
+    (axis-0 ``reduceat`` over the label-sorted quantized matrix — no
+    Python loop), and only those partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "label": np.empty(0, np.int64),
+                    "dim": np.empty(0, np.int64),
+                    "sum_q": np.empty(0, np.int64),
+                    "n_vecs": np.empty(0, np.int64),
+                }
+            )
+        E = _emb_matrix(tbl, emb_col)
+        q = np.floor(E * scale).astype(np.int64)
+        lab = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        ls, qs = lab[order], q[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        sums = np.add.reduceat(qs, starts, axis=0)
+        cnt = np.diff(np.r_[starts, ls.shape[0]]).astype(np.int64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                "label": np.repeat(ls[starts], d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "sum_q": sums.ravel(),
+                "n_vecs": np.repeat(cnt, d),
+            }
+        )
+
+    partials = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["label", "dim"]).aggregate(
+        Sum("sum_q", alias_name="sum_q"),
+        Sum("n_vecs", alias_name="n_vecs"),
+    )

@@ -958,3 +958,35 @@ def test_band_join_matches_brute_force(ray_session):
     assert got == want
     with pytest.raises(ValueError, match="lo_offset"):
         band_join(lds, rds, lo_offset_us=10, hi_offset_us=0)
+
+
+def test_label_centroid_sums_partition_invariant(ray_session):
+    # quantized per-label component sums equal a numpy recomputation and
+    # are identical across partitionings (integer reduction)
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import label_centroid_sums
+
+    rng = np.random.default_rng(61)
+    n, d = 500, 16
+    M = (rng.standard_normal((n, d)) * 0.3).astype(np.float32)
+    lab = rng.integers(0, 7, n).astype(np.int64)
+    t = pa.table(
+        {
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.ravel(), pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+            "label": lab,
+        }
+    )
+    q = np.floor(M.astype(np.float64) * 10000.0).astype(np.int64)
+    want = {}
+    for lv in np.unique(lab):
+        s = q[lab == lv].sum(axis=0)
+        cnt = int((lab == lv).sum())
+        for j in range(d):
+            want[(int(lv), j)] = (int(s[j]), cnt)
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = label_centroid_sums(ds).take_all()
+        got = {(r["label"], r["dim"]): (r["sum_q"], r["n_vecs"]) for r in out}
+        assert got == want
