@@ -313,6 +313,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return windows.sessionize_events(ev, gap_minutes=30)
 
+    def q_user_features(sf):
+        # per-user ML feature vector (counts, per-type counts, first/last
+        # seen, integer value sum) — map-side combine, one tiny shuffle
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        return windows.user_activity_features(ev)
+
     def q_value_quantiles(sf):
         import ray
         from python_prtree_ray.pipelines.quantiles import value_quantiles
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_session": q_events_session,
         "events_sessionized": q_events_sessionized,
+        "user_features": q_user_features,
         "top_events": q_top_events,
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1257,6 +1269,17 @@ SELECT event_type, user_id, MIN(ts) AS session_start,
 FROM s GROUP BY event_type, user_id, sid
 """
 
+    type_counts = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in ("view", "click", "purchase", "signup", "error")
+    )
+    user_features_sql = f"""
+SELECT user_id, COUNT(*) AS n_events, {type_counts},
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
     events_sessionized_sql = """
 WITH o AS (
   SELECT event_type, user_id, ts, event_id,
@@ -1490,6 +1513,7 @@ WHERE {intersects}
         "events_hopping": events_hopping_sql,
         "events_session": events_session_sql,
         "events_sessionized": events_sessionized_sql,
+        "user_features": user_features_sql,
         "top_events": top_events_sql,
         "distinct_users": distinct_users_sql,
         "value_quantiles": value_quantiles_sql,

@@ -451,3 +451,78 @@ class StreamingWindowAggregator:
 
     def finalize(self) -> pa.Table:
         return self._emit(list(self._state))
+
+
+def user_activity_features(
+    events: Dataset,
+    types: tuple[str, ...] = ("view", "click", "purchase", "signup", "error"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> Dataset:
+    """Per-user ML feature vector over the event stream: total count,
+    per-type counts, first/last seen, and integer-cents value sum —
+    ``(user_id, n_events, n_<type>..., first_ts, last_ts, value_cents)``.
+
+    Every aggregate is order-independent (counts, min, max, int sum), so
+    the result is bitwise-stable across partitionings. Scale shape: each
+    batch pre-reduces to one row per user seen in the batch (sorted-run
+    ``reduceat``), and only those partials shuffle — the canonical
+    feature-extraction pattern for a 100-TB event log."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    tune_context()
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.floor(
+            tbl.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ty = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        us, ts_s, c_s = uid[order], ts[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        ends = np.r_[starts[1:], us.shape[0]]
+        cols = {
+            "user_id": us[starts],
+            "n_events": (ends - starts).astype(np.int64),
+        }
+        for t in types:
+            m = (ty == t).astype(np.int64)[order]
+            cols[f"n_{t}"] = np.add.reduceat(m, starts)
+        out = pa.table(cols)
+        out = out.append_column(
+            "first_ts",
+            pa.array(
+                np.minimum.reduceat(ts_s, starts).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        )
+        out = out.append_column(
+            "last_ts",
+            pa.array(
+                np.maximum.reduceat(ts_s, starts).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        )
+        return out.append_column(
+            "value_cents", pa.array(np.add.reduceat(c_s, starts))
+        )
+
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types],
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
