@@ -817,6 +817,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             how="semi",
         )
 
+    def q_top_revenue(sf):
+        # global order statistic at scale: top-100 orders by revenue via
+        # map-side per-batch top-k prune + one tiny single-group merge
+        from python_prtree_ray.pipelines.merge import global_topk
+
+        return global_topk(
+            q_q3_revenue(sf), k=100, id_col="l_orderkey", value_col="revenue_cents"
+        )
+
     def q_label_centroids(sf):
         # distributed per-label embedding centroid (quantized integer
         # component sums in long format — order-independent reduction)
@@ -984,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_returns": q_orders_no_returns,
         "q3_revenue": q_q3_revenue,
         "label_centroids": q_label_centroids,
+        "top_revenue": q_top_revenue,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1574,6 +1584,19 @@ WHERE {intersects}
             "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
+        ),
+        "top_revenue": (
+            "WITH rev AS ("
+            " SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            " (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            " FROM lineitem WHERE l_orderkey IN "
+            " (SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
+            " GROUP BY l_orderkey) "
+            "SELECT l_orderkey, revenue_cents, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, l_orderkey) "
+            "AS BIGINT) AS \"rank\" "
+            "FROM rev ORDER BY \"rank\" LIMIT 100"
         ),
         "label_centroids": (
             "SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim, "

@@ -58,3 +58,46 @@ def bucketed_topk(
 
     keyed = partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")
+
+
+def global_topk(
+    ds: Dataset,
+    k: int,
+    id_col: str,
+    value_col: str,
+    descending: bool = True,
+) -> Dataset:
+    """GLOBAL top-k rows by ``(value, id)`` → ``(id, value, rank)``.
+
+    The (value, id) order is total (ids unique by contract), so the
+    global top-k is contained in the union of per-batch top-k's: each
+    batch prunes to k rows map-side, and the final single-group merge
+    sees only O(n_batches x k) rows — never the dataset. Deterministic
+    ties: larger/smaller value first per ``descending``, then smaller id."""
+
+    def local(tbl: pa.Table) -> pa.Table:
+        val = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -val if descending else val))[:k]
+        return pa.table(
+            {
+                "g": np.zeros(order.shape[0], dtype=np.int8),
+                id_col: ids[order],
+                value_col: val[order],
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -val if descending else val))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                value_col: val[order],
+                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("g").map_groups(final, batch_format="pyarrow")

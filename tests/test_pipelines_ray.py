@@ -990,3 +990,25 @@ def test_label_centroid_sums_partition_invariant(ray_session):
         out = label_centroid_sums(ds).take_all()
         got = {(r["label"], r["dim"]): (r["sum_q"], r["n_vecs"]) for r in out}
         assert got == want
+
+
+def test_global_topk_matches_numpy(ray_session):
+    # global top-k with duplicate values across blocks: deterministic
+    # (value desc, id asc) order, identical across partitionings
+    ray = ray_session
+    from python_prtree_ray.pipelines.merge import global_topk
+
+    rng = np.random.default_rng(71)
+    n, k = 5000, 37
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 200, n).astype(np.int64)  # heavy value ties
+    t = pa.table({"id": ids, "v": vals})
+    order = np.lexsort((ids, -vals))[:k]
+    want = [(int(ids[j]), int(vals[j]), r + 1) for r, j in enumerate(order)]
+    for blocks in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = global_topk(ds, k=k, id_col="id", value_col="v").take_all()
+        got = sorted(
+            ((r["id"], r["v"], r["rank"]) for r in out), key=lambda x: x[2]
+        )
+        assert got == want
