@@ -153,7 +153,11 @@ QUERY_SUBSET = (
     "doc_sample_stratified events_enriched props_extract pack_documents "
     "ann_lsh media_features checkpoint_resume knn_3d save_load "
     "interval_join doc_cap_per_lang dup_clusters lineitem_orders "
-    "events_rolling events_enriched_left events_unmatched text_normalize"
+    "events_rolling events_enriched_left events_unmatched text_normalize "
+    "orders_cust_left orders_cust_outer orders_with_returns "
+    "orders_no_returns radius_join zonal_stats tile_extent "
+    "events_sessionized events_band_join user_features q3_revenue "
+    "top_revenue label_centroids"
 ).split()
 
 
