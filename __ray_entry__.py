@@ -764,8 +764,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.parquet as pq
         import ray
-        from ray.data.aggregate import Sum
-        from python_prtree_ray.pipelines.join import hash_equi_join
         from python_prtree_ray.pipelines.lookup import broadcast_lookup
 
         cust = pq.read_table(
@@ -803,18 +801,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        li_agg = (
-            li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("l_orderkey")
-            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        )
-        return hash_equi_join(
-            li_agg,
+        # FUSED per-key sum + semi join: the aggregate and the join share
+        # the key, so they share ONE bucket shuffle (separate aggregate
+        # and join stages would pay the all-to-all twice — and Ray's
+        # native sort-based Aggregate on this high-cardinality key costs
+        # ~10s where the fused bucketed reduceat costs one shuffle)
+        from python_prtree_ray.pipelines.join import sum_semi_join
+
+        return sum_semi_join(
+            li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
             filt_orders,
             on="l_orderkey",
             right_on="o_orderkey",
-            left_cols=("revenue_cents",),
-            how="semi",
+            value_cols=("revenue_cents",),
         )
 
     def q_top_revenue(sf):

@@ -198,3 +198,88 @@ def hash_equi_join(
         return pa.concat_tables(parts) if len(parts) > 1 else matched
 
     return tagged.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def sum_semi_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    value_cols: tuple[str, ...] = (),
+    n_buckets: int = N_BUCKETS,
+) -> Dataset:
+    """Fused per-key integer SUM + SEMI join in ONE co-partitioned
+    shuffle: sums ``value_cols`` (int64) of ``left`` per key and keeps
+    the key iff it exists in ``right`` — the aggregate and the join
+    share the same key, so they share the same bucket exchange (two
+    separate stages would pay the all-to-all twice for identical row
+    placement). Left rows should be batch-combined partials.
+
+    Output: ``(on, *value_cols)``, one row per surviving key."""
+    tune_context()
+    right_on = right_on or on
+    reserved = {"__jb", "__jk", "__jside"} & {on, *value_cols}
+    if reserved:
+        raise ValueError(f"reserved internal column names: {sorted(reserved)}")
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "__jb": bucket_of(k, n_buckets),
+            "__jk": k,
+            "__jside": np.full(k.shape[0], 0, dtype=np.int8),
+        }
+        for c in value_cols:
+            out[c] = tbl.column(c)
+        return pa.table(out)
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        # right keys pre-dedup per batch: membership only needs presence
+        k = np.unique(k)
+        out = {
+            "__jb": bucket_of(k, n_buckets),
+            "__jk": k,
+            "__jside": np.full(k.shape[0], 1, dtype=np.int8),
+        }
+        for c in value_cols:
+            out[c] = np.zeros(k.shape[0], dtype=np.int64)
+        return pa.table(out)
+
+    tagged = left.select_columns([on, *value_cols]).map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([right_on]).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__jside").to_numpy(zero_copy_only=False)
+        k = group.column("__jk").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        empty = pa.table(
+            {
+                on: pa.array([], pa.int64()),
+                **{c: pa.array([], pa.int64()) for c in value_cols},
+            }
+        )
+        if not lmask.any() or lmask.all():
+            return empty
+        lsel = np.nonzero(lmask)[0]
+        lk = k[lsel]
+        order = np.argsort(lk, kind="stable")
+        ks = lk[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        uk = ks[starts]
+        rk = np.unique(k[~lmask])
+        pos = np.searchsorted(rk, uk)
+        pos[pos >= rk.shape[0]] = rk.shape[0] - 1
+        keep = rk[pos] == uk
+        out = {on: pa.array(uk[keep], pa.int64())}
+        for c in value_cols:
+            v = group.column(c).to_numpy(zero_copy_only=False)[lsel][order]
+            out[c] = pa.array(np.add.reduceat(v, starts)[keep], pa.int64())
+        return pa.table(out)
+
+    return tagged.groupby("__jb").map_groups(reduce_bucket, batch_format="pyarrow")

