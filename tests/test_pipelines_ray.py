@@ -1012,3 +1012,26 @@ def test_global_topk_matches_numpy(ray_session):
             ((r["id"], r["v"], r["rank"]) for r in out), key=lambda x: x[2]
         )
         assert got == want
+
+
+def test_bucketed_sum_matches_pandas(ray_session):
+    # generic high-cardinality per-key sum (the unfused building block
+    # beneath sum_semi_join): exact vs pandas across partitionings
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.merge import bucketed_sum
+
+    rng = np.random.default_rng(97)
+    k = rng.integers(0, 10_000, 20_000).astype(np.int64)
+    a = rng.integers(-100, 100, 20_000).astype(np.int64)
+    b = rng.integers(0, 5, 20_000).astype(np.int64)
+    t = pa.table({"k": k, "a": a, "b": b})
+    df = pd.DataFrame({"k": k, "a": a, "b": b})
+    want = df.groupby("k", as_index=False)[["a", "b"]].sum()
+    want_t = sorted(map(tuple, want.to_numpy()))
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = bucketed_sum(ds, key_col="k", value_cols=("a", "b")).take_all()
+        got = sorted((r["k"], r["a"], r["b"]) for r in out)
+        assert got == want_t
