@@ -835,6 +835,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ann.label_centroid_sums(emb)
 
+    def q_corpus_curation(sf):
+        # flagship curation composite: fused normalize+quality+lang map
+        # pass → exact dedup on normalized text; text never shuffles
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return text.curate_corpus(docs, min_quality=82)
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -993,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue": q_q3_revenue,
         "label_centroids": q_label_centroids,
         "top_revenue": q_top_revenue,
+        "corpus_curation": q_corpus_curation,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1186,6 +1197,29 @@ FROM t
 """
 
     from python_prtree_ray.pipelines.text import NUM_RE, PIECE_RE, WORD_RE
+
+    corpus_curation_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         (CAST(array_length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) * 100)
+           // GREATEST(CAST(length(text) AS BIGINT), 1) AS quality_pct,
+         {marker_scores}
+  FROM documents
+),
+q AS (
+  SELECT doc_id, norm, n_tokens,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM t WHERE quality_pct >= 82
+),
+w AS (SELECT norm, MIN(doc_id) AS doc_id FROM q GROUP BY norm)
+SELECT q.doc_id, q.lang_pred, q.n_tokens
+FROM q JOIN w ON q.doc_id = w.doc_id
+"""
 
     token_pieces_sql = f"""
 SELECT doc_id,
@@ -1584,6 +1618,7 @@ WHERE {intersects}
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
         ),
+        "corpus_curation": corpus_curation_sql,
         "top_revenue": (
             "WITH rev AS ("
             " SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * "

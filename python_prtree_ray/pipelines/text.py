@@ -251,3 +251,105 @@ def extract_json_int_sql(col: str = "props", field: str = "k", id_col: str = "ev
         f"SELECT {id_col}, CAST(regexp_extract({col}, '\"{field}\":\\s*(-?\\d+)', 1) AS BIGINT) AS {field} "
         f"FROM events WHERE regexp_matches({col}, '\"{field}\":\\s*(-?\\d+)')"
     )
+
+
+def curate_corpus(docs: Dataset, min_quality: int = 82) -> Dataset:
+    """End-to-end corpus curation in ONE fused map pass + ONE shuffle:
+    normalize → quality gate (``quality_pct >= min_quality``, same
+    integer expression as :func:`quality_score`) → language-ID → exact
+    dedup on the NORMALIZED text (min doc_id wins). Output:
+    ``(doc_id, lang_pred, n_tokens)`` — one row per surviving document.
+
+    Scale shape: all per-document signals (normalize, quality, lang)
+    compute in a single ``map_batches`` over the raw text (never three
+    passes); the dedup shuffle ships only ``(hash, id, lang, n_tokens)``
+    — the text itself never moves (same contract as
+    :func:`..dedup.dedup_exact`), and each batch pre-combines to one
+    candidate row per distinct normalized text."""
+    n_buckets = 512
+
+    def stage(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(text)), r"\s+", " "
+        )
+        toks = pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(text, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nchars = np.maximum(
+            pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False),
+            1,
+        )
+        quality_pct = (n_alpha * 100) // nchars
+        keep = quality_pct >= min_quality
+        sel = np.nonzero(keep)[0]
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not sel.size:
+            return pa.table(
+                {
+                    "text_hash": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64),
+                    "doc_id": np.empty(0, np.int64),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_tokens": np.empty(0, np.int64),
+                }
+            )
+        kept = pa.array(sel)
+        text_k = text.take(kept)
+        scores = [
+            pc.count_substring_regex(
+                text_k, r"\b(" + "|".join(words) + r")\b"
+            ).to_numpy(zero_copy_only=False)
+            for words in _LANG_MARKERS.values()
+        ]
+        best = np.argmax(np.stack(scores, axis=1), axis=1)
+        langs = np.array(list(_LANG_MARKERS.keys()))
+        h = hash_str_array(norm.take(kept))
+        lang_arr = langs[best]
+        id_k, tok_k = ids[sel], toks[sel]
+        # map-side combine: min-id row per distinct normalized text
+        order = np.lexsort((id_k, h))
+        h_s = h[order]
+        first = np.ones(h_s.shape[0], dtype=bool)
+        first[1:] = np.diff(h_s) != 0
+        w = order[first]
+        return pa.table(
+            {
+                "text_hash": h[w],
+                "b": h[w] % np.int64(n_buckets),
+                "doc_id": id_k[w],
+                "lang_pred": pa.array(lang_arr[w], pa.string()),
+                "n_tokens": tok_k[w],
+            }
+        )
+
+    staged = docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def min_per_hash(group: pa.Table) -> pa.Table:
+        h = group.column("text_hash").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_tokens": np.empty(0, np.int64),
+                }
+            )
+        order = np.lexsort((ids, h))
+        h_s = h[order]
+        first = np.ones(h_s.shape[0], dtype=bool)
+        first[1:] = np.diff(h_s) != 0
+        w = pa.array(order[first])
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").take(w),
+                "lang_pred": group.column("lang_pred").take(w),
+                "n_tokens": group.column("n_tokens").take(w),
+            }
+        )
+
+    return staged.groupby("b").map_groups(min_per_hash, batch_format="pyarrow")

@@ -1035,3 +1035,52 @@ def test_bucketed_sum_matches_pandas(ray_session):
         out = bucketed_sum(ds, key_col="k", value_cols=("a", "b")).take_all()
         got = sorted((r["k"], r["a"], r["b"]) for r in out)
         assert got == want_t
+
+
+def test_curate_corpus_matches_pandas(ray_session):
+    # fused curation pass (normalize → quality gate → lang-ID → exact
+    # dedup on normalized text): exact vs a row-at-a-time recomputation,
+    # invariant across partitionings
+    ray = ray_session
+    import re
+
+    from python_prtree_ray.pipelines.text import _LANG_MARKERS, curate_corpus
+
+    rng = np.random.default_rng(113)
+    langs = list(_LANG_MARKERS)
+    vocab = [w for ws in _LANG_MARKERS.values() for w in ws] + [
+        "data", "tree", "12345", "!!??", "Zebra", "ray",
+    ]
+    texts = []
+    for _ in range(400):
+        words = [vocab[rng.integers(len(vocab))] for _ in range(rng.integers(1, 9))]
+        txt = "  ".join(words)
+        if rng.random() < 0.3:
+            txt = " " + txt.upper() + "\t"  # normalizes equal to a twin
+        texts.append(txt)
+    texts += texts[:60]  # exact dups across the id range
+    ids = np.arange(len(texts), dtype=np.int64)
+
+    want = {}
+    for i, txt in zip(ids, texts):
+        norm = re.sub(r"\s+", " ", txt.strip().lower())
+        n_alpha = len(re.findall("[a-zA-Z]", txt))
+        if (n_alpha * 100) // max(len(txt), 1) < 82:
+            continue
+        scores = [
+            len(re.findall(r"\b(" + "|".join(ws) + r")\b", txt))
+            for ws in _LANG_MARKERS.values()
+        ]
+        lang = langs[int(np.argmax(scores))]
+        row = (int(i), lang, len(txt.split()))
+        if norm not in want or row[0] < want[norm][0]:
+            want[norm] = row
+    want_rows = sorted(want.values())
+    assert want_rows, "test corpus must keep some rows"
+
+    t = pa.table({"doc_id": ids, "text": texts})
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = curate_corpus(ds, min_quality=82).take_all()
+        got = sorted((r["doc_id"], r["lang_pred"], r["n_tokens"]) for r in out)
+        assert got == want_rows
