@@ -121,6 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tile_cover(sf):
         return tiling.tile_cover(tables.boxes_dataset(sf), res=TILE_RES)
 
+    def q_tile_pyramid(sf):
+        # multi-resolution tile-count pyramid (zoom levels TILE_RES..0):
+        # one map pass emits pre-combined counts for ALL levels, one
+        # coarse-bucket shuffle sums them
+        return tiling.tile_pyramid(tables.points_dataset(sf), res=TILE_RES)
+
     def q_tile_extent(sf):
         # per-tile count + envelope of overlapping boxes (zonal raster
         # statistics over the procedural tile grid)
@@ -845,6 +851,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return text.curate_corpus(docs, min_quality=82)
 
+    def q_events_user_topk(sf):
+        # per-KEY top-k (top-3 events per user by integer value):
+        # map-side per-key prune inside each batch, one coarse key-hash
+        # shuffle of at most k rows per (batch, key)
+        import ray
+
+        from python_prtree_ray.pipelines.merge import grouped_topk
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "value"]
+        )
+
+        def cents(tbl):
+            import numpy as np
+            import pyarrow as pa
+
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "event_id": tbl.column("event_id"),
+                    "value_cents": np.floor(v * 100.0).astype(np.int64),
+                }
+            )
+
+        return grouped_topk(
+            ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+            k=3,
+            key_col="user_id",
+            id_col="event_id",
+            value_col="value_cents",
+        )
+
+    def q_events_dedup(sf):
+        # streaming-style dedup: first event per (user, type, 10-min
+        # tumbling window) — map-side group collapse, one user-hash shuffle
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        return windows.event_dedup_window(ev, minutes=10)
+
+    def q_vocab_topk(sf):
+        # vocabulary building: global word-frequency top-100 — per-batch
+        # Arrow value_counts collapse, word-hash bucket sum, tiny merge
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        return text.vocab_topk(docs, k=100)
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -1004,6 +1062,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "top_revenue": q_top_revenue,
         "corpus_curation": q_corpus_curation,
+        "events_user_topk": q_events_user_topk,
+        "vocab_topk": q_vocab_topk,
+        "tile_pyramid": q_tile_pyramid,
+        "events_dedup": q_events_dedup,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1113,6 +1175,14 @@ FROM hits GROUP BY poly_id
 WITH p AS ({p_cust})
 SELECT query_id, {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell FROM p
 """
+
+    tile_pyramid_sql = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS res,"
+        f" {derive.tile_cell_sql('px', 'py', r)} AS cell,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_points"
+        f" FROM ({p_cust}) GROUP BY cell"
+        for r in range(TILE_RES, -1, -1)
+    )
 
     ix = f"LEAST(GREATEST(CAST(FLOOR(xmin * {g}) AS BIGINT), 0), {g - 1})"
     ix1 = f"LEAST(GREATEST(CAST(FLOOR(xmax * {g}) AS BIGINT), 0), {g - 1})"
@@ -1543,6 +1613,7 @@ WHERE {intersects}
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,
         "tile_extent": tile_extent_sql,
+        "tile_pyramid": tile_pyramid_sql,
         "lifecycle_query": lifecycle_sql,
         "dedup_exact": dedup_exact_sql,
         "token_stats": token_stats_sql,
@@ -1619,6 +1690,30 @@ WHERE {intersects}
             "GROUP BY l_orderkey"
         ),
         "corpus_curation": corpus_curation_sql,
+        "events_dedup": (
+            "WITH t AS (SELECT user_id, event_type,"
+            " time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, ts, event_id"
+            " FROM events),"
+            " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,"
+            " event_type, window_start ORDER BY ts, event_id) AS rn FROM t)"
+            " SELECT user_id, event_type, window_start, event_id"
+            " FROM r WHERE rn = 1"
+        ),
+        "vocab_topk": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text),"
+            " '[a-z]+')) AS word FROM documents),"
+            " c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),"
+            " r AS (SELECT word, n, ROW_NUMBER() OVER (ORDER BY n DESC, word)"
+            " AS rank FROM c)"
+            " SELECT word, n, rank FROM r WHERE rank <= 100"
+        ),
+        "events_user_topk": (
+            "WITH c AS (SELECT user_id, event_id, CAST(FLOOR(value * 100.0)"
+            " AS BIGINT) AS value_cents FROM events),"
+            " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+            " ORDER BY value_cents DESC, event_id) AS rank FROM c)"
+            " SELECT user_id, event_id, value_cents, rank FROM r WHERE rank <= 3"
+        ),
         "top_revenue": (
             "WITH rev AS ("
             " SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * "

@@ -157,7 +157,8 @@ QUERY_SUBSET = (
     "orders_cust_left orders_cust_outer orders_with_returns "
     "orders_no_returns radius_join zonal_stats tile_extent "
     "events_sessionized events_band_join user_features q3_revenue "
-    "top_revenue label_centroids corpus_curation"
+    "top_revenue label_centroids corpus_curation events_user_topk "
+    "vocab_topk tile_pyramid events_dedup"
 ).split()
 
 

@@ -141,3 +141,66 @@ def global_topk(
 
     partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds: Dataset,
+    k: int,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    descending: bool = True,
+    n_buckets: int = N_QBUCKETS,
+) -> Dataset:
+    """Per-KEY top-k rows by ``(value, id)`` → ``(key, id, value, rank)``.
+
+    The generic "top k per group" primitive (reference semantics: SQL
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY value, id) <= k``).
+    Scale shape: every batch prunes to k rows PER KEY map-side (one
+    lexsort + segment-rank pass, no per-key Python), so the coarse
+    key-hash shuffle ships at most ``k x keys_in_batch`` rows per batch;
+    the per-bucket merge reruns the identical pass over the pruned
+    union. Values pass through untouched (any numeric dtype)."""
+
+    def topk_pass(tbl: pa.Table, emit_rank: bool) -> pa.Table:
+        kv = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        val = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        if kv.size == 0:
+            cols = {
+                key_col: pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                value_col: tbl.column(value_col).slice(0, 0),
+            }
+            if emit_rank:
+                cols["rank"] = pa.array([], pa.int64())
+            else:
+                cols["kb"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        order = np.lexsort((ids, -val if descending else val, kv))
+        k_s = kv[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        sizes = np.diff(np.r_[starts, k_s.shape[0]])
+        rank = np.arange(k_s.shape[0]) - np.repeat(starts, sizes)
+        keep = rank < k
+        w = order[keep]
+        cols = {
+            key_col: pa.array(k_s[keep], pa.int64()),
+            id_col: pa.array(ids[w], pa.int64()),
+            value_col: tbl.column(value_col).take(pa.array(w)),
+        }
+        if emit_rank:
+            cols["rank"] = pa.array(rank[keep] + 1, pa.int64())
+        else:
+            cols["kb"] = pa.array(bucket_of(k_s[keep], n_buckets))
+        return pa.table(cols)
+
+    pruned = ds.map_batches(
+        lambda t: topk_pass(t, emit_rank=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pruned.groupby("kb").map_groups(
+        lambda g: topk_pass(g.drop_columns(["kb"]), emit_rank=True),
+        batch_format="pyarrow",
+    )

@@ -353,3 +353,97 @@ def curate_corpus(docs: Dataset, min_quality: int = 82) -> Dataset:
         )
 
     return staged.groupby("b").map_groups(min_per_hash, batch_format="pyarrow")
+
+
+def vocab_topk(docs: Dataset, k: int = 100, n_buckets: int = 512) -> Dataset:
+    """Global word-frequency top-k over a text corpus (the vocabulary-
+    building op): lowercase → alpha-run tokenize → count → rank. Output
+    ``(word, n, rank)``, ties broken ``(n DESC, word ASC)``.
+
+    Scale shape: tokenization and the first count collapse INSIDE each
+    batch (Arrow ``value_counts`` — one row per distinct word per
+    batch), so the word-hash shuffle ships vocabulary-sized partials,
+    never tokens. Each bucket sums counts via the int64 hash-group
+    reduceat fast path (words only compared for the final tie-break),
+    prunes to its local top-k, and a single tiny merge ranks the
+    ≤ ``n_buckets x k`` survivors."""
+
+    def topk_rows(words: np.ndarray, n: np.ndarray, kk: int):
+        byw = np.argsort(words, kind="stable")
+        order = byw[np.argsort(-n[byw], kind="stable")][:kk]
+        return words[order], n[order]
+
+    def count_stage(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.replace_substring_regex(pc.utf8_lower(text), "[^a-z]+", " "),
+                " ",
+            )
+        )
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "wb": np.empty(0, np.int64),
+                    "h": np.empty(0, np.int64),
+                    "word": pa.array([], pa.string()),
+                    "n": np.empty(0, np.int64),
+                }
+            )
+        vc = pc.value_counts(toks)
+        words, n = vc.field("values"), vc.field("counts")
+        h = hash_str_array(words)
+        return pa.table(
+            {
+                "wb": h % np.int64(n_buckets),
+                "h": h,
+                "word": words,
+                "n": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "g": np.empty(0, np.int8),
+                    "word": pa.array([], pa.string()),
+                    "n": np.empty(0, np.int64),
+                }
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        tot = np.add.reduceat(n[order], starts)
+        words = (
+            group.column("word").take(pa.array(order[starts])).to_numpy(zero_copy_only=False)
+        )
+        w_k, n_k = topk_rows(words, tot, k)
+        return pa.table(
+            {
+                "g": np.zeros(w_k.shape[0], np.int8),
+                "word": pa.array(w_k, pa.string()),
+                "n": n_k,
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        words = group.column("word").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        w_k, n_k = topk_rows(words, n, k)
+        return pa.table(
+            {
+                "word": pa.array(w_k, pa.string()),
+                "n": n_k,
+                "rank": np.arange(1, w_k.shape[0] + 1, dtype=np.int64),
+            }
+        )
+
+    partials = docs.map_batches(
+        count_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pruned = partials.groupby("wb").map_groups(bucket_topk, batch_format="pyarrow")
+    return pruned.groupby("g").map_groups(final, batch_format="pyarrow")

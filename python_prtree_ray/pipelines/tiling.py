@@ -152,3 +152,61 @@ def cell_histogram(boxes: Dataset, res: int) -> Dataset:
         .aggregate(Sum("n", alias_name="n_boxes"))
         .select_columns(["cell", "n_boxes"])
     )
+
+
+def tile_pyramid(points: Dataset, res: int) -> Dataset:
+    """Multi-resolution tile-count pyramid: ``(res, cell, n_points)`` for
+    EVERY resolution ``res .. 0`` (the zoom-pyramid build step of a tile
+    server / heatmap pipeline).
+
+    Scale shape: ONE pass over the points emits per-batch pre-combined
+    counts for ALL levels at once (floor-division nesting makes each
+    coarse count the exact rollup of its 4 children, so no per-level
+    re-read), packed into a single ``cell*16+res`` int64 key; ONE
+    coarse-bucket shuffle sums them. Partial rows per batch are bounded
+    by ~4/3 x the batch's distinct finest cells — tile-sized, never
+    point-sized."""
+    import numpy as np
+
+    from ..functions.cells import cell_of_points, parent_cell
+    from .merge import bucketed_sum
+
+    if not 0 <= res < 16:
+        raise ValueError(f"res must be in [0, 16): {res}")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = tbl.column("px").to_numpy(zero_copy_only=False)
+        py = tbl.column("py").to_numpy(zero_copy_only=False)
+        c, n = np.unique(cell_of_points(px, py, res), return_counts=True)
+        keys, counts = [], []
+        for r in range(res, -1, -1):
+            keys.append(c * np.int64(16) + np.int64(r))
+            counts.append(n)
+            if r and c.size:
+                # roll distinct-cell counts up one level (children of
+                # different cells can share a parent: sort + reduceat)
+                p = parent_cell(c, r)
+                order = np.argsort(p, kind="stable")
+                ps = p[order]
+                starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+                n = np.add.reduceat(n[order], starts)
+                c = ps[starts]
+        return pa.table(
+            {"key": np.concatenate(keys), "n": np.concatenate(counts)}
+        )
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "res": key % np.int64(16),
+                "cell": key // np.int64(16),
+                "n_points": tbl.column("n"),
+            }
+        )
+
+    partials = points.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    summed = bucketed_sum(partials, key_col="key", value_cols=("n",))
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

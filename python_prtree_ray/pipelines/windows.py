@@ -526,3 +526,85 @@ def user_activity_features(
         Max("last_ts", alias_name="last_ts"),
         Sum("value_cents", alias_name="value_cents"),
     )
+
+
+def event_dedup_window(
+    events: Dataset,
+    minutes: int = 10,
+    ts_col: str = "ts",
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    id_col: str = "event_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Streaming-style event dedup: keep the FIRST event (min ``(ts, id)``)
+    per ``(user, type, tumbling window)`` — the "drop repeated signals
+    within N minutes" primitive of an event-ingestion pipeline. Output
+    ``(user_id, event_type, window_start, event_id)``.
+
+    Scale shape: each batch collapses to one candidate row per distinct
+    (key, window) group map-side (dictionary-encode the string key, one
+    lexsort, segment-first pick), so the user-hash shuffle ships group
+    rows, never events; the per-bucket reduce reruns the identical pass."""
+    tune_context()
+    uid_col, type_col = key_cols
+
+    def first_per_group(tbl: pa.Table, emit_bucket: bool) -> pa.Table:
+        n = tbl.num_rows
+        out_cols = [uid_col, type_col, "window_start", id_col]
+        if n == 0:
+            cols = {
+                uid_col: pa.array([], pa.int64()),
+                type_col: pa.array([], pa.string()),
+                "window_start": pa.array([], pa.timestamp("us")),
+                id_col: pa.array([], pa.int64()),
+                ts_col: pa.array([], pa.timestamp("us")),
+            }
+            if emit_bucket:
+                cols["wb"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        if "window_start" in tbl.column_names:
+            win = tbl.column("window_start")
+        else:
+            win = pc.floor_temporal(tbl.column(ts_col), multiple=minutes, unit="minute")
+        uid = tbl.column(uid_col).to_numpy(zero_copy_only=False)
+        ts = tbl.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        eid = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        win_i = win.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        etype = pc.dictionary_encode(
+            tbl.column(type_col).combine_chunks()
+            if isinstance(tbl.column(type_col), pa.ChunkedArray)
+            else tbl.column(type_col)
+        )
+        codes = np.asarray(etype.indices)
+        order = np.lexsort((eid, ts, win_i, codes, uid))
+        u_s, c_s, w_s = uid[order], codes[order], win_i[order]
+        first = np.r_[
+            True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])
+        ]
+        w = pa.array(order[first])
+        cols = {
+            uid_col: pa.array(uid[order[first]], pa.int64()),
+            type_col: tbl.column(type_col).take(w),
+            "window_start": win.cast(pa.timestamp("us")).take(w)
+            if isinstance(win, pa.ChunkedArray)
+            else pa.chunked_array([win]).cast(pa.timestamp("us")).take(w),
+            id_col: pa.array(eid[order[first]], pa.int64()),
+            ts_col: tbl.column(ts_col).cast(pa.timestamp("us")).take(w),
+        }
+        if emit_bucket:
+            cols["wb"] = pa.array(bucket_of(uid[order[first]], n_buckets))
+        return pa.table(cols)
+
+    combined = events.map_batches(
+        lambda t: first_per_group(t, emit_bucket=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return combined.groupby("wb").map_groups(
+        lambda g: first_per_group(g.drop_columns(["wb"]), emit_bucket=False),
+        batch_format="pyarrow",
+    ).select_columns([uid_col, type_col, "window_start", id_col])

@@ -1084,3 +1084,125 @@ def test_curate_corpus_matches_pandas(ray_session):
         out = curate_corpus(ds, min_quality=82).take_all()
         got = sorted((r["doc_id"], r["lang_pred"], r["n_tokens"]) for r in out)
         assert got == want_rows
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    # per-key top-k with (value desc, id asc) ties — exact vs pandas
+    # rank, invariant across partitionings
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.merge import grouped_topk
+
+    rng = np.random.default_rng(211)
+    n, k = 20_000, 3
+    key = rng.integers(0, 2_000, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 50, n).astype(np.int64)  # heavy ties
+    df = pd.DataFrame({"u": key, "i": ids, "v": vals}).sort_values(
+        ["u", "v", "i"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("u").cumcount() + 1
+    want = sorted(map(tuple, df[df["rank"] <= k][["u", "i", "v", "rank"]].to_numpy()))
+    t = pa.table({"u": key, "i": ids, "v": vals})
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = grouped_topk(ds, k, key_col="u", id_col="i", value_col="v").take_all()
+        got = sorted((r["u"], r["i"], r["v"], r["rank"]) for r in out)
+        assert got == want
+
+
+def test_vocab_topk_matches_counter(ray_session):
+    # vocabulary top-k vs collections.Counter with (n desc, word asc) ties
+    ray = ray_session
+    import re
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.text import vocab_topk
+
+    rng = np.random.default_rng(223)
+    words = ["alpha", "beta", "Gamma", "delta", "ray", "tree", "BETA", "x9y"]
+    texts = [
+        " ".join(words[rng.integers(len(words))] for _ in range(rng.integers(0, 12)))
+        for _ in range(500)
+    ]
+    cnt = Counter(
+        w for txt in texts for w in re.findall("[a-z]+", txt.lower())
+    )
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    want = [(w, n, r + 1) for r, (w, n) in enumerate(ranked)]
+    t = pa.table({"text": texts})
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = vocab_topk(ds, k=5).take_all()
+        got = sorted(
+            ((r["word"], r["n"], r["rank"]) for r in out), key=lambda x: x[2]
+        )
+        assert got == want
+
+
+def test_tile_pyramid_levels_nest(ray_session):
+    # every level's counts equal a direct recomputation at that res, and
+    # each parent's count is the sum of its children
+    ray = ray_session
+    from python_prtree_ray.functions.cells import cell_of_points, parent_cell
+    from python_prtree_ray.pipelines.tiling import tile_pyramid
+
+    rng = np.random.default_rng(227)
+    n, res = 5_000, 5
+    px = rng.random(n) * 1.2 - 0.1  # includes out-of-range (clip path)
+    py = rng.random(n) * 1.2 - 0.1
+    t = pa.table({"px": px, "py": py})
+    out = tile_pyramid(ray.data.from_arrow(t).repartition(8), res=res).take_all()
+    got = {}
+    for r_ in out:
+        got[(r_["res"], r_["cell"])] = r_["n_points"]
+    for r in range(res, -1, -1):
+        c, n_c = np.unique(cell_of_points(px, py, r), return_counts=True)
+        want_r = dict(zip(c.tolist(), n_c.tolist()))
+        got_r = {cell: v for (rr, cell), v in got.items() if rr == r}
+        assert got_r == want_r, f"res {r}"
+        if r:
+            rolled = {}
+            for cell, v in got_r.items():
+                p = int(parent_cell(np.array([cell]), r)[0])
+                rolled[p] = rolled.get(p, 0) + v
+            assert rolled == {c_: v for (rr, c_), v in got.items() if rr == r - 1}
+
+
+def test_event_dedup_window_matches_pandas(ray_session):
+    # first event per (user, type, tumbling window) with (ts, id) ties
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.windows import event_dedup_window
+
+    rng = np.random.default_rng(229)
+    n = 8_000
+    ts = np.datetime64("2024-01-01T00:00:00", "us") + rng.integers(
+        0, 3 * 86_400, n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    uid = rng.integers(0, 300, n).astype(np.int64)
+    etype = np.array(["view", "click", "buy"])[rng.integers(0, 3, n)]
+    eid = rng.permutation(n).astype(np.int64)
+    # duplicate timestamps to exercise the id tie-break
+    ts[1::7] = ts[::7][: ts[1::7].shape[0]]
+    df = pd.DataFrame({"event_id": eid, "ts": ts, "user_id": uid, "event_type": etype})
+    win = df["ts"].dt.floor("10min")
+    dd = df.assign(window_start=win).sort_values(["ts", "event_id"])
+    first = dd.groupby(["user_id", "event_type", "window_start"], as_index=False).first()
+    want = sorted(
+        map(
+            tuple,
+            first[["user_id", "event_type", "window_start", "event_id"]].to_numpy(),
+        )
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = event_dedup_window(ds, minutes=10).take_all()
+        got = sorted(
+            (r["user_id"], r["event_type"], pd.Timestamp(r["window_start"]), r["event_id"])
+            for r in out
+        )
+        assert got == want
