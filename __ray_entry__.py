@@ -107,6 +107,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             res=5,
         )
 
+    def q_point_clusters(sf):
+        # fixed-radius spatial clustering: radius SELF-join (degenerate
+        # point-boxes) → connected components → min-id cluster labels
+        from python_prtree_ray.pipelines.graph import point_clusters
+
+        return point_clusters(
+            tables.points_dataset(sf), radius=RADIUS, res=5
+        )
+
     def q_pip(sf):
         return pip.pip_join(tables.points_dataset(sf))
 
@@ -895,6 +904,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return windows.event_dedup_window(ev, minutes=10)
 
+    def q_doc_tfidf_top(sf):
+        # most-characteristic word per doc by integer tf-idf: batch-local
+        # tf + argmax, ONE vocab-sized df shuffle broadcast via ray.put
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return text.doc_tfidf_top(docs)
+
+    def q_quality_adaptive(sf):
+        # adaptive quality gate: per-LANG median threshold (exact R-7
+        # histogram quantile, metadata-sized broadcast) → stateless filter
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return text.quality_filter_adaptive(docs, q=0.5)
+
     def q_vocab_topk(sf):
         # vocabulary building: global word-frequency top-100 — per-batch
         # Arrow value_counts collapse, word-hash bucket sum, tiny merge
@@ -914,6 +943,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
         return connected_components(pairs, id_a="doc_a", id_b="doc_b")
+
+    def q_dedup_survivors(sf):
+        # end of the dedup pipeline: docs surviving cluster dedup (anti
+        # join against non-canonical near-dup cluster members)
+        import ray
+        from python_prtree_ray.pipelines.graph import dedup_survivors
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        keep = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        return dedup_survivors(
+            keep, pairs, carry_cols=("lang",), id_a="doc_a", id_b="doc_b"
+        )
 
     def q_doc_cap_per_lang(sf):
         import ray
@@ -1003,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "knn_3d": q_knn_3d,
         "radius_join": q_radius_join,
+        "point_clusters": q_point_clusters,
         "pip": q_pip,
         "zonal_stats": q_zonal_stats,
         "tile_points": q_tile_points,
@@ -1053,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "doc_cap_per_lang": q_doc_cap_per_lang,
         "dup_clusters": q_dup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "lineitem_orders": q_lineitem_orders,
         "orders_cust_left": q_orders_cust_left,
         "orders_cust_outer": q_orders_cust_outer,
@@ -1066,6 +1114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "tile_pyramid": q_tile_pyramid,
         "events_dedup": q_events_dedup,
+        "quality_adaptive": q_quality_adaptive,
+        "doc_tfidf_top": q_doc_tfidf_top,
         "events_rolling": q_events_rolling,
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
@@ -1145,6 +1195,25 @@ SELECT p.query_id AS query_id, c.idx AS idx,
 FROM p, c
 WHERE (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy)
       <= {RADIUS} * {RADIUS}
+"""
+
+    dist2 = (
+        "(a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)"
+    )
+    point_clusters_sql = f"""
+WITH RECURSIVE p AS ({p_cust}),
+pr AS (SELECT a.query_id AS doc_a, b.query_id AS doc_b
+       FROM p a, p b
+       WHERE a.query_id < b.query_id AND {dist2} <= {RADIUS} * {RADIUS}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION SELECT doc_b, doc_a FROM pr),
+nodes AS (SELECT DISTINCT a AS d FROM sym),
+reach(d, n) AS (
+  SELECT d, d FROM nodes
+  UNION
+  SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.n
+)
+SELECT d AS doc_id, MIN(n) AS cluster_id FROM reach GROUP BY d
 """
 
     pip_sql = f"""
@@ -1608,6 +1677,7 @@ WHERE {intersects}
         "knn": knn_sql,
         "knn_3d": knn_3d_sql,
         "radius_join": radius_join_sql,
+        "point_clusters": point_clusters_sql,
         "pip": pip_sql,
         "zonal_stats": zonal_stats_sql,
         "tile_points": tile_points_sql,
@@ -1652,6 +1722,12 @@ WHERE {intersects}
         "interval_join": interval_join_sql,
         "doc_cap_per_lang": doc_cap_per_lang_sql,
         "dup_clusters": dup_clusters_sql,
+        "dedup_survivors": f"""
+WITH cc AS ({dup_clusters_sql})
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN
+  (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+""",
         "lineitem_orders": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -1690,6 +1766,30 @@ WHERE {intersects}
             "GROUP BY l_orderkey"
         ),
         "corpus_curation": corpus_curation_sql,
+        "doc_tfidf_top": (
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            " '[a-z]+')) AS word FROM documents),"
+            " tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf"
+            " FROM w GROUP BY doc_id, word),"
+            " df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df"
+            " FROM w GROUP BY word),"
+            " nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),"
+            " s AS (SELECT tf.doc_id, tf.word, tf.tf * nd.n // df.df AS score"
+            " FROM tf, df, nd WHERE tf.word = df.word),"
+            " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, word) AS rn FROM s)"
+            " SELECT doc_id, word, score FROM r WHERE rn = 1"
+        ),
+        "quality_adaptive": (
+            "WITH s AS (SELECT doc_id, lang,"
+            " (CAST(array_length(regexp_extract_all(text, '[a-zA-Z]')) AS"
+            " BIGINT) * 100) // GREATEST(CAST(length(text) AS BIGINT), 1)"
+            " AS quality_pct FROM documents),"
+            " t AS (SELECT lang, quantile_cont(quality_pct, 0.5) AS thr"
+            " FROM s GROUP BY lang)"
+            " SELECT s.doc_id, s.lang, s.quality_pct FROM s JOIN t"
+            " ON s.lang = t.lang WHERE s.quality_pct >= t.thr"
+        ),
         "events_dedup": (
             "WITH t AS (SELECT user_id, event_type,"
             " time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, ts, event_id"

@@ -158,7 +158,8 @@ QUERY_SUBSET = (
     "orders_no_returns radius_join zonal_stats tile_extent "
     "events_sessionized events_band_join user_features q3_revenue "
     "top_revenue label_centroids corpus_curation events_user_topk "
-    "vocab_topk tile_pyramid events_dedup"
+    "vocab_topk tile_pyramid events_dedup point_clusters "
+    "quality_adaptive doc_tfidf_top dedup_survivors"
 ).split()
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -236,3 +237,73 @@ def connected_components(
         )
 
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def point_clusters(points: Dataset, radius: float, res: int = 5) -> Dataset:
+    """Fixed-radius spatial clustering (single-linkage / DBSCAN-without-
+    min-pts): every point within ``radius`` of another is linked, and
+    each connected component gets the smallest member id as
+    ``cluster_id``. Output ``(doc_id, cluster_id)`` — one row per point
+    that has at least one neighbor (singletons are implicit, matching
+    :func:`connected_components` over a pair list).
+
+    Composite of two already-scale-shaped stages: the radius SELF-join
+    (degenerate point-boxes through :func:`..knn.radius_join` — broadcast
+    or cell path, exact Euclidean filter) and the label-propagation
+    connected components. The distance expression is bitwise the SQL
+    oracle's (``(px+px)*0.5 == px`` exactly in float64)."""
+    from .knn import radius_join
+
+    def as_boxes(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "idx": tbl.column("query_id"),
+                "xmin": tbl.column("px"),
+                "ymin": tbl.column("py"),
+                "xmax": tbl.column("px"),
+                "ymax": tbl.column("py"),
+            }
+        )
+
+    def undirect(tbl: pa.Table) -> pa.Table:
+        keep = pc.less(tbl.column("query_id"), tbl.column("idx"))
+        t = tbl.filter(keep)
+        return pa.table({"id_a": t.column("query_id"), "id_b": t.column("idx")})
+
+    boxes = points.map_batches(as_boxes, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = radius_join(boxes, points, radius=radius, res=res).map_batches(
+        undirect, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return connected_components(pairs)
+
+
+def dedup_survivors(
+    docs: Dataset,
+    pairs: Dataset,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> Dataset:
+    """The END of the dedup pipeline: the documents that SURVIVE cluster
+    dedup — everything except non-canonical members of near-dup
+    clusters (cluster canonical = smallest id, the
+    :func:`connected_components` label). Output ``(id_col, *carry_cols)``.
+
+    Composite of scale-shaped stages: connected components over the
+    pair list, a stateless filter to the (typically much smaller)
+    non-canonical id set, and the one-shuffle co-partitioned ANTI join —
+    document payloads cross the wire once, id-only tables otherwise."""
+
+    def non_canon(tbl: pa.Table) -> pa.Table:
+        keep = pc.not_equal(tbl.column("doc_id"), tbl.column("cluster_id"))
+        return pa.table({id_col: tbl.filter(keep).column("doc_id")})
+
+    drop = connected_components(pairs, id_a=id_a, id_b=id_b).map_batches(
+        non_canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from .join import hash_equi_join
+
+    return hash_equi_join(
+        docs, drop, on=id_col, left_cols=carry_cols, how="anti"
+    )

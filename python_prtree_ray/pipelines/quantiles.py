@@ -52,14 +52,43 @@ def value_quantiles(
     qs: tuple[float, ...] = DEFAULT_QS,
 ) -> Dataset:
     """(key, p50, p90, p99): exact quantiles of FLOOR(value*100) cents."""
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: tbl.column(key_col),
+                "cents": np.floor(v * 100.0).astype(np.int64),
+            }
+        )
+
+    return int_quantiles(
+        events.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col=key_col,
+        int_col="cents",
+        qs=qs,
+    )
+
+
+def int_quantiles(
+    ds: Dataset,
+    key_col: str,
+    int_col: str,
+    qs: tuple[float, ...] = DEFAULT_QS,
+) -> Dataset:
+    """(key, p...): exact per-key R-7 quantiles of an int64 measure —
+    the histogram machinery beneath :func:`value_quantiles`, reusable
+    for any bounded-cardinality integer signal (quality scores, token
+    counts, sizes)."""
     tune_context()
     labels = [_q_label(q) for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(f"duplicate quantile labels from qs={qs}")
 
     def partial_counts(tbl: pa.Table) -> pa.Table:
-        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
-        cents = np.floor(v * 100.0).astype(np.int64)
+        cents = (
+            tbl.column(int_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         if cents.size == 0:
             return pa.table(
                 {
@@ -87,7 +116,7 @@ def value_quantiles(
             }
         )
 
-    partials = events.map_batches(
+    partials = ds.map_batches(
         partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
 

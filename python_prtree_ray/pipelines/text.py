@@ -447,3 +447,166 @@ def vocab_topk(docs: Dataset, k: int = 100, n_buckets: int = 512) -> Dataset:
     )
     pruned = partials.groupby("wb").map_groups(bucket_topk, batch_format="pyarrow")
     return pruned.groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+def quality_filter_adaptive(docs: Dataset, q: float = 0.5) -> Dataset:
+    """Adaptive quality gate: keep documents at or above their
+    LANGUAGE's ``q``-th quantile of ``quality_pct`` (the data-dependent
+    threshold variant of the fixed gate in :func:`curate_corpus`).
+    Output ``(doc_id, lang, quality_pct)``.
+
+    Scale shape: per-lang thresholds come from the exact histogram
+    quantile op (:func:`..quantiles.int_quantiles` — shuffle bounded by
+    value cardinality, 101 distinct scores), and the resulting
+    lang→threshold map is metadata-sized (one row per language), so it
+    collects to the driver and broadcasts into a stateless filter pass —
+    the document text never shuffles."""
+    from .quantiles import _q_label, int_quantiles
+
+    def score(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nchars = np.maximum(
+            pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False),
+            1,
+        )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang": tbl.column("lang"),
+                "quality_pct": (n_alpha * 100) // nchars,
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    lbl = _q_label(q)
+    thr = {
+        r["lang"]: r[lbl]
+        for r in int_quantiles(scored, "lang", "quality_pct", (q,)).take_all()
+    }
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        d = tbl.column("lang").combine_chunks().dictionary_encode()
+        # tiny per-dictionary lookup (one entry per language in the batch)
+        t = np.array(
+            [thr.get(v, np.inf) for v in d.dictionary.to_pylist()], dtype=np.float64
+        )
+        th = t[d.indices.to_numpy(zero_copy_only=False)]
+        qp = tbl.column("quality_pct").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(qp >= th))
+
+    return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_tfidf_top(docs: Dataset) -> Dataset:
+    """Most-characteristic word per document by integer-quantized tf-idf:
+    ``score = tf * n_docs // df`` (int64 — associative-free of float
+    rounding, so SQL-oracle-checkable), ties broken by smallest word.
+    Output ``(doc_id, word, score)``; zero-token documents are absent.
+
+    Scale shape: document rows are atomic, so tf and the per-doc argmax
+    are fully batch-local (ZERO shuffle); the only exchange is the df
+    build — per-batch distinct-(doc,word) collapse → word-hash
+    ``bucketed_sum`` — whose output is vocabulary-sized and broadcast
+    once via ``ray.put`` as two sorted int64 arrays (searchsorted
+    lookup, no Python dict in the hot path)."""
+    import ray
+
+    from .merge import bucketed_sum
+
+    def tokens_per_doc(tbl: pa.Table):
+        """(doc_row, code, count, dict) per-batch per-doc token counts."""
+        toks = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(tbl.column("text")), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        doc_row = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), lens)[nonempty]
+        d = flat.filter(pa.array(nonempty)).dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if codes.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e, d.dictionary
+        order = np.lexsort((codes, doc_row))
+        dr_s, c_s = doc_row[order], codes[order]
+        starts = np.flatnonzero(
+            np.r_[True, (dr_s[1:] != dr_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        )
+        counts = np.diff(np.r_[starts, c_s.shape[0]])
+        return dr_s[starts], c_s[starts], counts.astype(np.int64), d.dictionary
+
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"wh": np.empty(0, np.int64), "df": np.empty(0, np.int64)}
+            )
+        _, code, _, dic = tokens_per_doc(tbl)
+        c, n = np.unique(code, return_counts=True)  # docs-per-word in batch
+        return pa.table(
+            {"wh": hash_str_array(dic)[c], "df": n.astype(np.int64)}
+        )
+
+    df_tbl = bucketed_sum(
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="wh",
+        value_cols=("df",),
+    )
+    parts = [
+        t
+        for t in ray.get(df_tbl.to_arrow_refs())
+        if t.num_rows
+    ]
+    if parts:
+        df_all = pa.concat_tables(parts)
+        wh = df_all.column("wh").to_numpy(zero_copy_only=False)
+        dfv = df_all.column("df").to_numpy(zero_copy_only=False)
+        o = np.argsort(wh)
+        df_ref = ray.put((wh[o], dfv[o]))
+    else:
+        df_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+    n_docs = np.int64(docs.count())
+
+    def top_word(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        doc_row, code, tf, dic = tokens_per_doc(tbl)
+        if doc_row.size == 0:
+            return empty
+        wh_sorted, df_sorted = ray.get(df_ref)
+        pos = np.searchsorted(wh_sorted, hash_str_array(dic)[code])
+        score = tf * n_docs // df_sorted[pos]
+        # tie-break on the word STRING order, not hash/code order
+        word_rank = np.empty(len(dic), dtype=np.int64)
+        word_rank[np.argsort(dic.to_numpy(zero_copy_only=False))] = np.arange(
+            len(dic)
+        )
+        order = np.lexsort((word_rank[code], -score, doc_row))
+        first = np.r_[True, doc_row[order][1:] != doc_row[order][:-1]]
+        w = order[first]
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_row[w]], pa.int64()),
+                "word": dic.take(pa.array(code[w])),
+                "score": pa.array(score[w], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(top_word, batch_format="pyarrow", zero_copy_batch=True)

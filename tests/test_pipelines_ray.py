@@ -1206,3 +1206,136 @@ def test_event_dedup_window_matches_pandas(ray_session):
             for r in out
         )
         assert got == want
+
+
+def test_point_clusters_matches_union_find(ray_session):
+    # fixed-radius clustering vs brute-force pairs + union-find
+    ray = ray_session
+    from python_prtree_ray.pipelines.graph import point_clusters
+
+    rng = np.random.default_rng(233)
+    n, radius = 600, 0.03
+    px, py = rng.random(n), rng.random(n)
+    ids = rng.permutation(10 * n)[:n].astype(np.int64)
+    d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+    ii, jj = np.nonzero(np.triu(d2 <= radius * radius, k=1))
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(ids[ii], ids[jj]):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    in_pairs = set(ids[ii].tolist()) | set(ids[jj].tolist())
+    want = sorted((x, find(x)) for x in in_pairs)
+    t = pa.table({"query_id": ids, "px": px, "py": py})
+    out = point_clusters(
+        ray.data.from_arrow(t).repartition(5), radius=radius, res=4
+    ).take_all()
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in out)
+    assert got == want
+
+
+def test_quality_filter_adaptive_matches_numpy(ray_session):
+    # per-lang R-7 median threshold filter vs numpy quantile recompute
+    ray = ray_session
+    import re
+
+    from python_prtree_ray.pipelines.text import quality_filter_adaptive
+
+    rng = np.random.default_rng(239)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 300)]
+    texts = [
+        "".join(rng.choice(list("abc 123!?"), size=rng.integers(1, 40)))
+        for _ in range(300)
+    ]
+    ids = np.arange(300, dtype=np.int64)
+    qp = np.array(
+        [len(re.findall("[a-zA-Z]", t)) * 100 // max(len(t), 1) for t in texts],
+        dtype=np.int64,
+    )
+    want = []
+    for lg in np.unique(langs):
+        m = langs == lg
+        thr = np.quantile(qp[m].astype(np.float64), 0.5)  # R-7 'linear'
+        want += [
+            (int(i), lg, int(v)) for i, v in zip(ids[m], qp[m]) if v >= thr
+        ]
+    want = sorted(want)
+    t = pa.table({"doc_id": ids, "text": texts, "lang": langs})
+    out = quality_filter_adaptive(
+        ray.data.from_arrow(t).repartition(6), q=0.5
+    ).take_all()
+    got = sorted((r["doc_id"], r["lang"], r["quality_pct"]) for r in out)
+    assert got == want
+
+
+def test_doc_tfidf_top_matches_counter(ray_session):
+    # integer tf-idf argmax per doc vs a Counter recompute
+    ray = ray_session
+    import re
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.text import doc_tfidf_top
+
+    rng = np.random.default_rng(241)
+    vocab = ["common", "rare", "mid", "zz", "aa"]
+    probs = np.array([0.6, 0.05, 0.2, 0.1, 0.05])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 15), p=probs))
+        for _ in range(250)
+    ]
+    ids = np.arange(250, dtype=np.int64)
+    toks = [re.findall("[a-z]+", t.lower()) for t in texts]
+    df = Counter(w for ws in toks for w in set(ws))
+    n_docs = len(texts)
+    want = []
+    for i, ws in zip(ids, toks):
+        if not ws:
+            continue
+        tf = Counter(ws)
+        scored = sorted(
+            ((tf[w] * n_docs) // df[w], w) for w in tf
+        )
+        best = max(scored, key=lambda sw: (sw[0], [-ord(c) for c in sw[1]]))
+        # ties: max score, then lexicographically smallest word
+        top = sorted([sw for sw in scored if sw[0] == best[0]], key=lambda x: x[1])[0]
+        want.append((int(i), top[1], int(top[0])))
+    want = sorted(want)
+    t = pa.table({"doc_id": ids, "text": texts})
+    for blocks in (1, 6):
+        out = doc_tfidf_top(ray.data.from_arrow(t).repartition(blocks)).take_all()
+        got = sorted((r["doc_id"], r["word"], r["score"]) for r in out)
+        assert got == want
+
+
+def test_dedup_survivors_with_explicit_pairs(ray_session):
+    # survivors = all docs minus non-canonical cluster members
+    ray = ray_session
+    from python_prtree_ray.pipelines.graph import dedup_survivors
+
+    docs = pa.table(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "lang": pa.array(list("abcdefghij")),
+        }
+    )
+    # clusters: {1,3,5}, {7,8}; canonical 1 and 7 → drop 3,5,8
+    pairs = pa.table(
+        {
+            "id_a": np.array([3, 5, 7], dtype=np.int64),
+            "id_b": np.array([1, 3, 8], dtype=np.int64),
+        }
+    )
+    out = dedup_survivors(
+        ray.data.from_arrow(docs).repartition(3),
+        ray.data.from_arrow(pairs),
+        carry_cols=("lang",),
+    ).take_all()
+    got = sorted(r["doc_id"] for r in out)
+    assert got == [0, 1, 2, 4, 6, 7, 9]
