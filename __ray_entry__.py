@@ -97,6 +97,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             point_cols=knn.POINT3D_COLS,
         )
 
+    def q_knn_4d(sf):
+        # D-generic kNN over 4D (x,y,z,t) centroids — same kernel and
+        # merge as 2D/3D, box/point column tuples swapped
+        from python_prtree_ray.sources.tables import BOX4D_COLS, points_4d_dataset
+
+        return knn.knn_join(
+            tables.boxes_4d_dataset(sf),
+            points_4d_dataset(sf),
+            k=KNN_K,
+            res=4,
+            box_cols=BOX4D_COLS,
+            point_cols=knn.POINT4D_COLS,
+        )
+
     def q_radius_join(sf):
         # fixed-radius within-distance join: supplier points vs order-box
         # centroids (zero-shuffle broadcast path at this probe size)
@@ -1048,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_query": q_point_query,
         "knn": q_knn,
         "knn_3d": q_knn_3d,
+        "knn_4d": q_knn_4d,
         "radius_join": q_radius_join,
         "point_clusters": q_point_clusters,
         "pip": q_pip,
@@ -1180,6 +1195,22 @@ c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy,
 d AS (SELECT p.query_id, c.idx,
              (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy)
                + (p.pz - c.cz) * (p.pz - c.cz) AS dist2
+      FROM p, c),
+r AS (SELECT query_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
+      FROM d)
+SELECT query_id, idx, rn AS "rank" FROM r WHERE rn <= {KNN_K}
+"""
+
+    knn_4d_sql = f"""
+WITH b AS ({derive.boxes_4d_sql("orders", "o_orderkey", "idx")}),
+     p AS ({derive.points_4d_sql("supplier", "s_suppkey", "query_id")}),
+c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy,
+             (zmin + zmax) * 0.5 AS cz, (tmin + tmax) * 0.5 AS ct FROM b),
+d AS (SELECT p.query_id, c.idx,
+             (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy)
+               + (p.pz - c.cz) * (p.pz - c.cz)
+               + (p.pt - c.ct) * (p.pt - c.ct) AS dist2
       FROM p, c),
 r AS (SELECT query_id, idx,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
@@ -1676,6 +1707,7 @@ WHERE {intersects}
         "point_query": point_query_sql,
         "knn": knn_sql,
         "knn_3d": knn_3d_sql,
+        "knn_4d": knn_4d_sql,
         "radius_join": radius_join_sql,
         "point_clusters": point_clusters_sql,
         "pip": pip_sql,

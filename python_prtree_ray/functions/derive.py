@@ -181,6 +181,23 @@ def points_3d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
   FROM {table}"""
 
 
+def derive_points_4d(key: np.ndarray) -> dict[str, np.ndarray]:
+    """4D probe points (t on channel 14). Matches :func:`points_4d_sql`."""
+    out = derive_points_3d(key)
+    out["pt"] = _frac(key, 14)
+    return out
+
+
+def points_4d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
+    return f"""
+  SELECT {key} AS {idx_name},
+         {_frac_sql(key, 4)} AS px,
+         {_frac_sql(key, 5)} AS py,
+         {_frac_sql(key, 10)} AS pz,
+         {_frac_sql(key, 14)} AS pt
+  FROM {table}"""
+
+
 # ------------------------------------------------------------------ tiles
 
 

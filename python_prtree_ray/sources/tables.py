@@ -94,6 +94,19 @@ def points_3d_dataset(sf_dir: str, table: str = "supplier", key: str = "s_suppke
     )
 
 
+def points_4d_dataset(sf_dir: str, table: str = "supplier", key: str = "s_suppkey"):
+    """4D probe points: (query_id, px, py, pz, pt)."""
+
+    def der(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        cols = derive.derive_points_4d(k)
+        return pa.table({"query_id": k.astype(np.int64), **cols})
+
+    return _read_keys(sf_dir, table, key).map_batches(
+        der, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def query_boxes_table(sf_dir: str, table: str = "customer", key: str = "c_custkey") -> pa.Table:
     """Driver-side pyarrow variant of :func:`query_boxes_dataset` for
     small probe sides headed straight into a broadcast join — skips the
