@@ -558,6 +558,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = ev.map_batches(side("view", "r_id"), batch_format="pyarrow", zero_copy_batch=True)
         return band_join(left, right)
 
+    def q_session_join(sf):
+        # session-scoped stream-stream join: (purchase, view) pairs in
+        # the SAME gap-session of the same user — any event type keeps
+        # the session alive (one user-bucket shuffle, vectorized pairing)
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        return windows.session_join(ev, "purchase", "view", gap_minutes=30)
+
+    def q_funnel_counts(sf):
+        # ordered-funnel user counts (signup -> click -> purchase by
+        # strict first-occurrence time): per-batch min combine, one
+        # user-keyed min-reduce, tiny count fold
+        import ray
+        from python_prtree_ray.pipelines.agg import funnel_counts
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+        return funnel_counts(ev)
+
+    def q_pricing_summary(sf):
+        # TPC-H Q1-shaped scan aggregate in exact integer cents:
+        # per-batch combine to <=6 partial rows, no raw-row shuffle
+        import ray
+        from python_prtree_ray.pipelines.agg import pricing_summary
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_shipdate",
+            ],
+        )
+        return pricing_summary(li)
+
+    def q_spatial_semi(sf):
+        # spatial EXISTS filter: order boxes hit by >=1 customer region
+        # (map-only bitmask probe — never materializes the pair fan-out)
+        return sj.spatial_semi_join(
+            tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), anti=False
+        )
+
+    def q_spatial_anti(sf):
+        # spatial NOT-EXISTS: order boxes intersecting NO customer region
+        return sj.spatial_semi_join(
+            tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), anti=True
+        )
+
+    def q_source_dedup_stats(sf):
+        # per-source dedup report (n_docs, n_unique) — text never
+        # shuffles; two bounded reduces over (source, hash) partials
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["text", "source"]
+        )
+        return dedup.source_dedup_stats(docs)
+
     def q_interval_join(sf):
         # per-user temporal interval join (view inside [purchase, +2h])
         # expressed as the existing 2D spatial join: time on x, the user
@@ -1107,6 +1174,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_histogram": q_cell_histogram,
         "asof_purchase_view": q_asof_purchase_view,
         "events_band_join": q_events_band_join,
+        "session_join": q_session_join,
+        "funnel_counts": q_funnel_counts,
+        "pricing_summary": q_pricing_summary,
+        "spatial_semi": q_spatial_semi,
+        "spatial_anti": q_spatial_anti,
+        "source_dedup_stats": q_source_dedup_stats,
         "raster_tiles": q_raster_tiles,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1613,6 +1686,74 @@ FROM l JOIN r ON l.user_id = r.user_id
 WHERE r.r_ts <= l.l_ts AND r.r_ts >= l.l_ts - INTERVAL 1 HOUR
 """
 
+    session_join_sql = """
+WITH s AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s)
+SELECT a.user_id AS user_id, a.event_id AS l_id, b.event_id AS r_id
+FROM g a JOIN g b ON a.user_id = b.user_id AND a.sess = b.sess
+WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+"""
+
+    funnel_counts_sql = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id)
+SELECT CAST(COUNT(CASE WHEN t0 IS NOT NULL THEN 1 END) AS BIGINT) AS n_stage1,
+       CAST(COUNT(CASE WHEN t1 > t0 THEN 1 END) AS BIGINT) AS n_stage2,
+       CAST(COUNT(CASE WHEN t1 > t0 AND t2 > t1 THEN 1 END) AS BIGINT) AS n_stage3
+FROM m
+"""
+
+    pricing_summary_sql = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_price_c,
+  CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100.0)
+      AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+  CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount)) * (1 + l_tax))
+      * 100.0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+    // COUNT(*) AS BIGINT) AS avg_qty_c,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+    // COUNT(*) AS BIGINT) AS avg_price_c,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    spatial_semi_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust})
+SELECT b.idx AS idx FROM b
+WHERE EXISTS (SELECT 1 FROM q WHERE {intersects})
+"""
+
+    spatial_anti_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust})
+SELECT b.idx AS idx FROM b
+WHERE NOT EXISTS (SELECT 1 FROM q WHERE {intersects})
+"""
+
+    source_dedup_stats_sql = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique
+FROM documents GROUP BY source
+"""
+
     # ---- media twins: the stub payload is a pure function of media_ref,
     # and the interleaved corpus is a pure function of the doc number, so
     # BOTH media pipelines regenerate exactly in DuckDB (spans CTE twin
@@ -1744,6 +1885,12 @@ WHERE {intersects}
         "cell_histogram": cell_histogram_sql,
         "asof_purchase_view": asof_sql,
         "events_band_join": events_band_join_sql,
+        "session_join": session_join_sql,
+        "funnel_counts": funnel_counts_sql,
+        "pricing_summary": pricing_summary_sql,
+        "spatial_semi": spatial_semi_sql,
+        "spatial_anti": spatial_anti_sql,
+        "source_dedup_stats": source_dedup_stats_sql,
         "raster_tiles": raster_tiles_sql,
         "media_features": media_features_sql,
         "video_frames": video_frames_sql,

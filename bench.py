@@ -159,7 +159,9 @@ QUERY_SUBSET = (
     "events_sessionized events_band_join user_features q3_revenue "
     "top_revenue label_centroids corpus_curation events_user_topk "
     "vocab_topk tile_pyramid events_dedup point_clusters "
-    "quality_adaptive doc_tfidf_top dedup_survivors knn_4d"
+    "quality_adaptive doc_tfidf_top dedup_survivors knn_4d "
+    "session_join funnel_counts pricing_summary spatial_semi spatial_anti "
+    "source_dedup_stats"
 ).split()
 
 

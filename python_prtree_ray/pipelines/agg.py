@@ -1,0 +1,219 @@
+"""Wide scan-heavy aggregates over the fact tables.
+
+Both operators here follow the engine's standard reduce shape: a
+map-side combine inside ``map_batches`` collapses each batch to a
+handful of partial rows (integer-cents arithmetic so float sums stay
+order-independent and bitwise-comparable to the SQL oracle), then the
+shared coarse-bucket reduce (:func:`..pipelines.merge.bucketed_sum`)
+finishes the fold — raw fact rows never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..config import tune_context
+from .merge import bucketed_sum
+
+_TS_MAX = np.int64(np.iinfo(np.int64).max)
+
+
+def pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-02") -> Dataset:
+    """TPC-H Q1-shaped pricing summary: per (l_returnflag, l_linestatus)
+    over rows shipped on/before ``cutoff`` —
+
+    ``(l_returnflag, l_linestatus, sum_qty_c, sum_price_c,
+    sum_disc_price_c, sum_charge_c, avg_qty_c, avg_price_c, count_order)``
+
+    All money/quantity columns are integer hundredths
+    (``FLOOR(x * 100)`` per row, summed as int64) so the distributed sum
+    is exact and order-independent — the same cents convention as the
+    revenue composites. ``avg_*_c`` are integer divisions of those sums
+    (semantics defined identically in the SQL twin).
+
+    Scale shape: per-batch combine to ≤6 partial rows (the key space is
+    the flag×status product), ONE tiny bucketed reduce, no raw-row
+    shuffle. The dominant cost is the pruned 7-column scan.
+    """
+    tune_context()
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("l_shipdate").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        keep = ts <= cut
+        flag = tbl.column("l_returnflag").combine_chunks().dictionary_encode()
+        stat = tbl.column("l_linestatus").combine_chunks().dictionary_encode()
+        # single-char domains: key on the actual byte values so the key
+        # is globally stable (dictionary codes are batch-local)
+        fb = np.array(
+            [ord(s[0]) if s else 0 for s in flag.dictionary.to_pylist()],
+            dtype=np.int64,
+        )[flag.indices.to_numpy(zero_copy_only=False)]
+        sb = np.array(
+            [ord(s[0]) if s else 0 for s in stat.dictionary.to_pylist()],
+            dtype=np.int64,
+        )[stat.indices.to_numpy(zero_copy_only=False)]
+        key = (fb * 256 + sb)[keep]
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        tax = tbl.column("l_tax").to_numpy(zero_copy_only=False)[keep]
+        qty_c = np.floor(qty * 100.0).astype(np.int64)
+        price_c = np.floor(ep * 100.0).astype(np.int64)
+        disc_price_c = np.floor((ep * (1.0 - disc)) * 100.0).astype(np.int64)
+        charge_c = np.floor(((ep * (1.0 - disc)) * (1.0 + tax)) * 100.0).astype(
+            np.int64
+        )
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if ks.size else (
+            np.array([], dtype=np.int64)
+        )
+        if ks.size == 0:
+            return pa.table(
+                {
+                    "gkey": pa.array([], pa.int64()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in (
+                            "sum_qty_c",
+                            "sum_price_c",
+                            "sum_disc_price_c",
+                            "sum_charge_c",
+                            "count_order",
+                        )
+                    },
+                }
+            )
+        return pa.table(
+            {
+                "gkey": pa.array(ks[starts], pa.int64()),
+                "sum_qty_c": np.add.reduceat(qty_c[order], starts),
+                "sum_price_c": np.add.reduceat(price_c[order], starts),
+                "sum_disc_price_c": np.add.reduceat(disc_price_c[order], starts),
+                "sum_charge_c": np.add.reduceat(charge_c[order], starts),
+                "count_order": np.add.reduceat(
+                    np.ones(ks.shape[0], dtype=np.int64), starts
+                ),
+            }
+        )
+
+    partials = lineitem.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    summed = bucketed_sum(
+        partials,
+        "gkey",
+        (
+            "sum_qty_c",
+            "sum_price_c",
+            "sum_disc_price_c",
+            "sum_charge_c",
+            "count_order",
+        ),
+        n_buckets=8,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("gkey").to_numpy(zero_copy_only=False)
+        n = tbl.column("count_order").to_numpy(zero_copy_only=False)
+        sq = tbl.column("sum_qty_c").to_numpy(zero_copy_only=False)
+        sp = tbl.column("sum_price_c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": pa.array([chr(int(v) >> 8) for v in k], pa.string()),
+                "l_linestatus": pa.array([chr(int(v) & 255) for v in k], pa.string()),
+                "sum_qty_c": tbl.column("sum_qty_c"),
+                "sum_price_c": tbl.column("sum_price_c"),
+                "sum_disc_price_c": tbl.column("sum_disc_price_c"),
+                "sum_charge_c": tbl.column("sum_charge_c"),
+                "avg_qty_c": pa.array(sq // np.maximum(n, 1), pa.int64()),
+                "avg_price_c": pa.array(sp // np.maximum(n, 1), pa.int64()),
+                "count_order": tbl.column("count_order"),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_counts(
+    events: Dataset,
+    stages: tuple[str, ...] = ("signup", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Ordered-funnel user counts: one row ``(n_stage1, n_stage1_2, ...,
+    n_full)`` — how many users reached each prefix of ``stages`` in
+    strict first-occurrence time order (``min ts`` of stage i+1 strictly
+    after ``min ts`` of stage i).
+
+    Scale shape: per-batch partial MIN-per-(user, stage) combine, one
+    bucketed min-reduce keyed on user (the only all-to-all, rows =
+    distinct users per batch), then a trivially small count fold — the
+    classic two-level funnel with no raw-event shuffle.
+    """
+    tune_context()
+    cols = [f"t{i}" for i in range(len(stages))]
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        tcol = tbl.column(type_col)
+        per_stage = [
+            np.where(
+                pc.equal(tcol, s).to_numpy(zero_copy_only=False), ts, _TS_MAX
+            )
+            for s in stages
+        ]
+        order = np.argsort(uid, kind="stable")
+        us = uid[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]]) if us.size else (
+            np.array([], dtype=np.int64)
+        )
+        if us.size == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in cols},
+                }
+            )
+        out = {user_col: pa.array(us[starts], pa.int64())}
+        for c, v in zip(cols, per_stage):
+            out[c] = pa.array(np.minimum.reduceat(v[order], starts), pa.int64())
+        return pa.table(out)
+
+    partials = events.select_columns([user_col, ts_col, type_col]).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mins = bucketed_sum(partials, user_col, tuple(cols), reduce="min")
+
+    def count(tbl: pa.Table) -> pa.Table:
+        t = [tbl.column(c).to_numpy(zero_copy_only=False) for c in cols]
+        reached = t[0] < _TS_MAX
+        counts = [int(reached.sum())]
+        for i in range(1, len(stages)):
+            reached = reached & (t[i] < _TS_MAX) & (t[i] > t[i - 1])
+            counts.append(int(reached.sum()))
+        names = ["n_stage%d" % (i + 1) for i in range(len(stages))]
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int8()),
+                **{
+                    nm: pa.array([c], pa.int64()) for nm, c in zip(names, counts)
+                },
+            }
+        )
+
+    names = tuple("n_stage%d" % (i + 1) for i in range(len(stages)))
+    folded = mins.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+    summed = bucketed_sum(folded, "g", names, n_buckets=1)
+    return summed.select_columns(list(names))

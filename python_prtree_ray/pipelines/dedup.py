@@ -188,6 +188,113 @@ def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     return hashed.groupby("b").map_groups(min_per_hash, batch_format="pyarrow")
 
 
+def source_dedup_stats(
+    docs: Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> Dataset:
+    """Per-group dedup report: ``(source, n_docs, n_unique)`` — total
+    documents and distinct texts per source. The curation dashboard
+    number ("how redundant is each crawl source?").
+
+    Scale shape: text never shuffles — each batch collapses to one
+    ``(source, text_hash, count)`` row per distinct text it saw; the
+    first all-to-all co-locates identical (source, hash) pairs by a
+    coarse bucket of the pair key and folds them; the second is
+    metadata-sized (sources × buckets partial rows). Distinctness is by
+    64-bit text hash, the same convention as :func:`dedup_exact`.
+    """
+    tune_context()
+    NB = np.int64(512)
+
+    def to_pairs(tbl: pa.Table) -> pa.Table:
+        h = hash_str_array(tbl.column(text_col))
+        src = tbl.column(group_col)
+        sk = hash_str_array(src)
+        order = np.lexsort((h, sk))
+        sk_s, h_s = sk[order], h[order]
+        keep = np.ones(h_s.shape[0], dtype=bool)
+        keep[1:] = (np.diff(sk_s) != 0) | (np.diff(h_s) != 0)
+        starts = np.flatnonzero(keep)
+        sizes = np.diff(np.r_[starts, h_s.shape[0]])
+        first_pos = pa.array(np.asarray(order[starts]))
+        return pa.table(
+            {
+                group_col: src.take(first_pos),
+                "skey": pa.array(sk_s[starts], pa.int64()),
+                "text_hash": pa.array(h_s[starts], pa.int64()),
+                "n": pa.array(sizes, pa.int64()),
+                "b": pa.array((sk_s[starts] ^ h_s[starts]) % NB, pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "skey": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+                "sb": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        sk = group.column("skey").to_numpy(zero_copy_only=False)
+        h = group.column("text_hash").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, sk))
+        sk_s, h_s, n_s = sk[order], h[order], n[order]
+        new_pair = np.ones(sk_s.shape[0], dtype=bool)
+        new_pair[1:] = (np.diff(sk_s) != 0) | (np.diff(h_s) != 0)
+        # per-source segment boundaries over the pair-sorted order
+        new_src = np.ones(sk_s.shape[0], dtype=bool)
+        new_src[1:] = np.diff(sk_s) != 0
+        s_starts = np.flatnonzero(new_src)
+        n_docs = np.add.reduceat(n_s, s_starts)
+        n_unique = np.add.reduceat(new_pair.astype(np.int64), s_starts)
+        first_pos = pa.array(np.asarray(order[s_starts]))
+        return pa.table(
+            {
+                group_col: group.column(group_col).take(first_pos),
+                "skey": pa.array(sk_s[s_starts], pa.int64()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_unique": pa.array(n_unique, pa.int64()),
+                "sb": pa.array(sk_s[s_starts] % np.int64(32), pa.int64()),
+            }
+        )
+
+    partials = pairs.groupby("b").map_groups(fold_pairs, batch_format="pyarrow")
+
+    def fold_sources(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_unique": pa.array([], pa.int64()),
+                }
+            )
+        sk = group.column("skey").to_numpy(zero_copy_only=False)
+        nd = group.column("n_docs").to_numpy(zero_copy_only=False)
+        nu = group.column("n_unique").to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk_s = sk[order]
+        starts = np.flatnonzero(np.r_[True, sk_s[1:] != sk_s[:-1]])
+        first_pos = pa.array(np.asarray(order[starts]))
+        return pa.table(
+            {
+                group_col: group.column(group_col).take(first_pos),
+                "n_docs": pa.array(np.add.reduceat(nd[order], starts), pa.int64()),
+                "n_unique": pa.array(np.add.reduceat(nu[order], starts), pa.int64()),
+            }
+        )
+
+    return partials.groupby("sb").map_groups(fold_sources, batch_format="pyarrow")
+
+
 def _simhash_batch(text_col_arr: pa.ChunkedArray) -> np.ndarray:
     """63-bit SimHash per row (int64, non-negative), fully vectorized."""
     hval, offs = _token_hashes(text_col_arr)

@@ -60,11 +60,15 @@ def bucketed_topk(
     return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")
 
 
+_REDUCE_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
 def bucketed_sum(
     ds: Dataset,
     key_col: str,
     value_cols: tuple[str, ...],
     n_buckets: int = 512,
+    reduce: str = "sum",
 ) -> Dataset:
     """Exact per-key int64 sums via ONE coarse-bucket shuffle: hash the
     key into ``n_buckets`` groups, then ONE vectorized lexsort +
@@ -72,7 +76,14 @@ def bucketed_sum(
     native sort-based ``groupby(key).aggregate(Sum)`` for
     HIGH-CARDINALITY keys, where the per-key machinery dominates (the
     same lesson as the top-k merge above — measured 3-6x on 100k+ key
-    aggregations). Input rows should already be batch-combined partials."""
+    aggregations). Input rows should already be batch-combined partials.
+
+    ``reduce`` picks the per-key fold: ``"sum"`` (default), ``"min"``,
+    or ``"max"`` — all three are associative+commutative, so the
+    batch-combined partials feeding this stage stay exact."""
+    if reduce not in _REDUCE_UFUNC:
+        raise ValueError(f"unsupported reduce={reduce!r}")
+    ufunc = _REDUCE_UFUNC[reduce]
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         kv = tbl.column(key_col).to_numpy(zero_copy_only=False)
@@ -93,7 +104,7 @@ def bucketed_sum(
         out = {key_col: pa.array(ks[starts], pa.int64())}
         for c in value_cols:
             v = group.column(c).to_numpy(zero_copy_only=False)[order]
-            out[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+            out[c] = pa.array(ufunc.reduceat(v, starts), pa.int64())
         return pa.table(out)
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)

@@ -236,6 +236,64 @@ def spatial_join(
     )
 
 
+def spatial_semi_join(
+    boxes: Dataset,
+    queries: Dataset,
+    anti: bool = False,
+    res: int = DEFAULT_RES,
+    box_cols: tuple[str, ...] = st.BOX_COLS,
+) -> Dataset:
+    """Spatial EXISTS / NOT-EXISTS filter: the ``idx`` of every stored
+    box that intersects at least one query region (``anti=False``) or
+    none at all (``anti=True``). One row per box — never the pair
+    fan-out, which is the point: a 100-TB semi filter must not
+    materialize the (possibly quadratic) match list first.
+
+    Physical plan: when the query side fits ``BROADCAST_LIMIT`` this is
+    map-only — each batch builds its packed PR-tree, probes it with the
+    broadcast regions, and keeps/drops rows by a hit bitmask (zero
+    shuffle, zero pair rows). Otherwise it composes the cell-shuffle
+    join with a hash semi/anti join on ``idx`` — two shuffles, still no
+    driver materialization.
+    """
+    tune_context()
+    qtbl = _try_collect_small(queries, BROADCAST_LIMIT)
+    if qtbl is not None:
+        if qtbl.num_rows == 0:
+            if anti:
+                return boxes.select_columns(["idx"])
+            return ray.data.from_arrow(
+                pa.schema([("idx", pa.int64())]).empty_table()
+            )
+        q_boxes = np.stack([st.col_np(qtbl, c) for c in box_cols], axis=1)
+        side_ref = ray.put(q_boxes)
+
+        def mask(tbl: pa.Table) -> pa.Table:
+            qb = ray.get(side_ref)
+            ids = st.col_np(tbl, "idx")
+            coords = np.stack([st.col_np(tbl, c) for c in box_cols], axis=1)
+            tree = PRTree(np.arange(ids.shape[0], dtype=np.int64), coords)
+            _, ppos = tree.batch_query_positions(qb)
+            hit = np.zeros(ids.shape[0], dtype=bool)
+            hit[tree.idx[ppos]] = True
+            keep = ~hit if anti else hit
+            return pa.table({"idx": pa.array(ids[keep], pa.int64())})
+
+        return boxes.map_batches(
+            mask, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    from .join import hash_equi_join
+
+    pairs = spatial_join(boxes, queries, res=res, box_cols=box_cols)
+    return hash_equi_join(
+        boxes.select_columns(["idx"]),
+        pairs.select_columns(["idx"]),
+        on="idx",
+        how="anti" if anti else "semi",
+    )
+
+
 def self_join(
     boxes: Dataset,
     res: int = DEFAULT_RES,

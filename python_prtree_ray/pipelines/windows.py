@@ -238,6 +238,90 @@ def sessionize_events(
     return keyed.groupby("bucket").map_groups(label, batch_format="pyarrow")
 
 
+def session_join(
+    events: Dataset,
+    left_type: str,
+    right_type: str,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Session-scoped stream-stream join: ``(user_id, l_id, r_id)`` for
+    every pair of a ``left_type`` and a ``right_type`` event that fall in
+    the SAME gap-session of the same user. Sessions here are per USER
+    over ALL the user's events (any type participates in session
+    formation — unlike :func:`sessionize_events`, which sessionizes per
+    (type, user) stream), so a click can stitch a view and a purchase
+    into one session.
+
+    Scale shape: ONE coarse user-hash-bucket shuffle of the projected
+    (id, ts, user, type) columns; per bucket, a lexsort + run-boundary
+    pass assigns sessions, then the pairs expand with the same
+    searchsorted repeat/arange walk as the hash join — no per-session
+    ``map_groups``, no Python row loop.
+    """
+    tune_context()
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column("bucket", pa.array(bucket_of(uid, n_buckets)))
+
+    def pair(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "l_id": pa.array([], pa.int64()),
+                "r_id": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        ts = group.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        uid = group.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = group.column(type_col)
+        is_l = pc.equal(tcol, left_type).to_numpy(zero_copy_only=False)
+        is_r = pc.equal(tcol, right_type).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        ts_s, uid_s, eid_s = ts[order], uid[order], eid[order]
+        brk = np.ones(ts_s.shape[0], dtype=bool)
+        if ts_s.shape[0] > 1:
+            brk[1:] = (np.diff(uid_s) != 0) | (np.diff(ts_s) > gap_us)
+        run = np.cumsum(brk) - 1  # session id, unique within the bucket
+        lmask, rmask = is_l[order], is_r[order]
+        lrun, lid, luid = run[lmask], eid_s[lmask], uid_s[lmask]
+        rrun, rid = run[rmask], eid_s[rmask]
+        if lrun.size == 0 or rrun.size == 0:
+            return empty
+        # rrun is sorted (run is nondecreasing); range-match each left row
+        starts = np.searchsorted(rrun, lrun, side="left")
+        ends = np.searchsorted(rrun, lrun, side="right")
+        cnt = ends - starts
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(lrun.shape[0]), cnt)
+        walk = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ri = np.repeat(starts, cnt) + walk
+        return pa.table(
+            {
+                user_col: pa.array(luid[li], pa.int64()),
+                "l_id": pa.array(lid[li], pa.int64()),
+                "r_id": pa.array(rid[ri], pa.int64()),
+            }
+        )
+
+    proj = events.select_columns([id_col, ts_col, user_col, type_col])
+    keyed = proj.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(pair, batch_format="pyarrow")
+
+
 def rolling_window_sum(
     events: Dataset,
     window_minutes: int = 30,

@@ -1339,3 +1339,246 @@ def test_dedup_survivors_with_explicit_pairs(ray_session):
     ).take_all()
     got = sorted(r["doc_id"] for r in out)
     assert got == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_session_join_matches_pandas(ray_session):
+    # session-scoped stream-stream join: pairs inside the same gap
+    # session vs a row-at-a-time recomputation, invariant across
+    # partitionings; other event types keep a session alive
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import session_join
+
+    rng = np.random.default_rng(131)
+    n = 3000
+    uid = rng.integers(0, 60, n).astype(np.int64)
+    ts = rng.integers(0, 3_600_000_000 * 4, n).astype(np.int64)  # 4h span, us
+    types = np.array(["view", "click", "purchase", "error"])[
+        rng.integers(0, 4, n)
+    ]
+    eid = np.arange(n, dtype=np.int64)
+    gap_us = 30 * 60_000_000
+
+    # brute force: per user, sort by (ts, eid), break on gap, pair
+    want = set()
+    for u in np.unique(uid):
+        m = uid == u
+        order = np.lexsort((eid[m], ts[m]))
+        uts, ueid, utyp = ts[m][order], eid[m][order], types[m][order]
+        sess = np.cumsum(np.r_[True, np.diff(uts) > gap_us]) - 1
+        for s in np.unique(sess):
+            sm = sess == s
+            for a in ueid[sm][utyp[sm] == "purchase"]:
+                for b in ueid[sm][utyp[sm] == "view"]:
+                    want.add((int(u), int(a), int(b)))
+
+    t = pa.table(
+        {
+            "event_id": eid,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": uid,
+            "event_type": types,
+        }
+    )
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = session_join(ds, "purchase", "view", gap_minutes=30).take_all()
+        got = {(r["user_id"], r["l_id"], r["r_id"]) for r in out}
+        assert got == want
+
+
+def test_funnel_counts_matches_pandas(ray_session):
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.agg import funnel_counts
+
+    rng = np.random.default_rng(137)
+    n = 5000
+    uid = rng.integers(0, 300, n).astype(np.int64)
+    ts = rng.integers(0, 10_000_000, n).astype(np.int64)
+    types = np.array(["signup", "click", "purchase", "view"])[
+        rng.integers(0, 4, n)
+    ]
+    df = pd.DataFrame({"user_id": uid, "ts": ts, "event_type": types})
+    m = df.pivot_table(
+        index="user_id", columns="event_type", values="ts", aggfunc="min"
+    )
+    for c in ("signup", "click", "purchase"):
+        if c not in m:
+            m[c] = np.nan
+    s1 = m["signup"].notna()
+    s2 = s1 & (m["click"] > m["signup"])
+    s3 = s2 & (m["purchase"] > m["click"])
+    want = (int(s1.sum()), int(s2.sum()), int(s3.sum()))
+
+    t = pa.table(
+        {
+            "user_id": uid,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": types,
+        }
+    )
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = funnel_counts(ds).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_stage1"], r["n_stage2"], r["n_stage3"]) == want
+
+
+def test_pricing_summary_matches_pandas(ray_session):
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.agg import pricing_summary
+
+    rng = np.random.default_rng(139)
+    n = 8000
+    flag = np.array(["A", "N", "R"])[rng.integers(0, 3, n)]
+    stat = np.array(["F", "O"])[rng.integers(0, 2, n)]
+    qty = rng.uniform(1, 50, n)
+    ep = rng.uniform(900, 100_000, n)
+    disc = rng.uniform(0, 0.1, n)
+    tax = rng.uniform(0, 0.08, n)
+    ship = rng.integers(0, 2_000_000, n).astype(np.int64)
+    cut = 1_500_000
+
+    df = pd.DataFrame(
+        {
+            "f": flag,
+            "s": stat,
+            "qty_c": np.floor(qty * 100.0).astype(np.int64),
+            "price_c": np.floor(ep * 100.0).astype(np.int64),
+            "dp_c": np.floor((ep * (1.0 - disc)) * 100.0).astype(np.int64),
+            "ch_c": np.floor(((ep * (1.0 - disc)) * (1.0 + tax)) * 100.0).astype(
+                np.int64
+            ),
+        }
+    )[ship <= cut]
+    g = df.groupby(["f", "s"])
+    want = {
+        (f, s): (
+            int(v["qty_c"].sum()),
+            int(v["price_c"].sum()),
+            int(v["dp_c"].sum()),
+            int(v["ch_c"].sum()),
+            int(v["qty_c"].sum()) // len(v),
+            int(v["price_c"].sum()) // len(v),
+            len(v),
+        )
+        for (f, s), v in g
+    }
+
+    t = pa.table(
+        {
+            "l_returnflag": flag,
+            "l_linestatus": stat,
+            "l_quantity": qty,
+            "l_extendedprice": ep,
+            "l_discount": disc,
+            "l_tax": tax,
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }
+    )
+    cutoff = str(np.datetime64(cut, "us")).replace("T", " ")
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = pricing_summary(ds, cutoff=cutoff).take_all()
+        got = {
+            (r["l_returnflag"], r["l_linestatus"]): (
+                r["sum_qty_c"],
+                r["sum_price_c"],
+                r["sum_disc_price_c"],
+                r["sum_charge_c"],
+                r["avg_qty_c"],
+                r["avg_price_c"],
+                r["count_order"],
+            )
+            for r in out
+        }
+        assert got == want
+
+
+def test_spatial_semi_join_both_paths_match_brute_force(ray_session):
+    ray = ray_session
+    import pytest as _pytest
+
+    rng = np.random.default_rng(149)
+    boxes = random_boxes(rng, 600, 0.05)
+    qboxes = random_boxes(rng, 40, 0.08)
+    ids = np.arange(600, dtype=np.int64)
+    qids = np.arange(40, dtype=np.int64)
+    qi, bi = brute_force_pairs(qboxes, boxes)
+    hit = np.zeros(600, dtype=bool)
+    hit[bi] = True
+    want_semi = sorted(ids[hit].tolist())
+    want_anti = sorted(ids[~hit].tolist())
+
+    bds = _boxes_ds(ray, boxes, ids)
+    qds = _boxes_ds(ray, qboxes, qids, id_name="query_id", blocks=2)
+    # broadcast (bitmask) path
+    got_semi = sorted(r["idx"] for r in sj.spatial_semi_join(bds, qds).take_all())
+    got_anti = sorted(
+        r["idx"] for r in sj.spatial_semi_join(bds, qds, anti=True).take_all()
+    )
+    assert got_semi == want_semi
+    assert got_anti == want_anti
+    # composed cell-shuffle + hash semi/anti fallback (query side "too big")
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(sj, "BROADCAST_LIMIT", 1)
+        got_semi2 = sorted(
+            r["idx"] for r in sj.spatial_semi_join(bds, qds).take_all()
+        )
+        got_anti2 = sorted(
+            r["idx"] for r in sj.spatial_semi_join(bds, qds, anti=True).take_all()
+        )
+    finally:
+        mp.undo()
+    assert got_semi2 == want_semi
+    assert got_anti2 == want_anti
+
+
+def test_source_dedup_stats_matches_pandas(ray_session):
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.dedup import source_dedup_stats
+
+    rng = np.random.default_rng(151)
+    n = 4000
+    src = np.array([f"src{i}" for i in range(12)])[rng.integers(0, 12, n)]
+    texts = np.array([f"doc body {i}" for i in range(500)])[
+        rng.integers(0, 500, n)
+    ]
+    df = pd.DataFrame({"source": src, "text": texts})
+    want = {
+        s: (len(v), v["text"].nunique())
+        for s, v in df.groupby("source")
+    }
+    t = pa.table({"source": src, "text": texts})
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = source_dedup_stats(ds).take_all()
+        got = {r["source"]: (r["n_docs"], r["n_unique"]) for r in out}
+        assert got == want
+
+
+def test_bucketed_reduce_min_max_matches_pandas(ray_session):
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.merge import bucketed_sum
+
+    rng = np.random.default_rng(157)
+    k = rng.integers(0, 2_000, 10_000).astype(np.int64)
+    a = rng.integers(-1_000, 1_000, 10_000).astype(np.int64)
+    t = pa.table({"k": k, "a": a})
+    df = pd.DataFrame({"k": k, "a": a})
+    for reduce, fn in (("min", "min"), ("max", "max")):
+        want = df.groupby("k", as_index=False)["a"].agg(fn)
+        want_t = sorted(map(tuple, want.to_numpy()))
+        ds = ray.data.from_arrow(t).repartition(7)
+        out = bucketed_sum(ds, key_col="k", value_cols=("a",), reduce=reduce).take_all()
+        got = sorted((r["k"], r["a"]) for r in out)
+        assert got == want_t
