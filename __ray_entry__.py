@@ -625,6 +625,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup.source_dedup_stats(docs)
 
+    def q_ann_classify(sf):
+        # kNN-vote label transfer: majority label among each query's
+        # exact cosine top-k (tie -> smallest label)
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
+        qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+        qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+        return ann.ann_classify(emb, qv, qids, k=ANN_K)
+
+    def q_doc_sample_weighted(sf):
+        # length-proportional deterministic sampling (hash-gated,
+        # parallelism-invariant): keep chance = min(n_chars // 5, 100)%
+        import ray
+        from python_prtree_ray.pipelines.sample import weighted_sample
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return weighted_sample(docs, "doc_id", "n_chars", divisor=5)
+
+    def q_region_rollup(sf):
+        # snowflake rollup: customers counted + acctbal cents summed per
+        # REGION through the nation->region dimension chain (driver-built
+        # LUT rides the closure; the fact table never shuffles raw)
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.agg import mapped_rollup
+
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        )
+        reg = pq.read_table(
+            f"{sf}/region.parquet", columns=["r_regionkey", "r_name"]
+        )
+        n2r = dict(
+            zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_regionkey").to_pylist(),
+            )
+        )
+        rname = dict(
+            zip(
+                reg.column("r_regionkey").to_pylist(),
+                reg.column("r_name").to_pylist(),
+            )
+        )
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+        )
+        rolled = mapped_rollup(cust, "c_nationkey", "c_acctbal", n2r)
+
+        def attach(tbl):
+            import pyarrow as pa
+
+            g = tbl.column("gkey").to_pylist()
+            return pa.table(
+                {
+                    "r_name": pa.array([rname[v] for v in g], pa.string()),
+                    "n_customers": tbl.column("n_rows"),
+                    "acctbal_c": tbl.column("sum_c"),
+                }
+            )
+
+        return rolled.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
     def q_interval_join(sf):
         # per-user temporal interval join (view inside [purchase, +2h])
         # expressed as the existing 2D spatial join: time on x, the user
@@ -1175,6 +1243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": q_asof_purchase_view,
         "events_band_join": q_events_band_join,
         "session_join": q_session_join,
+        "ann_classify": q_ann_classify,
+        "doc_sample_weighted": q_doc_sample_weighted,
+        "region_rollup": q_region_rollup,
         "funnel_counts": q_funnel_counts,
         "pricing_summary": q_pricing_summary,
         "spatial_semi": q_spatial_semi,
@@ -1754,6 +1825,41 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+    ann_classify_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 10),
+d AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.embedding, e.embedding) AS sim
+      FROM q, embeddings e),
+r AS (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM d),
+l AS (SELECT r.query_id, e.label FROM r JOIN embeddings e USING (vec_id)
+      WHERE r.rn <= {ANN_K}),
+c AS (SELECT query_id, label, COUNT(*) AS c FROM l GROUP BY query_id, label),
+w AS (SELECT query_id, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS wn
+      FROM c)
+SELECT query_id, CAST(label AS BIGINT) AS label FROM w WHERE wn = 1
+"""
+
+    from python_prtree_ray.pipelines.sample import weighted_sample_sql
+
+    doc_sample_weighted_sql = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {weighted_sample_sql('doc_id', 'n_chars', 5)}
+"""
+
+    region_rollup_sql = """
+SELECT r.r_name AS r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS acctbal_c
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
     # ---- media twins: the stub payload is a pure function of media_ref,
     # and the interleaved corpus is a pure function of the doc number, so
     # BOTH media pipelines regenerate exactly in DuckDB (spans CTE twin
@@ -1886,6 +1992,9 @@ WHERE {intersects}
         "asof_purchase_view": asof_sql,
         "events_band_join": events_band_join_sql,
         "session_join": session_join_sql,
+        "ann_classify": ann_classify_sql,
+        "doc_sample_weighted": doc_sample_weighted_sql,
+        "region_rollup": region_rollup_sql,
         "funnel_counts": funnel_counts_sql,
         "pricing_summary": pricing_summary_sql,
         "spatial_semi": spatial_semi_sql,

@@ -142,6 +142,62 @@ def pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-02") -> Dataset:
     return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mapped_rollup(
+    facts: Dataset,
+    key_col: str,
+    float_col: str,
+    key_map: dict[int, int],
+) -> Dataset:
+    """Snowflake-dimension rollup: map each fact row's int key through a
+    small driver-built dict (the pre-joined dimension chain, e.g.
+    nation→region) and emit ``(gkey, n_rows, sum_c)`` per group, where
+    ``sum_c`` is the exact integer-cents sum of ``float_col``.
+
+    Scale shape: the dimension chain is metadata-sized by definition
+    (that's what makes it a dimension), so it rides the task closure; the
+    fact table never shuffles — per-batch reduceat partials feed one tiny
+    bucketed reduce. Unmapped keys raise (a fact pointing at a missing
+    dimension row is data corruption, not a droppable row).
+    """
+    tune_context()
+    max_key = max(key_map) if key_map else -1
+    lut = np.full(max_key + 2, -1, dtype=np.int64)
+    for k, v in key_map.items():
+        lut[k] = v
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size and (k.min() < 0 or k.max() > max_key):
+            raise ValueError(f"{key_col} outside the dimension key range")
+        g = lut[k]
+        if k.size and g.min() < 0:
+            raise ValueError(f"{key_col} value missing from the dimension map")
+        v_c = np.floor(
+            tbl.column(float_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]]) if gs.size else (
+            np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "gkey": pa.array(gs[starts], pa.int64()),
+                "n_rows": pa.array(
+                    np.diff(np.r_[starts, gs.shape[0]]), pa.int64()
+                ),
+                "sum_c": pa.array(np.add.reduceat(v_c[order], starts), pa.int64())
+                if gs.size
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    partials = facts.select_columns([key_col, float_col]).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed_sum(partials, "gkey", ("n_rows", "sum_c"), n_buckets=8)
+
+
 def funnel_counts(
     events: Dataset,
     stages: tuple[str, ...] = ("signup", "click", "purchase"),

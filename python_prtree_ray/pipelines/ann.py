@@ -115,6 +115,86 @@ def ann_brute_topk(
     return _merge_topk(partials, k, id_col)
 
 
+def ann_classify(
+    embeddings: Dataset,
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> Dataset:
+    """kNN-vote classification: ``(query_id, label)`` — the majority
+    label among each query's exact cosine top-k neighbors (tie → the
+    smallest label). The standard embedding-space label-transfer op.
+
+    Scale shape: the top-k stage is :func:`ann_brute_topk` (broadcast
+    query matrix, threshold-inclusive partials); labels attach via the
+    co-partitioned hash join (ONE shuffle of (query_id, vec_id) pairs —
+    queries × k rows — against the pruned (vec_id, label) projection,
+    never the embedding vectors); the vote folds queries × k rows.
+    """
+    from ..functions.buckets import bucket_of
+    from .join import hash_equi_join
+
+    tune_context()
+    topk = ann_brute_topk(
+        embeddings, query_vectors, query_ids, k=k, id_col=id_col, emb_col=emb_col
+    ).select_columns(["query_id", id_col])
+
+    def cast_ids(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: tbl.column(id_col).cast(pa.int64()),
+                label_col: tbl.column(label_col).cast(pa.int64()),
+            }
+        )
+
+    labels = embeddings.select_columns([id_col, label_col]).map_batches(
+        cast_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = hash_equi_join(
+        topk, labels, on=id_col, left_cols=("query_id",), right_cols=(label_col,)
+    )
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        qv = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column("qb", pa.array(bucket_of(qv, 64)))
+
+    def vote(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                label_col: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        q = group.column("query_id").to_numpy(zero_copy_only=False)
+        lab = group.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lab, q))
+        q_s, l_s = q[order], lab[order]
+        new_run = np.ones(q_s.shape[0], dtype=bool)
+        new_run[1:] = (np.diff(q_s) != 0) | (np.diff(l_s) != 0)
+        starts = np.flatnonzero(new_run)
+        cnt = np.diff(np.r_[starts, q_s.shape[0]])
+        rq, rl = q_s[starts], l_s[starts]
+        # winner per query: max count, tie -> smallest label
+        worder = np.lexsort((rl, -cnt, rq))
+        wq, wl = rq[worder], rl[worder]
+        first = np.ones(wq.shape[0], dtype=bool)
+        first[1:] = np.diff(wq) != 0
+        return pa.table(
+            {
+                "query_id": pa.array(wq[first], pa.int64()),
+                label_col: pa.array(wl[first], pa.int64()),
+            }
+        )
+
+    keyed = pairs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("qb").map_groups(vote, batch_format="pyarrow")
+
+
 def ann_lsh_topk(
     embeddings: Dataset,
     query_vectors: np.ndarray,

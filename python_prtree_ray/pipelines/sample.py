@@ -36,6 +36,37 @@ def hash_sample_sql(key: str, rate_pct: int) -> str:
     return f"(({key} * {a} + {b}) % {derive.MOD}) < {cut}"
 
 
+def weighted_sample(
+    ds: Dataset, key_col: str, weight_col: str, divisor: int = 5, cap_pct: int = 100
+) -> Dataset:
+    """Weight-proportional deterministic sampling: a row's keep
+    probability is ``min(weight // divisor, cap_pct)`` percent — e.g.
+    length-proportional document sampling ("long docs are rarer, keep
+    them all; short ones thin out"). Same hash-gate family as
+    :func:`hash_sample`: parallelism-invariant, pure integer arithmetic,
+    one-line SQL twin."""
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+    mod = derive.MOD
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tbl.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = np.minimum(w // np.int64(divisor), np.int64(cap_pct))
+        return tbl.filter(pa.array((k * a + b) % mod < mod * pct // 100))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample_sql(
+    key: str, weight: str, divisor: int = 5, cap_pct: int = 100
+) -> str:
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+    return (
+        f"(({key} * {a} + {b}) % {derive.MOD}) < "
+        f"({derive.MOD} * LEAST({weight} // {divisor}, {cap_pct}) // 100)"
+    )
+
+
 def stratified_sample(
     ds: Dataset, key_col: str, strata_col: str, rates_pct: dict[str, int]
 ) -> Dataset:

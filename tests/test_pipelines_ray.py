@@ -1582,3 +1582,109 @@ def test_bucketed_reduce_min_max_matches_pandas(ray_session):
         out = bucketed_sum(ds, key_col="k", value_cols=("a",), reduce=reduce).take_all()
         got = sorted((r["k"], r["a"]) for r in out)
         assert got == want_t
+
+
+def test_ann_classify_matches_brute_force(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import ann_classify
+
+    rng = np.random.default_rng(163)
+    n, d, k = 400, 16, 5
+    emb = rng.normal(size=(n, d)).astype(np.float64)
+    labels = rng.integers(0, 7, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    qv, qids = emb[:8], ids[:8]
+
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    sims = en @ qn.T  # (n, m)
+    want = {}
+    for j, qid in enumerate(qids):
+        order = np.lexsort((ids, -sims[:, j]))[:k]
+        ls = labels[order]
+        vals, cnts = np.unique(ls, return_counts=True)
+        win = vals[cnts == cnts.max()].min()
+        want[int(qid)] = int(win)
+
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            "label": labels.astype(np.int32),
+        }
+    )
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        # float32 storage: recompute the oracle in the same precision
+        emb32 = np.stack(
+            t.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        en32 = emb32 / np.maximum(
+            np.linalg.norm(emb32, axis=1, keepdims=True), 1e-30
+        )
+        qn32 = en32[:8]
+        sims32 = en32 @ qn32.T
+        want32 = {}
+        for j, qid in enumerate(qids):
+            order = np.lexsort((ids, -sims32[:, j]))[:k]
+            ls = labels[order]
+            vals, cnts = np.unique(ls, return_counts=True)
+            want32[int(qid)] = int(vals[cnts == cnts.max()].min())
+        out = ann_classify(ds, emb32[:8], qids, k=k).take_all()
+        got = {r["query_id"]: r["label"] for r in out}
+        assert got == want32
+
+
+def test_weighted_sample_matches_formula_and_partitioning(ray_session):
+    ray = ray_session
+    from python_prtree_ray.functions import derive
+    from python_prtree_ray.pipelines.sample import SAMPLE_CHANNEL, weighted_sample
+
+    rng = np.random.default_rng(167)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(0, 600, n).astype(np.int64)
+    a, b = derive.CHANNELS[SAMPLE_CHANNEL]
+    pct = np.minimum(w // 5, 100)
+    want = set(ids[(ids * a + b) % derive.MOD < derive.MOD * pct // 100].tolist())
+    t = pa.table({"doc_id": ids, "n_chars": w})
+    got_sets = []
+    for blocks in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = weighted_sample(ds, "doc_id", "n_chars", divisor=5).take_all()
+        got_sets.append({r["doc_id"] for r in out})
+    assert got_sets[0] == got_sets[1] == want
+    # long rows are kept with certainty, zero-weight rows never
+    kept = got_sets[0]
+    assert all(i in kept for i in ids[w >= 500])
+    assert all(i not in kept for i in ids[w < 5])
+
+
+def test_mapped_rollup_matches_pandas_and_rejects_unmapped(ray_session):
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.agg import mapped_rollup
+
+    rng = np.random.default_rng(173)
+    n = 5000
+    k = rng.integers(0, 25, n).astype(np.int64)
+    v = rng.uniform(-1000, 1000, n)
+    key_map = {i: i % 5 for i in range(25)}
+    df = pd.DataFrame(
+        {"g": [key_map[x] for x in k], "c": np.floor(v * 100.0).astype(np.int64)}
+    )
+    want = {
+        int(g): (len(d), int(d["c"].sum())) for g, d in df.groupby("g")
+    }
+    t = pa.table({"k": k, "v": v})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = mapped_rollup(ds, "k", "v", key_map).take_all()
+    got = {r["gkey"]: (r["n_rows"], r["sum_c"]) for r in out}
+    assert got == want
+    # unmapped key -> loud failure, not a dropped row
+    bad = ray.data.from_arrow(pa.table({"k": np.array([99], np.int64), "v": [1.0]}))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mapped_rollup(bad, "k", "v", key_map).take_all()
