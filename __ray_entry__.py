@@ -973,7 +973,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.join import sum_semi_join
 
         return sum_semi_join(
-            li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+            li.map_batches(
+                rev_partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
             filt_orders,
             on="l_orderkey",
             right_on="o_orderkey",
@@ -1035,7 +1040,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return grouped_topk(
-            ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+            ev.map_batches(
+                cents,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
             k=3,
             key_col="user_id",
             id_col="event_id",

@@ -15,6 +15,16 @@ multi-node cluster where the shuffle matrix crosses machines.
 
 from __future__ import annotations
 
+# Map-side combiner bundle size (rows). Every pre-shuffle combiner
+# map_batches passes this so Ray BUNDLES small upstream blocks into one
+# batch: partials combine over ~64k rows instead of whatever tiny block
+# the reader produced, and the shuffle sees one block per bundle instead
+# of one per reader task. Measured on the Q3 revenue chain at sf0.1/32
+# CPUs: 2.5-8 s (64 x 9.4k-row blocks into the sort) → stable 1.7 s.
+# 64k rows of combiner partials is single-digit MB — safe at any scale,
+# and at 100 TB the bundling is a no-op (blocks are already larger).
+COMBINE_BATCH = 65536
+
 _TUNED = False
 
 

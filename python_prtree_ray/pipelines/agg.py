@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 from .merge import bucketed_sum
 
 _TS_MAX = np.int64(np.iinfo(np.int64).max)
@@ -105,7 +105,7 @@ def pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-02") -> Dataset:
         )
 
     partials = lineitem.map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     summed = bucketed_sum(
         partials,
@@ -193,7 +193,7 @@ def mapped_rollup(
         )
 
     partials = facts.select_columns([key_col, float_col]).map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return bucketed_sum(partials, "gkey", ("n_rows", "sum_c"), n_buckets=8)
 
@@ -248,7 +248,7 @@ def funnel_counts(
         return pa.table(out)
 
     partials = events.select_columns([user_col, ts_col, type_col]).map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     mins = bucketed_sum(partials, user_col, tuple(cols), reduce="min")
 

@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 
 
 def _emb_matrix(tbl: pa.Table, col: str) -> np.ndarray:
@@ -191,7 +191,9 @@ def ann_classify(
             }
         )
 
-    keyed = pairs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = pairs.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("qb").map_groups(vote, batch_format="pyarrow")
 
 

@@ -21,7 +21,7 @@ import ray
 
 from ray.data import Dataset
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 
 from ..functions.buckets import blocked_triangle
 from .text import hash_str_array
@@ -172,7 +172,9 @@ def dedup_exact(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
             }
         )
 
-    hashed = docs.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = docs.map_batches(
+        to_hash, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH)
+
 
     def min_per_hash(group: pa.Table) -> pa.Table:
         h = group.column("text_hash").to_numpy(zero_copy_only=False)
@@ -228,7 +230,9 @@ def source_dedup_stats(
             }
         )
 
-    pairs = docs.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = docs.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH)
+
 
     def fold_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -368,7 +372,10 @@ def simhash_pairs(
             }
         )
 
-    banded = docs.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    banded = docs.map_batches(
+        to_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
 
     def verify(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -479,7 +486,10 @@ def minhash_pairs(
             }
         )
 
-    bucketed = docs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = docs.map_batches(
+        to_buckets, batch_format="pyarrow", zero_copy_batch=True
+    )
+
 
     BUCKET_CAP = 2000
 
@@ -602,7 +612,10 @@ def embedding_neardup_pairs(
         )
 
     bucketed = embeddings.map_batches(
-        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
+        bucket_rows,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
 
     def _pairs_block(ids, emb, norm, ia, ib):
@@ -810,7 +823,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    shmat = docs.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    shmat = docs.map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH)
+
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         sh = group.column("sh").to_numpy(zero_copy_only=False)

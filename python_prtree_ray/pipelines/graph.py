@@ -37,6 +37,7 @@ from ray.data.aggregate import Sum
 
 from ..config import tune_context
 from ..functions.buckets import bucket_of
+from ..config import COMBINE_BATCH
 
 N_BUCKETS = 512
 
@@ -56,7 +57,12 @@ def _seed_labels(pairs: Dataset, id_a: str, id_b: str) -> Dataset:
         return pa.table({"node": n, "lab": n})
 
     return (
-        pairs.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        pairs.map_batches(
+            local,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
         .groupby("kb")
         .map_groups(dedup, batch_format="pyarrow")
     )
@@ -145,7 +151,7 @@ def connected_components(
         )
 
     edges = pairs.map_batches(
-        sym, batch_format="pyarrow", zero_copy_batch=True
+        sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     ).materialize()
     labels = _seed_labels(pairs, id_a, id_b).materialize()
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 from ..functions.buckets import bucket_of
 
 N_BUCKETS = 512
@@ -105,12 +105,16 @@ def hash_equi_join(
         return rschema.field(c).type
 
     tagged = left.select_columns([on, *left_cols]).map_batches(
-        tag(on, 0), batch_format="pyarrow", zero_copy_batch=True
+        tag(on, 0),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     ).union(
         right.select_columns([right_on, *right_cols]).map_batches(
             tag(right_on, 1),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
         )
     )
 
@@ -247,10 +251,16 @@ def sum_semi_join(
         return pa.table(out)
 
     tagged = left.select_columns([on, *value_cols]).map_batches(
-        tag_left, batch_format="pyarrow", zero_copy_batch=True
+        tag_left,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     ).union(
         right.select_columns([right_on]).map_batches(
-            tag_right, batch_format="pyarrow", zero_copy_batch=True
+            tag_right,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
         )
     )
 

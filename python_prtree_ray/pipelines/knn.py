@@ -34,7 +34,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..functions import cells as cellmod
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 from ..stages import spatial as st
 
 
@@ -72,7 +72,12 @@ def _centroid_histogram(
         return pa.table({"cell": uc, "n": counts.astype(np.int64)})
 
     rows = (
-        boxes.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        boxes.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
@@ -389,6 +394,7 @@ def _cell_dist_pairs(
         expand_build_with_coords,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     # probe rows need the point coords alongside; expand then re-derive
     # from the radius box center would need rad add/sub to round-trip —
@@ -397,6 +403,7 @@ def _cell_dist_pairs(
         _expand_probe_with_coords,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
         fn_kwargs=dict(res=res, box_cols=box_cols, point_cols=point_cols),
     )
     union = build.union(probe)

@@ -14,6 +14,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..config import COMBINE_BATCH
 from ..functions.buckets import bucket_of
 
 N_QBUCKETS = 256
@@ -56,7 +57,12 @@ def bucketed_topk(
             }
         )
 
-    keyed = partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = partials.map_batches(
+        add_bucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
     return keyed.groupby("qb").map_groups(merge, batch_format="pyarrow")
 
 
@@ -107,7 +113,12 @@ def bucketed_sum(
             out[c] = pa.array(ufunc.reduceat(v, starts), pa.int64())
         return pa.table(out)
 
-    keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = ds.map_batches(
+        add_bucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
     return keyed.groupby("kb").map_groups(reduce, batch_format="pyarrow")
 
 
@@ -150,7 +161,9 @@ def global_topk(
             }
         )
 
-    partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return partials.groupby("g").map_groups(final, batch_format="pyarrow")
 
 
@@ -210,6 +223,7 @@ def grouped_topk(
         lambda t: topk_pass(t, emit_rank=False),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     return pruned.groupby("kb").map_groups(
         lambda g: topk_pass(g.drop_columns(["kb"]), emit_rank=True),

@@ -31,6 +31,7 @@ from ray.data import Dataset
 
 from ..config import tune_context
 from ..functions.buckets import bucket_of
+from ..config import COMBINE_BATCH
 
 N_BUCKETS_DEFAULT = 64
 BIN_SHIFT = np.int64(1 << 40)
@@ -62,7 +63,9 @@ def pack_documents(
             }
         )
 
-    counted = docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    counted = docs.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
 
     def pack_bucket(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)

@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 
 DEFAULT_QS = (0.5, 0.9, 0.99)
 
@@ -117,7 +117,10 @@ def int_quantiles(
         )
 
     partials = ds.map_batches(
-        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+        partial_counts,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
 
     def merge(group: pa.Table) -> pa.Table:

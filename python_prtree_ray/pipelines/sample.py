@@ -14,6 +14,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..functions import derive
+from ..config import COMBINE_BATCH
 
 SAMPLE_CHANNEL = 7
 
@@ -147,7 +148,9 @@ def sample_per_key(
         bucket = hash_str_array(out.column(key_col)) % np.int64(n_buckets)
         return out.append_column("kb", pa.array(bucket))
 
-    combined = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    combined = ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
         return _top_n(group)

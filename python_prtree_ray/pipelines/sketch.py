@@ -21,7 +21,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 from .text import hash_str_array
 
 N_BUCKETS = 512
@@ -59,7 +59,9 @@ def distinct_users(
             }
         )
 
-    pairs = events.map_batches(local_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = events.map_batches(
+        local_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH)
+
 
     def count_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -152,7 +154,9 @@ def distinct_users_hll(
             }
         )
 
-    partials = events.map_batches(local_regs, batch_format="pyarrow", zero_copy_batch=True)
+    partials = events.map_batches(
+        local_regs, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH)
+
 
     def merge(group: pa.Table) -> pa.Table:
         # key cardinality is tiny (one group per event_type) — the per-key

@@ -41,7 +41,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 from ..functions.buckets import bucket_of
 from ..functions.prtree import PRTree
 from ..stages import spatial as st
@@ -73,6 +73,7 @@ def _expanded_union(
         st.expand_boxes_to_cells,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
         fn_kwargs=dict(
             res=res,
             side=st.SIDE_BUILD,
@@ -87,6 +88,7 @@ def _expanded_union(
         st.expand_boxes_to_cells,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
         fn_kwargs=dict(
             res=res,
             side=st.SIDE_PROBE,
@@ -111,6 +113,7 @@ def compute_salt_plan(
         st.cell_count_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
         fn_kwargs=dict(res=res),
     )
     hist = partial.groupby("cell").aggregate(Sum("n", alias_name="n")).take_all()
@@ -391,7 +394,9 @@ def aggregate_match_lists(pairs: Dataset, n_buckets: int = 256) -> Dataset:
             }
         )
 
-    keyed = pairs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = pairs.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("bucket").map_groups(to_lists, batch_format="pyarrow")
 
 
@@ -441,5 +446,7 @@ def aggregate_match_csv(pairs: Dataset, n_buckets: int = 256) -> Dataset:
             }
         )
 
-    keyed = pairs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = pairs.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("bucket").map_groups(to_csv, batch_format="pyarrow")

@@ -12,6 +12,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from ..config import COMBINE_BATCH
+
 # tiny multilingual stopword lists for the n-gram/stopword language heuristic
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "in", "is", "for", "with"),
@@ -326,7 +328,9 @@ def curate_corpus(docs: Dataset, min_quality: int = 82) -> Dataset:
             }
         )
 
-    staged = docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    staged = docs.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
 
     def min_per_hash(group: pa.Table) -> pa.Table:
         h = group.column("text_hash").to_numpy(zero_copy_only=False)
@@ -443,7 +447,10 @@ def vocab_topk(docs: Dataset, k: int = 100, n_buckets: int = 512) -> Dataset:
         )
 
     partials = docs.map_batches(
-        count_stage, batch_format="pyarrow", zero_copy_batch=True
+        count_stage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     pruned = partials.groupby("wb").map_groups(bucket_topk, batch_format="pyarrow")
     return pruned.groupby("g").map_groups(final, batch_format="pyarrow")
@@ -557,7 +564,12 @@ def doc_tfidf_top(docs: Dataset) -> Dataset:
         )
 
     df_tbl = bucketed_sum(
-        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(
+            df_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
         key_col="wh",
         value_cols=("df",),
     )

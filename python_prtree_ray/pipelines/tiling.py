@@ -12,6 +12,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..config import COMBINE_BATCH
 from ..functions import cells as cellmod
 from ..functions import derive
 from ..stages import spatial as st
@@ -121,7 +122,10 @@ def tile_extent(boxes: Dataset, res: int) -> Dataset:
         )
 
     partials = boxes.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     return partials.groupby("cell").aggregate(
         Sum("n", alias_name="n_boxes"),
@@ -145,6 +149,7 @@ def cell_histogram(boxes: Dataset, res: int) -> Dataset:
         st.cell_count_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
         fn_kwargs=dict(res=res),
     )
     return (
@@ -206,7 +211,10 @@ def tile_pyramid(points: Dataset, res: int) -> Dataset:
         )
 
     partials = points.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     summed = bucketed_sum(partials, key_col="key", value_cols=("n",))
     return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from ..config import tune_context
+from ..config import COMBINE_BATCH, tune_context
 from ..functions.buckets import bucket_of
 from ray.data.aggregate import Sum
 
@@ -52,7 +52,9 @@ def tumbling_window_agg(
         g = g.rename_columns([ren.get(n, n) for n in g.column_names])
         return g.select([key_col, "window_start", "n_events", "value_cents"])
 
-    partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return partials.groupby([key_col, "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("value_cents", alias_name="value_cents"),
@@ -111,7 +113,9 @@ def hopping_window_agg(
         g = g.rename_columns([ren.get(c, c) for c in g.column_names])
         return g.select([key_col, "window_start", "n_events", "value_cents"])
 
-    partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return partials.groupby([key_col, "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("value_cents", alias_name="value_cents"),
@@ -179,7 +183,9 @@ def session_window_agg(
             }
         )
 
-    keyed = events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = events.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
@@ -234,7 +240,9 @@ def sessionize_events(
             }
         )
 
-    keyed = events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = events.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("bucket").map_groups(label, batch_format="pyarrow")
 
 
@@ -318,7 +326,9 @@ def session_join(
         )
 
     proj = events.select_columns([id_col, ts_col, user_col, type_col])
-    keyed = proj.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = proj.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("bucket").map_groups(pair, batch_format="pyarrow")
 
 
@@ -385,7 +395,9 @@ def rolling_window_sum(
             }
         )
 
-    keyed = events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = events.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
     return keyed.groupby("rb").map_groups(roll, batch_format="pyarrow")
 
 
@@ -417,7 +429,9 @@ def top_events_per_type(
             {key_col: key[keep], id_col: ids[keep], value_col: val[keep]}
         )
 
-    partials = events.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    partials = events.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
 
     def merge(group: pa.Table) -> pa.Table:
         val = group.column(value_col).to_numpy(zero_copy_only=False)
@@ -601,7 +615,10 @@ def user_activity_features(
         )
 
     partials = events.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     return partials.groupby("user_id").aggregate(
         Sum("n_events", alias_name="n_events"),
@@ -687,6 +704,7 @@ def event_dedup_window(
         lambda t: first_per_group(t, emit_bucket=True),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     return combined.groupby("wb").map_groups(
         lambda g: first_per_group(g.drop_columns(["wb"]), emit_bucket=False),
