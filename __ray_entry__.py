@@ -746,6 +746,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return text.normalize_text(docs)
 
+    def q_doc_repetition(sf):
+        # Gopher-style repetition stats: per-doc bigram totals/distinct/
+        # max — all batch-local (doc rows are atomic), ZERO shuffle
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return curation.doc_repetition(docs)
+
+    def q_decontaminate(sf):
+        # benchmark decontamination: corpus docs sharing any word 4-gram
+        # with the doc_id%97==0 "benchmark" subset; gram set broadcast
+        # once via ray.put, corpus pass zero-shuffle
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return curation.decontaminate(docs, n=4, bench_modulus=97)
+
+    def q_search_topk(sf):
+        # integer tf-idf retrieval: global top-20 docs for a fixed term
+        # set; tiny df aggregate + threshold-pruned global_topk merge
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return curation.search_topk(docs, terms=("spark", "join", "window"), k=20)
+
     def q_events_enriched_left(sf):
         # LEFT broadcast lookup: unmatched facts kept with NULL carries
         # (filled to -1 so the float-NaN-free oracle compare is exact)
@@ -1289,6 +1323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_enriched_left": q_events_enriched_left,
         "events_unmatched": q_events_unmatched,
         "text_normalize": q_text_normalize,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "search_topk": q_search_topk,
     }
 
 
@@ -2155,6 +2192,52 @@ FROM events
             "SELECT doc_id, "
             r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm "
             "FROM documents"
+        ),
+        "doc_repetition": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),"
+            " '[a-z]+') AS l FROM documents),"
+            " w AS (SELECT doc_id, l[i] AS w, i AS pos FROM t,"
+            " LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),"
+            " bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bigram"
+            " FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),"
+            " cnt AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c"
+            " FROM bg GROUP BY doc_id, bigram)"
+            " SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,"
+            " CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,"
+            " CAST(MAX(c) AS BIGINT) AS top_bigram_count"
+            " FROM cnt GROUP BY doc_id"
+        ),
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),"
+            " '[a-z]+') AS l FROM documents),"
+            " w AS (SELECT doc_id, l[i] AS w, i AS pos FROM t,"
+            " LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),"
+            " g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w || ' '"
+            " || d.w AS gram"
+            " FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+            " JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
+            " JOIN w d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3),"
+            " bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),"
+            " probe AS (SELECT DISTINCT doc_id, gram FROM g"
+            " WHERE doc_id % 97 <> 0)"
+            " SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits"
+            " FROM probe p JOIN bench USING (gram) GROUP BY p.doc_id"
+        ),
+        "search_topk": (
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            " '[a-z]+')) AS word FROM documents),"
+            " nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),"
+            " df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df"
+            " FROM w WHERE word IN ('spark', 'join', 'window') GROUP BY word),"
+            " tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf"
+            " FROM w WHERE word IN ('spark', 'join', 'window')"
+            " GROUP BY doc_id, word),"
+            " s AS (SELECT tf.doc_id, CAST(SUM(tf.tf * (nd.n // df.df))"
+            " AS BIGINT) AS score FROM tf JOIN df USING (word), nd"
+            " GROUP BY tf.doc_id),"
+            " r AS (SELECT doc_id, score, ROW_NUMBER() OVER"
+            " (ORDER BY score DESC, doc_id) AS rank FROM s WHERE score > 0)"
+            " SELECT doc_id, score, rank FROM r WHERE rank <= 20"
         ),
         # simhash / minhash_pairs / embedding_neardup / ann_lsh:
         # algorithm-defined (hash-seeded / approximate) outputs with no

@@ -161,7 +161,8 @@ QUERY_SUBSET = (
     "vocab_topk tile_pyramid events_dedup point_clusters "
     "quality_adaptive doc_tfidf_top dedup_survivors knn_4d "
     "session_join funnel_counts pricing_summary spatial_semi spatial_anti "
-    "source_dedup_stats ann_classify doc_sample_weighted region_rollup"
+    "source_dedup_stats ann_classify doc_sample_weighted region_rollup "
+    "doc_repetition decontaminate search_topk"
 ).split()
 
 

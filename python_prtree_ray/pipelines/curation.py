@@ -1,0 +1,302 @@
+"""Corpus-curation operators: repetition filters, benchmark
+decontamination, and term-search retrieval over the documents table.
+
+These are the Gopher-style quality/safety gates of an LLM training-data
+pipeline (repetition stats per doc, "is this doc contaminated with
+benchmark text", "which docs match this query"). All three stay
+batch-local on the big side: document rows are atomic, so per-doc token
+work never shuffles — the only exchanges are vocabulary-sized partials
+(search df) or a tiny broadcast set (benchmark n-grams via ``ray.put``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..config import COMBINE_BATCH
+
+# multiplier for combining word hashes into n-gram hashes (odd -> bijective
+# per step mod 2^63); collision-free in practice for 63-bit outputs
+_GRAM_MULT = np.int64(0x5851F42D4C957F2D) | np.int64(1)
+_MASK63 = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def doc_token_codes(tbl: pa.Table, text_col: str = "text"):
+    """Per-batch flattened tokenization: ``(doc_row, codes, dictionary)``.
+
+    Tokens are ``[a-z]+`` runs of the lowercased text (the repo-wide
+    word tokenizer, expression-compatible with the DuckDB
+    ``regexp_extract_all(lower(text), '[a-z]+')`` oracle). ``doc_row``
+    maps each token to its batch row; ``codes`` are dictionary indices
+    (batch-local); order within a doc is text order.
+    """
+    toks = pc.split_pattern_regex(
+        pc.replace_substring_regex(
+            pc.utf8_lower(tbl.column(text_col)), "[^a-z]+", " "
+        ),
+        " ",
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    doc_row = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), lens)[nonempty]
+    d = flat.filter(pa.array(nonempty)).dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return doc_row, codes, d.dictionary
+
+
+def _segment_reduce(keys: np.ndarray, *values: np.ndarray):
+    """Run-length reduce over SORTED keys: returns (unique_keys, starts,
+    counts) — callers slice/aggregate values with np.add.reduceat etc."""
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    counts = np.diff(np.r_[starts, keys.shape[0]])
+    return keys[starts], starts, counts
+
+
+def doc_repetition(docs: Dataset) -> Dataset:
+    """Per-document bigram repetition stats (the Gopher repetition
+    filter's raw ingredients): ``(doc_id, n_bigrams, distinct_bigrams,
+    top_bigram_count)`` — all int64; docs with <2 tokens are absent.
+
+    A doc whose ``top_bigram_count / n_bigrams`` is high is boilerplate
+    or degenerate repetition; the caller thresholds. ZERO shuffle:
+    document rows are atomic so every stat is batch-local.
+    """
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "distinct_bigrams": pa.array([], pa.int64()),
+                "top_bigram_count": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        doc_row, codes, dic = doc_token_codes(tbl)
+        if doc_row.size < 2:
+            return empty
+        vocab = np.int64(len(dic))
+        adj = doc_row[1:] == doc_row[:-1]  # consecutive tokens, same doc
+        bg_doc = doc_row[:-1][adj]
+        if bg_doc.size == 0:
+            return empty
+        bg_id = codes[:-1][adj] * vocab + codes[1:][adj]
+        order = np.lexsort((bg_id, bg_doc))
+        bd, bi = bg_doc[order], bg_id[order]
+        # collapse to per-(doc, bigram) counts
+        pair_change = np.r_[True, (bd[1:] != bd[:-1]) | (bi[1:] != bi[:-1])]
+        starts = np.flatnonzero(pair_change)
+        cnt = np.diff(np.r_[starts, bd.shape[0]]).astype(np.int64)
+        pd_doc = bd[starts]
+        # per-doc aggregates over the (doc, bigram, count) runs
+        d_keys, d_starts, d_counts = _segment_reduce(pd_doc)
+        n_bigrams = np.add.reduceat(cnt, d_starts)
+        top = np.maximum.reduceat(cnt, d_starts)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d_keys], pa.int64()),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "distinct_bigrams": pa.array(d_counts.astype(np.int64), pa.int64()),
+                "top_bigram_count": pa.array(top, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gram_hashes(doc_row: np.ndarray, word_h: np.ndarray, n: int):
+    """Rolling-combine word hashes into n-gram hashes (63-bit), keeping
+    only windows fully inside one doc. Returns (gram_doc, gram_hash)."""
+    if doc_row.size < n:
+        e = np.empty(0, np.int64)
+        return e, e
+    m = doc_row.size - n + 1
+    g = word_h[:m].copy()
+    for j in range(1, n):
+        g = (g * _GRAM_MULT + word_h[j : j + m]) & _MASK63
+    inside = doc_row[: m] == doc_row[n - 1 :]
+    return doc_row[:m][inside], g[inside]
+
+
+def decontaminate(
+    docs: Dataset,
+    n: int = 5,
+    bench_modulus: int = 97,
+) -> Dataset:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with the benchmark subset (docs where ``doc_id %
+    bench_modulus == 0`` — the stand-in for a held-out eval suite).
+    Output ``(doc_id, n_hits)`` with ``n_hits`` = number of DISTINCT
+    benchmark n-grams present; only contaminated non-benchmark docs.
+
+    Scale shape: a real benchmark suite is MB-sized regardless of corpus
+    size, so its distinct gram-hash set is built in one filtered pass,
+    sorted once, and broadcast via ``ray.put``; the corpus pass is
+    ZERO-shuffle (per-batch rolling-hash grams + ``searchsorted``
+    membership). N-grams are compared as 63-bit combined word hashes on
+    both sides — no gram strings ever materialize.
+    """
+    import ray
+
+    from .text import hash_str_array
+
+    mod = np.int64(bench_modulus)
+
+    def bench_grams(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tbl = tbl.filter(pa.array(ids % mod == 0))
+        if tbl.num_rows == 0:
+            return pa.table({"gh": pa.array([], pa.int64())})
+        doc_row, codes, dic = doc_token_codes(tbl)
+        word_h = hash_str_array(dic)[codes]
+        _, gh = _gram_hashes(doc_row, word_h, n)
+        return pa.table({"gh": pa.array(np.unique(gh), pa.int64())})
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                bench_grams, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if parts:
+        bench = np.unique(
+            pa.concat_tables(parts).column("gh").to_numpy(zero_copy_only=False)
+        )
+    else:
+        bench = np.empty(0, np.int64)
+    bench_ref = ray.put(bench)
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+        )
+        ids_all = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tbl = tbl.filter(pa.array(ids_all % mod != 0))
+        if tbl.num_rows == 0:
+            return empty
+        doc_row, codes, dic = doc_token_codes(tbl)
+        word_h = hash_str_array(dic)[codes]
+        gd, gh = _gram_hashes(doc_row, word_h, n)
+        if gd.size == 0:
+            return empty
+        # distinct (doc, gram) then membership against the broadcast set
+        order = np.lexsort((gh, gd))
+        gd, gh = gd[order], gh[order]
+        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        gd, gh = gd[first], gh[first]
+        bg = ray.get(bench_ref)
+        pos = np.searchsorted(bg, gh)
+        pos[pos == bg.shape[0]] = 0
+        hit = bg.shape[0] > 0
+        hits = (bg[pos] == gh) if hit else np.zeros(gh.shape[0], dtype=bool)
+        if not hits.any():
+            return empty
+        hd = gd[hits]
+        d_keys, _, d_counts = _segment_reduce(hd)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d_keys], pa.int64()),
+                "n_hits": pa.array(d_counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def search_topk(
+    docs: Dataset,
+    terms: tuple[str, ...] = ("spark", "join", "window"),
+    k: int = 20,
+) -> Dataset:
+    """Integer tf-idf retrieval: score every document against a fixed
+    term set (``score = sum_t tf_t * (n_docs // df_t)``, int64 — the
+    same integer-quantized idf as :func:`text.doc_tfidf_top`, so
+    SQL-oracle-checkable bit-for-bit) and return the global top-``k``
+    as ``(doc_id, score, rank)``; ties break on smaller doc_id.
+
+    Scale shape: df for a handful of query terms is a TINY aggregate
+    (one per-batch partial row per term -> driver sum); scoring is
+    batch-local Arrow; the top-k uses the shared threshold-pruned
+    ``global_topk`` merge (each batch ships <= k rows). The corpus text
+    never shuffles.
+    """
+    import ray
+
+    from .merge import global_topk
+
+    term_list = list(terms)
+
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        out = np.zeros(len(term_list), dtype=np.int64)
+        if tbl.num_rows:
+            low = pc.utf8_lower(tbl.column("text"))
+            for i, t in enumerate(term_list):
+                # word-boundary containment: count docs whose token set
+                # includes the term (pad-split avoids substring hits)
+                m = pc.match_substring_regex(low, rf"(^|[^a-z]){t}($|[^a-z])")
+                out[i] = pc.sum(pc.cast(m, pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "term_idx": np.arange(len(term_list), dtype=np.int64),
+                "df": out,
+            }
+        )
+
+    partials = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                df_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    df = np.zeros(len(term_list), dtype=np.int64)
+    for t in partials:
+        df[t.column("term_idx").to_numpy(zero_copy_only=False)] += t.column(
+            "df"
+        ).to_numpy(zero_copy_only=False)
+    n_docs = np.int64(docs.count())
+    idf = np.where(df > 0, n_docs // np.maximum(df, 1), 0)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+            )
+        doc_row, codes, dic = doc_token_codes(tbl)
+        sc = np.zeros(tbl.num_rows, dtype=np.int64)
+        if doc_row.size:
+            words = dic.to_numpy(zero_copy_only=False)
+            for i, t in enumerate(term_list):
+                hit = np.flatnonzero(words == t)
+                if hit.size == 0 or idf[i] == 0:
+                    continue
+                sel = codes == hit[0]
+                np.add.at(sc, doc_row[sel], idf[i])
+        keep = sc > 0
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return global_topk(scored, k=k, id_col="doc_id", value_col="score")

@@ -1688,3 +1688,115 @@ def test_mapped_rollup_matches_pandas_and_rejects_unmapped(ray_session):
 
     with _pytest.raises(Exception):
         mapped_rollup(bad, "k", "v", key_map).take_all()
+
+
+def test_doc_repetition_matches_counter(ray_session):
+    # bigram repetition stats vs a slow Counter reference, parallelism-invariant
+    ray = ray_session
+    import re
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.curation import doc_repetition
+
+    rng = np.random.default_rng(31)
+    words = ["a", "bb", "ccc", "spark", "join"]
+    texts = [
+        " ".join(words[rng.integers(len(words))] for _ in range(rng.integers(0, 9)))
+        for _ in range(300)
+    ]
+    want = {}
+    for i, txt in enumerate(texts):
+        toks = re.findall("[a-z]+", txt.lower())
+        bgs = Counter(zip(toks, toks[1:]))
+        if bgs:
+            want[i] = (
+                sum(bgs.values()),
+                len(bgs),
+                max(bgs.values()),
+            )
+    t = pa.table({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["distinct_bigrams"], r["top_bigram_count"])
+            for r in doc_repetition(ds).take_all()
+        }
+        assert got == want
+
+
+def test_decontaminate_matches_reference(ray_session):
+    # 3-gram contamination counts vs a slow set-based reference; the
+    # planted duplicate text guarantees hits across the modulus split
+    ray = ray_session
+    import re
+
+    from python_prtree_ray.pipelines.curation import decontaminate
+
+    rng = np.random.default_rng(47)
+    words = ["w%d" % i for i in range(12)]
+    n_docs, mod, n = 120, 10, 3
+    texts = [
+        " ".join(words[rng.integers(len(words))] for _ in range(20))
+        for _ in range(n_docs)
+    ]
+    texts[37] = texts[0]  # exact copy of a benchmark doc (0 % 10 == 0)
+    texts[55] = "x " + texts[20]  # shifted copy of benchmark doc 20
+
+    def grams(txt):
+        toks = re.findall("[a-z]+", txt.lower())
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench = set()
+    for i in range(0, n_docs, mod):
+        bench |= grams(texts[i])
+    want = {}
+    for i in range(n_docs):
+        if i % mod == 0:
+            continue
+        hits = len(grams(texts[i]) & bench)
+        if hits:
+            want[i] = hits
+    t = pa.table({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    assert 37 in want and 55 in want
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in decontaminate(ds, n=n, bench_modulus=mod).take_all()
+        }
+        assert got == want
+
+
+def test_search_topk_matches_counter(ray_session):
+    # integer tf-idf retrieval vs a slow reference with (score desc, id) ties
+    ray = ray_session
+    import re
+
+    from python_prtree_ray.pipelines.curation import search_topk
+
+    rng = np.random.default_rng(93)
+    vocab = ["spark", "join", "window", "noise", "pad", "x"]
+    texts = [
+        " ".join(vocab[rng.integers(len(vocab))] for _ in range(rng.integers(0, 15)))
+        for _ in range(400)
+    ]
+    terms = ("spark", "window")
+    toks = [re.findall("[a-z]+", t.lower()) for t in texts]
+    df = {t: sum(1 for tk in toks if t in tk) for t in terms}
+    n_docs = len(texts)
+    scores = {}
+    for i, tk in enumerate(toks):
+        s = sum(tk.count(t) * (n_docs // df[t]) for t in terms if df[t])
+        if s > 0:
+            scores[i] = s
+    k = 7
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+    t = pa.table({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = search_topk(ds, terms=terms, k=k).take_all()
+        got = sorted(
+            ((r["doc_id"], r["score"], r["rank"]) for r in out), key=lambda x: x[2]
+        )
+        assert got == want
