@@ -21,6 +21,7 @@ from python_prtree_ray.functions import derive
 
 RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
+TRACK_RES = 10  # trajectory grid (1024x1024): integer L1 path units
 KNN_K = 5
 ANN_K = 5
 RADIUS = 0.02  # radius_join fixed search radius (unit-square coords)
@@ -154,6 +155,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-tile count + envelope of overlapping boxes (zonal raster
         # statistics over the procedural tile grid)
         return tiling.tile_extent(tables.boxes_dataset(sf), res=TILE_RES)
+
+    def q_hotspot_cells(sf):
+        # 3x3 focal-sum point density (raster hotspot smoothing): tile
+        # counts + neighbor contributions, one coarse-bucket shuffle
+        return tiling.hotspot_cells(tables.points_dataset(sf), res=TILE_RES)
+
+    def q_trajectory_length(sf):
+        # per-user L1 path length over time-ordered georeferenced events
+        # (exact integer grid -> LAG-window SQL twin is bit-identical)
+        import pyarrow as pa
+        import ray
+
+        from python_prtree_ray.pipelines.trajectory import trajectory_length
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": tbl.column("ts"),
+                    "event_id": tbl.column("event_id"),
+                    "gx": derive.tile_index(p["px"], TRACK_RES),
+                    "gy": derive.tile_index(p["py"], TRACK_RES),
+                }
+            )
+
+        tracks = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return trajectory_length(tracks)
+
+    def q_kmeans(sf):
+        # deterministic distributed Lloyd's k-means over the embedding
+        # table (exact-int quantized: parallelism-invariant; pytest
+        # asserts equivalence to the single-process reference)
+        import ray
+
+        from python_prtree_ray.pipelines.kmeans import kmeans
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return kmeans(emb, k=8, iters=4)
 
     def q_lifecycle(sf):
         # build on even keys, insert odd keys, erase keys % 10 == 0, query:
@@ -1326,6 +1373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "search_topk": q_search_topk,
+        "hotspot_cells": q_hotspot_cells,
+        "trajectory_length": q_trajectory_length,
+        "kmeans": q_kmeans,
     }
 
 
@@ -2239,7 +2289,43 @@ FROM events
             " (ORDER BY score DESC, doc_id) AS rank FROM s WHERE score > 0)"
             " SELECT doc_id, score, rank FROM r WHERE rank <= 20"
         ),
-        # simhash / minhash_pairs / embedding_neardup / ann_lsh:
-        # algorithm-defined (hash-seeded / approximate) outputs with no
-        # ANSI-SQL equivalent → rows-only check.
+        "hotspot_cells": f"""
+WITH p AS ({p_cust}),
+cnt AS (
+  SELECT {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY cell
+),
+dec AS (SELECT cell, n, cell // {g} AS cx, cell % {g} AS cy FROM cnt),
+off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                              (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+foc AS (
+  SELECT (cx + dx) * {g} + (cy + dy) AS cell, n
+  FROM dec CROSS JOIN off
+  WHERE cx + dx BETWEEN 0 AND {g - 1} AND cy + dy BETWEEN 0 AND {g - 1}
+),
+fs AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS focal_sum FROM foc GROUP BY cell)
+SELECT c.cell AS cell, c.n AS n_points, f.focal_sum AS focal_sum
+FROM cnt c JOIN fs f USING (cell)
+""",
+        "trajectory_length": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+p AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         {derive.tile_index_sql('q.px', TRACK_RES)} AS gx,
+         {derive.tile_index_sql('q.py', TRACK_RES)} AS gy
+  FROM events e JOIN q USING (event_id)
+),
+d AS (
+  SELECT user_id,
+         ABS(gx - LAG(gx) OVER w) + ABS(gy - LAG(gy) OVER w) AS step
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(COUNT(step) AS BIGINT) AS n_moves,
+       CAST(SUM(step) AS BIGINT) AS l1_len
+FROM d GROUP BY user_id HAVING COUNT(step) > 0
+""",
+        # simhash / minhash_pairs / embedding_neardup / ann_lsh / kmeans:
+        # algorithm-defined (hash-seeded / approximate / iterative)
+        # outputs with no ANSI-SQL equivalent → rows-only check.
     }

@@ -162,7 +162,8 @@ QUERY_SUBSET = (
     "quality_adaptive doc_tfidf_top dedup_survivors knn_4d "
     "session_join funnel_counts pricing_summary spatial_semi spatial_anti "
     "source_dedup_stats ann_classify doc_sample_weighted region_rollup "
-    "doc_repetition decontaminate search_topk"
+    "doc_repetition decontaminate search_topk "
+    "hotspot_cells trajectory_length kmeans"
 ).split()
 
 

@@ -211,11 +211,15 @@ def tile_cell(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
     return tile_index(x, res) * g + tile_index(y, res)
 
 
+def tile_index_sql(coord: str, res: int) -> str:
+    """SQL twin of :func:`tile_index` (clamped floor grid index)."""
+    g = 1 << res
+    return f"LEAST(GREATEST(CAST(FLOOR({coord} * {g}) AS BIGINT), 0), {g - 1})"
+
+
 def tile_cell_sql(x: str, y: str, res: int) -> str:
     g = 1 << res
-    ix = f"LEAST(GREATEST(CAST(FLOOR({x} * {g}) AS BIGINT), 0), {g - 1})"
-    iy = f"LEAST(GREATEST(CAST(FLOOR({y} * {g}) AS BIGINT), 0), {g - 1})"
-    return f"({ix} * {g} + {iy})"
+    return f"({tile_index_sql(x, res)} * {g} + {tile_index_sql(y, res)})"
 
 
 # ------------------------------------------------------------------ polygons

@@ -218,3 +218,51 @@ def tile_pyramid(points: Dataset, res: int) -> Dataset:
     )
     summed = bucketed_sum(partials, key_col="key", value_cols=("n",))
     return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hotspot_cells(points: Dataset, res: int) -> Dataset:
+    """Focal (3x3 neighborhood) point-density per tile — the raster
+    hotspot / Getis-Ord-style smoothing op of a heatmap pipeline:
+    ``(cell, n_points, focal_sum)`` for every NON-EMPTY cell, where
+    ``focal_sum`` counts points in the cell and its in-grid Chebyshev-1
+    neighbors (border cells simply have fewer neighbors — no wrap).
+
+    Scale shape: ONE pass collapses each batch to distinct-cell counts;
+    each distinct cell emits its own count row plus <=9 neighbor
+    contribution rows (tile-sized partials, never point-sized); ONE
+    coarse-bucket shuffle sums both columns; empty cells drop at the
+    end. Exact int64 throughout -> SQL-oracle hash-green."""
+    import numpy as np
+
+    from ..functions.cells import cell_of_points, neighbor_cells
+    from .merge import bucketed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = tbl.column("px").to_numpy(zero_copy_only=False)
+        py = tbl.column("py").to_numpy(zero_copy_only=False)
+        c, n = np.unique(cell_of_points(px, py, res), return_counts=True)
+        n = n.astype(np.int64)
+        row, nb = neighbor_cells(c, res, ring=1)  # includes the cell itself
+        return pa.table(
+            {
+                "cell": np.concatenate([c, nb]),
+                "n_points": np.concatenate([n, np.zeros(nb.size, np.int64)]),
+                "focal_sum": np.concatenate([np.zeros(c.size, np.int64), n[row]]),
+            }
+        )
+
+    def nonempty(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.greater(tbl.column("n_points"), 0))
+
+    partials = points.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    summed = bucketed_sum(
+        partials, key_col="cell", value_cols=("n_points", "focal_sum")
+    )
+    return summed.map_batches(nonempty, batch_format="pyarrow", zero_copy_batch=True)

@@ -1800,3 +1800,122 @@ def test_search_topk_matches_counter(ray_session):
             ((r["doc_id"], r["score"], r["rank"]) for r in out), key=lambda x: x[2]
         )
         assert got == want
+
+
+def test_hotspot_cells_matches_numpy(ray_session):
+    # 3x3 focal-sum density vs a dense-grid numpy reference
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import hotspot_cells
+
+    rng = np.random.default_rng(71)
+    res, g = 3, 8
+    n = 500
+    pts = rng.random((n, 2))
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    dense = np.zeros((g, g), np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    # focal sum = 3x3 in-grid neighborhood sum
+    padded = np.zeros((g + 2, g + 2), np.int64)
+    padded[1:-1, 1:-1] = dense
+    focal = sum(
+        padded[1 + dx : g + 1 + dx, 1 + dy : g + 1 + dy]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    want = {
+        cx * g + cy: (dense[cx, cy], focal[cx, cy])
+        for cx in range(g)
+        for cy in range(g)
+        if dense[cx, cy] > 0
+    }
+    for blocks in (1, 6):
+        ds = _points_ds(ray, pts, np.arange(n), blocks=blocks)
+        got = {
+            r["cell"]: (r["n_points"], r["focal_sum"])
+            for r in hotspot_cells(ds, res=res).take_all()
+        }
+        assert got == want
+
+
+def test_trajectory_length_matches_pandas(ray_session):
+    # per-user L1 path length vs a pandas sort+diff reference, with
+    # duplicate timestamps broken by the seq column
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.trajectory import trajectory_length
+
+    rng = np.random.default_rng(83)
+    n, n_users = 600, 25
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "gx": rng.integers(0, 1024, n).astype(np.int64),
+            "gy": rng.integers(0, 1024, n).astype(np.int64),
+        }
+    )
+    want = {}
+    for uid, grp in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        if len(grp) < 2:
+            continue
+        steps = (
+            grp["gx"].diff().abs().dropna() + grp["gy"].diff().abs().dropna()
+        ).astype(np.int64)
+        want[uid] = (len(steps), int(steps.sum()))
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = {
+            r["user_id"]: (r["n_moves"], r["l1_len"])
+            for r in trajectory_length(ds).take_all()
+        }
+        assert got == want
+
+
+def test_kmeans_matches_reference_and_parallelism_invariant(ray_session):
+    # distributed exact-int Lloyd's vs the single-process twin, and
+    # bit-identical across block counts
+    ray = ray_session
+    from python_prtree_ray.pipelines.kmeans import (
+        kmeans,
+        kmeans_fit,
+        kmeans_reference,
+    )
+
+    rng = np.random.default_rng(59)
+    n, d, k, iters = 300, 16, 5, 3
+    # three planted blobs + noise so clusters are non-trivial
+    centers = rng.normal(0, 1, (3, d))
+    # store as float32 (the table dtype) and quantize the reference from
+    # the same float32 values so both paths see identical ints
+    vecs = (centers[rng.integers(0, 3, n)] + rng.normal(0, 0.15, (n, d))).astype(
+        np.float32
+    )
+    ids = np.arange(n, dtype=np.int64)
+    want_cent, want_n, want_inert = kmeans_reference(vecs, ids, k, iters)
+
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), d
+            ),
+        }
+    )
+    results = []
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        cent = kmeans_fit(ds, k=k, iters=iters)
+        assert np.array_equal(cent, want_cent)
+        rows = sorted(
+            (r["cluster_id"], r["n_members"], r["inertia_q"])
+            for r in kmeans(ds, k=k, iters=iters).take_all()
+        )
+        results.append(rows)
+    assert results[0] == results[1]
+    got_n = np.array([r[1] for r in results[0]])
+    got_inert = np.array([r[2] for r in results[0]])
+    assert np.array_equal(got_n, want_n)
+    assert np.array_equal(got_inert, want_inert)
