@@ -161,13 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts + neighbor contributions, one coarse-bucket shuffle
         return tiling.hotspot_cells(tables.points_dataset(sf), res=TILE_RES)
 
-    def q_trajectory_length(sf):
-        # per-user L1 path length over time-ordered georeferenced events
-        # (exact integer grid -> LAG-window SQL twin is bit-identical)
+    def _event_tracks(sf, res):
+        # georeferenced event stream: (user_id, ts, event_id, gx, gy)
+        # grid coordinates derived from event_id at resolution `res`
         import pyarrow as pa
         import ray
-
-        from python_prtree_ray.pipelines.trajectory import trajectory_length
 
         ev = ray.data.read_parquet(
             f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
@@ -181,13 +179,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "user_id": tbl.column("user_id"),
                     "ts": tbl.column("ts"),
                     "event_id": tbl.column("event_id"),
-                    "gx": derive.tile_index(p["px"], TRACK_RES),
-                    "gy": derive.tile_index(p["py"], TRACK_RES),
+                    "gx": derive.tile_index(p["px"], res),
+                    "gy": derive.tile_index(p["py"], res),
                 }
             )
 
-        tracks = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
-        return trajectory_length(tracks)
+        return ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_trajectory_length(sf):
+        # per-user L1 path length over time-ordered georeferenced events
+        # (exact integer grid -> LAG-window SQL twin is bit-identical)
+        from python_prtree_ray.pipelines.trajectory import trajectory_length
+
+        return trajectory_length(_event_tracks(sf, TRACK_RES))
+
+    def q_od_matrix(sf):
+        # origin->destination tile flow matrix over consecutive
+        # same-user moves (coarse TILE_RES grid keeps the matrix dense)
+        from python_prtree_ray.pipelines.movement import od_matrix
+
+        return od_matrix(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_cell_dwell(sf):
+        # per-tile visit count + exact dwell microseconds (gap to next
+        # event attributed to the earlier event's tile)
+        from python_prtree_ray.pipelines.movement import cell_dwell
+
+        return cell_dwell(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_event_transitions(sf):
+        # event-type Markov transition counts per user stream; types
+        # shuffle as int codes from a metadata-sized vocabulary pass
+        import ray
+
+        from python_prtree_ray.pipelines.movement import event_transitions
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        return event_transitions(ev)
 
     def q_kmeans(sf):
         # deterministic distributed Lloyd's k-means over the embedding
@@ -1376,6 +1406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_cells": q_hotspot_cells,
         "trajectory_length": q_trajectory_length,
         "kmeans": q_kmeans,
+        "od_matrix": q_od_matrix,
+        "cell_dwell": q_cell_dwell,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -2324,6 +2357,43 @@ d AS (
 SELECT user_id, CAST(COUNT(step) AS BIGINT) AS n_moves,
        CAST(SUM(step) AS BIGINT) AS l1_len
 FROM d GROUP BY user_id HAVING COUNT(step) > 0
+""",
+        "od_matrix": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+p AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         {derive.tile_cell_sql('q.px', 'q.py', TILE_RES)} AS cell
+  FROM events e JOIN q USING (event_id)
+),
+d AS (
+  SELECT LAG(cell) OVER w AS from_cell, cell AS to_cell
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_cell, to_cell, CAST(COUNT(*) AS BIGINT) AS n_moves
+FROM d WHERE from_cell IS NOT NULL GROUP BY from_cell, to_cell
+""",
+        "cell_dwell": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+p AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         {derive.tile_cell_sql('q.px', 'q.py', TILE_RES)} AS cell
+  FROM events e JOIN q USING (event_id)
+),
+d AS (
+  SELECT cell, ts, LEAD(ts) OVER w AS nts
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_visits,
+       CAST(SUM(date_diff('microsecond', ts, nts)) AS BIGINT) AS dwell_us
+FROM d WHERE nts IS NOT NULL GROUP BY cell
+""",
+        "event_transitions": """
+WITH d AS (
+  SELECT LAG(event_type) OVER w AS from_type, event_type AS to_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
 """,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh / kmeans:
         # algorithm-defined (hash-seeded / approximate / iterative)

@@ -163,7 +163,8 @@ QUERY_SUBSET = (
     "session_join funnel_counts pricing_summary spatial_semi spatial_anti "
     "source_dedup_stats ann_classify doc_sample_weighted region_rollup "
     "doc_repetition decontaminate search_topk "
-    "hotspot_cells trajectory_length kmeans"
+    "hotspot_cells trajectory_length kmeans "
+    "od_matrix cell_dwell event_transitions"
 ).split()
 
 

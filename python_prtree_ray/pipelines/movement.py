@@ -1,0 +1,273 @@
+"""Movement analytics over georeferenced event streams.
+
+Three consecutive-pair operators that share the trajectory fold shape
+(`pipelines/trajectory.py`): per entity, order events by (ts, seq) and
+fold each consecutive pair. All outputs are exact int64 aggregates, so
+the SQL oracles (``LAG``/``LEAD`` windows + ``GROUP BY``) match
+bit-for-bit and results are independent of partitioning.
+
+- ``od_matrix``: origin→destination tile transition counts — the flow
+  matrix of a mobility pipeline.
+- ``cell_dwell``: per-tile visit counts and total dwell microseconds
+  (the gap to the next event, attributed to the earlier event's tile).
+- ``event_transitions``: event-type Markov transition counts.
+
+Scale shape: ONE coarse entity-hash bucket shuffle of fixed-width
+columns (strings are mapped to small int codes BEFORE the shuffle);
+each bucket folds in one vectorized lexsort + mask pass and collapses
+to tile- / type-pair-sized partials; ONE tiny coarse-bucket sum merges
+them. Skewed entities salt the same way sessions do. Reference parity:
+none (beyond-reference north-rule spatio-temporal surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import COMBINE_BATCH, tune_context
+from ..functions.buckets import bucket_of
+
+
+def _fold_pairs(
+    keyed: Dataset,
+    pair_cols: tuple[str, ...],
+    emit,
+) -> Dataset:
+    """Group the bucketed stream and hand ``emit`` the per-pair arrays:
+    ``emit(cols..., dt_us) -> pa.Table`` where each ``cols`` entry is the
+    (earlier, later) value pair of one input column and ``dt_us`` the
+    timestamp gap. Pairs are consecutive same-key rows in (ts, seq)
+    order."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        key = group.column("_mv_key").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("_mv_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("_mv_seq").to_numpy(zero_copy_only=False)
+        if key.size < 2:
+            return emit(None, None)
+        order = np.lexsort((seq, ts, key))
+        k_s = key[order]
+        same = k_s[1:] == k_s[:-1]
+        if not same.any():
+            return emit(None, None)
+        cols = {}
+        for c in pair_cols:
+            v = group.column(c).to_numpy(zero_copy_only=False)[order]
+            cols[c] = (v[:-1][same], v[1:][same])
+        dt = np.diff(ts[order])[same]
+        return emit(cols, dt)
+
+    return keyed.groupby("_mv_bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def _bucketed(
+    tracks: Dataset,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    pair_cols: tuple[str, ...],
+    n_buckets: int,
+    recode=None,
+) -> Dataset:
+    """Pre-shuffle stage: rename the fold columns, hash the entity key
+    into ``n_buckets`` and optionally recode string columns to int
+    (``recode(tbl) -> tbl``) so only fixed-width columns shuffle."""
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        if recode is not None:
+            tbl = recode(tbl)
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "_mv_key": k,
+            "_mv_ts": tbl.column(ts_col),
+            "_mv_seq": tbl.column(seq_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "_mv_bucket": bucket_of(k, n_buckets),
+        }
+        for c in pair_cols:
+            out[c] = tbl.column(c)
+        return pa.table(out)
+
+    return tracks.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+
+
+def od_matrix(
+    tracks: Dataset,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Origin→destination transition counts between tiles:
+    ``(from_cell, to_cell, n_moves)`` over consecutive same-entity
+    events (self-loops included). ``gx``/``gy`` must be grid indices at
+    resolution ``res``."""
+    tune_context()
+    from .merge import bucketed_sum
+
+    g = np.int64(1 << res)
+    g2 = g * g
+
+    def emit(cols, dt):
+        if cols is None:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n_moves": pa.array([], pa.int64())}
+            )
+        fx, tx = cols[x_col]
+        fy, ty = cols[y_col]
+        frm = fx.astype(np.int64) * g + fy.astype(np.int64)
+        to = tx.astype(np.int64) * g + ty.astype(np.int64)
+        key, n = np.unique(frm * g2 + to, return_counts=True)
+        return pa.table({"key": key, "n_moves": n.astype(np.int64)})
+
+    keyed = _bucketed(
+        tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets
+    )
+    folded = _fold_pairs(keyed, (x_col, y_col), emit)
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n_moves",))
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "from_cell": key // g2,
+                "to_cell": key % g2,
+                "n_moves": tbl.column("n_moves"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cell_dwell(
+    tracks: Dataset,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-tile visit count and total dwell time: each consecutive
+    same-entity gap is attributed to the EARLIER event's tile —
+    ``(cell, n_visits, dwell_us)``, exact int64 microseconds."""
+    tune_context()
+    from .merge import bucketed_sum
+
+    g = np.int64(1 << res)
+
+    def emit(cols, dt):
+        if cols is None:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n_visits": pa.array([], pa.int64()),
+                    "dwell_us": pa.array([], pa.int64()),
+                }
+            )
+        fx, _ = cols[x_col]
+        fy, _ = cols[y_col]
+        cell = fx.astype(np.int64) * g + fy.astype(np.int64)
+        order = np.argsort(cell)
+        c_s, d_s = cell[order], dt[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        return pa.table(
+            {
+                "cell": c_s[starts],
+                "n_visits": np.diff(np.r_[starts, c_s.size]).astype(np.int64),
+                "dwell_us": np.add.reduceat(d_s, starts),
+            }
+        )
+
+    keyed = _bucketed(tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets)
+    folded = _fold_pairs(keyed, (x_col, y_col), emit)
+    return bucketed_sum(folded, key_col="cell", value_cols=("n_visits", "dwell_us"))
+
+
+def distinct_strings(ds: Dataset, col: str) -> list[str]:
+    """Sorted distinct values of a low-cardinality string column: each
+    batch collapses to its local distinct set, the driver unions the
+    tiny per-batch lists (never the table)."""
+    import ray
+
+    def local(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({col: pc.unique(tbl.column(col).combine_chunks())})
+
+    vals: set[str] = set()
+    for ref in ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        vals.update(t.column(col).to_pylist())
+    return sorted(vals)
+
+
+def event_transitions(
+    events: Dataset,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Markov transition counts between event types per entity stream:
+    ``(from_type, to_type, n)``. A first metadata-sized pass collects
+    the distinct type vocabulary; types shuffle as small int codes."""
+    tune_context()
+    import pyarrow.compute as pc
+
+    from .merge import bucketed_sum
+
+    types = distinct_strings(events, type_col)
+    tarr = pa.array(types, pa.string())
+    nt = np.int64(len(types))
+    code_col = "_mv_code"
+
+    def recode(tbl: pa.Table) -> pa.Table:
+        code = pc.index_in(tbl.column(type_col), value_set=tarr).cast(pa.int64())
+        return tbl.append_column(code_col, code)
+
+    def emit(cols, dt):
+        if cols is None:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        frm, to = cols[code_col]
+        key, n = np.unique(frm * nt + to, return_counts=True)
+        return pa.table({"key": key, "n": n.astype(np.int64)})
+
+    keyed = _bucketed(
+        events, key_col, ts_col, seq_col, (code_col,), n_buckets, recode=recode
+    )
+    folded = _fold_pairs(keyed, (code_col,), emit)
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "from_type": tarr.take(pa.array(key // nt, pa.int64())),
+                "to_type": tarr.take(pa.array(key % nt, pa.int64())),
+                "n": tbl.column("n"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

@@ -1919,3 +1919,99 @@ def test_kmeans_matches_reference_and_parallelism_invariant(ray_session):
     got_inert = np.array([r[2] for r in results[0]])
     assert np.array_equal(got_n, want_n)
     assert np.array_equal(got_inert, want_inert)
+
+
+def _tracks_df(seed=101, n=600, n_users=20, grid=64):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 40, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "gx": rng.integers(0, grid, n).astype(np.int64),
+            "gy": rng.integers(0, grid, n).astype(np.int64),
+        }
+    )
+
+
+def test_od_matrix_matches_pandas(ray_session):
+    # origin->destination transition counts vs a pandas shift reference
+    ray = ray_session
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.movement import od_matrix
+
+    res, g = 6, 64
+    df = _tracks_df(grid=g)
+    want = Counter()
+    for _, grp in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cells = (grp["gx"] * g + grp["gy"]).to_numpy()
+        for a, b in zip(cells[:-1], cells[1:]):
+            want[(a, b)] += 1
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = {
+            (r["from_cell"], r["to_cell"]): r["n_moves"]
+            for r in od_matrix(ds, res=res).take_all()
+        }
+        assert got == dict(want)
+
+
+def test_cell_dwell_matches_pandas(ray_session):
+    # per-cell dwell microseconds vs a pandas shift reference
+    ray = ray_session
+    from collections import defaultdict
+
+    from python_prtree_ray.pipelines.movement import cell_dwell
+
+    res, g = 6, 64
+    df = _tracks_df(seed=113, grid=g)
+    want = defaultdict(lambda: [0, 0])
+    for _, grp in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cells = (grp["gx"] * g + grp["gy"]).to_numpy()
+        ts = grp["ts"].astype("int64").to_numpy()  # ns epoch
+        for c, dt in zip(cells[:-1], np.diff(ts) // 1000):
+            want[c][0] += 1
+            want[c][1] += int(dt)
+    for blocks in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = {
+            r["cell"]: [r["n_visits"], r["dwell_us"]]
+            for r in cell_dwell(ds, res=res).take_all()
+        }
+        assert got == dict(want)
+
+
+def test_event_transitions_matches_pandas(ray_session):
+    # event-type Markov counts vs a pandas shift reference
+    ray = ray_session
+    import pandas as pd
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.movement import event_transitions
+
+    rng = np.random.default_rng(131)
+    n, n_users = 500, 15
+    types = ["view", "click", "purchase", "scroll"]
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 30, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": [types[i] for i in rng.integers(0, len(types), n)],
+        }
+    )
+    want = Counter()
+    for _, grp in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        tv = grp["event_type"].to_numpy()
+        for a, b in zip(tv[:-1], tv[1:]):
+            want[(a, b)] += 1
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in event_transitions(ds).take_all()
+        }
+        assert got == dict(want)
