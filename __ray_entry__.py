@@ -232,6 +232,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return kmeans(emb, k=8, iters=4)
 
+    def q_nn_pairs(sf):
+        # nearest-other-point per customer point: self-kNN composition
+        # over the existing knn machinery (degenerate-box tree side)
+        from python_prtree_ray.pipelines.knn import nn_pairs
+
+        return nn_pairs(tables.points_dataset(sf))
+
+    def q_grouped_moments(sf):
+        # per-event-type exact integer moments (n, sum, sum-sq, min,
+        # max in cents) — variance/correlation building block
+        import ray
+
+        from python_prtree_ray.pipelines.stats import grouped_moments
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "value"]
+        )
+        return grouped_moments(ev)
+
+    def q_value_histogram(sf):
+        # per-event-type fixed-width value histogram in cents bins
+        import ray
+
+        from python_prtree_ray.pipelines.stats import value_histogram
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "value"]
+        )
+        return value_histogram(ev)
+
     def q_lifecycle(sf):
         # build on even keys, insert odd keys, erase keys % 10 == 0, query:
         # exercises delta + tombstone + query union (reference
@@ -1409,6 +1439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": q_od_matrix,
         "cell_dwell": q_cell_dwell,
         "event_transitions": q_event_transitions,
+        "nn_pairs": q_nn_pairs,
+        "grouped_moments": q_grouped_moments,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -2394,6 +2427,38 @@ WITH d AS (
 )
 SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+""",
+        "nn_pairs": f"""
+WITH p AS ({p_cust}),
+d AS (
+  SELECT a.query_id, b.query_id AS nn_id,
+         (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+  FROM p a JOIN p b ON a.query_id <> b.query_id
+),
+r AS (
+  SELECT query_id, nn_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, nn_id) AS rn
+  FROM d
+)
+SELECT query_id, nn_id FROM r WHERE rn = 1
+""",
+        "grouped_moments": """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sum_c,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq_c,
+       CAST(MIN(c) AS BIGINT) AS min_c, CAST(MAX(c) AS BIGINT) AS max_c
+FROM c GROUP BY event_type
+""",
+        "value_histogram": """
+WITH c AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR(value * 100) AS BIGINT) // 5000, 0), 9) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY event_type, bin
 """,
         # simhash / minhash_pairs / embedding_neardup / ann_lsh / kmeans:
         # algorithm-defined (hash-seeded / approximate / iterative)

@@ -164,7 +164,8 @@ QUERY_SUBSET = (
     "source_dedup_stats ann_classify doc_sample_weighted region_rollup "
     "doc_repetition decontaminate search_topk "
     "hotspot_cells trajectory_length kmeans "
-    "od_matrix cell_dwell event_transitions"
+    "od_matrix cell_dwell event_transitions "
+    "nn_pairs grouped_moments value_histogram"
 ).split()
 
 

@@ -590,3 +590,57 @@ def _make_knn_cell(
         )
 
     return knn_cell
+
+
+def nn_pairs(
+    points: Dataset,
+    res: int = 5,
+    broadcast: bool | None = None,
+    id_col: str = "query_id",
+) -> Dataset:
+    """Nearest-OTHER-point per point — ``(query_id, nn_id)`` with the
+    exact (dist2, id) order, the self-kNN building block of spatial
+    outlier / nn-distance statistics.
+
+    Composition, not new machinery: the point set doubles as a
+    degenerate-box tree side (xmin=xmax=px, so the centroid is exactly
+    the point), :func:`knn_join` finds the top-2 per query (self is the
+    dist2=0 candidate unless coordinates collide), the self row drops,
+    and one tiny fixed-width-row merge keeps the best survivor. Both
+    knn physical paths (broadcast / histogram ring) work unchanged."""
+    tune_context()
+    import pyarrow.compute as pc
+
+    from .merge import bucketed_topk
+
+    def as_boxes(tbl: pa.Table) -> pa.Table:
+        px, py = tbl.column("px"), tbl.column("py")
+        return pa.table(
+            {
+                "idx": tbl.column(id_col).cast(pa.int64()),
+                "xmin": px,
+                "ymin": py,
+                "xmax": px,
+                "ymax": py,
+            }
+        )
+
+    boxes = points.map_batches(
+        as_boxes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    top2 = knn_join(boxes, points, k=2, res=res, broadcast=broadcast)
+
+    def drop_self(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pc.not_equal(tbl.column("idx"), tbl.column("query_id"))
+        )
+
+    cand = top2.map_batches(drop_self, batch_format="pyarrow", zero_copy_batch=True)
+    best = bucketed_topk(cand, k=1, id_col="idx", value_col="rank", descending=False)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"query_id": tbl.column("query_id"), "nn_id": tbl.column("idx")}
+        )
+
+    return best.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2015,3 +2015,91 @@ def test_event_transitions_matches_pandas(ray_session):
             for r in event_transitions(ds).take_all()
         }
         assert got == dict(want)
+
+
+def test_nn_pairs_matches_brute_force(ray_session):
+    # nearest-other-point vs O(N^2) argmin with (dist2, id) tie-break,
+    # including exact coordinate collisions
+    ray = ray_session
+    from python_prtree_ray.pipelines.knn import nn_pairs
+
+    rng = np.random.default_rng(149)
+    n = 220
+    pts = rng.random((n, 2))
+    pts[50] = pts[10]  # exact collision pair
+    pts[51] = pts[10]  # triple collision
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    want = {}
+    for i in range(n):
+        best = np.min(d2[i])
+        want[i] = int(np.flatnonzero(d2[i] == best)[0])  # lowest id wins
+    for blocks in (1, 5):
+        ds = _points_ds(ray, pts, np.arange(n), blocks=blocks)
+        got = {r["query_id"]: r["nn_id"] for r in nn_pairs(ds).take_all()}
+        assert got == want
+
+
+def test_grouped_moments_matches_pandas(ray_session):
+    # exact integer moments per key vs a pandas reference
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.stats import grouped_moments
+
+    rng = np.random.default_rng(157)
+    n = 800
+    keys = [f"k{i}" for i in rng.integers(0, 6, n)]
+    vals = rng.random(n) * 300
+    c = np.floor(vals * 100).astype(np.int64)
+    df = pd.DataFrame({"event_type": keys, "c": c})
+    want = {
+        k: (
+            len(g),
+            int(g["c"].sum()),
+            int((g["c"] ** 2).sum()),
+            int(g["c"].min()),
+            int(g["c"].max()),
+        )
+        for k, g in df.groupby("event_type")
+    }
+    t = pa.table({"event_type": keys, "value": vals})
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["event_type"]: (
+                r["n"],
+                r["sum_c"],
+                r["sum_sq_c"],
+                r["min_c"],
+                r["max_c"],
+            )
+            for r in grouped_moments(ds).take_all()
+        }
+        assert got == want
+
+
+def test_value_histogram_matches_numpy(ray_session):
+    # clamped fixed-width histogram per key vs a numpy reference
+    ray = ray_session
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.stats import value_histogram
+
+    rng = np.random.default_rng(163)
+    n, width, nb = 700, 700, 8
+    keys = [f"t{i}" for i in rng.integers(0, 4, n)]
+    vals = rng.random(n) * 80  # cents up to 8000 -> top bin clamps
+    c = np.floor(vals * 100).astype(np.int64)
+    b = np.clip(c // width, 0, nb - 1)
+    want = Counter(zip(keys, b.tolist()))
+    t = pa.table({"event_type": keys, "value": vals})
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            (r["event_type"], r["bin"]): r["n"]
+            for r in value_histogram(
+                ds, bin_width_c=width, n_bins=nb
+            ).take_all()
+        }
+        assert got == dict(want)
