@@ -357,6 +357,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twin (rows-only); determinism across parallelism is pytest-checked
         return text.fingerprint(docs)
 
+    def q_span_sequence(sf):
+        # the north-rule per-row invariant, driver-checked end to end:
+        # every span of every interleaved doc as (doc_id, seq, offset,
+        # kind, text, media_ref) — hash-compared against the DuckDB
+        # regeneration (synth.interleaved_spans_sql(kinds="all")), so
+        # kind/text/media_ref/order equality is a hash-green gate, not
+        # just a pytest assertion.
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import explode_spans
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return interleaved_docs(n).map_batches(
+            explode_spans, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_video_frames(sf):
         import pyarrow.parquet as pq
         from python_prtree_ray.sources.synth import interleaved_docs
@@ -1384,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_4d": q_spatial_join_4d,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "span_sequence": q_span_sequence,
         "doc_fingerprint": q_doc_fingerprint,
         "pack_documents": q_pack_documents,
         "doc_sample": q_doc_sample,
@@ -2166,6 +2183,12 @@ WHERE {intersects}
         "raster_tiles": raster_tiles_sql,
         "media_features": media_features_sql,
         "video_frames": video_frames_sql,
+        # full span-sequence invariant (kind, text, media_ref, order)
+        "span_sequence": "SELECT * FROM ("
+        + interleaved_spans_sql(
+            "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
+        )
+        + ")",
         # resume reread must equal the plain join's pair set
         "checkpoint_resume": spatial_join_sql,
         # a saved+loaded tree must answer queries identically

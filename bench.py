@@ -165,7 +165,7 @@ QUERY_SUBSET = (
     "doc_repetition decontaminate search_topk "
     "hotspot_cells trajectory_length kmeans "
     "od_matrix cell_dwell event_transitions "
-    "nn_pairs grouped_moments value_histogram"
+    "nn_pairs grouped_moments value_histogram span_sequence"
 ).split()
 
 

@@ -25,6 +25,33 @@ from ..config import tune_context
 from ..stages.multimodal import FrameSampler, MediaFeatureExtractor
 
 
+def explode_spans(tbl: pa.Table) -> pa.Table:
+    """docs(doc_id, spans) → one row per span, ALL kinds, with its in-doc
+    rank: (doc_id, seq, offset, kind, text, media_ref). This is the full
+    span-sequence invariant surface (north-rule: per-row span-sequence
+    equality — kind, text, media_ref, order — vs the reference corpus);
+    the driver hash-checks it against the DuckDB regeneration
+    (``sources.synth.interleaved_spans_sql(kinds="all")``). List offsets
+    drive doc_id repeat and rank — no Python iteration."""
+    spans = tbl.column("spans").combine_chunks()
+    vals = spans.values
+    list_offs = spans.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(list_offs)
+    parent = np.repeat(np.arange(tbl.num_rows), counts)
+    seq = np.arange(len(parent)) - np.repeat(np.cumsum(counts) - counts, counts)
+    doc_id = tbl.column("doc_id").take(pa.array(parent))
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "seq": pa.array(seq.astype(np.int32), type=pa.int32()),
+            "offset": vals.field("offset"),
+            "kind": vals.field("kind"),
+            "text": vals.field("text"),
+            "media_ref": vals.field("media_ref"),
+        }
+    )
+
+
 def explode_media_spans(tbl: pa.Table) -> pa.Table:
     """docs(doc_id, spans) → one row per NON-text span:
     (doc_id, offset, kind, media_ref). List offsets drive the doc_id

@@ -119,13 +119,20 @@ def interleaved_docs(n_docs: int, override_num_blocks: int | None = None) -> Dat
     return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def interleaved_spans_sql(n_docs) -> str:
-    """DuckDB twin of the NON-TEXT spans of :func:`interleaved_batch`:
-    ``SELECT doc_id, offset, kind, media_ref`` for the first ``n_docs``
-    documents — the same multiply-mod hash channels, word-length table
-    and cumulative char offsets as the NumPy side, so the driver can
-    hash-check the media pipelines end to end (offsets are a window SUM
-    over ALL spans including text, filtered to media at the end).
+def interleaved_spans_sql(n_docs, kinds: str = "media") -> str:
+    """DuckDB twin of the spans of :func:`interleaved_batch` — the same
+    multiply-mod hash channels, word table and cumulative char offsets
+    as the NumPy side, so the driver can hash-check the span pipelines
+    end to end (offsets are a window SUM over ALL spans including text,
+    filtered by kind at the end).
+
+    ``kinds="media"`` (default): the NON-TEXT spans as
+    ``(doc_id, offset, kind, media_ref)``. ``kinds="text"``: the TEXT
+    spans as ``(doc_id, offset, text)`` with the regenerated
+    three-word span text. ``kinds="all"``: EVERY span as
+    ``(doc_id, seq, offset, kind, text, media_ref)`` — the full
+    span-sequence invariant surface (kind, text, media_ref, order),
+    with empty-string text/media_ref exactly as the engine emits them.
 
     ``n_docs``: an int, or a SQL table expression yielding a column ``i``
     of doc numbers (e.g. ``(SELECT row_number() OVER () - 1 AS i FROM
@@ -151,11 +158,41 @@ def interleaved_spans_sql(n_docs) -> str:
             f"{wl_sql}[CAST(((sid * {ch_a} + {ch_b}) % {M}) % {nw} AS INTEGER) + 1]"
         )
 
+    words_sql = "[" + ",".join(f"'{w}'" for w in _WORDS) + "]"
+
+    def _word(ch_a: int, ch_b: int) -> str:
+        return (
+            f"{words_sql}[CAST(((sid * {ch_a} + {ch_b}) % {M}) % {nw} AS INTEGER) + 1]"
+        )
+
+    text_sql = f"{_word(a3, b3)} || ' ' || {_word(a4, b4)} || ' ' || {_word(a5, b5)}"
+    media_sql = f"printf('media://blob/%012d', (sid * {a6} + {b6}) % {M})"
+    kind_sql = (
+        "CASE kind_i WHEN 0 THEN 'text' WHEN 1 THEN 'image'"
+        " WHEN 2 THEN 'audio' ELSE 'video' END"
+    )
+    if kinds == "media":
+        proj = f"""
+         {kind_sql} AS kind,
+         {media_sql} AS media_ref"""
+        where = "WHERE kind_i <> 0"
+    elif kinds == "text":
+        proj = f"""
+         {text_sql} AS text"""
+        where = "WHERE kind_i = 0"
+    elif kinds == "all":
+        proj = f"""
+         CAST(j AS INTEGER) AS seq,
+         {kind_sql} AS kind,
+         CASE WHEN kind_i = 0 THEN {text_sql} ELSE '' END AS text,
+         CASE WHEN kind_i = 0 THEN '' ELSE {media_sql} END AS media_ref"""
+        where = ""
+    else:
+        raise ValueError(f"kinds must be 'media', 'text' or 'all'; got {kinds!r}")
+
     return f"""
   SELECT printf('doc%012d', i) AS doc_id,
-         CAST("offset" AS INTEGER) AS "offset",
-         CASE kind_i WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
-         printf('media://blob/%012d', (sid * {a6} + {b6}) % {M}) AS media_ref
+         CAST("offset" AS INTEGER) AS "offset",{proj}
   FROM (
     SELECT i, j, sid, kind_i,
            CAST(COALESCE(SUM(span_len) OVER (
@@ -181,7 +218,7 @@ def interleaved_spans_sql(n_docs) -> str:
       )
     )
   )
-  WHERE kind_i <> 0"""
+  {where}"""
 
 
 # Media-stub payload SQL pieces (twins of pipelines/multimodal.py

@@ -674,6 +674,41 @@ def test_interleaved_spans_sql_twin_matches_engine(ray_session):
         {"offset": "int64"}
     ).equals(want.astype({"offset": "int64"}))
 
+    # kinds="all": the FULL span-sequence invariant (kind, text,
+    # media_ref, order) regenerates identically — north-rule per-row
+    # equality, and the foundation of the span_sequence driver oracle
+    from python_prtree_ray.pipelines.multimodal import explode_spans
+
+    eng_all = (
+        explode_spans(tbl)
+        .to_pandas()
+        .sort_values(["doc_id", "seq"])
+        .reset_index(drop=True)
+    )
+    want_all = con.execute(
+        "SELECT * FROM ("
+        + interleaved_spans_sql(400, kinds="all")
+        + ') ORDER BY doc_id, seq'
+    ).fetchdf()
+    assert eng_all[list(want_all.columns)].astype(
+        {"offset": "int64", "seq": "int64"}
+    ).equals(want_all.astype({"offset": "int64", "seq": "int64"}))
+
+    # kinds="text": text spans regenerate word-identically
+    want_txt = con.execute(
+        "SELECT * FROM ("
+        + interleaved_spans_sql(400, kinds="text")
+        + ') ORDER BY doc_id, "offset"'
+    ).fetchdf()
+    eng_txt = (
+        eng_all[eng_all["kind"] == "text"][["doc_id", "offset", "text"]]
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    assert eng_txt.astype({"offset": "int64"}).equals(
+        want_txt.astype({"offset": "int64"})
+    )
+
 
 def test_payload_stub_variable_reps(ray_session):
     # stub payload = (ref * (1 + last_byte % 12))[:256] — length varies
