@@ -48,6 +48,42 @@ def _h(i: np.ndarray, ch: int) -> np.ndarray:
     return (i.astype(np.int64) * a + b) % derive.MOD
 
 
+_TEXT_TABLE: pa.Array | None = None
+_WLENS = np.array([len(w) for w in _WORDS], dtype=np.int64)
+
+
+def _text_table() -> pa.Array:
+    """All 26^3 possible three-word span texts as one Arrow StringArray,
+    built once per process — span text becomes a single `take` gather
+    instead of np.char unicode concatenation (which dominated the
+    generator's profile ~10x over everything downstream)."""
+    global _TEXT_TABLE
+    if _TEXT_TABLE is None:
+        _TEXT_TABLE = pa.array(
+            [f"{a} {b} {c}" for a in _WORDS for b in _WORDS for c in _WORDS],
+            type=pa.string(),
+        )
+    return _TEXT_TABLE
+
+
+def _fixed_decimal_strings(prefix: bytes, vals: np.ndarray, ndigits: int = 12) -> pa.Array:
+    """printf('<prefix>%0<ndigits>d', vals) as an Arrow StringArray via a
+    fixed-width uint8 digit matrix — no per-row Python formatting."""
+    n = vals.shape[0]
+    plen = len(prefix)
+    w = plen + ndigits
+    buf = np.empty((n, w), dtype=np.uint8)
+    buf[:, :plen] = np.frombuffer(prefix, dtype=np.uint8)
+    pow10 = 10 ** np.arange(ndigits - 1, -1, -1, dtype=np.int64)
+    buf[:, plen:] = (vals[:, None] // pow10) % 10 + ord("0")
+    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
 def interleaved_batch(ids: np.ndarray) -> pa.Table:
     """Build the interleaved table for a vector of doc numbers (vectorized:
     span attributes are computed column-wise; only the final Arrow
@@ -61,50 +97,45 @@ def interleaved_batch(ids: np.ndarray) -> pa.Table:
     kind_i = (_h(sid, 1) % 4).astype(np.int64)
     # text spans are 70% of spans: fold media kinds back to text mostly
     kind_i[(_h(sid, 2) % 10) < 7] = 0
-    w1 = _h(sid, 3) % len(_WORDS)
-    w2 = _h(sid, 4) % len(_WORDS)
-    w3 = _h(sid, 5) % len(_WORDS)
+    import pyarrow.compute as pc
+
+    nw = len(_WORDS)
+    w1 = _h(sid, 3) % nw
+    w2 = _h(sid, 4) % nw
+    w3 = _h(sid, 5) % nw
     is_text = kind_i == 0
-    texts = np.where(
-        is_text,
-        np.char.add(
-            np.char.add(np.array(_WORDS)[w1], " "),
-            np.char.add(np.char.add(np.array(_WORDS)[w2], " "), np.array(_WORDS)[w3]),
-        ),
+    is_text_pa = pa.array(is_text)
+    # text: one gather from the 26^3 combo table, blanked for media spans
+    texts = pc.if_else(
+        is_text_pa,
+        pc.take(_text_table(), pa.array((w1 * nw + w2) * nw + w3)),
         "",
     )
-    media = np.where(
-        is_text,
+    media = pc.if_else(
+        is_text_pa,
         "",
-        np.char.add(
-            "media://blob/",
-            np.char.mod("%012d", (_h(sid, 6) % 10**12)),
-        ),
+        _fixed_decimal_strings(b"media://blob/", _h(sid, 6) % 10**12),
     )
-    kinds = np.array(_KINDS)[kind_i]
-    # offsets: cumulative char offset inside each doc
-    span_len = np.where(is_text, np.char.str_len(texts), 64).astype(np.int64)
+    kinds = pc.take(pa.array(_KINDS, type=pa.string()), pa.array(kind_i))
+    # offsets: cumulative char offset inside each doc (word-length table
+    # lookup, not str_len over materialized text)
+    span_len = np.where(is_text, _WLENS[w1] + _WLENS[w2] + _WLENS[w3] + 2, 64)
     csum = np.cumsum(span_len)
     doc_start = np.repeat(csum[np.cumsum(nspans) - nspans] - span_len[np.cumsum(nspans) - nspans], nspans)
     offsets32 = (csum - span_len - doc_start).astype(np.int32)
 
-    def _arr(x, typ):
-        a = pa.array(x, type=typ)
-        # pa.array chunks large numpy unicode inputs; StructArray needs flat
-        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-
     struct_arr = pa.StructArray.from_arrays(
         [
-            _arr(kinds, pa.string()),
-            _arr(texts, pa.string()),
-            _arr(media, pa.string()),
-            _arr(offsets32, pa.int32()),
+            kinds.combine_chunks() if isinstance(kinds, pa.ChunkedArray) else kinds,
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+            media.combine_chunks() if isinstance(media, pa.ChunkedArray) else media,
+            pa.array(offsets32, type=pa.int32()),
         ],
         fields=list(SPAN_TYPE),
     )
     list_offsets = np.concatenate([[0], np.cumsum(nspans)]).astype(np.int32)
     spans = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct_arr)
-    doc_id = pa.array(np.char.mod("doc%012d", ids), type=pa.string())
+    doc_id = _fixed_decimal_strings(b"doc", ids)
     return pa.Table.from_arrays([doc_id, spans], schema=DOC_SCHEMA)
 
 
