@@ -11,6 +11,8 @@ work never shuffles — the only exchanges are vocabulary-sized partials
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -144,6 +146,14 @@ def decontaminate(
     ZERO-shuffle (per-batch rolling-hash grams + ``searchsorted``
     membership). N-grams are compared as 63-bit combined word hashes on
     both sides — no gram strings ever materialize.
+
+    Oracle-equality note: the SQL oracle compares exact gram STRINGS, so
+    parity with it is probabilistic in principle — a 63-bit collision
+    between a corpus gram and a benchmark gram would inflate ``n_hits``.
+    With B benchmark grams and G corpus grams the expected collision
+    count is ~ G*B / 2^63 (at sf1 scale, < 1e-9); every driver round to
+    date has hash-matched. This is the only oracle whose equality is
+    collision-bounded rather than exact.
     """
     import ray
 
@@ -238,6 +248,14 @@ def search_topk(
     from .merge import global_topk
 
     term_list = list(terms)
+    # terms are interpolated into an RE2 word-boundary pattern below AND
+    # counted by the [a-z]+ tokenizer; anything outside ^[a-z]+$ would make
+    # the two disagree (and metacharacters would corrupt the regex).
+    for t in term_list:
+        if not re.fullmatch(r"[a-z]+", t):
+            raise ValueError(
+                f"search_topk terms must match ^[a-z]+$, got {t!r}"
+            )
 
     def df_partial(tbl: pa.Table) -> pa.Table:
         out = np.zeros(len(term_list), dtype=np.int64)

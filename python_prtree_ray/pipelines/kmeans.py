@@ -115,9 +115,18 @@ def _init_centroids(
         raise ValueError("kmeans: empty input")
     top = pa.concat_tables(parts)
     ids = top.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")[:k]
+    # a duplicate id inside the k-smallest window would make "which
+    # duplicate row wins" depend on partition/concat order, breaking the
+    # bit-identical-at-any-parallelism guarantee — reject it outright
+    if order.size == k and np.unique(ids[order]).size < k:
+        raise ValueError(
+            f"kmeans: duplicate {id_col} among the {k} smallest ids; "
+            "centroid init requires unique ids in that window"
+        )
     if np.unique(ids).size < k:
         raise ValueError(f"kmeans: need >= {k} distinct {id_col} rows")
-    top = top.take(pa.array(np.argsort(ids)[:k]))
+    top = top.take(pa.array(order))
     return _quantized(top, vec_col)
 
 

@@ -120,6 +120,10 @@ def od_matrix(
     tune_context()
     from .merge import bucketed_sum
 
+    # the packed transition key frm*g2+to consumes 4*res bits of int64;
+    # res >= 16 would overflow and silently merge distinct tile pairs
+    if not 0 <= res <= 15:
+        raise ValueError(f"od_matrix: res must be in [0, 15], got {res}")
     g = np.int64(1 << res)
     g2 = g * g
 

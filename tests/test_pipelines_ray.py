@@ -2138,3 +2138,42 @@ def test_value_histogram_matches_numpy(ray_session):
             ).take_all()
         }
         assert got == dict(want)
+
+
+def test_parameter_guards_reject_unsafe_inputs(ray_session):
+    # guards added per round-3 advice: regex-unsafe search terms, od_matrix
+    # key-packing overflow, duplicate-id kmeans seed window
+    ray = ray_session
+    import pytest
+
+    from python_prtree_ray.pipelines.curation import search_topk
+    from python_prtree_ray.pipelines.kmeans import kmeans_fit
+    from python_prtree_ray.pipelines.movement import od_matrix
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["spark join", "window"]})
+    )
+    for bad in ("a.b", "Spark", "a+", "", "a b"):
+        with pytest.raises(ValueError, match="a-z"):
+            search_topk(docs, terms=(bad,), k=3)
+
+    tracks = ray.data.from_pandas(_tracks_df(grid=64))
+    with pytest.raises(ValueError, match="res"):
+        od_matrix(tracks, res=16)
+
+    # duplicate vec_id inside the k-smallest window must raise, not pick
+    # a partition-order-dependent row
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((10, 4)).astype(np.float32)
+    ids = np.array([0, 0, 1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), 4
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="duplicate"):
+        kmeans_fit(ds, k=3, iters=1)
