@@ -165,6 +165,14 @@ def write_partitioned(
         "total_rows": sum(p["rows"] for p in parts),
         "total_bytes": sum(p.get("bytes", 0) for p in parts),
     }
+    # Ray's own per-stage execution report (operator wall times, block
+    # counts, spill) — the "per-stage metrics" half of the north rule's
+    # lineage+metrics contract. Best-effort: a stats failure must never
+    # fail the write it describes.
+    try:
+        man["metrics"]["stage_stats"] = stats.stats()
+    except Exception:
+        pass
     _store_manifest(path, man)
     return man
 
