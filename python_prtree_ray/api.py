@@ -24,10 +24,19 @@ previously-erased id therefore works in both modes — the old row stays
 filtered (its tombstone predates the new delta) while the new row is
 visible, matching the reference's erase-then-insert semantics.
 
-Key-set tracking note: ``strict`` id bookkeeping holds the live key set
-on the driver (int64 array) — exact parity for reference-scale data. At
-10^12 rows, construct with ``strict=False`` (bookkeeping off) and enforce
-uniqueness upstream; all query paths are unaffected.
+Key-set tracking note: ``strict`` id bookkeeping is two-tier. While the
+live key count stays ≤ ``KEY_CACHE_LIMIT`` the key set is cached on the
+driver (sorted int64 array, bounded collect — never an unbounded pull)
+and checks are O(driver). The first time a bounded collect overflows the
+tree switches to BIG mode: no driver key state at all — duplicate-insert
+checks run as a keys-only bucketed semi-join (one shuffle of the idx
+columns), erase/set_obj membership as a broadcast probe pass over the
+live key column, and ``size()`` from maintained counters. Both modes
+raise the same errors on the same inputs; only the physical plan
+differs. (Exactness beats a Bloom filter here: the semi-join touches
+8 bytes/row and the probe is one streamed pass, so the sketch would
+only save a scan the strict contract has to pay anyway on the hit
+path.)
 """
 
 from __future__ import annotations
@@ -76,20 +85,116 @@ class RayPRTree:
         # generational tombstones: (ids, n_deltas_at_erase) — each entry
         # masks the base and deltas[:n_deltas_at_erase] only
         self._tombs: list[tuple[np.ndarray, int]] = []
-        # strict mode tracks the LIVE key set (inserted minus erased)
+        # strict mode: driver key cache while small, counters-only above
+        # KEY_CACHE_LIMIT (see module docstring). _keys None + strict on
+        # == BIG mode.
         self._keys: np.ndarray | None = None
-        if strict:
-            self._keys = self._collect_keys(boxes) if boxes is not None else np.empty(
-                0, dtype=np.int64
+        self._n_live = 0
+        if strict and boxes is not None:
+            self._keys = self._collect_keys_bounded(boxes)
+            self._n_live = (
+                int(self._keys.shape[0]) if self._keys is not None else boxes.count()
             )
-        self._n_at_build = int(self._keys.shape[0]) if self._keys is not None else (
+        elif strict:
+            self._keys = np.empty(0, dtype=np.int64)
+        self._n_at_build = self._n_live if strict else (
             boxes.count() if boxes is not None else 0
         )
 
-    @staticmethod
-    def _collect_keys(ds: Dataset) -> np.ndarray:
-        cols = ds.select_columns(["idx"]).take_all()
-        return np.array([r["idx"] for r in cols], dtype=np.int64)
+    # driver key-cache ceiling (16 MB of int64); above it strict checks
+    # go distributed. Class attribute so tests can force BIG mode.
+    KEY_CACHE_LIMIT = 2_000_000
+
+    def _collect_keys_bounded(self, ds: Dataset) -> np.ndarray | None:
+        """idx column as a driver array, or None once it exceeds
+        KEY_CACHE_LIMIT (the stream is abandoned there — a too-big key
+        set never finishes materializing)."""
+        limit = self.KEY_CACHE_LIMIT
+        chunks: list[np.ndarray] = []
+        total = 0
+        for b in ds.select_columns(["idx"]).iter_batches(batch_format="pyarrow"):
+            chunks.append(b.column("idx").to_numpy(zero_copy_only=False))
+            total += chunks[-1].shape[0]
+            if total > limit:
+                return None
+        if not chunks:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(chunks).astype(np.int64, copy=False)
+
+    # ------------------------------------------- strict BIG-mode kernels
+
+    def _live_keys(self) -> Dataset | None:
+        ds = self.dataset()
+        return None if ds is None else ds.select_columns(["idx"])
+
+    def _dup_witness(self, new_keys: Dataset) -> int | None:
+        """First id present in BOTH the live key set and ``new_keys`` —
+        a keys-only bucketed semi-join (the only thing that shuffles is
+        8 bytes/row of idx), None when disjoint."""
+        from .functions.buckets import bucket_of
+
+        live = self._live_keys()
+        if live is None:
+            return None
+
+        def tag(side: int):
+            def f(tbl: pa.Table) -> pa.Table:
+                ids = st.col_np(tbl, "idx")
+                return pa.table(
+                    {
+                        "idx": ids,
+                        "side": np.full(ids.shape[0], side, dtype=np.int8),
+                        "bucket": bucket_of(ids, 512),
+                    }
+                )
+
+            return f
+
+        a = live.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        b = new_keys.select_columns(["idx"]).map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def intersect(group: pa.Table) -> pa.Table:
+            ids = st.col_np(group, "idx")
+            side = group.column("side").to_numpy(zero_copy_only=False)
+            dup = np.intersect1d(ids[side == 0], ids[side == 1])
+            return pa.table({"idx": dup[:1]})  # one witness per bucket
+
+        hits = (
+            a.union(b)
+            .groupby("bucket")
+            .map_groups(intersect, batch_format="pyarrow")
+            .take(1)
+        )
+        return int(hits[0]["idx"]) if hits else None
+
+    def _match_counts(self, ids: np.ndarray) -> dict[int, int]:
+        """live-row count per probed id — ONE streamed pass over the live
+        key column against a broadcast probe set; the collected result is
+        bounded by len(ids) × blocks, never by table size."""
+        import ray as _ray
+
+        live = self._live_keys()
+        if live is None:
+            return {}
+        probe_ref = _ray.put(np.unique(ids))
+
+        def probe(tbl: pa.Table) -> pa.Table:
+            want = _ray.get(probe_ref)
+            got = st.col_np(tbl, "idx")
+            hit = got[np.isin(got, want)]
+            u, c = np.unique(hit, return_counts=True)
+            return pa.table(
+                {"idx": u, "n": pa.array(c.astype(np.int64), type=pa.int64())}
+            )
+
+        out: dict[int, int] = {}
+        for r in live.map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_rows():
+            out[int(r["idx"])] = out.get(int(r["idx"]), 0) + int(r["n"])
+        return out
 
     # ----------------------------------------------------------- mutation
 
@@ -139,11 +244,30 @@ class RayPRTree:
 
             boxes = validated_boxes_dataset(boxes, self._precision)
         if self.strict:
-            new = self._collect_keys(boxes)
-            dup = np.intersect1d(new, self._keys)
-            if dup.size:
-                raise ValueError(f"Index already exists: {dup[0]}")
-            self._keys = np.concatenate([self._keys, new])
+            new = (
+                self._collect_keys_bounded(boxes)
+                if self._keys is not None
+                else None
+            )
+            if self._keys is not None and new is not None:
+                dup = np.intersect1d(new, self._keys)
+                if dup.size:
+                    raise ValueError(f"Index already exists: {dup[0]}")
+                merged = np.concatenate([self._keys, new])
+                n_new = new.shape[0]
+                if merged.shape[0] > self.KEY_CACHE_LIMIT:
+                    self._keys = None  # graduate to BIG mode
+                else:
+                    self._keys = merged
+            else:
+                # BIG mode (or an insert batch too big to cache): exact
+                # distributed duplicate check, then counters only
+                w = self._dup_witness(boxes)
+                if w is not None:
+                    raise ValueError(f"Index already exists: {w}")
+                n_new = boxes.count()
+                self._keys = None
+            self._n_live += n_new
         # re-inserting a previously erased id is safe without any tombstone
         # bookkeeping: prior tombstones are pinned to earlier deltas, so the
         # old row stays dead while this delta's row is live
@@ -153,10 +277,21 @@ class RayPRTree:
     def erase(self, ids) -> None:
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
         if self.strict:
-            missing = np.setdiff1d(ids, self._keys)
-            if missing.size:
-                raise ValueError(f"Index not found: {missing[0]}")
-            self._keys = np.setdiff1d(self._keys, ids)
+            if self._keys is not None:
+                missing = np.setdiff1d(ids, self._keys)
+                if missing.size:
+                    raise ValueError(f"Index not found: {missing[0]}")
+                survivors = self._keys[~np.isin(self._keys, ids)]
+                self._n_live = int(survivors.shape[0])
+                self._keys = survivors
+            else:
+                counts = self._match_counts(ids)
+                missing = np.setdiff1d(np.unique(ids), np.fromiter(
+                    counts.keys(), dtype=np.int64, count=len(counts)
+                ))
+                if missing.size:
+                    raise ValueError(f"Index not found: {missing[0]}")
+                self._n_live -= sum(counts.values())
         self._tombs.append((np.unique(ids), len(self._deltas)))
         if self._objs:  # bulk erases with no registry stay O(1)
             for i in ids.tolist():
@@ -170,8 +305,14 @@ class RayPRTree:
         ``core.py:585-599``). Driver-side registry, broadcast to workers
         only when a query asks for ``return_obj`` — the scale path for
         bulk payloads is the ``carry_cols`` column projection instead."""
-        if self.strict and not np.isin(np.int64(idx), self._keys):
-            raise ValueError(f"Index not found: {idx}")
+        if self.strict:
+            present = (
+                bool(np.isin(np.int64(idx), self._keys))
+                if self._keys is not None
+                else bool(self._match_counts(np.array([idx], dtype=np.int64)))
+            )
+            if not present:
+                raise ValueError(f"Index not found: {idx}")
         self._objs[int(idx)] = obj
 
     def get_obj(self, idx: int) -> object | None:
@@ -259,9 +400,15 @@ class RayPRTree:
         if self._base is None:
             self._keys = np.empty(0, dtype=np.int64) if self.strict else None
             self._n_at_build = 0
+            self._n_live = 0
         elif self.strict:
-            self._keys = self._collect_keys(self._base)
-            self._n_at_build = int(self._keys.shape[0])
+            self._keys = self._collect_keys_bounded(self._base)
+            self._n_live = (
+                int(self._keys.shape[0])
+                if self._keys is not None
+                else int(man["metrics"]["total_rows"])
+            )
+            self._n_at_build = self._n_live
         else:
             self._n_at_build = int(man["metrics"]["total_rows"])
 
@@ -303,7 +450,7 @@ class RayPRTree:
 
     def size(self) -> int:
         if self.strict:
-            return int(self._keys.shape[0])
+            return self._n_live
         ds = self.dataset()
         if ds is None:
             return 0
@@ -333,16 +480,30 @@ class RayPRTree:
             raise ValueError("Cannot query an empty tree")
         if expand_epsilon:
             prec = self._precision
-            # pin the query side once: the bounds aggregate below consumes
-            # it, and without materialize() the widen pass would re-execute
-            # the whole upstream lineage a second time
-            queries = queries.materialize()
+            # two-phase, zero-pin: phase 1 aggregates the global extent
+            # over a PROJECTED coordinate view (4-8 float columns — spans/
+            # text never enter the aggregate), phase 2 re-executes the
+            # query lineage to widen. The upstream lineage therefore runs
+            # twice; when it is expensive, spill_dir checkpoints the query
+            # side to parquet once and both phases read the files instead
+            # (never materialize() — nothing pins in the object store).
+            if self._spill_dir is not None:
+                import os as _os
+                import uuid as _uuid
+
+                qpath = _os.path.join(
+                    self._spill_dir, f"expand-q-{_uuid.uuid4().hex[:12]}"
+                )
+                queries.write_parquet(qpath)
+                import ray as _ray
+
+                queries = _ray.data.read_parquet(qpath)
             qschema = queries.schema().base_schema.names
             mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in qschema]
             maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in qschema]
             from ray.data.aggregate import Max as _Max, Min as _Min
 
-            bounds = queries.aggregate(
+            bounds = queries.select_columns(mins + maxs).aggregate(
                 *[_Min(c, alias_name=f"lo_{c}") for c in mins],
                 *[_Max(c, alias_name=f"hi_{c}") for c in maxs],
             )

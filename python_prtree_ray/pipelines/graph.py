@@ -123,11 +123,22 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 50,
     collect_limit: int = CC_COLLECT_LIMIT,
+    spill_dir: str | None = None,
 ) -> Dataset:
     """(doc_id, cluster_id) for every node in ``pairs``; ``cluster_id``
     is the smallest doc id reachable through the pair graph. Edge lists
     up to ``collect_limit`` rows take the bounded-collect local path;
-    larger graphs run the distributed 2-shuffle rounds."""
+    larger graphs run the distributed 2-shuffle rounds.
+
+    The symmetrized edge list is static across rounds and re-read every
+    round. ``spill_dir=None`` pins it in the object store
+    (``materialize()`` — fastest when it fits; Ray spills to local disk
+    under pressure but the pin survives all rounds). Passing a
+    ``spill_dir`` checkpoints the edges to parquet there instead and
+    re-streams them per round — the shape for edge lists larger than the
+    cluster's aggregate object store. Labels are node-sized (one row per
+    vertex) and always stay object-store-backed. Both paths produce
+    identical labels."""
     tune_context()
     if collect_limit:
         tbl = _collect_pairs(pairs, collect_limit)
@@ -152,7 +163,18 @@ def connected_components(
 
     edges = pairs.map_batches(
         sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
-    ).materialize()
+    )
+    if spill_dir is not None:
+        import os as _os
+        import uuid as _uuid
+
+        import ray
+
+        epath = _os.path.join(spill_dir, f"cc-edges-{_uuid.uuid4().hex[:12]}")
+        edges.write_parquet(epath)
+        edges = ray.data.read_parquet(epath)
+    else:
+        edges = edges.materialize()
     labels = _seed_labels(pairs, id_a, id_b).materialize()
 
     for _round in range(max_rounds):

@@ -306,3 +306,22 @@ def test_subnormal_validation_per_dtype(dtype):
     # the smallest NORMAL value is fine with detection on
     ok = np.array([[np.finfo(dtype).tiny, 0.0, 1.0, 1.0]], dtype=dtype)
     validate_boxes(ok)
+
+
+def test_expand_epsilon_spill_path_matches(ray_session, tmp_path):
+    """With spill_dir set, expand_epsilon checkpoints the query side to
+    parquet (single upstream execution, zero object-store pin) and the
+    widened result set is identical to the re-execution path."""
+    ray = ray_session
+    A = np.array([[0.0, 0.0, 1.0, 1.0]])
+    qs = np.array([[1.5, 0.0, 2.5, 1.0], [1e6, 5.0, 1e6 + 1.0, 6.0]])
+    qids = np.arange(2, dtype=np.int64)
+    plain = RayPRTree(_ds(ray, A, [0], blocks=1), res=2, strict=False)
+    spilly = RayPRTree(
+        _ds(ray, A, [0], blocks=1), res=2, strict=False,
+        spill_dir=str(tmp_path),
+    )
+    want = _pairs(plain, ray, qs, qids, expand_epsilon=True)
+    got = _pairs(spilly, ray, qs, qids, expand_epsilon=True)
+    assert got == want == {(0, 0)}
+    assert list(tmp_path.glob("expand-q-*"))  # the checkpoint landed
