@@ -1390,3 +1390,48 @@ def test_strict_small_to_big_graduation(ray_session, monkeypatch):
         tree.insert_batch(_boxes_ds(ray, boxes[:1], np.array([150]), blocks=1))
     tree.erase([0, 150])
     assert tree.size() == 158
+
+
+def test_lance_dispatch_contract(ray_session, monkeypatch, tmp_path):
+    """VERDICT-r3 #9: execute the read/write .lance branches against a
+    mocked lance integration — dispatch fires exactly for *.lance paths,
+    the column projection and extra kwargs are forwarded verbatim, and
+    the returned object is the integration's Dataset."""
+    ray = ray_session
+    from python_prtree_ray.sources import io as srcio
+
+    calls = []
+    fake_ds = ray.data.from_arrow(
+        pa.table({"a": np.arange(3, dtype=np.int64)})
+    )
+
+    def fake_read_lance(path, columns=None, **kw):
+        calls.append(("read", path, tuple(columns or ()), kw))
+        return fake_ds
+
+    monkeypatch.setattr(srcio, "lance_available", lambda: True)
+    monkeypatch.setattr(
+        ray.data, "read_lance", fake_read_lance, raising=False
+    )
+    out = srcio.read_table(
+        str(tmp_path / "docs.lance"), columns=["doc_id", "spans"],
+        override_num_blocks=7,
+    )
+    assert out is fake_ds
+    assert calls == [(
+        "read", str(tmp_path / "docs.lance"), ("doc_id", "spans"),
+        {"override_num_blocks": 7},
+    )]
+
+    # write dispatch: Dataset.write_lance is invoked for *.lance targets
+    wcalls = []
+    monkeypatch.setattr(
+        type(fake_ds), "write_lance",
+        lambda self, path, **kw: wcalls.append((path, kw)), raising=False,
+    )
+    srcio.write_table(fake_ds, str(tmp_path / "out.lance"), mode="create")
+    assert wcalls == [(str(tmp_path / "out.lance"), {"mode": "create"})]
+    # non-lance targets never touch the lance writer
+    srcio.write_table(fake_ds, str(tmp_path / "out_pq"))
+    assert len(wcalls) == 1
+    assert list((tmp_path / "out_pq").glob("*.parquet"))
