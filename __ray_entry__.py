@@ -161,6 +161,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts + neighbor contributions, one coarse-bucket shuffle
         return tiling.hotspot_cells(tables.points_dataset(sf), res=TILE_RES)
 
+    def q_tile_neighbors(sf):
+        # occupied-cell adjacency (binary-occupancy complement of
+        # hotspot_cells): distinct cells -> <=8 offers each -> count
+        # offers landing on occupied cells; two cell-sized shuffles
+        return tiling.tile_neighbors(tables.points_dataset(sf), res=TILE_RES)
+
+    def q_trajectory_simplify(sf):
+        # per-user Douglas-Peucker track compaction on the integer grid
+        # (exact cross-product deviation test -> parallelism-invariant;
+        # pytest-oracled vs a recursive reference, no SQL twin)
+        from python_prtree_ray.pipelines.trajectory import trajectory_simplify
+
+        return trajectory_simplify(_event_tracks(sf, TRACK_RES), eps=2)
+
     def _event_tracks(sf, res):
         # georeferenced event stream: (user_id, ts, event_id, gx, gy)
         # grid coordinates derived from event_id at resolution `res`
@@ -903,6 +917,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return curation.search_topk(docs, terms=("spark", "join", "window"), k=20)
 
+    def q_search_bm25(sf):
+        # BM25 retrieval (k1=1.5, b=0.75, rational idf — every op is
+        # ordered IEEE arithmetic, so the SQL twin matches the float64
+        # scores bitwise); same fused-partials + pruned-top-k shape
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return curation.search_bm25(docs, terms=("spark", "join", "window"), k=20)
+
     def q_events_enriched_left(sf):
         # LEFT broadcast lookup: unmatched facts kept with NULL carries
         # (filled to -1 so the float-NaN-free oracle compare is exact)
@@ -1450,8 +1476,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "search_topk": q_search_topk,
+        "search_bm25": q_search_bm25,
         "hotspot_cells": q_hotspot_cells,
+        "tile_neighbors": q_tile_neighbors,
         "trajectory_length": q_trajectory_length,
+        "trajectory_simplify": q_trajectory_simplify,
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
         "cell_dwell": q_cell_dwell,
@@ -2378,6 +2407,51 @@ FROM events
             " (ORDER BY score DESC, doc_id) AS rank FROM s WHERE score > 0)"
             " SELECT doc_id, score, rank FROM r WHERE rank <= 20"
         ),
+        # BM25 twin: literal-for-literal the engine expression
+        # (curation.search_bm25) — rational idf ((N-df)+0.5)/(df+0.5),
+        # denom 1.5*(0.25+0.75*(dl/avgdl)), per-term left-assoc sum —
+        # so float64 scores match bitwise
+        "search_bm25": (
+            "WITH t AS (SELECT doc_id,"
+            " regexp_extract_all(lower(text), '[a-z]+') AS toks"
+            " FROM documents),"
+            " d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,"
+            " CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,"
+            " CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,"
+            " CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf2"
+            " FROM t),"
+            " g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,"
+            " CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+            " CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,"
+            " CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,"
+            " CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2"
+            " FROM d),"
+            " s AS (SELECT d.doc_id,"
+            " (((g.n - g.df0) + 0.5) / (g.df0 + 0.5))"
+            "   * ((CAST(tf0 AS DOUBLE) * 2.5) / (CAST(tf0 AS DOUBLE)"
+            "      + (1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / g.avgdl)))))"
+            " + (((g.n - g.df1) + 0.5) / (g.df1 + 0.5))"
+            "   * ((CAST(tf1 AS DOUBLE) * 2.5) / (CAST(tf1 AS DOUBLE)"
+            "      + (1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / g.avgdl)))))"
+            " + (((g.n - g.df2) + 0.5) / (g.df2 + 0.5))"
+            "   * ((CAST(tf2 AS DOUBLE) * 2.5) / (CAST(tf2 AS DOUBLE)"
+            "      + (1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / g.avgdl)))))"
+            " AS score FROM d, g),"
+            " r AS (SELECT doc_id, score, ROW_NUMBER() OVER"
+            " (ORDER BY score DESC, doc_id) AS rank FROM s WHERE score > 0)"
+            " SELECT doc_id, score, rank FROM r WHERE rank <= 20"
+        ),
+        "tile_neighbors": f"""
+WITH p AS ({p_cust}),
+occ AS (SELECT DISTINCT {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell FROM p),
+c AS (SELECT cell, cell // {g} AS cx, cell % {g} AS cy FROM occ),
+off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                              (1,-1),(1,0),(1,1)) AS t(dx, dy))
+SELECT a.cell AS cell, CAST(COUNT(b.cell) AS BIGINT) AS n_neighbors
+FROM c a CROSS JOIN off
+LEFT JOIN c b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+GROUP BY a.cell
+""",
         "hotspot_cells": f"""
 WITH p AS ({p_cust}),
 cnt AS (

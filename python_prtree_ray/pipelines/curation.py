@@ -318,3 +318,118 @@ def search_topk(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return global_topk(scored, k=k, id_col="doc_id", value_col="score")
+
+
+def search_bm25(
+    docs: Dataset,
+    terms: tuple[str, ...] = ("spark", "join", "window"),
+    k: int = 20,
+) -> Dataset:
+    """BM25 retrieval over the corpus for a fixed term set → global
+    top-``k`` ``(doc_id, score, rank)``; ties break on smaller doc_id.
+
+    The scoring function is BM25 with k1=1.5, b=0.75 and the RATIONAL
+    idf ``(N - df + 0.5)/(df + 0.5)`` (no ln — every operation is IEEE
+    +,-,*,/ in a fixed order, so the DuckDB SQL oracle reproduces the
+    float64 scores BITWISE; a transcendental idf would be at the mercy
+    of libm differences). Zero-df terms need no special case: tf is 0
+    wherever df is, so the term contributes exactly +0.0.
+
+    Scale shape (same as :func:`search_topk`): one fused streaming pass
+    emits per-batch partials for df (docs containing each term), total
+    token count and doc count — a metadata-sized driver fold — then a
+    second pass scores batch-locally and ships ≤ k rows per batch into
+    the threshold-pruned ``global_topk`` merge. The corpus text never
+    shuffles.
+    """
+    import ray
+
+    from .merge import global_topk
+
+    K1, B, ONE_MINUS_B, K1P1 = 1.5, 0.75, 0.25, 2.5
+    term_list = list(terms)
+    for t in term_list:
+        if not re.fullmatch(r"[a-z]+", t):
+            raise ValueError(f"search_bm25 terms must match ^[a-z]+$, got {t!r}")
+
+    def _tfs(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(tf[n_terms, n_rows], dl[n_rows]) from the shared tokenizer."""
+        doc_row, codes, dic = doc_token_codes(tbl)
+        n = tbl.num_rows
+        dl = np.zeros(n, dtype=np.int64)
+        if doc_row.size:
+            np.add.at(dl, doc_row, 1)
+        tf = np.zeros((len(term_list), n), dtype=np.int64)
+        if doc_row.size:
+            words = dic.to_numpy(zero_copy_only=False)
+            for i, t in enumerate(term_list):
+                hit = np.flatnonzero(words == t)
+                if hit.size:
+                    np.add.at(tf[i], doc_row[codes == hit[0]], 1)
+        return tf, dl
+
+    def stats_partial(tbl: pa.Table) -> pa.Table:
+        tf, dl = _tfs(tbl)
+        return pa.table(
+            {
+                "df": pa.array((tf > 0).sum(axis=1).astype(np.int64)),
+                "term_idx": np.arange(len(term_list), dtype=np.int64),
+                "sum_dl": pa.array(
+                    np.full(len(term_list), int(dl.sum()), dtype=np.int64)
+                ),
+                "n_docs": pa.array(
+                    np.full(len(term_list), tbl.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                stats_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    df = np.zeros(len(term_list), dtype=np.float64)
+    sum_dl = 0
+    n_docs = 0
+    for t in partials:
+        ti = t.column("term_idx").to_numpy(zero_copy_only=False)
+        df[ti] += t.column("df").to_numpy(zero_copy_only=False)
+        sum_dl += int(t.column("sum_dl")[0].as_py())
+        n_docs += int(t.column("n_docs")[0].as_py())
+    if n_docs == 0:
+        raise ValueError("search_bm25: empty corpus")
+    # expression order mirrored verbatim in the SQL oracle
+    avgdl = np.float64(sum_dl) / np.float64(n_docs)
+    idf = ((np.float64(n_docs) - df) + 0.5) / (df + 0.5)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        tf, dl = _tfs(tbl)
+        denom = K1 * (ONE_MINUS_B + B * (dl.astype(np.float64) / avgdl))
+        sc = np.zeros(tbl.num_rows, dtype=np.float64)
+        for i in range(len(term_list)):  # fixed order == SQL's (s0+s1)+s2
+            tfi = tf[i].astype(np.float64)
+            sc = sc + idf[i] * ((tfi * K1P1) / (tfi + denom))
+        keep = sc > 0
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.float64()),
+            }
+        )
+
+    scored = docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return global_topk(scored, k=k, id_col="doc_id", value_col="score")

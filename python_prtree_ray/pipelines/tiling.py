@@ -266,3 +266,85 @@ def hotspot_cells(points: Dataset, res: int) -> Dataset:
         partials, key_col="cell", value_cols=("n_points", "focal_sum")
     )
     return summed.map_batches(nonempty, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tile_neighbors(points: Dataset, res: int) -> Dataset:
+    """Occupied-cell adjacency statistic: for every OCCUPIED tile, how
+    many of its 8 in-grid neighbors are also occupied —
+    ``(cell, n_neighbors)``, zeros included. The binary-occupancy
+    complement of :func:`hotspot_cells` (which sums point DENSITY over
+    the same neighborhood); this is the join-contiguity / cluster-edge
+    statistic of a tiling pipeline.
+
+    Occupancy is a global property, so a single-pass partial sum would
+    double-count a neighbor seen in two batches. Shape: pass 1 dedups to
+    the distinct occupied cell set (coarse-bucket groupby over int64
+    cells — tile-sized, never point-sized); pass 2 each distinct cell
+    emits one occupancy marker plus ≤8 neighbor offers, and a second
+    cell-bucket groupby counts offers landing on occupied cells. Two
+    metadata-sized shuffles; points themselves never shuffle.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+
+    def batch_cells(tbl: pa.Table) -> pa.Table:
+        px = tbl.column("px").to_numpy(zero_copy_only=False)
+        py = tbl.column("py").to_numpy(zero_copy_only=False)
+        c = np.unique(cell_of_points(px, py, res))
+        return pa.table({"bucket": bucket_of(c, 256), "cell": c})
+
+    def dedup(group: pa.Table) -> pa.Table:
+        c = np.unique(group.column("cell").to_numpy(zero_copy_only=False))
+        return pa.table({"cell": c})
+
+    occupied = (
+        points.map_batches(
+            batch_cells,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cell").to_numpy(zero_copy_only=False)
+        row, nb = neighbor_cells(c, res, ring=1)
+        off = nb[nb != c[row]]  # drop the self cell from each ring
+        cells = np.concatenate([c, off])
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, 256),
+                "cell": cells,
+                "is_occ": np.concatenate(
+                    [np.ones(c.size, np.int8), np.zeros(off.size, np.int8)]
+                ),
+            }
+        )
+
+    def count_occupied(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        occ = group.column("is_occ").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c_s, occ_s = c[order], occ[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(c_s))[0] + 1])
+        counts = np.diff(np.concatenate([starts, [c_s.shape[0]]]))
+        has_marker = np.add.reduceat(occ_s.astype(np.int64), starts) > 0
+        # every occupied source emits exactly one marker, so offers per
+        # group = group size minus its marker
+        n_nb = counts - 1
+        return pa.table(
+            {
+                "cell": c_s[starts][has_marker],
+                "n_neighbors": n_nb[has_marker].astype(np.int64),
+            }
+        )
+
+    return (
+        occupied.map_batches(offers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(count_occupied, batch_format="pyarrow")
+    )

@@ -2177,3 +2177,175 @@ def test_parameter_guards_reject_unsafe_inputs(ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(ValueError, match="duplicate"):
         kmeans_fit(ds, k=3, iters=1)
+
+
+def test_search_bm25_matches_reference(ray_session):
+    # BM25 (k1=1.5, b=0.75, rational idf) vs a slow float reference with
+    # (score desc, id) ties; partitioning-invariant
+    ray = ray_session
+    import re as _re
+
+    from python_prtree_ray.pipelines.curation import search_bm25
+
+    rng = np.random.default_rng(94)
+    vocab = ["spark", "join", "window", "noise", "pad", "x"]
+    texts = [
+        " ".join(vocab[rng.integers(len(vocab))] for _ in range(rng.integers(0, 15)))
+        for _ in range(400)
+    ]
+    terms = ("spark", "window")
+    toks = [_re.findall("[a-z]+", t.lower()) for t in texts]
+    n = float(len(texts))
+    dls = [len(tk) for tk in toks]
+    avgdl = float(sum(dls)) / n
+    df = {t: float(sum(1 for tk in toks if t in tk)) for t in terms}
+    idf = {t: ((n - df[t]) + 0.5) / (df[t] + 0.5) for t in terms}
+    scores = {}
+    for i, tk in enumerate(toks):
+        denom = 1.5 * (0.25 + 0.75 * (float(dls[i]) / avgdl))
+        s = 0.0
+        for t in terms:
+            tf = float(tk.count(t))
+            s = s + idf[t] * ((tf * 2.5) / (tf + denom))
+        if s > 0:
+            scores[i] = s
+    k = 7
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [(i, r + 1) for r, (i, _) in enumerate(ranked)]
+    t = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = search_bm25(ds, terms=terms, k=k).take_all()
+        got = sorted(((r["doc_id"], r["rank"]) for r in out), key=lambda x: x[1])
+        assert got == want
+        by_id = {r["doc_id"]: r["score"] for r in out}
+        for i, _rank in want:
+            assert by_id[i] == pytest.approx(scores[i], rel=1e-12)
+    with pytest.raises(ValueError, match="terms must match"):
+        search_bm25(ray.data.from_arrow(t), terms=("bad regex",))
+
+
+def test_tile_neighbors_matches_set_logic(ray_session):
+    # occupied-cell adjacency vs a brute-force set reference, zeros
+    # included; partitioning-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_neighbors
+
+    rng = np.random.default_rng(72)
+    res = 4
+    g = 1 << res
+    pts = rng.random((500, 2))
+    ids = np.arange(500, dtype=np.int64)
+    ix = np.clip(np.floor(pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip(np.floor(pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    occ = set(map(tuple, np.stack([ix, iy], axis=1).tolist()))
+    want = {}
+    for cx, cy in occ:
+        cnt = sum(
+            1
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (cx + dx, cy + dy) in occ
+        )
+        want[cx * g + cy] = cnt
+    t = pa.table(
+        {"query_id": ids, "px": pts[:, 0], "py": pts[:, 1]}
+    )
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = tile_neighbors(ds, res=res).take_all()
+        got = {r["cell"]: r["n_neighbors"] for r in out}
+        assert got == want
+
+
+def _dp_reference(x, y, eps):
+    # straightforward recursive Douglas-Peucker, same integer deviation
+    # test — the independent oracle for the stack-based engine kernel.
+    # Within one segment the denominator is shared, so the max-deviation
+    # point is simply the max numerator (FIRST max, like np.argmax).
+    n = len(x)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+
+    def rec(i, j):
+        if j <= i + 1:
+            return
+        ax, ay = x[i], y[i]
+        dx, dy = x[j] - ax, y[j] - ay
+        den = dx * dx + dy * dy if (dx, dy) != (0, 0) else 1
+        best, bi = -1, -1
+        for t in range(i + 1, j):
+            px, py = x[t] - ax, y[t] - ay
+            if (dx, dy) == (0, 0):
+                num = px * px + py * py
+            else:
+                cr = px * dy - py * dx
+                num = cr * cr
+            if num > best:
+                best, bi = num, t
+        if best > eps * eps * den:
+            keep[bi] = True
+            rec(i, bi)
+            rec(bi, j)
+
+    rec(0, n - 1)
+    return keep
+
+
+def test_trajectory_simplify_matches_recursive_dp(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import _dp_keep, trajectory_simplify
+
+    rng = np.random.default_rng(73)
+    # kernel-level: stack DP == recursive DP on random walks
+    for _case in range(20):
+        n = int(rng.integers(1, 40))
+        x = np.cumsum(rng.integers(-5, 6, n)).astype(np.int64)
+        y = np.cumsum(rng.integers(-5, 6, n)).astype(np.int64)
+        got = _dp_keep(x, y, eps=2).tolist()
+        assert got == _dp_reference(x.tolist(), y.tolist(), 2), (x, y)
+        # DP guarantee: every dropped point lies within eps of the
+        # simplified polyline's enclosing segment
+        kept = np.flatnonzero(got)
+        for a, b in zip(kept[:-1], kept[1:]):
+            dx, dy = x[b] - x[a], y[b] - y[a]
+            for t in range(a + 1, b):
+                px, py = x[t] - x[a], y[t] - y[a]
+                if dx == 0 and dy == 0:
+                    assert px * px + py * py <= 4
+                else:
+                    cr = px * dy - py * dx
+                    assert cr * cr <= 4 * (dx * dx + dy * dy)
+
+    # pipeline-level: per-track equality + partition invariance
+    n_users, per = 30, 25
+    rows = n_users * per
+    users = np.repeat(np.arange(n_users, dtype=np.int64), per)
+    ts = np.tile(
+        np.datetime64("2024-01-01", "us")
+        + np.arange(per).astype("timedelta64[us]"),
+        n_users,
+    )
+    seq = np.arange(rows, dtype=np.int64)
+    gx = np.concatenate(
+        [np.cumsum(rng.integers(-3, 4, per)) for _ in range(n_users)]
+    ).astype(np.int64)
+    gy = np.concatenate(
+        [np.cumsum(rng.integers(-3, 4, per)) for _ in range(n_users)]
+    ).astype(np.int64)
+    t = pa.table(
+        {"user_id": users, "ts": ts, "event_id": seq, "gx": gx, "gy": gy}
+    )
+    want = set()
+    for u in range(n_users):
+        m = users == u
+        keep = _dp_keep(gx[m], gy[m], eps=2)
+        for s in seq[m][keep]:
+            want.add((u, int(s)))
+    outs = []
+    for blocks in (2, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = trajectory_simplify(ds, eps=2).take_all()
+        outs.append({(r["user_id"], r["event_id"]) for r in out})
+        assert outs[-1] == want
+    assert outs[0] == outs[1]
