@@ -207,6 +207,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return trajectory_length(_event_tracks(sf, TRACK_RES))
 
+    def _event_points(sf):
+        # georeferenced event stream with RAW float coordinates:
+        # (user_id, ts, event_id, px, py)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": tbl.column("ts"),
+                    "event_id": tbl.column("event_id"),
+                    "px": p["px"],
+                    "py": p["py"],
+                }
+            )
+
+        return ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_geofence_events(sf):
+        # per-user zone entry/exit transitions against the broadcast
+        # hexagon set (zone = containing poly or -1); the containment
+        # cross-product expression is shared with pip, so the SQL twin
+        # (LEFT JOIN + LAG) matches bitwise
+        from python_prtree_ray.pipelines.geofence import geofence_events
+
+        return geofence_events(_event_points(sf))
+
+    def q_segment_crossings(sf):
+        # path-conflict join: movement segments of different users that
+        # intersect (exact int64 orientation tests, closed semantics);
+        # teleport-gated (L-inf <= 128 grid units), tile-bucketed with
+        # owner-corner exactly-once emission
+        from python_prtree_ray.pipelines.geofence import segment_crossings
+
+        return segment_crossings(
+            _event_tracks(sf, TRACK_RES), max_move=128, res=TRACK_RES, bucket_res=3
+        )
+
+    def q_trajectory_hull(sf):
+        # per-user convex hull of visited grid points (coverage
+        # footprint): exact integer monotone chain, CCW ring from the
+        # lexicographically smallest vertex; pytest-oracled vs a
+        # gift-wrapping reference, no SQL twin (ring order)
+        from python_prtree_ray.pipelines.trajectory import trajectory_hull
+
+        return trajectory_hull(_event_tracks(sf, TRACK_RES))
+
     def q_od_matrix(sf):
         # origin->destination tile flow matrix over consecutive
         # same-user moves (coarse TILE_RES grid keeps the matrix dense)
@@ -1481,6 +1535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_neighbors": q_tile_neighbors,
         "trajectory_length": q_trajectory_length,
         "trajectory_simplify": q_trajectory_simplify,
+        "trajectory_hull": q_trajectory_hull,
+        "geofence_events": q_geofence_events,
+        "segment_crossings": q_segment_crossings,
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
         "cell_dwell": q_cell_dwell,
@@ -2487,6 +2544,88 @@ d AS (
 SELECT user_id, CAST(COUNT(step) AS BIGINT) AS n_moves,
        CAST(SUM(step) AS BIGINT) AS l1_len
 FROM d GROUP BY user_id HAVING COUNT(step) > 0
+""",
+        # geofence twin: per-event zone via the pip cross-product
+        # expression (bitwise-shared with the engine kernel), MIN(poly_id)
+        # = engine's first-ascending-pid-wins, then LAG over the same
+        # (ts, event_id) entity order; transitions are int comparisons
+        "geofence_events": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+pe AS (SELECT * FROM {derive.polygon_edges_sql()}),
+p AS (
+  SELECT e.user_id, e.ts, e.event_id, q.px, q.py
+  FROM events e JOIN q USING (event_id)
+),
+zin AS (
+  SELECT p.event_id AS event_id, pe.poly_id AS poly_id
+  FROM p, pe
+  GROUP BY p.event_id, pe.poly_id
+  HAVING bool_and((pe.x2 - pe.x1) * (p.py - pe.y1)
+                - (pe.y2 - pe.y1) * (p.px - pe.x1) >= 0.0)
+),
+z AS (
+  SELECT p.user_id, p.ts, p.event_id, COALESCE(zz.zone, -1) AS zone
+  FROM p LEFT JOIN (
+    SELECT event_id, MIN(poly_id) AS zone FROM zin GROUP BY event_id
+  ) zz USING (event_id)
+),
+l AS (
+  SELECT user_id, event_id, zone, LAG(zone) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_zone
+  FROM z
+)
+SELECT user_id, event_id, prev_zone AS from_zone, zone AS to_zone
+FROM l WHERE prev_zone IS NOT NULL AND prev_zone <> zone
+""",
+        # segment-crossing twin: LAG-derived gated segments, self-join on
+        # user_a < user_b + bbox overlap (a no-op prefilter: intersecting
+        # segments always bbox-overlap), exact int64 four-orientation
+        # predicate with collinear-touch cases — literal engine mirror
+        "segment_crossings": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+p AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         {derive.tile_index_sql('q.px', TRACK_RES)} AS gx,
+         {derive.tile_index_sql('q.py', TRACK_RES)} AS gy
+  FROM events e JOIN q USING (event_id)
+),
+s AS (
+  SELECT user_id, gx AS x2, gy AS y2,
+         LAG(gx) OVER w AS x1, LAG(gy) OVER w AS y1,
+         LAG(event_id) OVER w AS seq
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, seq, x1, y1, x2, y2,
+         LEAST(x1, x2) AS lox, GREATEST(x1, x2) AS hix,
+         LEAST(y1, y2) AS loy, GREATEST(y1, y2) AS hiy
+  FROM s
+  WHERE x1 IS NOT NULL AND ABS(x2 - x1) <= 128 AND ABS(y2 - y1) <= 128
+),
+cand AS (
+  SELECT a.user_id AS user_a, a.seq AS seq_a,
+         b.user_id AS user_b, b.seq AS seq_b,
+         (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS o1,
+         (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS o2,
+         (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS o3,
+         (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS o4,
+         (b.x1 >= a.lox AND b.x1 <= a.hix
+          AND b.y1 >= a.loy AND b.y1 <= a.hiy) AS b1_on_a,
+         (b.x2 >= a.lox AND b.x2 <= a.hix
+          AND b.y2 >= a.loy AND b.y2 <= a.hiy) AS b2_on_a,
+         (a.x1 >= b.lox AND a.x1 <= b.hix
+          AND a.y1 >= b.loy AND a.y1 <= b.hiy) AS a1_on_b,
+         (a.x2 >= b.lox AND a.x2 <= b.hix
+          AND a.y2 >= b.loy AND a.y2 <= b.hiy) AS a2_on_b
+  FROM seg a JOIN seg b ON a.user_id < b.user_id
+   AND a.lox <= b.hix AND b.lox <= a.hix
+   AND a.loy <= b.hiy AND b.loy <= a.hiy
+)
+SELECT user_a, seq_a, user_b, seq_b FROM cand
+WHERE (((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+       AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))
+   OR (o1 = 0 AND b1_on_a) OR (o2 = 0 AND b2_on_a)
+   OR (o3 = 0 AND a1_on_b) OR (o4 = 0 AND a2_on_b)
 """,
         "od_matrix": f"""
 WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),

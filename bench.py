@@ -162,11 +162,108 @@ QUERY_SUBSET = (
     "quality_adaptive doc_tfidf_top dedup_survivors knn_4d "
     "session_join funnel_counts pricing_summary spatial_semi spatial_anti "
     "source_dedup_stats ann_classify doc_sample_weighted region_rollup "
-    "doc_repetition decontaminate search_topk "
-    "hotspot_cells trajectory_length kmeans "
+    "doc_repetition decontaminate search_topk search_bm25 "
+    "hotspot_cells tile_neighbors trajectory_length trajectory_simplify "
+    "trajectory_hull geofence_events segment_crossings kmeans "
     "od_matrix cell_dwell event_transitions "
     "nn_pairs grouped_moments value_histogram span_sequence"
 ).split()
+
+
+def _zipf_boxes(n: int, s: float = 1.5, seed: int = 7):
+    """Reference skew workload (benchmarks/cpp/workloads.h:182-221):
+    Zipf(s) rank → spatial position (low ranks concentrate at the
+    origin corner), 0.1 jitter, edges ≤ 0.01 — vectorized inverse-CDF
+    instead of the reference's per-sample linear scan."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = np.arange(1, n + 1, dtype=np.float64)
+    cdf = np.cumsum(k**-s)
+    cdf /= cdf[-1]
+    rank = np.searchsorted(cdf, rng.random(n)) + 1
+    factor = rank / n
+    mins = np.clip(factor[:, None] + rng.random((n, 2)) * 0.1, 0, 1)
+    maxs = np.clip(mins + rng.random((n, 2)) * 0.01, 0, 1)
+    return np.concatenate([mins, maxs], axis=1)
+
+
+def _unif_boxes(n: int, edge: float, seed: int = 8):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mins = rng.random((n, 2))
+    maxs = np.clip(mins + rng.random((n, 2)) * edge, 0, 1)
+    return np.concatenate([mins, maxs], axis=1)
+
+
+def skew_suite(sf_dir: str) -> dict:
+    """Zipf-1.5 hot-cell variants of self_join and spatial_join next to
+    uniform twins — exercises compute_salt_plan / probe-role replication
+    at bench scale, not only in pytest. The uniform self-join twin's
+    edge (0.065) is calibrated so both variants enumerate a similar
+    pair count; the comparison isolates shuffle/partition imbalance,
+    which is what salting addresses. Reports secs AND pairs per
+    variant (cost-per-pair is the fair within-2x check)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from python_prtree_ray.pipelines.spatial_join import self_join, spatial_join
+
+    orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+
+    def ds_of(arr, id_name="idx", blocks=32):
+        n = arr.shape[0]
+        t = pa.table(
+            {
+                id_name: np.arange(n, dtype=np.int64),
+                "xmin": arr[:, 0],
+                "ymin": arr[:, 1],
+                "xmax": arr[:, 2],
+                "ymax": arr[:, 3],
+            }
+        )
+        return ray.data.from_arrow(t).repartition(blocks)
+
+    out: dict[str, dict] = {}
+    n_self = min(25_000, orders)
+    for name, arr in (
+        ("self_join_zipf", _zipf_boxes(n_self)),
+        # edge 0.095 calibrated to the zipf variant's pair count at this n
+        ("self_join_unif", _unif_boxes(n_self, edge=0.095)),
+    ):
+        t0 = time.time()
+        n_pairs = self_join(ds_of(arr), res=6, salt_threshold=512).count()
+        out[name] = {"sec": round(time.time() - t0, 3), "pairs": n_pairs}
+
+    n_big = min(60_000, orders * 4)
+    # probe mix: mostly uniform regions + 100 small regions inside the
+    # zipf hot corner, so the salted cells carry real join work
+    qarr = np.concatenate(
+        [
+            _unif_boxes(900, edge=0.05, seed=9),
+            np.hstack(
+                [
+                    m := np.random.default_rng(10).random((100, 2)) * 0.08,
+                    m + 0.02,
+                ]
+            ),
+        ]
+    )
+    queries = ds_of(qarr, "query_id", blocks=8)
+    for name, arr in (
+        ("spatial_join_zipf", _zipf_boxes(n_big, seed=11)),
+        ("spatial_join_unif", _unif_boxes(n_big, edge=0.01, seed=12)),
+    ):
+        t0 = time.time()
+        n_pairs = spatial_join(
+            ds_of(arr), queries, res=6, broadcast=False, salt_threshold=1024
+        ).count()
+        out[name] = {"sec": round(time.time() - t0, 3), "pairs": n_pairs}
+    return out
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -208,8 +305,10 @@ def main() -> None:
         lv = os.environ.get("GRAFT_SCALE_LEVELS", "4,16")
         lo, hi = (int(x) for x in lv.split(","))
         results: dict[int, dict] = {}
+        per_rep: list[dict[int, float]] = []
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
         for _rep in range(reps):
+            per_rep.append({})
             for n in (lo, hi):
                 env = dict(os.environ)
                 env["RAY_GRAFT_CPUS"] = str(n)
@@ -229,6 +328,7 @@ def main() -> None:
                     )
                     continue
                 r = json.loads(lines[-1])
+                per_rep[-1][n] = r["value"]
                 if n not in results or r["value"] < results[n]["value"]:
                     results[n] = r
         if lo not in results or hi not in results:
@@ -236,6 +336,17 @@ def main() -> None:
         t8 = results[lo]["value"]
         t32 = results[hi]["value"]
         eff = (t8 / t32) / (hi / lo)
+        # the sandbox VM's available CPU drifts 2-3x over minutes;
+        # best-of-N picks each level's best from DIFFERENT windows, which
+        # can skew efficiency either way. Per-rep pairing divides runs
+        # that executed back-to-back (same window), so its median is the
+        # drift-robust headline number; both are reported.
+        import statistics
+
+        pair_effs = [
+            (p[lo] / p[hi]) / (hi / lo) for p in per_rep if lo in p and hi in p
+        ]
+        eff_paired = statistics.median(pair_effs) if pair_effs else None
         print(
             json.dumps(
                 {
@@ -249,6 +360,10 @@ def main() -> None:
                     "docs_per_sec_low": results[lo]["docs_per_sec"],
                     "docs_per_sec_high": results[hi]["docs_per_sec"],
                     "scaling_efficiency": round(eff, 3),
+                    "scaling_efficiency_paired_median": (
+                        round(eff_paired, 3) if eff_paired is not None else None
+                    ),
+                    "pair_efficiencies": [round(x, 3) for x in pair_effs],
                     # identical result checksums at both parallelism levels
                     # == value-level determinism across cluster sizes
                     "deterministic_across_parallelism": (
@@ -264,7 +379,11 @@ def main() -> None:
     import ray
 
     h = headline(sf_dir, num_cpus, mult=int(os.environ.get("GRAFT_HEADLINE_MULT", "1")))
-    queries = {} if "--headline-only" in sys.argv else run_queries(sf_dir)
+    headline_only = "--headline-only" in sys.argv
+    queries = {} if headline_only else run_queries(sf_dir)
+    skew = {} if headline_only else skew_suite(sf_dir)
+    for k, v in skew.items():
+        queries[k] = v["sec"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -281,6 +400,7 @@ def main() -> None:
                 "join_pairs": h["join_pairs"],
                 "tile_checksum": h["tile_checksum"],
                 "pair_checksum": h["pair_checksum"],
+                "skew": skew,
             }
         )
     )

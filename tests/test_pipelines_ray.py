@@ -2349,3 +2349,243 @@ def test_trajectory_simplify_matches_recursive_dp(ray_session):
         outs.append({(r["user_id"], r["event_id"]) for r in out})
         assert outs[-1] == want
     assert outs[0] == outs[1]
+
+
+def test_geofence_events_matches_brute_force(ray_session):
+    # zone transitions vs a per-row loop over the same hexagon set;
+    # partitioning-invariant
+    ray = ray_session
+    from python_prtree_ray.functions import derive, geom
+    from python_prtree_ray.pipelines.geofence import geofence_events
+
+    rng = np.random.default_rng(81)
+    n, n_users = 1200, 20
+    users = rng.integers(0, n_users, n).astype(np.int64)
+    ts = (
+        np.datetime64("2024-03-01", "us")
+        + rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    )
+    seq = np.arange(n, dtype=np.int64)
+    # concentrate points around the polygon band so transitions happen
+    px = rng.random(n) * 0.9
+    py = rng.random(n) * 0.9
+    polys = derive.polygon_arrays()
+
+    def zone_of(x, y):
+        for pid, verts in polys:
+            if geom.point_in_convex_polygon(
+                np.array([x]), np.array([y]), verts
+            )[0]:
+                return pid
+        return -1
+
+    zones = np.array([zone_of(px[i], py[i]) for i in range(n)], dtype=np.int64)
+    want = set()
+    for u in range(n_users):
+        idx = np.flatnonzero(users == u)
+        order = idx[np.lexsort((seq[idx], ts[idx].astype(np.int64)))]
+        for a, b in zip(order[:-1], order[1:]):
+            if zones[a] != zones[b]:
+                want.add((u, int(seq[b]), int(zones[a]), int(zones[b])))
+    assert want  # the fixture must actually exercise transitions
+
+    t = pa.table(
+        {"user_id": users, "ts": ts, "event_id": seq, "px": px, "py": py}
+    )
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = geofence_events(ds).take_all()
+        got = {
+            (r["user_id"], r["event_id"], r["from_zone"], r["to_zone"])
+            for r in out
+        }
+        assert got == want
+
+
+def _seg_intersect_scalar(a, b):
+    # independent closed segment-intersection reference (ints)
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    def on_seg(sx1, sy1, sx2, sy2, px, py):
+        return min(sx1, sx2) <= px <= max(sx1, sx2) and min(sy1, sy2) <= py <= max(
+            sy1, sy2
+        )
+
+    o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    if ((o1 > 0) != (o2 > 0)) and o1 != 0 and o2 != 0 and (
+        (o3 > 0) != (o4 > 0)
+    ) and o3 != 0 and o4 != 0:
+        return True
+    if o1 == 0 and on_seg(ax1, ay1, ax2, ay2, bx1, by1):
+        return True
+    if o2 == 0 and on_seg(ax1, ay1, ax2, ay2, bx2, by2):
+        return True
+    if o3 == 0 and on_seg(bx1, by1, bx2, by2, ax1, ay1):
+        return True
+    if o4 == 0 and on_seg(bx1, by1, bx2, by2, ax2, ay2):
+        return True
+    return False
+
+
+def test_segment_crossings_matches_brute_force(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.geofence import segment_crossings
+
+    rng = np.random.default_rng(82)
+    res, max_move = 7, 16  # 128-grid, tile edge 2^(7-3)=16 == max_move
+    n_users, per = 15, 30
+    n = n_users * per
+    users = np.repeat(np.arange(n_users, dtype=np.int64), per)
+    ts = np.tile(
+        np.datetime64("2024-03-01", "us")
+        + np.arange(per).astype("timedelta64[us]") * 1000,
+        n_users,
+    )
+    seq = np.arange(n, dtype=np.int64)
+    # random walks with occasional teleports (gate exercise)
+    gx = np.zeros(n, dtype=np.int64)
+    gy = np.zeros(n, dtype=np.int64)
+    for u in range(n_users):
+        sl = slice(u * per, (u + 1) * per)
+        sx = rng.integers(-9, 10, per)
+        sy = rng.integers(-9, 10, per)
+        tp = rng.random(per) < 0.1
+        sx[tp] = rng.integers(-80, 81, tp.sum())
+        sy[tp] = rng.integers(-80, 81, tp.sum())
+        gx[sl] = np.clip(np.cumsum(sx) + 64, 0, 127)
+        gy[sl] = np.clip(np.cumsum(sy) + 64, 0, 127)
+
+    # brute force: gated segments, all cross-user pairs
+    segs = []
+    for u in range(n_users):
+        idx = np.flatnonzero(users == u)
+        order = idx[np.lexsort((seq[idx], ts[idx].astype(np.int64)))]
+        for a, b in zip(order[:-1], order[1:]):
+            if (
+                abs(int(gx[b]) - int(gx[a])) <= max_move
+                and abs(int(gy[b]) - int(gy[a])) <= max_move
+            ):
+                segs.append(
+                    (u, int(seq[a]), (int(gx[a]), int(gy[a]), int(gx[b]), int(gy[b])))
+                )
+    want = set()
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            ua, sa, ga = segs[i]
+            ub, sb, gb = segs[j]
+            if ua == ub:
+                continue
+            if _seg_intersect_scalar(ga, gb):
+                if ua > ub:
+                    ua, sa, ub, sb = ub, sb, ua, sa
+                want.add((ua, sa, ub, sb))
+    assert want  # fixture must produce crossings
+
+    t = pa.table(
+        {"user_id": users, "ts": ts, "event_id": seq, "gx": gx, "gy": gy}
+    )
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = segment_crossings(
+            ds, max_move=max_move, res=res, bucket_res=3
+        ).take_all()
+        got = {(r["user_a"], r["seq_a"], r["user_b"], r["seq_b"]) for r in out}
+        assert got == want
+    with pytest.raises(ValueError, match="exceeds the bucket tile"):
+        segment_crossings(ray.data.from_arrow(t), max_move=17, res=7, bucket_res=3)
+
+
+def _hull_gift_wrap(pts):
+    # independent gift-wrapping reference: CCW ring of the minimal hull
+    pts = sorted(set(pts))
+    if len(pts) == 1:
+        return pts
+    if len(pts) == 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    start = min(pts)
+    hull = [start]
+    cur = start
+    while True:
+        cand = None
+        for p in pts:
+            if p == cur:
+                continue
+            if cand is None:
+                cand = p
+                continue
+            c = cross(cur, cand, p)
+            if c < 0 or (
+                c == 0
+                and (abs(p[0] - cur[0]) + abs(p[1] - cur[1]))
+                > (abs(cand[0] - cur[0]) + abs(cand[1] - cur[1]))
+            ):
+                cand = p
+        hull.append(cand)
+        cur = cand
+        if cur == start:
+            break
+    return hull[:-1]
+
+
+def test_trajectory_hull_matches_gift_wrapping(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import _hull_indices, trajectory_hull
+
+    rng = np.random.default_rng(83)
+    # kernel-level, incl. degenerate cases
+    cases = [
+        np.array([[3, 4]]),  # single point
+        np.array([[1, 1], [5, 5], [3, 3], [1, 1]]),  # collinear + dup
+        np.array([[0, 0], [4, 0], [2, 2], [2, 1]]),  # interior point
+    ]
+    for _ in range(25):
+        m = int(rng.integers(1, 40))
+        cases.append(rng.integers(0, 12, (m, 2)).astype(np.int64))
+    for arr in cases:
+        x, y = arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64)
+        h = _hull_indices(x, y)
+        ring = [(int(x[i]), int(y[i])) for i in h]
+        want = _hull_gift_wrap([(int(a), int(b)) for a, b in arr])
+        if len(want) > 2:
+            # same CCW ring from the lexicographically smallest vertex
+            k = want.index(min(want))
+            want = want[k:] + want[:k]
+            assert ring == want, (arr, ring, want)
+        else:
+            assert sorted(ring) == sorted(want), (arr, ring, want)
+
+    # pipeline-level: per-user equality + partition invariance
+    n_users, per = 12, 40
+    users = np.repeat(np.arange(n_users, dtype=np.int64), per)
+    gx = rng.integers(0, 200, n_users * per).astype(np.int64)
+    gy = rng.integers(0, 200, n_users * per).astype(np.int64)
+    ts = np.tile(
+        np.datetime64("2024-03-01", "us")
+        + np.arange(per).astype("timedelta64[us]"),
+        n_users,
+    )
+    seq = np.arange(n_users * per, dtype=np.int64)
+    t = pa.table(
+        {"user_id": users, "ts": ts, "event_id": seq, "gx": gx, "gy": gy}
+    )
+    want_rows = set()
+    for u in range(n_users):
+        m = users == u
+        h = _hull_indices(gx[m], gy[m])
+        for k, i in enumerate(h):
+            want_rows.add((u, k, int(gx[m][i]), int(gy[m][i])))
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = trajectory_hull(ds).take_all()
+        got = {(r["user_id"], r["hull_seq"], r["gx"], r["gy"]) for r in out}
+        assert got == want_rows
