@@ -21,6 +21,7 @@ from python_prtree_ray.functions import derive
 
 RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
+TILE_QRES = 3  # coarser grid for per-tile quantiles (8x8: >=dozens of pts/cell)
 TRACK_RES = 10  # trajectory grid (1024x1024): integer L1 path units
 KNN_K = 5
 ANN_K = 5
@@ -166,6 +167,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hotspot_cells): distinct cells -> <=8 offers each -> count
         # offers landing on occupied cells; two cell-sized shuffles
         return tiling.tile_neighbors(tables.points_dataset(sf), res=TILE_RES)
+
+    def q_tile_topk(sf):
+        # top-k POIs per map tile by derived score: map-side per-cell
+        # prune (k rows per cell per batch), ONE coarse cell shuffle
+        return tiling.tile_topk(tables.points_dataset(sf), res=TILE_RES, k=3)
+
+    def q_tile_quantiles(sf):
+        # exact per-tile R-7 quantiles of the integer point measure;
+        # shuffle bounded by (cell, value) cardinality, not points
+        return tiling.tile_quantiles(
+            tables.points_dataset(sf), res=TILE_QRES
+        )
+
+    def q_idw_grid(sf):
+        # IDW raster interpolation at 16x16 grid nodes from point
+        # measures within radius; int64-quantized weights -> exact,
+        # order-independent distributed sums
+        from python_prtree_ray.pipelines.interpolate import idw_grid
+
+        return idw_grid(tables.points_dataset(sf))
+
+    def q_haversine_join(sf):
+        # great-circle radius join: customers within 400 km of each
+        # supplier; small side broadcast once, latitude-band prefilter
+        # gates the trig
+        from python_prtree_ray.pipelines.geodesic import haversine_join
+
+        return haversine_join(
+            tables.points_dataset(sf),
+            tables.points_dataset(sf, "supplier", "s_suppkey"),
+        )
 
     def q_trajectory_simplify(sf):
         # per-user Douglas-Peucker track compaction on the integer grid
@@ -1452,6 +1484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_points": q_tile_points,
         "tile_cover": q_tile_cover,
         "tile_extent": q_tile_extent,
+        "tile_topk": q_tile_topk,
+        "tile_quantiles": q_tile_quantiles,
+        "idw_grid": q_idw_grid,
+        "haversine_join": q_haversine_join,
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1685,6 +1721,38 @@ FROM hits GROUP BY poly_id
 WITH p AS ({p_cust})
 SELECT query_id, {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell FROM p
 """
+
+    tile_topk_sql = f"""
+WITH p AS ({p_cust}),
+     s AS (SELECT query_id,
+                  {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell,
+                  {derive.point_score_sql('query_id')} AS score
+           FROM p),
+     r AS (SELECT cell, query_id, score,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY cell ORDER BY score DESC, query_id
+                  ) AS rn
+           FROM s)
+SELECT cell, query_id, score, rn AS "rank" FROM r WHERE rn <= 3
+"""
+
+    tile_quantiles_sql = f"""
+WITH p AS ({p_cust}),
+     s AS (SELECT {derive.tile_cell_sql('px', 'py', TILE_QRES)} AS cell,
+                  {derive.point_measure_sql('query_id')} AS v
+           FROM p)
+SELECT cell,
+       quantile_cont(v, 0.5) AS p50,
+       quantile_cont(v, 0.9) AS p90,
+       quantile_cont(v, 0.99) AS p99
+FROM s GROUP BY cell
+"""
+
+    from python_prtree_ray.pipelines.geodesic import haversine_join_sql
+    from python_prtree_ray.pipelines.interpolate import idw_grid_sql
+
+    idw_grid_sql_q = idw_grid_sql(p_cust)
+    haversine_join_sql_q = haversine_join_sql(p_cust, p_supp)
 
     tile_pyramid_sql = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS res,"
@@ -2228,6 +2296,10 @@ WHERE {intersects}
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,
         "tile_extent": tile_extent_sql,
+        "tile_topk": tile_topk_sql,
+        "tile_quantiles": tile_quantiles_sql,
+        "idw_grid": idw_grid_sql_q,
+        "haversine_join": haversine_join_sql_q,
         "tile_pyramid": tile_pyramid_sql,
         "lifecycle_query": lifecycle_sql,
         "dedup_exact": dedup_exact_sql,

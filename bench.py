@@ -166,7 +166,8 @@ QUERY_SUBSET = (
     "hotspot_cells tile_neighbors trajectory_length trajectory_simplify "
     "trajectory_hull geofence_events segment_crossings kmeans "
     "od_matrix cell_dwell event_transitions "
-    "nn_pairs grouped_moments value_histogram span_sequence"
+    "nn_pairs grouped_moments value_histogram span_sequence "
+    "tile_topk tile_quantiles idw_grid haversine_join"
 ).split()
 
 

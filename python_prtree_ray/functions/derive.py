@@ -198,6 +198,28 @@ def points_4d_sql(table: str, key: str, idx_name: str = "query_id") -> str:
   FROM {table}"""
 
 
+def point_score(key: np.ndarray) -> np.ndarray:
+    """Deterministic double score per point key (e.g. POI popularity for
+    per-tile top-k). Matches :func:`point_score_sql`."""
+    return _frac(key, 7)
+
+
+def point_score_sql(key: str) -> str:
+    return _frac_sql(key, 7)
+
+
+def point_measure(key: np.ndarray) -> np.ndarray:
+    """Deterministic int64 measure in [0, 1000) per point key (sensor
+    reading / weight for quantiles, IDW). Matches
+    :func:`point_measure_sql`. Integer so distributed sums are exact and
+    order-independent."""
+    return np.floor(_frac(key, 6) * 1000.0).astype(np.int64)
+
+
+def point_measure_sql(key: str) -> str:
+    return f"CAST(FLOOR({_frac_sql(key, 6)} * 1000.0) AS BIGINT)"
+
+
 # ------------------------------------------------------------------ tiles
 
 

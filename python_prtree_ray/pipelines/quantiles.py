@@ -92,7 +92,7 @@ def int_quantiles(
         if cents.size == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], pa.string()),
+                    key_col: tbl.column(key_col).slice(0, 0).combine_chunks(),
                     "cents": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
                 }
@@ -124,8 +124,8 @@ def int_quantiles(
     )
 
     def merge(group: pa.Table) -> pa.Table:
-        # one group per key — key cardinality is metadata-sized here
-        key = group.column(key_col)[0].as_py()
+        # one group per key — key cardinality is metadata-sized here;
+        # slice (not rebuild) the key cell so any key dtype passes through
         cents = group.column("cents").to_numpy(zero_copy_only=False)
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(cents, kind="stable")
@@ -134,7 +134,7 @@ def int_quantiles(
         vals = c_s[starts]
         counts = np.add.reduceat(n[order], starts)
         ps = _interp_quantiles(vals, counts, qs)
-        cols = {key_col: pa.array([key], pa.string())}
+        cols = {key_col: group.column(key_col).slice(0, 1).combine_chunks()}
         for q, p in zip(qs, ps):
             cols[_q_label(q)] = pa.array([p], pa.float64())
         return pa.table(cols)

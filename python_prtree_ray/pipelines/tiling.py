@@ -348,3 +348,62 @@ def tile_neighbors(points: Dataset, res: int) -> Dataset:
         .groupby("bucket")
         .map_groups(count_occupied, batch_format="pyarrow")
     )
+
+
+def tile_topk(points: Dataset, res: int, k: int = 3) -> Dataset:
+    """(cell, query_id, score, rank): top-k points per tile by score —
+    the "k best POIs per map tile" primitive (reference's per-cell result
+    ranking done tile-local instead of global).
+
+    Scale shape: tile assignment is a stateless map; the per-tile rank
+    reuses :func:`~.merge.grouped_topk`, which prunes every batch to k
+    rows per cell map-side before ONE coarse cell-hash shuffle — raw
+    points never shuffle. SQL twin: ``ROW_NUMBER() OVER (PARTITION BY
+    cell ORDER BY score DESC, query_id) <= k``.
+    """
+    from .merge import grouped_topk
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        qid = st.col_np(tbl, "query_id")
+        cell = derive.tile_cell(
+            st.col_np(tbl, "px"), st.col_np(tbl, "py"), res
+        )
+        return pa.table(
+            {
+                "cell": cell,
+                "query_id": qid,
+                "score": derive.point_score(qid),
+            }
+        )
+
+    scored = points.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_topk(
+        scored, k=k, key_col="cell", id_col="query_id", value_col="score"
+    )
+
+
+def tile_quantiles(points: Dataset, res: int, qs=(0.5, 0.9, 0.99)) -> Dataset:
+    """(cell, p50, p90, p99): exact per-tile R-7 quantiles of the derived
+    integer point measure (per-tile sensor-value distribution — zonal
+    statistics beyond count/extent).
+
+    Scale shape: stateless tile assign, then :func:`~.quantiles.
+    int_quantiles` — per-batch (cell, value) count histograms combine
+    map-side, so the shuffle carries one row per distinct (cell, value)
+    per batch, bounded by measure cardinality (1000), never by points.
+    """
+    from .quantiles import int_quantiles
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        qid = st.col_np(tbl, "query_id")
+        cell = derive.tile_cell(
+            st.col_np(tbl, "px"), st.col_np(tbl, "py"), res
+        )
+        return pa.table({"cell": cell, "v": derive.point_measure(qid)})
+
+    assigned = points.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return int_quantiles(assigned, key_col="cell", int_col="v", qs=qs)

@@ -2589,3 +2589,120 @@ def test_trajectory_hull_matches_gift_wrapping(ray_session):
         out = trajectory_hull(ds).take_all()
         got = {(r["user_id"], r["hull_seq"], r["gx"], r["gy"]) for r in out}
         assert got == want_rows
+
+
+def _point_table(keys: np.ndarray) -> pa.Table:
+    cols = derive.derive_points(keys)
+    return pa.table(
+        {"query_id": pa.array(keys.astype(np.int64)), **cols}
+    )
+
+
+def test_tile_topk_matches_bruteforce(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_topk
+
+    keys = np.arange(1, 1201, dtype=np.int64)
+    out = tile_topk(
+        ray.data.from_arrow(_point_table(keys)).repartition(7), res=4, k=3
+    ).take_all()
+    # brute force: rank per cell by (-score, qid)
+    p = derive.derive_points(keys)
+    cell = derive.tile_cell(p["px"], p["py"], 4)
+    score = derive.point_score(keys)
+    expect = set()
+    for c in np.unique(cell):
+        m = cell == c
+        order = sorted(zip(-score[m], keys[m]))
+        for rank, (negs, qid) in enumerate(order[:3], 1):
+            expect.add((int(c), int(qid), rank))
+    got = {(r["cell"], r["query_id"], r["rank"]) for r in out}
+    assert got == expect
+    for r in out:
+        assert r["score"] == derive.point_score(np.array([r["query_id"]]))[0]
+
+
+def test_tile_quantiles_match_numpy(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_quantiles
+
+    keys = np.arange(1, 2001, dtype=np.int64)
+    out = tile_quantiles(
+        ray.data.from_arrow(_point_table(keys)).repartition(9), res=2
+    ).take_all()
+    p = derive.derive_points(keys)
+    cell = derive.tile_cell(p["px"], p["py"], 2)
+    v = derive.point_measure(keys)
+    assert len(out) == len(np.unique(cell))
+    for r in out:
+        m = v[cell == r["cell"]]
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            assert r[col] == pytest.approx(
+                float(np.quantile(m, q)), abs=1e-12
+            ), (r["cell"], col)
+
+
+def test_idw_grid_exact_vs_bruteforce(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines import interpolate as ip
+
+    keys = np.arange(1, 3001, dtype=np.int64)
+    ds = ray.data.from_arrow(_point_table(keys)).repartition(11)
+    out = {r["node"]: r for r in ip.idw_grid(ds).take_all()}
+    p = derive.derive_points(keys)
+    v = derive.point_measure(keys)
+    g = 1 << ip.GRES
+    r2 = ip.RADIUS * ip.RADIUS
+    n_nodes = 0
+    for i in range(g):
+        for j in range(g):
+            nx, ny = (i + 0.5) / g, (j + 0.5) / g
+            dx = p["px"] - nx
+            dy = p["py"] - ny
+            d2 = dx * dx + dy * dy
+            m = d2 <= r2
+            if not m.any():
+                assert i * g + j not in out
+                continue
+            n_nodes += 1
+            w = np.floor(ip.WSCALE / (ip.EPS + d2[m])).astype(np.int64)
+            row = out[i * g + j]
+            assert row["n"] == int(m.sum())
+            assert row["sum_w"] == int(w.sum())
+            assert row["sum_wv"] == int((w * v[m]).sum())
+            assert row["idw"] == float(int((w * v[m]).sum())) / float(int(w.sum()))
+    assert n_nodes == len(out)
+
+
+def test_haversine_join_matches_bruteforce(ray_session):
+    ray = ray_session
+    import math
+
+    from python_prtree_ray.pipelines import geodesic as geo
+
+    big = np.arange(1, 801, dtype=np.int64)
+    small = np.arange(10_001, 10_041, dtype=np.int64)
+    out = geo.haversine_join(
+        ray.data.from_arrow(_point_table(big)).repartition(5),
+        ray.data.from_arrow(_point_table(small)),
+        max_km=700.0,
+    ).take_all()
+    pb, ps = derive.derive_points(big), derive.derive_points(small)
+    blon, blat = geo._lonlat(pb["px"], pb["py"])
+    slon, slat = geo._lonlat(ps["px"], ps["py"])
+    expect = {}
+    for i, qb in enumerate(big):
+        for j, qs in enumerate(small):
+            a = (
+                math.sin((slat[j] - blat[i]) * geo.RAD * 0.5) ** 2
+                + math.cos(blat[i] * geo.RAD)
+                * math.cos(slat[j] * geo.RAD)
+                * math.sin((slon[j] - blon[i]) * geo.RAD * 0.5) ** 2
+            )
+            d = geo.DIAM_KM * math.asin(math.sqrt(min(a, 1.0)))
+            if d <= 700.0:
+                expect[(int(qb), int(qs))] = d
+    got = {(r["query_id"], r["idx"]): r["dist_km"] for r in out}
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], rel=1e-12)
