@@ -26,6 +26,12 @@ TRACK_RES = 10  # trajectory grid (1024x1024): integer L1 path units
 KNN_K = 5
 ANN_K = 5
 RADIUS = 0.02  # radius_join fixed search radius (unit-square coords)
+DBSCAN_EPS = 0.04
+DBSCAN_MINPTS = 6
+COLOC_RES = 5  # co-location tile resolution (32x32)
+COLOC_MIN_SHARED = 3
+ANN_RANGE_T = 0.25
+STAY_RES = 4  # stay-point grid (16x16)
 
 
 # ------------------------------------------------------------------ entry
@@ -132,6 +138,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.points_dataset(sf), radius=RADIUS, res=5
         )
 
+    def q_dbscan(sf):
+        # exact DBSCAN: eps self-join -> degree -> core flags -> CC over
+        # core-core edges -> border min-label messages; every stage one
+        # coarse node-bucket shuffle
+        from python_prtree_ray.pipelines.graph import dbscan_clusters
+
+        return dbscan_clusters(
+            tables.points_dataset(sf), eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS
+        )
+
     def q_pip(sf):
         return pip.pip_join(tables.points_dataset(sf))
 
@@ -197,6 +213,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return haversine_join(
             tables.points_dataset(sf),
             tables.points_dataset(sf, "supplier", "s_suppkey"),
+        )
+
+    def q_stay_points(sf):
+        # trajectory stay-point mining (anchor-advance windows >= 6h
+        # within grid radius 3 at 16x16 res); exact int sums -> bit-
+        # identical at any parallelism; pytest-oracled, no SQL twin
+        # (anchor recursion is not window-expressible)
+        from python_prtree_ray.pipelines.trajectory import stay_points
+
+        return stay_points(
+            _event_tracks(sf, STAY_RES), r=3, min_dwell_us=21_600_000_000
+        )
+
+    def q_colocation(sf):
+        # co-location contact graph: user pairs sharing >= 3 distinct
+        # tiles; per-batch (user, cell) dedup -> ONE cell-bucket shuffle
+        # with vectorized triangular pair expansion -> pair-key fold
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.movement import colocation_pairs
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+
+        def visits(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "cell": derive.tile_cell(p["px"], p["py"], COLOC_RES),
+                }
+            )
+
+        return colocation_pairs(
+            ev.map_batches(visits, batch_format="pyarrow", zero_copy_batch=True),
+            min_shared=COLOC_MIN_SHARED,
         )
 
     def q_trajectory_simplify(sf):
@@ -414,6 +468,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return text.token_stats(docs)
 
+    def q_pii_scrub(sf):
+        # email/URL redaction report: pure Arrow RE2 count + global
+        # replace, zero shuffle (both sides RE2, semantics identical).
+        # The synthetic corpus carries no PII, so even doc_ids get a
+        # deterministic contact footer (same expression as the oracle)
+        # to exercise both patterns and the replacement-length math.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def enrich(tbl: pa.Table) -> pa.Table:
+            ids = tbl.column("doc_id")
+            ids_s = pc.cast(ids, pa.string())
+            footer = pc.binary_join_element_wise(
+                tbl.column("text"),
+                " reach user",
+                ids_s,
+                "@mail.example or https://docs.example/",
+                ids_s,
+                "",
+            )
+            even = pc.equal(pc.bit_wise_and(ids, 1), 0)
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "text": pc.if_else(even, footer, tbl.column("text")),
+                }
+            )
+
+        return text.pii_scrub(
+            docs.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    def q_doc_lm_freq(sf):
+        # unigram corpus-frequency LM proxy: ONE vocab-sized hash fold +
+        # broadcast, then a map-only searchsorted scoring pass
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return curation.doc_lm_freq(docs)
+
+    def q_doc_chunks(sf):
+        # context-window chunk layout (128-token windows, stride 96):
+        # map-only vectorized explode, chunk metadata only — no text ships
+        import ray
+        from python_prtree_ray.pipelines.packing import doc_chunks
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_chunks(docs)
+
     def q_quality(sf):
         import ray
 
@@ -502,6 +615,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = head.column("vec_id").to_numpy(zero_copy_only=False)
         res = ann.ann_brute_topk(emb, qv, qids, k=ANN_K)
         return res.select_columns(["query_id", "vec_id", "rank"])
+
+    def q_ann_range(sf):
+        # cosine RANGE search (radius twin of ann_topk): broadcast query
+        # matrix, map-only matmul, no merge stage — membership only,
+        # same oracle float-parity contract as embedding_neardup_exact
+        import pyarrow.parquet as pq
+        import ray
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
+        qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+        qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+        return ann.ann_range(emb, qv, qids, threshold=ANN_RANGE_T)
 
     def q_simhash(sf):
         import ray
@@ -1479,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_4d": q_knn_4d,
         "radius_join": q_radius_join,
         "point_clusters": q_point_clusters,
+        "dbscan": q_dbscan,
         "pip": q_pip,
         "zonal_stats": q_zonal_stats,
         "tile_points": q_tile_points,
@@ -1491,10 +1618,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "pii_scrub": q_pii_scrub,
+        "doc_lm_freq": q_doc_lm_freq,
+        "doc_chunks": q_doc_chunks,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
+        "ann_range": q_ann_range,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "token_pieces": q_token_pieces,
@@ -1576,6 +1707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": q_segment_crossings,
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
+        "colocation_pairs": q_colocation,
+        "stay_points": q_stay_points,
         "cell_dwell": q_cell_dwell,
         "event_transitions": q_event_transitions,
         "nn_pairs": q_nn_pairs,
@@ -1693,6 +1826,33 @@ reach(d, n) AS (
 SELECT d AS doc_id, MIN(n) AS cluster_id FROM reach GROUP BY d
 """
 
+    dbscan_sql = f"""
+WITH RECURSIVE p AS ({p_cust}),
+pr AS (SELECT a.query_id AS a, b.query_id AS b
+       FROM p a, p b
+       WHERE a.query_id <> b.query_id AND {dist2} <= {DBSCAN_EPS} * {DBSCAN_EPS}),
+deg AS (SELECT a AS d, COUNT(*) AS n FROM pr GROUP BY a),
+core AS (SELECT d FROM deg WHERE n + 1 >= {DBSCAN_MINPTS}),
+ce AS (SELECT pr.a AS a, pr.b AS b FROM pr
+       WHERE pr.a IN (SELECT d FROM core) AND pr.b IN (SELECT d FROM core)),
+reach(d, n) AS (
+  SELECT d, d FROM core
+  UNION
+  SELECT r.d, ce.b FROM reach r JOIN ce ON ce.a = r.n
+),
+clab AS (SELECT d, MIN(n) AS cid FROM reach GROUP BY d),
+border AS (SELECT pr.a AS d, MIN(clab.cid) AS cid
+           FROM pr JOIN clab ON pr.b = clab.d
+           WHERE pr.a NOT IN (SELECT d FROM core)
+           GROUP BY pr.a),
+noise AS (SELECT DISTINCT a AS d FROM pr
+          WHERE a NOT IN (SELECT d FROM core)
+            AND a NOT IN (SELECT d FROM border))
+SELECT d AS doc_id, cid AS cluster_id, 'core' AS role FROM clab
+UNION ALL SELECT d, cid, 'border' FROM border
+UNION ALL SELECT d, -1, 'noise' FROM noise
+"""
+
     pip_sql = f"""
 WITH p AS ({p_cust}), e AS (SELECT * FROM {derive.polygon_edges_sql()})
 SELECT p.query_id AS query_id, e.poly_id AS poly_id
@@ -1805,6 +1965,61 @@ SELECT doc_id,
        CAST(array_length(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
+"""
+
+    from python_prtree_ray.pipelines.text import EMAIL_RE, URL_RE
+
+    pii_scrub_sql = f"""
+WITH e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example or https://docs.example/'
+                   || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         CAST(array_length(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+         regexp_replace(text, '{URL_RE}', '<URL>', 'g') AS t1
+  FROM e
+)
+SELECT doc_id,
+       CAST(array_length(regexp_extract_all(t1, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       n_urls,
+       CAST(length(regexp_replace(t1, '{EMAIL_RE}', '<EMAIL>', 'g')) AS BIGINT) AS clean_chars
+FROM u
+"""
+
+    doc_lm_freq_sql = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok)
+SELECT t.doc_id AS doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(f.f) AS BIGINT) AS sum_freq,
+       CAST(SUM(f.f) AS DOUBLE) / COUNT(*) AS mean_freq
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+"""
+
+    doc_chunks_sql = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(array_length(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0, (n_tokens - 1) // 96)) AS chunk_id
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
+       LEAST(128, n_tokens - chunk_id * 96) AS n_tok
+FROM c
 """
 
     from python_prtree_ray.pipelines.text import _EN_STOPWORDS, _LANG_MARKERS
@@ -2291,6 +2506,7 @@ WHERE {intersects}
         "knn_4d": knn_4d_sql,
         "radius_join": radius_join_sql,
         "point_clusters": point_clusters_sql,
+        "dbscan": dbscan_sql,
         "pip": pip_sql,
         "zonal_stats": zonal_stats_sql,
         "tile_points": tile_points_sql,
@@ -2305,10 +2521,20 @@ WHERE {intersects}
         "dedup_exact": dedup_exact_sql,
         "token_stats": token_stats_sql,
         "token_pieces": token_pieces_sql,
+        "pii_scrub": pii_scrub_sql,
+        "doc_lm_freq": doc_lm_freq_sql,
+        "doc_chunks": doc_chunks_sql,
         "quality_score": quality_sql,
         "lang_id": lang_id_sql,
         "events_window": events_window_sql,
         "ann_topk": ann_topk_sql,
+        "ann_range": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 10)
+SELECT q.query_id AS query_id, e.vec_id AS vec_id
+FROM q, embeddings e
+WHERE list_cosine_similarity(q.embedding, e.embedding) >= {ANN_RANGE_T}
+""",
         "embedding_neardup_exact": embedding_neardup_exact_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "events_hopping": events_hopping_sql,
@@ -2698,6 +2924,19 @@ WHERE (((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
        AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))
    OR (o1 = 0 AND b1_on_a) OR (o2 = 0 AND b2_on_a)
    OR (o3 = 0 AND a1_on_b) OR (o4 = 0 AND a2_on_b)
+""",
+        "colocation_pairs": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+p AS (
+  SELECT e.user_id AS u,
+         {derive.tile_cell_sql('q.px', 'q.py', COLOC_RES)} AS c
+  FROM events e JOIN q USING (event_id)
+),
+d AS (SELECT DISTINCT u, c FROM p),
+pr AS (SELECT a.u AS user_a, b.u AS user_b
+       FROM d a JOIN d b ON a.c = b.c AND a.u < b.u)
+SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
         "od_matrix": f"""
 WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),

@@ -167,7 +167,9 @@ QUERY_SUBSET = (
     "trajectory_hull geofence_events segment_crossings kmeans "
     "od_matrix cell_dwell event_transitions "
     "nn_pairs grouped_moments value_histogram span_sequence "
-    "tile_topk tile_quantiles idw_grid haversine_join"
+    "tile_topk tile_quantiles idw_grid haversine_join "
+    "dbscan pii_scrub doc_lm_freq doc_chunks colocation_pairs ann_range "
+    "stay_points"
 ).split()
 
 

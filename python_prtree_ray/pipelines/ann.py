@@ -382,3 +382,49 @@ def label_centroid_sums(
         Sum("sum_q", alias_name="sum_q"),
         Sum("n_vecs", alias_name="n_vecs"),
     )
+
+
+def ann_range(
+    embeddings: Dataset,
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """(query_id, vec_id): RANGE search — every corpus vector whose
+    cosine similarity with the query is >= ``threshold`` (the radius
+    twin of :func:`ann_brute_topk`; retrieval recalls "everything this
+    similar", not "the k best"). Self-matches (same id) are kept — a
+    query drawn from the corpus reports itself, as the SQL twin does.
+
+    Scale shape identical to the top-k path: the query matrix
+    broadcasts ONCE via ``ray.put``; the corpus streams through one
+    map-only matmul per batch; qualifying (query, id) pairs are emitted
+    directly — no merge stage at all, since a threshold needs no global
+    ranking."""
+    tune_context()
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
+    thr = float(threshold)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(ref)
+        emb = _emb_matrix(tbl, emb_col)
+        if emb.shape[0] == 0:
+            return pa.table(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    id_col: np.empty(0, np.int64),
+                }
+            )
+        norm = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-30)
+        sims = (emb / norm[:, None]) @ qmat.T  # (n, m)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows, qcols = np.nonzero(sims >= thr)
+        return pa.table({"query_id": qids[qcols], id_col: ids[rows]})
+
+    return embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )

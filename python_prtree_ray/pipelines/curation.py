@@ -433,3 +433,107 @@ def search_bm25(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return global_topk(scored, k=k, id_col="doc_id", value_col="score")
+
+
+def doc_lm_freq(docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, sum_freq, mean_freq): unigram corpus-frequency
+    scoring — the cheap LM-quality proxy (docs whose tokens are all
+    corpus-rare are noise/garble; docs of only stop-words are
+    boilerplate). ``sum_freq`` = sum over the doc's tokens of that
+    token's CORPUS count, exact int64; ``mean_freq`` the per-token mean.
+
+    Two passes. Pass 1 folds per-batch (token-hash, count) partials into
+    the global unigram table (ONE coarse hash-bucket shuffle,
+    vocabulary-sized rows, text never shuffles) and broadcasts it sorted
+    via ``ray.put``. Pass 2 is map-only: searchsorted lookup + per-doc
+    reduceat. Tokens are compared as 63-bit string hashes (same design
+    and collision bound as :func:`decontaminate`); docs with zero
+    ``[a-z]+`` tokens are absent (matches the SQL twin's inner join).
+
+    100-TB note: the broadcast is vocabulary-sized. Web-scale corpora
+    with unbounded hapax tails should prune counts < k in pass 1 (rare
+    tokens then score 0 via the lookup default) or swap in a count-min
+    sketch; both keep pass 2 unchanged.
+    """
+    import ray
+
+    from .merge import bucketed_sum
+    from .text import hash_str_array
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        doc_row, codes, dic = doc_token_codes(tbl)
+        if doc_row.size == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # dictionary-coded: count codes, then emit one row per DISTINCT
+        # word per batch with its string hash
+        cnt = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        used = cnt > 0
+        return pa.table(
+            {
+                "h": pa.array(hash_str_array(dic)[used]),
+                "n": pa.array(cnt[used]),
+            }
+        )
+
+    vocab = bucketed_sum(
+        docs.map_batches(
+            count_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="h",
+        value_cols=("n",),
+    )
+    parts = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    if parts:
+        vt = pa.concat_tables(parts)
+        h = vt.column("h").to_numpy(zero_copy_only=False)
+        n = vt.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        vocab_ref = ray.put((h[order], n[order]))
+    else:
+        vocab_ref = ray.put(
+            (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "sum_freq": pa.array([], pa.int64()),
+                "mean_freq": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        doc_row, codes, dic = doc_token_codes(tbl)
+        if doc_row.size == 0:
+            return empty
+        vh, vn = ray.get(vocab_ref)
+        freq = vn[np.searchsorted(vh, hash_str_array(dic)[codes])]
+        d_keys, d_starts, d_counts = _segment_reduce(doc_row)
+        sum_f = np.add.reduceat(freq, d_starts)
+        n_tok = d_counts.astype(np.int64)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d_keys], pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "sum_freq": pa.array(sum_f),
+                "mean_freq": pa.array(
+                    sum_f.astype(np.float64) / n_tok.astype(np.float64)
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

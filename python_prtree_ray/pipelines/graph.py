@@ -335,3 +335,333 @@ def dedup_survivors(
     return hash_equi_join(
         docs, drop, on=id_col, left_cols=carry_cols, how="anti"
     )
+
+
+# ------------------------------------------------------------------ DBSCAN
+
+
+def _batch_node_counts(tbl: pa.Table, col: str) -> pa.Table:
+    """Per-batch (node, n) count partials — combiner for bucketed_sum."""
+    a = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if a.size == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    s = np.sort(a)
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    return pa.table(
+        {
+            "node": pa.array(s[starts]),
+            "n": pa.array(np.diff(np.r_[starts, s.shape[0]]).astype(np.int64)),
+        }
+    )
+
+
+def _bucket_lookup(
+    items: Dataset,
+    key_col: str,
+    members: Dataset,
+    member_col: str,
+    value_col: str | None,
+    out_col: str,
+    default: int,
+    payload: dict[str, pa.DataType] | None = None,
+) -> Dataset:
+    """In-bucket hash lookup (the CC message-pass join shape): append
+    ``out_col`` to ``items`` = the member's ``value_col`` where
+    ``items.key_col`` matches ``members.member_col``, else ``default``.
+    With ``value_col=None`` this is a semi-join FLAG (1/0). ONE coarse
+    key-bucket shuffle; vectorized searchsorted inside each bucket.
+    ``payload`` names the non-key item columns (with Arrow types) to
+    carry through — passed explicitly so the LAZY pipeline never needs a
+    schema() probe (which would execute the upstream graph early)."""
+    i_types = dict(payload or {})
+    payload = list(i_types)
+
+    def tag_items(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"kb": pa.array(bucket_of(k, N_BUCKETS)), "_k": pa.array(k)}
+        for n in payload:
+            cols[f"p_{n}"] = tbl.column(n)
+        cols["_v"] = pa.array(np.full(k.shape[0], default, np.int64))
+        cols["_m"] = pa.array(np.zeros(k.shape[0], np.int8))
+        return pa.table(cols)
+
+    def tag_members(tbl: pa.Table) -> pa.Table:
+        k = (
+            tbl.column(member_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = (
+            tbl.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if value_col is not None
+            else np.ones(k.shape[0], np.int64)
+        )
+        cols = {"kb": pa.array(bucket_of(k, N_BUCKETS)), "_k": pa.array(k)}
+        for n in payload:
+            cols[f"p_{n}"] = pa.nulls(k.shape[0], i_types[n])
+        cols["_v"] = pa.array(v)
+        cols["_m"] = pa.array(np.ones(k.shape[0], np.int8))
+        return pa.table(cols)
+
+    unioned = items.map_batches(
+        tag_items, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        members.map_batches(
+            tag_members, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        m = group.column("_m").to_numpy(zero_copy_only=False)
+        k = group.column("_k").to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        is_m = m == 1
+        mk, mv = k[is_m], v[is_m]
+        order = np.argsort(mk, kind="stable")
+        mk_s, mv_s = mk[order], mv[order]
+        it = np.flatnonzero(~is_m)
+        out = np.full(it.shape[0], default, np.int64)
+        if mk_s.size:
+            pos = np.searchsorted(mk_s, k[it])
+            pos_c = np.minimum(pos, mk_s.size - 1)
+            hit = mk_s[pos_c] == k[it]
+            out[hit] = mv_s[pos_c[hit]]
+        sel = pa.array(it)
+        cols = {key_col: pa.array(k[it])}
+        for n in payload:
+            cols[n] = group.column(f"p_{n}").take(sel)
+        cols[out_col] = pa.array(out)
+        return pa.table(cols)
+
+    return unioned.groupby("kb").map_groups(resolve, batch_format="pyarrow")
+
+
+def dbscan_clusters(
+    points: Dataset,
+    eps: float,
+    min_pts: int,
+    res: int = 5,
+) -> Dataset:
+    """Exact DBSCAN over 2D points: ``(doc_id, cluster_id, role)`` with
+    role in {core, border, noise}. A point is CORE when its closed
+    eps-ball holds >= ``min_pts`` points (itself included); clusters are
+    connected components of core-core eps-edges; a non-core point within
+    eps of a core is a BORDER of the smallest such cluster id
+    (deterministic tie-break — classic DBSCAN leaves this
+    order-dependent); remaining pair-graph members are NOISE. Points
+    with NO neighbor within eps never enter the pair graph and are
+    implicit noise (same contract as :func:`point_clusters` singletons).
+
+    Scale shape: the eps self-join reuses :func:`..knn.radius_join`
+    (broadcast or cell-shuffle path); degree, core flags, border
+    messages, and role resolution are each ONE coarse node-bucket
+    shuffle (``_bucket_lookup`` / ``bucketed_sum``); the component pass
+    is the O(log diameter)-round label propagation above. Nothing
+    data-sized touches the driver.
+    """
+    from .knn import radius_join
+    from .merge import bucketed_sum
+
+    def as_boxes(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "idx": tbl.column("query_id"),
+                "xmin": tbl.column("px"),
+                "ymin": tbl.column("py"),
+                "xmax": tbl.column("px"),
+                "ymax": tbl.column("py"),
+            }
+        )
+
+    def directed(tbl: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(tbl.column("query_id"), tbl.column("idx")))
+        t = tbl.filter(keep)
+        return pa.table({"a": t.column("query_id"), "b": t.column("idx")})
+
+    boxes = points.map_batches(
+        as_boxes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = radius_join(boxes, points, radius=eps, res=res).map_batches(
+        directed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = pairs.materialize()  # reused 4x below; edge-list sized
+
+    # degree (neighbors excluding self) -> core node set
+    deg = bucketed_sum(
+        pairs.map_batches(
+            lambda t: _batch_node_counts(t, "a"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="node",
+        value_cols=("n",),
+    )
+    thr = int(min_pts)
+
+    def core_only(tbl: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.add(tbl.column("n"), 1), thr)
+        return tbl.filter(keep).select(["node"])
+
+    # node-sized and read by three lookups below — pin once
+    core = deg.map_batches(
+        core_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # tag both endpoints with core flags (two bucket lookups)
+    tagged = _bucket_lookup(
+        _bucket_lookup(
+            pairs, "b", core, "node", None, "b_core", 0,
+            payload={"a": pa.int64()},
+        ),
+        "a",
+        core,
+        "node",
+        None,
+        "a_core",
+        0,
+        payload={"b": pa.int64(), "b_core": pa.int64()},
+    ).materialize()
+
+    # components over core-core edges; singleton cores label themselves
+    def both_core(tbl: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(tbl.column("a_core"), 1), pc.equal(tbl.column("b_core"), 1)
+        )
+        return tbl.filter(keep).select(["a", "b"])
+
+    core_edges = tagged.map_batches(
+        both_core, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cc = connected_components(core_edges, id_a="a", id_b="b")
+    core_labels = _bucket_lookup(
+        core, "node", cc, "doc_id", "cluster_id", "cid", -1, payload={}
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "cid": pa.array(
+                    np.where(
+                        t.column("cid").to_numpy(zero_copy_only=False) == -1,
+                        t.column("node").to_numpy(zero_copy_only=False),
+                        t.column("cid").to_numpy(zero_copy_only=False),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # border: non-core -> min cluster id among core neighbors
+    def border_cand(tbl: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(tbl.column("a_core"), 0), pc.equal(tbl.column("b_core"), 1)
+        )
+        return tbl.filter(keep).select(["a", "b"])
+
+    cand = tagged.map_batches(
+        border_cand, batch_format="pyarrow", zero_copy_batch=True
+    )
+    msgs = _bucket_lookup(
+        cand, "b", core_labels, "node", "cid", "cid", -1,
+        payload={"a": pa.int64()},
+    )
+
+    def min_combine(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        c = tbl.column("cid").to_numpy(zero_copy_only=False)
+        if a.size == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "cid": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((c, a))
+        a_s, c_s = a[order], c[order]
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        return pa.table(
+            {"node": pa.array(a_s[starts]), "cid": pa.array(c_s[starts])}
+        )
+
+    border = bucketed_sum(
+        msgs.map_batches(
+            min_combine,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="node",
+        value_cols=("cid",),
+        reduce="min",
+    )
+
+    # noise: non-core with no core neighbor (per-node max of flags)
+    def flag_combine(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        ac = tbl.column("a_core").to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = tbl.column("b_core").to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.size == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "a_core": pa.array([], pa.int64()),
+                    "b_core": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(a, kind="stable")
+        a_s = a[order]
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(a_s[starts]),
+                "a_core": pa.array(np.maximum.reduceat(ac[order], starts)),
+                "b_core": pa.array(np.maximum.reduceat(bc[order], starts)),
+            }
+        )
+
+    flags = bucketed_sum(
+        tagged.map_batches(
+            flag_combine,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="node",
+        value_cols=("a_core", "b_core"),
+        reduce="max",
+    )
+
+    def noise_only(tbl: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(tbl.column("a_core"), 0), pc.equal(tbl.column("b_core"), 0)
+        )
+        t = tbl.filter(keep)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "cid": pa.array(np.full(t.num_rows, -1, np.int64)),
+            }
+        )
+
+    noise = flags.map_batches(
+        noise_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def with_role(role: str):
+        def add(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": tbl.column("node"),
+                    "cluster_id": tbl.column("cid"),
+                    "role": pa.array([role] * tbl.num_rows, pa.string()),
+                }
+            )
+
+        return add
+
+    return (
+        core_labels.map_batches(with_role("core"), batch_format="pyarrow")
+        .union(border.map_batches(with_role("border"), batch_format="pyarrow"))
+        .union(noise.map_batches(with_role("noise"), batch_format="pyarrow"))
+    )

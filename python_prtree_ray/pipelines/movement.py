@@ -275,3 +275,127 @@ def event_transitions(
         )
 
     return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def colocation_pairs(
+    visits: Dataset,
+    user_col: str = "user_id",
+    cell_col: str = "cell",
+    min_shared: int = 2,
+    n_buckets: int = 256,
+) -> Dataset:
+    """(user_a, user_b, n_shared): user pairs co-located in at least
+    ``min_shared`` DISTINCT tiles — the contact/co-travel graph op.
+    ``user_a < user_b``; ``n_shared`` counts distinct shared cells.
+
+    Scale shape: per-batch (user, cell) dedup, then ONE cell-bucket
+    shuffle (a cell's visitors land together) where each bucket dedups
+    globally and enumerates within-cell pairs with a vectorized
+    triangular expansion — no per-cell Python. Pair counts fold through
+    the coarse pair-key ``bucketed_sum``. Hot cells fan out
+    quadratically (inherent to the operator — the SQL is the same
+    self-join); production corpora gate them the way ``dedup.py`` caps
+    LSH buckets: drop/log cells whose visitor count exceeds a cap,
+    since a cell the whole population visits carries no co-location
+    signal. No cap is wired here so the oracle equality stays exact.
+
+    User ids must fit 31 bits (pair packing: ``a << 31 | b``); violated
+    loudly via assert.
+    """
+    from .merge import bucketed_sum
+
+    tune_context()
+
+    def local_dedup(tbl: pa.Table) -> pa.Table:
+        u = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if u.size == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "cb": pa.array([], pa.int64()),
+                }
+            )
+        assert int(u.max()) < (1 << 31), "user ids must fit 31 bits"
+        order = np.lexsort((u, c))
+        cu, cc = u[order], c[order]
+        keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])]
+        cu, cc = cu[keep], cc[keep]
+        return pa.table(
+            {
+                "u": pa.array(cu),
+                "c": pa.array(cc),
+                "cb": pa.array(bucket_of(cc, n_buckets)),
+            }
+        )
+
+    deduped = visits.map_batches(
+        local_dedup,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if u.size == 0:
+            return empty
+        # global dedup inside the bucket (all copies of a cell are here)
+        order = np.lexsort((u, c))
+        cu, cc = u[order], c[order]
+        keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])]
+        cu, cc = cu[keep], cc[keep]
+        # per-cell triangular pair expansion, fully vectorized:
+        # row with local rank r in a cell of size n is 'a' of (n-1-r) pairs
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        sizes = np.diff(np.r_[starts, cc.shape[0]])
+        loc = np.arange(cc.shape[0]) - np.repeat(starts, sizes)
+        rep = np.repeat(sizes, sizes) - 1 - loc
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(cc.shape[0]), rep)
+        csum = np.cumsum(rep)
+        off = np.arange(total) - np.repeat(csum - rep, rep)
+        b_idx = a_idx + 1 + off
+        ua, ub = cu[a_idx], cu[b_idx]
+        lo, hi = np.minimum(ua, ub), np.maximum(ua, ub)
+        pair = (lo << np.int64(31)) | hi
+        # combine within the bucket: one row per (pair) with its count
+        pair.sort()
+        ps = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]])
+        return pa.table(
+            {
+                "pair": pa.array(pair[ps]),
+                "n": pa.array(np.diff(np.r_[ps, pair.shape[0]]).astype(np.int64)),
+            }
+        )
+
+    pair_partials = deduped.groupby("cb").map_groups(
+        cell_pairs, batch_format="pyarrow"
+    )
+    summed = bucketed_sum(pair_partials, key_col="pair", value_cols=("n",))
+
+    thr = int(min_shared)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("pair").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        keep = n >= thr
+        p, n = p[keep], n[keep]
+        return pa.table(
+            {
+                "user_a": pa.array(p >> np.int64(31)),
+                "user_b": pa.array(p & np.int64((1 << 31) - 1)),
+                "n_shared": pa.array(n),
+            }
+        )
+
+    return summed.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

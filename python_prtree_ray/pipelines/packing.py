@@ -113,3 +113,59 @@ def pack_documents(
         )
 
     return counted.groupby("b").map_groups(pack_bucket, batch_format="pyarrow")
+
+
+def doc_chunks(
+    docs: Dataset, chunk: int = 128, stride: int = 96
+) -> Dataset:
+    """(doc_id, chunk_id, start_tok, n_tok): fixed-window training-chunk
+    layout with overlap — the "split long documents into model-context
+    windows" step. Chunks start at 0, stride, 2*stride, ... while the
+    start is inside the doc; the last chunk is truncated to the doc end.
+    Docs with zero tokens produce no chunks.
+
+    ZERO shuffle, map-only: token counts are batch-local (the repo-wide
+    whitespace tokenizer, same as token_stats) and the chunk explosion
+    is a vectorized repeat/arange — no per-doc Python. Output rows are
+    chunk METADATA (ids + offsets), so downstream materialization can
+    slice text lazily; the explode never ships text.
+    """
+    if chunk <= 0 or stride <= 0:
+        raise ValueError(f"chunk and stride must be positive, got {chunk}, {stride}")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(text, r"\s+")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = n_tok > 0
+        ids, n_tok = ids[keep], n_tok[keep]
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "start_tok": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                }
+            )
+        n_chunks = (n_tok - 1) // stride + 1
+        doc_rep = np.repeat(np.arange(ids.size, dtype=np.int64), n_chunks)
+        # chunk_id within each doc: global arange minus each doc's offset
+        offs = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cid = np.arange(doc_rep.size, dtype=np.int64) - offs[doc_rep]
+        start = cid * stride
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep]),
+                "chunk_id": pa.array(cid),
+                "start_tok": pa.array(start),
+                "n_tok": pa.array(
+                    np.minimum(chunk, n_tok[doc_rep] - start)
+                ),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

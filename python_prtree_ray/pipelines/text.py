@@ -622,3 +622,39 @@ def doc_tfidf_top(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(top_word, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII / markup scrubbing patterns — intentionally RE2-simple so Arrow's
+# RE2 and DuckDB's RE2 match identically (same engine, same semantics)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^ \t\n]+"
+
+
+def pii_scrub(docs: Dataset) -> Dataset:
+    """(doc_id, n_emails, n_urls, clean_chars): PII/link scrub report —
+    the redaction pass a training-data pipeline runs before tokenizing.
+    URLs are redacted first (emails can appear inside URL userinfo),
+    then emails; ``clean_chars`` is the post-redaction length.
+
+    Pure Arrow RE2 kernels (count + global replace), zero shuffle, text
+    never leaves the batch. The SQL twin uses DuckDB's RE2 with the
+    same patterns, so counts and replacement spans agree exactly."""
+
+    def scrub(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        n_urls = pc.cast(pc.count_substring_regex(text, URL_RE), pa.int64())
+        t = pc.replace_substring_regex(text, URL_RE, "<URL>")
+        # emails counted AFTER URL redaction (an address inside a URL is
+        # part of the URL, not a standalone email) — mirrors the oracle
+        n_emails = pc.cast(pc.count_substring_regex(t, EMAIL_RE), pa.int64())
+        t = pc.replace_substring_regex(t, EMAIL_RE, "<EMAIL>")
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_emails": n_emails,
+                "n_urls": n_urls,
+                "clean_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

@@ -325,3 +325,121 @@ def trajectory_hull(
         bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def stay_points_ref(
+    ts: np.ndarray,
+    gx: np.ndarray,
+    gy: np.ndarray,
+    r: int,
+    min_dwell_us: int,
+) -> list[tuple[int, int, int, int, int]]:
+    """Reference stay-point scan for ONE time-ordered track (the classic
+    anchor-advance detection of Li/Zheng et al., "Mining user similarity
+    based on location history", GIS'08): grow a window from anchor i
+    while every point stays within squared-int distance r^2 of the
+    ANCHOR; if the window spans >= min_dwell_us, it is a stay. Exact
+    integer arithmetic throughout. Returns
+    ``(t_start, t_end, n_pts, sum_gx, sum_gy)`` tuples."""
+    out = []
+    n = ts.shape[0]
+    i = 0
+    r2 = int(r) * int(r)
+    while i < n:
+        dx = gx[i + 1 :] - gx[i]
+        dy = gy[i + 1 :] - gy[i]
+        far = (dx * dx + dy * dy) > r2
+        j = int(np.argmax(far)) + i + 1 if far.any() else n
+        if ts[j - 1] - ts[i] >= min_dwell_us:
+            out.append(
+                (
+                    int(ts[i]),
+                    int(ts[j - 1]),
+                    j - i,
+                    int(gx[i:j].sum()),
+                    int(gy[i:j].sum()),
+                )
+            )
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def stay_points(
+    tracks: Dataset,
+    r: int = 8,
+    min_dwell_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-entity stay points: maximal anchor windows where the track
+    stays within grid radius ``r`` of the window's first point for at
+    least ``min_dwell_us``. Output ``(key, t_start, t_end, n_pts,
+    sum_gx, sum_gy)`` — centroid sums exact int64 (caller divides), so
+    results are bit-identical at any parallelism.
+
+    Scale shape: the same ONE fixed-width entity-bucket shuffle as
+    ``trajectory_length``; inside each bucket the anchor scan runs per
+    track. The scan is inherently sequential in its anchor variable
+    (same complexity class as the Douglas-Peucker fold above): each
+    anchor advance does one vectorized distance sweep over the remaining
+    window, O(track length) sweeps worst case — bounded by per-entity
+    track length, never corpus size. No SQL twin (anchor recursion is
+    not window-expressible); pytest-exact vs :func:`stay_points_ref`
+    composed per track.
+    """
+    tune_context()
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column("bucket", pa.array(bucket_of(k, n_buckets)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        key = group.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column(seq_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = group.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = group.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            key_col: [],
+            "t_start": [],
+            "t_end": [],
+            "n_pts": [],
+            "sum_gx": [],
+            "sum_gy": [],
+        }
+        if key.size:
+            order = np.lexsort((seq, ts, key))
+            k_s, ts_s = key[order], ts[order]
+            gx_s, gy_s = gx[order], gy[order]
+            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+            ends = np.r_[starts[1:], k_s.size]
+            for s, e in zip(starts, ends):
+                for t0, t1, np_, sx, sy in stay_points_ref(
+                    ts_s[s:e], gx_s[s:e], gy_s[s:e], r, min_dwell_us
+                ):
+                    cols[key_col].append(int(k_s[s]))
+                    cols["t_start"].append(t0)
+                    cols["t_end"].append(t1)
+                    cols["n_pts"].append(np_)
+                    cols["sum_gx"].append(sx)
+                    cols["sum_gy"].append(sy)
+        return pa.table(
+            {c: pa.array(v, pa.int64()) for c, v in cols.items()}
+        )
+
+    keyed = tracks.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")

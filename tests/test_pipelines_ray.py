@@ -2706,3 +2706,262 @@ def test_haversine_join_matches_bruteforce(ray_session):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == pytest.approx(expect[k], rel=1e-12)
+
+
+def test_dbscan_matches_bruteforce(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.graph import dbscan_clusters
+
+    keys = np.arange(1, 601, dtype=np.int64)
+    eps, min_pts = 0.05, 5
+    out = dbscan_clusters(
+        ray.data.from_arrow(_point_table(keys)).repartition(6),
+        eps=eps,
+        min_pts=min_pts,
+    ).take_all()
+
+    p = derive.derive_points(keys)
+    px, py = p["px"], p["py"]
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    d2 = dx * dx + dy * dy
+    nb = (d2 <= eps * eps) & ~np.eye(keys.size, dtype=bool)
+    deg = nb.sum(axis=1)
+    in_graph = deg > 0
+    core = (deg + 1) >= min_pts
+    # CC over core-core edges (brute-force BFS)
+    label = {int(keys[i]): None for i in np.flatnonzero(core)}
+    for i in np.flatnonzero(core):
+        if label[int(keys[i])] is not None:
+            continue
+        comp, stack = [], [i]
+        seen = {i}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.flatnonzero(nb[u] & core):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        cid = int(keys[min(comp)])
+        for u in comp:
+            label[int(keys[u])] = cid
+    expect = {}
+    for i in np.flatnonzero(in_graph):
+        k = int(keys[i])
+        if core[i]:
+            expect[k] = (label[k], "core")
+        else:
+            core_nb = np.flatnonzero(nb[i] & core)
+            if core_nb.size:
+                expect[k] = (
+                    min(label[int(keys[j])] for j in core_nb),
+                    "border",
+                )
+            else:
+                expect[k] = (-1, "noise")
+    got = {r["doc_id"]: (r["cluster_id"], r["role"]) for r in out}
+    assert got == expect
+    roles = {v[1] for v in expect.values()}
+    assert roles == {"core", "border", "noise"}, "workload must exercise all roles"
+
+
+def test_doc_chunks_layout(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.packing import doc_chunks
+
+    texts = ["w " * n for n in [1, 95, 96, 97, 128, 129, 400]]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = doc_chunks(ray.data.from_arrow(t), chunk=128, stride=96).take_all()
+    import pyarrow.compute as pc
+
+    n_tok = [
+        len(s.split(" ")) for s in texts
+    ]  # trailing "" token matches the \s+ split semantics? verify below
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_tok"])
+        )
+    for d, chunks in got.items():
+        chunks.sort()
+        n = pc.list_value_length(
+            pc.split_pattern_regex(pa.array([texts[d]]), r"\s+")
+        )[0].as_py()
+        assert len(chunks) == (n - 1) // 96 + 1
+        for cid, start, ntk in chunks:
+            assert start == cid * 96
+            assert ntk == min(128, n - start) and ntk > 0
+        # full coverage: last chunk reaches the doc end
+        assert chunks[-1][1] + chunks[-1][2] == n
+
+
+def test_doc_lm_freq_matches_counter(ray_session):
+    ray = ray_session
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.curation import doc_lm_freq
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat",
+        "zebra!!",
+        "0123 456",  # no [a-z]+ tokens -> absent from output
+        "cat cat cat",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = {r["doc_id"]: r for r in doc_lm_freq(
+        ray.data.from_arrow(t).repartition(3)
+    ).take_all()}
+    import re as _re
+
+    corpus = Counter()
+    doc_toks = []
+    for s in texts:
+        toks = _re.findall(r"[a-z]+", s.lower())
+        doc_toks.append(toks)
+        corpus.update(toks)
+    for d, toks in enumerate(doc_toks):
+        if not toks:
+            assert d not in out
+            continue
+        sum_f = sum(corpus[w] for w in toks)
+        assert out[d]["n_tokens"] == len(toks)
+        assert out[d]["sum_freq"] == sum_f
+        assert out[d]["mean_freq"] == sum_f / len(toks)
+
+
+def test_pii_scrub_counts_and_lengths(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.text import pii_scrub
+
+    texts = [
+        "mail me at a.b+c@foo-bar.org today",
+        "see https://x.io/a?b=c#d and http://y.z/e f@g.hh",
+        "no pii here",
+        "u@v.ww u@v.ww https://a.b/c",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(ray.data.from_arrow(t)).take_all()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_urls"] == 0
+    assert out[1]["n_urls"] == 2 and out[1]["n_emails"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_urls"] == 0
+    assert out[2]["clean_chars"] == len("no pii here")
+    assert out[3]["n_emails"] == 2 and out[3]["n_urls"] == 1
+    assert out[3]["clean_chars"] == len("<EMAIL> <EMAIL> <URL>")
+
+
+def test_colocation_pairs_matches_bruteforce(ray_session):
+    ray = ray_session
+    from collections import defaultdict
+
+    from python_prtree_ray.pipelines.movement import colocation_pairs
+
+    rng = np.random.default_rng(33)
+    n = 4000
+    users = rng.integers(1, 60, n).astype(np.int64)
+    cells = rng.integers(0, 40, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(users), "cell": pa.array(cells)})
+    out = colocation_pairs(
+        ray.data.from_arrow(t).repartition(8), min_shared=4
+    ).take_all()
+    seen = defaultdict(set)
+    for u, c in zip(users, cells):
+        seen[int(u)].add(int(c))
+    expect = {}
+    us = sorted(seen)
+    for i, a in enumerate(us):
+        for b in us[i + 1 :]:
+            k = len(seen[a] & seen[b])
+            if k >= 4:
+                expect[(a, b)] = k
+    got = {(r["user_a"], r["user_b"]): r["n_shared"] for r in out}
+    assert got == expect and len(expect) > 0
+
+
+def test_ann_range_matches_bruteforce(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import ann_range
+
+    rng = np.random.default_rng(5)
+    n, d = 500, 16
+    emb = rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    qv, qids = emb[:5], ids[:5]
+    out = ann_range(
+        ray.data.from_arrow(t).repartition(7), qv, qids, threshold=0.3
+    ).take_all()
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = en[:5] @ en.T
+    expect = {
+        (int(qids[i]), int(ids[j])) for i, j in zip(*np.nonzero(sims >= 0.3))
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in out}
+    assert got == expect
+    # every query finds at least itself
+    for q in qids:
+        assert (int(q), int(q)) in got
+
+
+def test_stay_points_matches_reference(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import stay_points, stay_points_ref
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    users = rng.integers(1, 25, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+    # clustered walk so stays actually occur
+    gx = (rng.integers(0, 12, n) + rng.integers(0, 2, n)).astype(np.int64)
+    gy = (rng.integers(0, 12, n) + rng.integers(0, 2, n)).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "user_id": pa.array(users),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_id": pa.array(eid),
+            "gx": pa.array(gx),
+            "gy": pa.array(gy),
+        }
+    )
+    r, dwell = 2, 5_000_000
+    out = stay_points(
+        ray.data.from_arrow(t).repartition(9), r=r, min_dwell_us=dwell
+    ).take_all()
+    expect = set()
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((eid[m], ts[m]))
+        for t0, t1, np_, sx, sy in stay_points_ref(
+            ts[m][order], gx[m][order], gy[m][order], r, dwell
+        ):
+            expect.add((int(u), t0, t1, np_, sx, sy))
+    got = {
+        (
+            r_["user_id"], r_["t_start"], r_["t_end"],
+            r_["n_pts"], r_["sum_gx"], r_["sum_gy"],
+        )
+        for r_ in out
+    }
+    assert got == expect and len(expect) > 0
