@@ -32,6 +32,8 @@ COLOC_RES = 5  # co-location tile resolution (32x32)
 COLOC_MIN_SHARED = 3
 ANN_RANGE_T = 0.25
 STAY_RES = 4  # stay-point grid (16x16)
+RESAMPLE_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
+RESAMPLE_STEP_US = 21_600_000_000  # 6h cadence
 
 
 # ------------------------------------------------------------------ entry
@@ -184,6 +186,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # offers landing on occupied cells; two cell-sized shuffles
         return tiling.tile_neighbors(tables.points_dataset(sf), res=TILE_RES)
 
+    def q_tile_quadkey(sf):
+        # H3/S2-style string tile tokens (Bing quadkeys): stateless map,
+        # int64 digit math + Arrow cast/lpad — SQL twin exact
+        return tiling.tile_quadkey(tables.points_dataset(sf), res=TILE_RES)
+
     def q_tile_topk(sf):
         # top-k POIs per map tile by derived score: map-side per-cell
         # prune (k rows per cell per batch), ONE coarse cell shuffle
@@ -213,6 +220,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return haversine_join(
             tables.points_dataset(sf),
             tables.points_dataset(sf, "supplier", "s_suppkey"),
+        )
+
+    def q_resample_track(sf):
+        # time-regular track resampling (6h cadence, linear interp):
+        # ONE entity-bucket shuffle; int64-µs gap ratios cast exactly to
+        # double so the LEAD-window SQL twin matches bitwise
+        from python_prtree_ray.pipelines.trajectory import resample_track
+
+        return resample_track(
+            _event_points(sf), t0_us=RESAMPLE_T0_US, step_us=RESAMPLE_STEP_US
         )
 
     def q_stay_points(sf):
@@ -1612,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_cover": q_tile_cover,
         "tile_extent": q_tile_extent,
         "tile_topk": q_tile_topk,
+        "tile_quadkey": q_tile_quadkey,
         "tile_quantiles": q_tile_quantiles,
         "idw_grid": q_idw_grid,
         "haversine_join": q_haversine_join,
@@ -1709,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": q_od_matrix,
         "colocation_pairs": q_colocation,
         "stay_points": q_stay_points,
+        "resample_track": q_resample_track,
         "cell_dwell": q_cell_dwell,
         "event_transitions": q_event_transitions,
         "nn_pairs": q_nn_pairs,
@@ -1880,6 +1899,22 @@ FROM hits GROUP BY poly_id
     tile_points_sql = f"""
 WITH p AS ({p_cust})
 SELECT query_id, {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell FROM p
+"""
+
+    g_qk = 1 << TILE_RES
+    qk_digits = " + ".join(
+        f"((ix // {1 << b}) % 2 + 2 * ((iy // {1 << b}) % 2)) * {10 ** b}"
+        for b in range(TILE_RES - 1, -1, -1)
+    )
+    tile_quadkey_sql = f"""
+WITH p AS ({p_cust}),
+     i AS (SELECT query_id,
+                  {derive.tile_index_sql('px', TILE_RES)} AS ix,
+                  {derive.tile_index_sql('py', TILE_RES)} AS iy
+           FROM p)
+SELECT query_id, ix * {g_qk} + iy AS cell,
+       lpad(CAST(({qk_digits}) AS VARCHAR), {TILE_RES}, '0') AS quadkey
+FROM i
 """
 
     tile_topk_sql = f"""
@@ -2513,6 +2548,7 @@ WHERE {intersects}
         "tile_cover": tile_cover_sql,
         "tile_extent": tile_extent_sql,
         "tile_topk": tile_topk_sql,
+        "tile_quadkey": tile_quadkey_sql,
         "tile_quantiles": tile_quantiles_sql,
         "idw_grid": idw_grid_sql_q,
         "haversine_join": haversine_join_sql_q,
@@ -2924,6 +2960,41 @@ WHERE (((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
        AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))
    OR (o1 = 0 AND b1_on_a) OR (o2 = 0 AND b2_on_a)
    OR (o3 = 0 AND a1_on_b) OR (o4 = 0 AND a2_on_b)
+""",
+        "resample_track": f"""
+WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
+p AS (SELECT e.user_id, e.ts, e.event_id, q.px, q.py
+      FROM events e JOIN q USING (event_id)),
+d AS (SELECT user_id, ts, px, py,
+             LEAD(ts) OVER w AS nts,
+             LEAD(px) OVER w AS npx,
+             LEAD(py) OVER w AS npy
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+b AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      FROM p GROUP BY user_id),
+g AS (SELECT user_id,
+             unnest(generate_series(
+                 (mn - {RESAMPLE_T0_US} + {RESAMPLE_STEP_US} - 1) // {RESAMPLE_STEP_US},
+                 (mx - {RESAMPLE_T0_US}) // {RESAMPLE_STEP_US})) AS epoch
+      FROM b),
+j AS (SELECT g.user_id AS user_id, g.epoch AS epoch,
+             ({RESAMPLE_T0_US} + g.epoch * {RESAMPLE_STEP_US}) AS t_us,
+             d.ts AS ts, d.px AS px, d.py AS py,
+             d.nts AS nts, d.npx AS npx, d.npy AS npy
+      FROM g JOIN d ON d.user_id = g.user_id
+       AND epoch_us(d.ts) <= ({RESAMPLE_T0_US} + g.epoch * {RESAMPLE_STEP_US})
+       AND (d.nts IS NULL
+            OR ({RESAMPLE_T0_US} + g.epoch * {RESAMPLE_STEP_US}) < epoch_us(d.nts)))
+SELECT user_id, epoch, t_us,
+       CASE WHEN nts IS NULL THEN px
+            ELSE px + (npx - px)
+                 * (CAST(t_us - epoch_us(ts) AS DOUBLE)
+                    / CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE)) END AS x,
+       CASE WHEN nts IS NULL THEN py
+            ELSE py + (npy - py)
+                 * (CAST(t_us - epoch_us(ts) AS DOUBLE)
+                    / CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE)) END AS y
+FROM j
 """,
         "colocation_pairs": f"""
 WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),

@@ -407,3 +407,44 @@ def tile_quantiles(points: Dataset, res: int, qs=(0.5, 0.9, 0.99)) -> Dataset:
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
     return int_quantiles(assigned, key_col="cell", int_col="v", qs=qs)
+
+
+def tile_quadkey(points: Dataset, res: int) -> Dataset:
+    """(query_id, cell, quadkey): the Bing-maps quadkey string token of
+    each point's tile — the interop form of the engine's integer cell
+    ids (H3/S2-style systems exchange cells as string tokens; a quadkey
+    digit interleaves one x-bit and one y-bit per zoom level, MSB
+    first). Stateless map, zero shuffle; the digit math is pure int64
+    and the string build is one Arrow cast + lpad, so the SQL twin
+    (same arithmetic, CAST + lpad) matches exactly."""
+    if not 1 <= res <= 18:
+        raise ValueError(f"quadkey res must be in [1, 18], got {res}")
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        qid = st.col_np(tbl, "query_id")
+        px, py = st.col_np(tbl, "px"), st.col_np(tbl, "py")
+        ix = derive.tile_index(px, res)
+        iy = derive.tile_index(py, res)
+        qint = np.zeros(qid.shape[0], np.int64)
+        for b in range(res - 1, -1, -1):
+            # zoom level (res-1-b) reads bit b — MSB first, so bit b
+            # lands at decimal place 10^b
+            digit = ((ix >> b) & 1) + 2 * ((iy >> b) & 1)
+            qint = qint + digit * (10 ** b)
+        g = 1 << res
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "cell": pa.array(ix * g + iy),
+                "quadkey": pc.utf8_lpad(
+                    pc.cast(pa.array(qint), pa.string()), res, "0"
+                ),
+            }
+        )
+
+    return points.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

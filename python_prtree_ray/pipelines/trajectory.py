@@ -443,3 +443,124 @@ def stay_points(
         bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def resample_track(
+    tracks: Dataset,
+    t0_us: int,
+    step_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Time-regular track resampling: per entity, linearly interpolate
+    the position at every global epoch ``t0_us + k*step_us`` that falls
+    inside the entity's observed span. Output ``(key, epoch, t_us, x,
+    y)``. The classic preprocessing step before map-matching / flow
+    models (uneven pings -> fixed cadence).
+
+    Bracketing convention: epoch t lands on the last event with
+    ``ts <= t`` (duplicate timestamps resolve to the (ts, seq)-last
+    row, the same row DuckDB's half-open ``ts <= t < next_ts`` window
+    join picks); an epoch equal to the entity's last ping emits that
+    ping's exact position. Interpolation is
+    ``x0 + (x1 - x0) * ((t - ts0) / (ts1 - ts0))`` with int64-µs gaps
+    cast exactly to double, expression-shaped like the SQL twin, so
+    doubles match bitwise.
+
+    Scale shape: the standard ONE fixed-width entity-bucket shuffle;
+    per bucket one lexsort, then per-entity vectorized epoch explosion
+    (repeat/arange) + offset searchsorted — the per-entity loop does
+    one numpy call per entity, bounded by entities-per-bucket, with all
+    epoch math vectorized."""
+    tune_context()
+    t0_us, step_us = int(t0_us), int(step_us)
+    if step_us <= 0:
+        raise ValueError("step_us must be positive")
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column("bucket", pa.array(bucket_of(k, n_buckets)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        key = group.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column(seq_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        px = group.column(x_col).to_numpy(zero_copy_only=False)
+        py = group.column(y_col).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "epoch": pa.array([], pa.int64()),
+                "t_us": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+            }
+        )
+        if key.size == 0:
+            return empty
+        order = np.lexsort((seq, ts, key))
+        k_s, ts_s = key[order], ts[order]
+        x_s, y_s = px[order], py[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], k_s.size]
+        # per-entity epoch ranges (assumes ts >= t0_us: ceil/floor by
+        # nonnegative integer division, same arithmetic as the SQL twin)
+        mn, mx = ts_s[starts], ts_s[ends - 1]
+        if (mn < t0_us).any():
+            raise ValueError("resample_track: timestamps before t0_us")
+        k_lo = (mn - t0_us + step_us - 1) // step_us
+        k_hi = (mx - t0_us) // step_us
+        n_ep = np.maximum(k_hi - k_lo + 1, 0)
+        total = int(n_ep.sum())
+        if total == 0:
+            return empty
+        ent = np.repeat(np.arange(starts.size, dtype=np.int64), n_ep)
+        offs = np.concatenate([[0], np.cumsum(n_ep)[:-1]])
+        epoch = (np.arange(total, dtype=np.int64) - offs[ent]) + k_lo[ent]
+        tk = t0_us + epoch * step_us
+        # bracketing index: per-entity offset searchsorted
+        idx = np.empty(total, np.int64)
+        for e in range(starts.size):
+            lo, hi = int(starts[e]), int(ends[e])
+            sel = ent == e
+            idx[sel] = lo + np.searchsorted(
+                ts_s[lo:hi], tk[sel], side="right"
+            ) - 1
+        last = idx == (ends[ent] - 1)  # epoch == entity's final ping
+        i0 = idx
+        i1 = np.minimum(idx + 1, ends[ent] - 1)
+        f = np.zeros(total, np.float64)
+        gap = ts_s[i1] - ts_s[i0]
+        mid = ~last
+        f[mid] = (tk[mid] - ts_s[i0[mid]]).astype(np.float64) / gap[
+            mid
+        ].astype(np.float64)
+        x = x_s[i0] + (x_s[i1] - x_s[i0]) * f
+        y = y_s[i0] + (y_s[i1] - y_s[i0]) * f
+        # exact pass-through on the final ping (f undefined there)
+        x[last] = x_s[i0[last]]
+        y[last] = y_s[i0[last]]
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts][ent]),
+                "epoch": pa.array(epoch),
+                "t_us": pa.array(tk),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    keyed = tracks.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")

@@ -2965,3 +2965,78 @@ def test_stay_points_matches_reference(ray_session):
         for r_ in out
     }
     assert got == expect and len(expect) > 0
+
+
+def test_resample_track_matches_bruteforce(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import resample_track
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    users = rng.integers(1, 20, n).astype(np.int64)
+    t0, step = 1_000_000, 777_000
+    ts = (t0 + np.sort(rng.integers(0, 10**8, n))).astype(np.int64)
+    # inject duplicate timestamps to pin the bracketing convention
+    ts[100] = ts[101]
+    eid = np.arange(n, dtype=np.int64)
+    px = rng.uniform(size=n)
+    py = rng.uniform(size=n)
+    t = pa.table(
+        {
+            "user_id": pa.array(users),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_id": pa.array(eid),
+            "px": pa.array(px),
+            "py": pa.array(py),
+        }
+    )
+    out = resample_track(
+        ray.data.from_arrow(t).repartition(7), t0_us=t0, step_us=step
+    ).take_all()
+    expect = {}
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((eid[m], ts[m]))
+        uts, ux, uy = ts[m][order], px[m][order], py[m][order]
+        k_lo = (uts[0] - t0 + step - 1) // step
+        k_hi = (uts[-1] - t0) // step
+        for k in range(k_lo, k_hi + 1):
+            tk = t0 + k * step
+            i = int(np.searchsorted(uts, tk, side="right")) - 1
+            if i == uts.size - 1:
+                x, y = ux[i], uy[i]
+            else:
+                f = float(tk - uts[i]) / float(uts[i + 1] - uts[i])
+                x = ux[i] + (ux[i + 1] - ux[i]) * f
+                y = uy[i] + (uy[i + 1] - uy[i]) * f
+            expect[(int(u), k)] = (tk, x, y)
+    got = {
+        (r["user_id"], r["epoch"]): (r["t_us"], r["x"], r["y"]) for r in out
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == expect[k][1] and got[k][2] == expect[k][2]
+
+
+def test_tile_quadkey_roundtrip(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_quadkey
+
+    keys = np.arange(1, 501, dtype=np.int64)
+    res = 6
+    out = tile_quadkey(
+        ray.data.from_arrow(_point_table(keys)).repartition(4), res=res
+    ).take_all()
+    g = 1 << res
+    assert len(out) == keys.size
+    for r in out[:100]:
+        qk = r["quadkey"]
+        assert len(qk) == res and set(qk) <= set("0123")
+        # decode quadkey back to (ix, iy) and compare with the cell id
+        ix = iy = 0
+        for ch in qk:
+            d = int(ch)
+            ix = (ix << 1) | (d & 1)
+            iy = (iy << 1) | (d >> 1)
+        assert r["cell"] == ix * g + iy
