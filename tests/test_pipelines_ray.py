@@ -3040,3 +3040,46 @@ def test_tile_quadkey_roundtrip(ray_session):
             ix = (ix << 1) | (d & 1)
             iy = (iy << 1) | (d >> 1)
         assert r["cell"] == ix * g + iy
+
+
+def test_new_ops_empty_and_degenerate_inputs(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines.graph import dbscan_clusters
+    from python_prtree_ray.pipelines.interpolate import idw_grid
+    from python_prtree_ray.pipelines.movement import colocation_pairs
+    from python_prtree_ray.pipelines.tiling import tile_quadkey, tile_topk
+
+    keys = np.arange(1, 40, dtype=np.int64)
+    pts = ray.data.from_arrow(_point_table(keys))
+
+    # dbscan with min_pts too high for any core: everything in the pair
+    # graph is noise, nothing crashes
+    out = dbscan_clusters(pts, eps=0.2, min_pts=1000).take_all()
+    assert all(r["role"] == "noise" and r["cluster_id"] == -1 for r in out)
+    assert len(out) > 0
+
+    # colocation with an unreachable min_shared: empty, schema intact
+    t = pa.table(
+        {
+            "user_id": pa.array(np.arange(10), pa.int64()),
+            "cell": pa.array(np.arange(10), pa.int64()),
+        }
+    )
+    out = colocation_pairs(ray.data.from_arrow(t), min_shared=99)
+    assert out.count() == 0
+    sch = out.schema()
+    if sch is not None:  # Ray reports None schema for zero-group results
+        assert set(sch.names) == {"user_a", "user_b", "n_shared"}
+
+    # sparse idw: far-apart points leave most nodes absent
+    few = ray.data.from_arrow(_point_table(np.array([1, 2], dtype=np.int64)))
+    rows = idw_grid(few).take_all()
+    assert 0 < len(rows) <= 256
+
+    # quadkey res bounds
+    with pytest.raises(ValueError):
+        tile_quadkey(pts, res=0)
+
+    # tile_topk with k larger than any tile population: every point ranks
+    out = tile_topk(pts, res=1, k=1000).take_all()
+    assert len(out) == keys.size
