@@ -29,7 +29,7 @@ RADIUS = 0.02  # radius_join fixed search radius (unit-square coords)
 DBSCAN_EPS = 0.04
 DBSCAN_MINPTS = 6
 COLOC_RES = 5  # co-location tile resolution (32x32)
-COLOC_MIN_SHARED = 3
+COLOC_MIN_SHARED = 8  # mean shared cells ~4.2 -> only the ~6% co-travel tail
 ANN_RANGE_T = 0.25
 STAY_RES = 4  # stay-point grid (16x16)
 RESAMPLE_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
@@ -625,7 +625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import pyarrow.parquet as pq
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         # query vectors: the first 10 embeddings (deterministic)
         head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
         qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
@@ -640,7 +642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
         import ray
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
         qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
         qids = head.column("vec_id").to_numpy(zero_copy_only=False)
@@ -661,7 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_embedding_neardup(sf):
         import ray
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         # testdata cosines top out ≈0.5-0.6, so probe at 0.4 with wide
         # buckets (bits=4) — per-pair recall ≈0.75 at this low threshold;
         # exact twin below is the oracle-checked ground truth
@@ -672,7 +678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_embedding_neardup_exact(sf):
         import ray
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         return dedup.embedding_neardup_exact(emb, threshold=0.45)
 
     def q_ngram_jaccard(sf):
@@ -993,11 +1001,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_ann_classify(sf):
         # kNN-vote label transfer: majority label among each query's
-        # exact cosine top-k (tie -> smallest label)
+        # exact cosine top-k (tie -> smallest label); label column IS
+        # needed here (the vote), so this read keeps all three columns
         import ray
         import pyarrow.parquet as pq
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
         head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
         qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
         qids = head.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1595,7 +1607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import pyarrow.parquet as pq
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
         qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
         qids = head.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1606,7 +1620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import pyarrow.parquet as pq
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
         qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
         qids = head.column("vec_id").to_numpy(zero_copy_only=False)

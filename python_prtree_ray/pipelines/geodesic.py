@@ -107,10 +107,31 @@ def haversine_join(
         sid, slon, slat = ray.get(side_ref)
         b_lon, b_lat = _lonlat(st.col_np(tbl, "px"), st.col_np(tbl, "py"))
         b_ids = st.col_np(tbl, "query_id")
-        # latitude-band prefilter: trig only on candidate pairs
-        band = np.abs(b_lat[:, None] - slat[None, :]) <= dlat_max
-        bi, si = np.nonzero(band)
-        if bi.size == 0:
+        out_q, out_i, out_d = [], [], []
+        # facility side processed in chunks so the (batch x chunk) band
+        # matrix stays ~16 MB however large the broadcast side grows
+        for c0 in range(0, sid.shape[0], 1024):
+            c1 = min(c0 + 1024, sid.shape[0])
+            # latitude-band prefilter: trig only on candidate pairs
+            band = (
+                np.abs(b_lat[:, None] - slat[None, c0:c1]) <= dlat_max
+            )
+            bi, si = np.nonzero(band)
+            if bi.size == 0:
+                continue
+            si = si + c0
+            a = _haversine_a(b_lon[bi], b_lat[bi], slon[si], slat[si])
+            # vectorized near-superset gate (np.arcsin drifts <= few
+            # ULPs from libm; 1e-6 km of slack dwarfs that), then the
+            # exact libm asin + threshold on the surviving rows
+            cand = DIAM_KM * np.arcsin(np.sqrt(a)) <= max_km + 1e-6
+            bi, si, a = bi[cand], si[cand], a[cand]
+            d = DIAM_KM * _asin_libm(np.sqrt(a))
+            keep = d <= max_km
+            out_q.append(b_ids[bi[keep]])
+            out_i.append(sid[si[keep]])
+            out_d.append(d[keep])
+        if not out_q:
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
@@ -118,19 +139,11 @@ def haversine_join(
                     "dist_km": pa.array([], pa.float64()),
                 }
             )
-        a = _haversine_a(b_lon[bi], b_lat[bi], slon[si], slat[si])
-        # vectorized near-superset gate (np.arcsin drifts <= few ULPs
-        # from libm; 1e-6 km of slack dwarfs that), then the exact libm
-        # asin + threshold on the handful of surviving rows
-        cand = DIAM_KM * np.arcsin(np.sqrt(a)) <= max_km + 1e-6
-        bi, si, a = bi[cand], si[cand], a[cand]
-        d = DIAM_KM * _asin_libm(np.sqrt(a))
-        keep = d <= max_km
         return pa.table(
             {
-                "query_id": pa.array(b_ids[bi[keep]]),
-                "idx": pa.array(sid[si[keep]]),
-                "dist_km": pa.array(d[keep]),
+                "query_id": pa.array(np.concatenate(out_q)),
+                "idx": pa.array(np.concatenate(out_i)),
+                "dist_km": pa.array(np.concatenate(out_d)),
             }
         )
 
