@@ -244,8 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_colocation(sf):
-        # co-location contact graph: user pairs sharing >= 3 distinct
-        # tiles; per-batch (user, cell) dedup -> ONE cell-bucket shuffle
+        # co-location contact graph: user pairs sharing >= COLOC_MIN_SHARED
+        # distinct tiles; per-batch (user, cell) dedup -> ONE cell-bucket shuffle
         # with vectorized triangular pair expansion -> pair-key fold
         import pyarrow as pa
         import ray

@@ -137,6 +137,36 @@ def _partition_fn(col: str | None, n_parts: int):
 # ----------------------------------------------------------------- job
 
 
+def _check_resume_compatible(
+    output: str, pipeline: str, sf_dir: str, n_parts: int, col: str | None
+) -> None:
+    """Refuse to resume against a checkpoint written by a different job.
+
+    The manifest's done-partition filter silently drops rows whose
+    partition id is already marked done — safe only when pipeline,
+    sf_dir, n_parts, and partition key all match the prior run (a
+    different pipeline or row->partition mapping would mix outputs and
+    lose rows). Mismatch => hard error telling the caller to pass
+    resume=False (which wipes the checkpoint) or a fresh output dir."""
+    prev = mf._load_manifest(output)
+    if not prev.get("partitions"):
+        return
+    expected = {
+        "pipeline": pipeline,
+        "sf_dir": sf_dir,
+        "n_parts": n_parts,
+        "partition_key": col,
+    }
+    for field, want in expected.items():
+        have = prev.get(field)
+        if have is not None and have != want:
+            raise ValueError(
+                f"resume mismatch at {output!r}: checkpoint was written with "
+                f"{field}={have!r}, this job has {field}={want!r}. Pass "
+                f"resume=false to overwrite, or use a fresh output dir."
+            )
+
+
 def run_job(cfg: dict) -> dict:
     """Execute one configured job; returns the job report (also written
     to ``<output>/metrics.json``). Raises on any failure — the CLI turns
@@ -158,6 +188,8 @@ def run_job(cfg: dict) -> dict:
     t0 = time.time()
     ds = _as_dataset(reg[pipeline](sf_dir))
     col = _pick_partition_col(ds.schema(), partition_by)
+    if resume:
+        _check_resume_compatible(output, pipeline, sf_dir, n_parts, col)
     man = mf.write_partitioned(
         ds,
         output,

@@ -108,15 +108,22 @@ def haversine_join(
         b_lon, b_lat = _lonlat(st.col_np(tbl, "px"), st.col_np(tbl, "py"))
         b_ids = st.col_np(tbl, "query_id")
         out_q, out_i, out_d = [], [], []
-        # facility side processed in chunks so the (batch x chunk) band
-        # matrix stays ~16 MB however large the broadcast side grows
-        for c0 in range(0, sid.shape[0], 1024):
-            c1 = min(c0 + 1024, sid.shape[0])
-            # latitude-band prefilter: trig only on candidate pairs
-            band = (
-                np.abs(b_lat[:, None] - slat[None, c0:c1]) <= dlat_max
+        # facility side processed in chunks with ONE reused float64
+        # difference buffer (out=), so per-task peak is ~16 MB at the
+        # 8192-row batch (8192 x 256 x 8 B) + an 2 MB bool band —
+        # however large the broadcast side grows
+        chunk = 256
+        if sid.shape[0]:
+            buf = np.empty(
+                (b_lat.shape[0], min(chunk, sid.shape[0])), np.float64
             )
-            bi, si = np.nonzero(band)
+        for c0 in range(0, sid.shape[0], chunk):
+            c1 = min(c0 + chunk, sid.shape[0])
+            sub = buf[:, : c1 - c0]
+            # latitude-band prefilter: trig only on candidate pairs
+            np.subtract(b_lat[:, None], slat[None, c0:c1], out=sub)
+            np.abs(sub, out=sub)
+            bi, si = np.nonzero(sub <= dlat_max)
             if bi.size == 0:
                 continue
             si = si + c0

@@ -164,6 +164,7 @@ def connected_components(
     edges = pairs.map_batches(
         sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
+    epath = None
     if spill_dir is not None:
         import os as _os
         import uuid as _uuid
@@ -258,6 +259,14 @@ def connected_components(
         labels = new_labels  # 'changed' column is ignored by tag_labels
         if n_changed == 0:
             break
+
+    if epath is not None:
+        # labels are materialized; the edge checkpoint (one full copy of
+        # the symmetrized edge list per call) is dead weight — remove it
+        # so repeated calls against the same spill_dir can't fill disk
+        import shutil as _shutil
+
+        _shutil.rmtree(epath, ignore_errors=True)
 
     def rename(tbl: pa.Table) -> pa.Table:
         return pa.table(
@@ -366,6 +375,7 @@ def _bucket_lookup(
     out_col: str,
     default: int,
     payload: dict[str, pa.DataType] | None = None,
+    n_buckets: int = N_BUCKETS,
 ) -> Dataset:
     """In-bucket hash lookup (the CC message-pass join shape): append
     ``out_col`` to ``items`` = the member's ``value_col`` where
@@ -374,13 +384,20 @@ def _bucket_lookup(
     key-bucket shuffle; vectorized searchsorted inside each bucket.
     ``payload`` names the non-key item columns (with Arrow types) to
     carry through — passed explicitly so the LAZY pipeline never needs a
-    schema() probe (which would execute the upstream graph early)."""
+    schema() probe (which would execute the upstream graph early).
+
+    Deliberately NOT :func:`..join.hash_equi_join` (same one-shuffle
+    co-partitioned plan, different contract): this preserves items 1:1
+    (first match wins, never expands on duplicate member keys), fills
+    misses with ``default`` instead of null, and takes explicit payload
+    types where hash_equi_join probes ``schema()``. Fixes to the shared
+    plan shape (bucketing, salting) should land in both."""
     i_types = dict(payload or {})
     payload = list(i_types)
 
     def tag_items(tbl: pa.Table) -> pa.Table:
         k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cols = {"kb": pa.array(bucket_of(k, N_BUCKETS)), "_k": pa.array(k)}
+        cols = {"kb": pa.array(bucket_of(k, n_buckets)), "_k": pa.array(k)}
         for n in payload:
             cols[f"p_{n}"] = tbl.column(n)
         cols["_v"] = pa.array(np.full(k.shape[0], default, np.int64))
@@ -398,7 +415,7 @@ def _bucket_lookup(
             if value_col is not None
             else np.ones(k.shape[0], np.int64)
         )
-        cols = {"kb": pa.array(bucket_of(k, N_BUCKETS)), "_k": pa.array(k)}
+        cols = {"kb": pa.array(bucket_of(k, n_buckets)), "_k": pa.array(k)}
         for n in payload:
             cols[f"p_{n}"] = pa.nulls(k.shape[0], i_types[n])
         cols["_v"] = pa.array(v)

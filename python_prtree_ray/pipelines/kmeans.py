@@ -91,15 +91,18 @@ def _init_centroids(
     embeddings: Dataset, k: int, vec_col: str, id_col: str
 ) -> np.ndarray:
     """Deterministic init: the quantized vectors of the k smallest ids.
-    Each batch prunes to its local k smallest rows, so the driver sees
-    at most k rows per batch — never the table."""
+    Each batch prunes to the rows whose id <= its local k-th smallest id
+    VALUE (all ties kept, not just k rows — a tie dropped here would hide
+    a duplicate from the driver-side determinism check below). In the
+    normal unique-id case that is exactly k rows per batch; the driver
+    never sees the table."""
     import ray
 
     def prune(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         if ids.size > k:
-            keep = np.sort(np.argpartition(ids, k)[:k])
-            tbl = tbl.take(pa.array(keep))
+            v = np.partition(ids, k - 1)[k - 1]
+            tbl = tbl.take(pa.array(np.flatnonzero(ids <= v)))
         return tbl.select([id_col, vec_col])
 
     parts = [
@@ -116,13 +119,23 @@ def _init_centroids(
     top = pa.concat_tables(parts)
     ids = top.column(id_col).to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")[:k]
-    # a duplicate id inside the k-smallest window would make "which
-    # duplicate row wins" depend on partition/concat order, breaking the
-    # bit-identical-at-any-parallelism guarantee — reject it outright
-    if order.size == k and np.unique(ids[order]).size < k:
+    # a duplicate id anywhere at or below the k-th smallest value would
+    # make "which duplicate row wins the window" depend on partition /
+    # concat order, breaking the bit-identical-at-any-parallelism
+    # guarantee — so the check covers every id <= the window's cut value
+    # (not just the ids inside the window, which misses duplicates that
+    # straddle the boundary, e.g. ids [1,2,3] | [3] at k=3). The tie-
+    # preserving prune guarantees every such row reached the driver
+    # (each batch's local k-th value >= the global one), so this check
+    # is exact. It runs BEFORE the distinct-count check: with dups in
+    # the window the pruned view can undercount distincts, and the
+    # duplicate is the actionable diagnosis.
+    cut = ids[order[-1]]
+    cand = ids[ids <= cut]
+    if np.unique(cand).size < cand.size:
         raise ValueError(
-            f"kmeans: duplicate {id_col} among the {k} smallest ids; "
-            "centroid init requires unique ids in that window"
+            f"kmeans: duplicate {id_col} at or below the {k}-th smallest "
+            "id; centroid init requires unique ids in that range"
         )
     if np.unique(ids).size < k:
         raise ValueError(f"kmeans: need >= {k} distinct {id_col} rows")

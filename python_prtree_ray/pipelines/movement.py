@@ -299,8 +299,9 @@ def colocation_pairs(
     since a cell the whole population visits carries no co-location
     signal. No cap is wired here so the oracle equality stays exact.
 
-    User ids must fit 31 bits (pair packing: ``a << 31 | b``); violated
-    loudly via assert.
+    User ids must be in [0, 2^31) (pair packing: ``a << 31 | b``) —
+    negative or >=2^31 ids would corrupt the packed key, so both bounds
+    raise ValueError (a real check, not an assert stripped by ``-O``).
     """
     from .merge import bucketed_sum
 
@@ -317,7 +318,11 @@ def colocation_pairs(
                     "cb": pa.array([], pa.int64()),
                 }
             )
-        assert int(u.max()) < (1 << 31), "user ids must fit 31 bits"
+        if int(u.min()) < 0 or int(u.max()) >= (1 << 31):
+            raise ValueError(
+                "colocation_pairs: user ids must be in [0, 2^31) for "
+                "pair packing"
+            )
         order = np.lexsort((u, c))
         cu, cc = u[order], c[order]
         keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])]

@@ -99,7 +99,11 @@ def _dp_keep(x: np.ndarray, y: np.ndarray, eps: int) -> np.ndarray:
     ``cross(p-a, b-a)^2 > eps^2 * |b-a|^2`` (degenerate a==b falls back
     to squared point distance) — no floats, so the result is bitwise
     reproducible and partitioning-invariant. With grid coords < 2^20
-    every term fits int64. Recursion is an explicit stack; the
+    the vectorized terms (|cross| < 2^43, squared point distance < 2^43)
+    fit int64 exactly; the one squared comparison per segment is done in
+    Python arbitrary-precision ints, so ``cross^2`` (up to 86 bits) never
+    touches int64. The split point is argmax(|cross|), which equals
+    argmax(cross^2) by monotonicity. Recursion is an explicit stack; the
     per-segment deviation scan is vectorized."""
     n = x.shape[0]
     keep = np.zeros(n, dtype=bool)
@@ -108,7 +112,7 @@ def _dp_keep(x: np.ndarray, y: np.ndarray, eps: int) -> np.ndarray:
     keep[0] = keep[-1] = True
     if n <= 2:
         return keep
-    eps2 = np.int64(eps) * np.int64(eps)
+    eps2 = int(eps) * int(eps)  # Python int: immune to overflow for any eps
     stack = [(0, n - 1)]
     while stack:
         i, j = stack.pop()
@@ -120,14 +124,16 @@ def _dp_keep(x: np.ndarray, y: np.ndarray, eps: int) -> np.ndarray:
         py = y[i + 1 : j] - ay
         l2 = dx * dx + dy * dy
         if l2 == 0:
-            num = px * px + py * py
-            den = np.int64(1)
+            num = px * px + py * py  # coords < 2^20 => < 2^43, exact int64
+            m = int(np.argmax(num))  # first max: deterministic split point
+            exceeds = int(num[m]) > int(eps2)
         else:
-            cr = px * dy - py * dx
-            num = cr * cr
-            den = l2
-        m = int(np.argmax(num))  # first max: deterministic split point
-        if num[m] > eps2 * den:
+            # |cr| < 2^43 at coords < 2^20 — exact int64. argmax(|cr|) ==
+            # argmax(cr^2); square only the winner, in Python ints (exact).
+            acr = np.abs(px * dy - py * dx)
+            m = int(np.argmax(acr))
+            exceeds = int(acr[m]) ** 2 > int(eps2) * int(l2)
+        if exceeds:
             k = i + 1 + m
             keep[k] = True
             stack.append((k, j))
@@ -528,13 +534,19 @@ def resample_track(
         offs = np.concatenate([[0], np.cumsum(n_ep)[:-1]])
         epoch = (np.arange(total, dtype=np.int64) - offs[ent]) + k_lo[ent]
         tk = t0_us + epoch * step_us
-        # bracketing index: per-entity offset searchsorted
+        # bracketing index: per-entity offset searchsorted. `ent` is a
+        # sorted repeat of arange, so entity e's epochs are exactly the
+        # slice [eoffs[e], eoffs[e+1]) — O(total log track) overall, no
+        # O(entities x total) boolean rescans.
         idx = np.empty(total, np.int64)
+        eoffs = np.concatenate([offs, [total]])
         for e in range(starts.size):
+            a, b = int(eoffs[e]), int(eoffs[e + 1])
+            if a == b:
+                continue
             lo, hi = int(starts[e]), int(ends[e])
-            sel = ent == e
-            idx[sel] = lo + np.searchsorted(
-                ts_s[lo:hi], tk[sel], side="right"
+            idx[a:b] = lo + np.searchsorted(
+                ts_s[lo:hi], tk[a:b], side="right"
             ) - 1
         last = idx == (ends[ent] - 1)  # epoch == entity's final ping
         i0 = idx

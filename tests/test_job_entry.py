@@ -112,6 +112,29 @@ def test_job_no_resume_rewrites(ray_session, tmp_path):
            {k: v["checksum"] for k, v in man2["partitions"].items()}
 
 
+def test_job_resume_refuses_mismatched_checkpoint(ray_session, tmp_path):
+    """Resuming against a checkpoint written by a DIFFERENT job config
+    (pipeline or n_parts) must hard-error instead of silently dropping
+    rows whose partition ids the old run already marked done."""
+    import pytest
+
+    from python_prtree_ray.job import run_job
+
+    out = str(tmp_path / "job_out")
+    base = {"pipeline": "dedup_exact", "sf_dir": SF, "output": out,
+            "n_parts": 4}
+    run_job(base)
+
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_job({**base, "pipeline": "token_stats"})
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_job({**base, "n_parts": 8})
+
+    # resume=False against the same dir is the sanctioned overwrite path
+    r = run_job({**base, "pipeline": "token_stats", "resume": False})
+    assert r["status"] == "ok" and r["total_rows"] > 0
+
+
 def test_job_partition_invariance(ray_session, tmp_path):
     """Same pipeline, different n_parts → same total rows and same
     xor-of-checksums is NOT guaranteed across layouts, but reading back

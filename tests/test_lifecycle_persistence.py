@@ -1017,12 +1017,32 @@ def test_connected_components_spilled_edges_identical(ray_session, tmp_path):
     pinned = connected_components(
         ray.data.from_arrow(t).repartition(3), collect_limit=0
     ).take_all()
-    spilled = connected_components(
-        ray.data.from_arrow(t).repartition(3),
-        collect_limit=0,
-        spill_dir=str(tmp_path),
-    ).take_all()
-    assert list(tmp_path.glob("cc-edges-*")), "edge checkpoint not written"
+    # spy on the cleanup so the test can both prove the checkpoint WAS
+    # written (spill path exercised) and that it was removed afterwards
+    import shutil
+
+    removed = []
+    real_rmtree = shutil.rmtree
+
+    def spy_rmtree(path, *a, **kw):
+        if "cc-edges-" in str(path):
+            removed.append(sorted(p.name for p in Path(path).iterdir()))
+        return real_rmtree(path, *a, **kw)
+
+    from pathlib import Path
+    from unittest import mock
+
+    with mock.patch.object(shutil, "rmtree", spy_rmtree):
+        spilled = connected_components(
+            ray.data.from_arrow(t).repartition(3),
+            collect_limit=0,
+            spill_dir=str(tmp_path),
+        ).take_all()
+    assert removed and removed[0], "edge checkpoint never written"
+    # the checkpoint (one full symmetrized edge copy per call) is removed
+    # once labels are materialized, so repeated calls against the same
+    # spill_dir can't fill disk — after the call the dir must be clean
+    assert not list(tmp_path.glob("cc-edges-*")), "edge checkpoint leaked"
     as_set = lambda rows: {(r["doc_id"], r["cluster_id"]) for r in rows}
     assert as_set(spilled) == as_set(pinned)
 

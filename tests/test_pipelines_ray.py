@@ -2178,6 +2178,41 @@ def test_parameter_guards_reject_unsafe_inputs(ray_session):
     with pytest.raises(ValueError, match="duplicate"):
         kmeans_fit(ds, k=3, iters=1)
 
+    # duplicate id STRADDLING the k-th-smallest boundary (ids 0,1,2,2 at
+    # k=3: the window [0,1,2] is unique but which id-2 row enters it is
+    # partition-order-dependent) must also raise
+    ids = np.array([0, 1, 2, 2, 3, 4, 5, 6, 7, 8], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), 4
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        kmeans_fit(ray.data.from_arrow(t), k=3, iters=1)
+
+    # colocation pair packing: negative or >=2^31 user ids corrupt the
+    # packed key — both must raise (a real check, not an assert)
+    from python_prtree_ray.pipelines.movement import colocation_pairs
+
+    for bad_ids in ([-1, 2, 3], [1, 2, 1 << 31]):
+        visits = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(bad_ids, pa.int64()),
+                    "cell": pa.array([7, 7, 7], pa.int64()),
+                }
+            )
+        )
+        # the ValueError fires inside a Ray task, so it surfaces wrapped
+        # as RayTaskError(UserCodeException) — match on the message
+        with pytest.raises(Exception, match="2\\^31"):
+            colocation_pairs(
+                visits, user_col="user_id", cell_col="cell", min_shared=1
+            ).take_all()
+
 
 def test_search_bm25_matches_reference(ray_session):
     # BM25 (k1=1.5, b=0.75, rational idf) vs a slow float reference with
@@ -2304,18 +2339,37 @@ def test_trajectory_simplify_matches_recursive_dp(ray_session):
         y = np.cumsum(rng.integers(-5, 6, n)).astype(np.int64)
         got = _dp_keep(x, y, eps=2).tolist()
         assert got == _dp_reference(x.tolist(), y.tolist(), 2), (x, y)
-        # DP guarantee: every dropped point lies within eps of the
-        # simplified polyline's enclosing segment
-        kept = np.flatnonzero(got)
-        for a, b in zip(kept[:-1], kept[1:]):
-            dx, dy = x[b] - x[a], y[b] - y[a]
-            for t in range(a + 1, b):
-                px, py = x[t] - x[a], y[t] - y[a]
-                if dx == 0 and dy == 0:
-                    assert px * px + py * py <= 4
-                else:
-                    cr = px * dy - py * dx
-                    assert cr * cr <= 4 * (dx * dx + dy * dy)
+
+    # large-coordinate regression: cross^2 needs up to ~86 bits at grid
+    # coords near 2^20 — the old int64 num = cr*cr silently wrapped and
+    # dropped points 700k cells off the baseline. The Python-int
+    # comparison must agree with the exact recursive reference.
+    x = np.array([0, 500_000, 1_000_000], dtype=np.int64)
+    y = np.array([0, 700_000, 0], dtype=np.int64)
+    got = _dp_keep(x, y, eps=2).tolist()
+    assert got == [True, True, True]
+    for _case in range(10):
+        n = int(rng.integers(2, 30))
+        x = np.cumsum(rng.integers(-(2**16), 2**16, n)).astype(np.int64)
+        y = np.cumsum(rng.integers(-(2**16), 2**16, n)).astype(np.int64)
+        for eps in (2, 10_000, 300_000):
+            got = _dp_keep(x, y, eps=eps).tolist()
+            assert got == _dp_reference(x.tolist(), y.tolist(), eps), (
+                x, y, eps,
+            )
+            # DP guarantee: every dropped point lies within eps of the
+            # simplified polyline's enclosing segment (exact Python-int
+            # arithmetic — cr^2 exceeds int64 at these coordinates)
+            kept = np.flatnonzero(got)
+            for a, b in zip(kept[:-1], kept[1:]):
+                dx, dy = int(x[b] - x[a]), int(y[b] - y[a])
+                for t in range(a + 1, b):
+                    px, py = int(x[t] - x[a]), int(y[t] - y[a])
+                    if dx == 0 and dy == 0:
+                        assert px * px + py * py <= eps * eps
+                    else:
+                        cr = px * dy - py * dx
+                        assert cr * cr <= eps * eps * (dx * dx + dy * dy)
 
     # pipeline-level: per-track equality + partition invariance
     n_users, per = 30, 25
