@@ -34,6 +34,7 @@ ANN_RANGE_T = 0.25
 STAY_RES = 4  # stay-point grid (16x16)
 RESAMPLE_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
 RESAMPLE_STEP_US = 21_600_000_000  # 6h cadence
+SPEED_KMH_T = 5000.0  # teleport threshold: faster than any aircraft
 
 
 # ------------------------------------------------------------------ entry
@@ -190,6 +191,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # H3/S2-style string tile tokens (Bing quadkeys): stateless map,
         # int64 digit math + Arrow cast/lpad — SQL twin exact
         return tiling.tile_quadkey(tables.points_dataset(sf), res=TILE_RES)
+
+    def q_morans_i(sf):
+        # global Moran's I spatial autocorrelation of tile densities
+        # (queen contiguity, occupied cells): exact integer sums, ONE
+        # float division -> SQL twin matches bitwise
+        return tiling.morans_i(tables.points_dataset(sf), res=TILE_RES)
+
+    def q_gearys_c(sf):
+        # Geary's C (difference-based autocorrelation companion) over
+        # the DENSER event-point grid so neighbor-count differences are
+        # non-degenerate; same exact-integer machinery as morans_i
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.gearys_c(pts, res=TILE_RES)
+
+    def q_local_morans(sf):
+        # LISA per-cell hot/cold-spot decomposition over event-point
+        # densities: exact-integer per-cell numerator, one double
+        # division per row -> bitwise SQL twin
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.local_morans(pts, res=TILE_RES)
+
+    def q_ripley_k(sf):
+        # Ripley's K point-pattern statistic at r=RADIUS (naive unit-
+        # square estimator): cell-bucketed owner/ghost pair counting,
+        # exact integer pair count, ONE float division
+        return tiling.ripley_k(tables.points_dataset(sf), radius=RADIUS)
 
     def q_tile_topk(sf):
         # top-k POIs per map tile by derived score: map-side per-cell
@@ -377,6 +424,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.movement import cell_dwell
 
         return cell_dwell(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_speed_outliers(sf):
+        # GPS-glitch detector: consecutive same-user moves whose implied
+        # great-circle speed exceeds SPEED_KMH_T; haversine expression
+        # shapes mirror the SQL twin token-for-token (bitwise doubles)
+        from python_prtree_ray.pipelines.movement import speed_outliers
+
+        return speed_outliers(_event_points(sf), max_kmh=SPEED_KMH_T)
 
     def q_event_transitions(sf):
         # event-type Markov transition counts per user stream; types
@@ -1746,6 +1801,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_track": q_resample_track,
         "cell_dwell": q_cell_dwell,
         "event_transitions": q_event_transitions,
+        "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
+        "local_morans": q_local_morans,
+        "ripley_k": q_ripley_k,
+        "speed_outliers": q_speed_outliers,
         "nn_pairs": q_nn_pairs,
         "grouped_moments": q_grouped_moments,
         "value_histogram": q_value_histogram,
@@ -1756,6 +1816,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from python_prtree_ray.pipelines.movement import (
+        speed_outliers_sql as _speed_outliers_sql,
+    )
+    from python_prtree_ray.pipelines.tiling import (
+        gearys_c_sql as _gearys_c_sql,
+        local_morans_sql as _local_morans_sql,
+        morans_i_sql as _morans_i_sql,
+        ripley_k_sql as _ripley_k_sql,
+    )
+
     b_orders = derive.boxes_sql("orders", "o_orderkey", "idx")
     b_part = derive.boxes_sql("part", "p_partkey", "idx")
     q_cust = derive.query_boxes_sql("customer", "c_custkey", "query_id")
@@ -3062,6 +3132,17 @@ WITH d AS (
 SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
 """,
+        "morans_i": _morans_i_sql(p_cust, TILE_RES),
+        "gearys_c": _gearys_c_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "local_morans": _local_morans_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "ripley_k": _ripley_k_sql(p_cust, RADIUS),
+        "speed_outliers": _speed_outliers_sql(
+            derive.points_sql("events", "event_id", "event_id"), SPEED_KMH_T
+        ),
         "nn_pairs": f"""
 WITH p AS ({p_cust}),
 d AS (

@@ -404,3 +404,126 @@ def colocation_pairs(
     return summed.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def speed_outliers(
+    tracks: Dataset,
+    max_kmh: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    n_buckets: int = 256,
+) -> Dataset:
+    """GPS-glitch / teleport detector: consecutive same-entity moves
+    whose implied great-circle speed exceeds ``max_kmh`` —
+    ``(user_id, event_id, next_event_id, dt_us, dist_km, speed_kmh)``.
+    The anomaly-filter complement of :func:`~.trajectory.
+    trajectory_length`: instead of summing movement it flags the pairs
+    that are physically implausible. Zero-gap pairs (``dt_us <= 0``,
+    simultaneous fixes) are excluded — they have no defined speed.
+
+    Float parity with the SQL twin (:func:`speed_outliers_sql`): the
+    haversine expression shapes and literals mirror
+    :mod:`..pipelines.geodesic` token-for-token, the exact libm ``asin``
+    runs on candidate rows only (gated by a vectorized ``np.arcsin``
+    near-superset, whose few-ULP drift is dwarfed by the 1e-6 km
+    slack), and the speed is ONE multiply + ONE divide — so emitted
+    doubles and the threshold comparison match DuckDB bitwise.
+
+    Scale shape: the shared trajectory fold — ONE coarse entity-bucket
+    shuffle of fixed-width columns, per-bucket vectorized lexsort +
+    consecutive-pair mask; output is outlier-sized. Trig runs per pair
+    but only candidates (vanishingly few at a sane threshold) pay the
+    scalar libm asin.
+    """
+    tune_context()
+    from .geodesic import DIAM_KM, _asin_libm, _haversine_a, _lonlat
+
+    thr = float(max_kmh)
+    out_schema = {
+        "user_id": pa.int64(),
+        "event_id": pa.int64(),
+        "next_event_id": pa.int64(),
+        "dt_us": pa.int64(),
+        "dist_km": pa.float64(),
+        "speed_kmh": pa.float64(),
+    }
+
+    def empty() -> pa.Table:
+        return pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+
+    def emit(cols, dt):
+        if cols is None:
+            return empty()
+        uid, _ = cols[key_col]
+        eid_f, eid_t = cols[seq_col]
+        fx, tx = cols[x_col]
+        fy, ty = cols[y_col]
+        pos = dt > 0
+        if not pos.any():
+            return empty()
+        uid, eid_f, eid_t, dt = uid[pos], eid_f[pos], eid_t[pos], dt[pos]
+        lon1, lat1 = _lonlat(fx[pos], fy[pos])
+        lon2, lat2 = _lonlat(tx[pos], ty[pos])
+        a = _haversine_a(lon1, lat1, lon2, lat2)
+        # outlier iff dist_km > max_kmh * dt_us / 3.6e9; the vectorized
+        # arcsin gate keeps a near-superset, exact libm asin decides
+        lim_km = thr * dt.astype(np.float64) / 3600000000.0
+        cand = DIAM_KM * np.arcsin(np.sqrt(a)) >= lim_km - 1e-6
+        if not cand.any():
+            return empty()
+        uid, eid_f, eid_t, dt = uid[cand], eid_f[cand], eid_t[cand], dt[cand]
+        d = DIAM_KM * _asin_libm(np.sqrt(a[cand]))
+        speed = d * 3600000000.0 / dt.astype(np.float64)
+        keep = speed > thr
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep].astype(np.int64)),
+                "event_id": pa.array(eid_f[keep].astype(np.int64)),
+                "next_event_id": pa.array(eid_t[keep].astype(np.int64)),
+                "dt_us": pa.array(dt[keep]),
+                "dist_km": pa.array(d[keep]),
+                "speed_kmh": pa.array(speed[keep]),
+            }
+        )
+
+    keyed = _bucketed(
+        tracks, key_col, ts_col, seq_col, (key_col, seq_col, x_col, y_col), n_buckets
+    )
+    return _fold_pairs(keyed, (key_col, seq_col, x_col, y_col), emit)
+
+
+def speed_outliers_sql(points_cte: str, max_kmh: float) -> str:
+    """DuckDB twin of :func:`speed_outliers`. ``points_cte`` must yield
+    (event_id, px, py); events supplies (user_id, ts, event_id)."""
+    from .geodesic import DIAM_KM, RAD
+
+    return f"""
+WITH q AS ({points_cte}),
+p AS (SELECT e.user_id, e.ts, e.event_id,
+             q.px * 360.0 - 180.0 AS lon, q.py * 170.0 - 85.0 AS lat
+      FROM events e JOIN q USING (event_id)),
+d AS (SELECT user_id, event_id, lon, lat, ts,
+             LEAD(event_id) OVER w AS next_event_id,
+             LEAD(lon) OVER w AS nlon, LEAD(lat) OVER w AS nlat,
+             LEAD(ts) OVER w AS nts
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT user_id, event_id, next_event_id,
+             CAST(date_diff('microsecond', ts, nts) AS BIGINT) AS dt_us,
+             {DIAM_KM!r} * ASIN(SQRT(LEAST(
+                 SIN((nlat - lat) * {RAD!r} * 0.5)
+                 * SIN((nlat - lat) * {RAD!r} * 0.5)
+                 + COS(lat * {RAD!r}) * COS(nlat * {RAD!r})
+                 * SIN((nlon - lon) * {RAD!r} * 0.5)
+                 * SIN((nlon - lon) * {RAD!r} * 0.5),
+                 1.0))) AS dist_km
+      FROM d
+      WHERE next_event_id IS NOT NULL
+        AND date_diff('microsecond', ts, nts) > 0)
+SELECT user_id, event_id, next_event_id, dt_us, dist_km,
+       dist_km * 3600000000.0 / CAST(dt_us AS DOUBLE) AS speed_kmh
+FROM m
+WHERE dist_km * 3600000000.0 / CAST(dt_us AS DOUBLE) > {float(max_kmh)!r}
+"""

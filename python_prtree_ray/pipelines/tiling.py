@@ -448,3 +448,566 @@ def tile_quadkey(points: Dataset, res: int) -> Dataset:
     return points.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _autocorr_stats(points: Dataset, res: int, n_buckets: int):
+    """Shared exact-integer machinery of the global spatial-
+    autocorrelation statistics (:func:`morans_i`, :func:`gearys_c`):
+    queen contiguity (8 in-grid neighbors), binary weights, OCCUPIED
+    cells only (enumerating empty cells is lattice-sized, which at res
+    16+ dwarfs the data; the occupied-cell variant is standard for
+    sparse grids and the SQL twins compute the same set).
+
+    Returns the Python-int tuple ``(N, S, SX2, W, P, Q, C2)``: N
+    occupied cells with counts x_i, S = Σx, SX2 = Σx², and over the W
+    ordered neighbor pairs P = Σ x_i·x_j, Q = Σ (x_i+x_j),
+    C2 = Σ (x_i−x_j)² — everything either statistic needs, all exact.
+
+    Scale shape: pass 1 collapses each point batch to distinct-cell
+    counts and folds them exactly via ``bucketed_sum`` (tile-sized,
+    never point-sized). Pass 2 streams the cell table: each cell emits
+    one occupancy row plus ≤8 neighbor offers carrying its count; ONE
+    cell-bucket groupby matches offers to occupied cells (vectorized
+    searchsorted) and collapses each bucket to a single 7-number partial
+    row. The driver folds ≤``n_buckets`` partial rows — never cells,
+    never points. Per-bucket int64 partials are overflow-guarded (P is
+    bounded by S², checked loudly): corpora past that bound should
+    raise ``res`` so counts spread across more cells.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+    from .merge import bucketed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        row, nb = neighbor_cells(c, res, ring=1)  # includes self
+        off = nb != c[row]
+        cells = np.concatenate([c, nb[off]])
+        xv = np.concatenate([x, x[row][off]])
+        is_occ = np.concatenate(
+            [np.ones(c.size, np.int8), np.zeros(nb[off].size, np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "xv": xv,
+                "is_occ": is_occ,
+            }
+        )
+
+    INT64_MAX = (1 << 63) - 1
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        xv = group.column("xv").to_numpy(zero_copy_only=False)
+        occ = group.column("is_occ").to_numpy(zero_copy_only=False) == 1
+        oc, ox = c[occ], xv[occ]
+        so = np.argsort(oc)
+        oc_s, ox_s = oc[so], ox[so]
+        fc, fx = c[~occ], xv[~occ]
+        pos = np.searchsorted(oc_s, fc)
+        pos_c = np.minimum(pos, max(oc_s.size - 1, 0))
+        hit = (
+            (pos < oc_s.size) & (oc_s[pos_c] == fc)
+            if oc_s.size
+            else np.zeros(fc.size, bool)
+        )
+        xd = ox_s[pos_c[hit]].astype(object)  # destination cell count
+        xs = fx[hit].astype(object)  # source cell count
+        # exact Python-int partials on metadata-sized arrays (<= 9 rows
+        # per occupied cell in this bucket) — immune to int64 overflow
+        # in the SUM; each per-bucket total is then range-checked back
+        # into int64 for the tiny partial row
+        vals = {
+            "n": int(oc.size),
+            "s": int(ox.astype(object).sum()) if ox.size else 0,
+            "sx2": int((ox.astype(object) * ox).sum()) if ox.size else 0,
+            "w": int(hit.sum()),
+            "p": int((xd * xs).sum()) if xd.size else 0,
+            "q": int((xd + xs).sum()) if xd.size else 0,
+            "c2": int(((xd - xs) * (xd - xs)).sum()) if xd.size else 0,
+        }
+        for k, v in vals.items():
+            if v > INT64_MAX:
+                raise ValueError(
+                    f"spatial autocorrelation: per-bucket partial {k} "
+                    f"overflows int64; raise res so per-cell counts "
+                    f"spread thinner"
+                )
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in vals.items()})
+
+    parts = (
+        counts.map_batches(
+            offers,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    import ray
+    import pyarrow.compute as pc
+
+    acc = {k: 0 for k in ("n", "s", "sx2", "w", "p", "q", "c2")}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for k in acc:
+            acc[k] += int(pc.sum(t.column(k)).as_py() or 0)
+    return (
+        acc["n"],
+        acc["s"],
+        acc["sx2"],
+        acc["w"],
+        acc["p"],
+        acc["q"],
+        acc["c2"],
+    )
+
+
+def _one_row(n: int, w: int, stat_name: str, value) -> Dataset:
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n], pa.int64()),
+                "w_pairs": pa.array([w], pa.int64()),
+                stat_name: pa.array([value], pa.float64()),
+            }
+        )
+    )
+
+
+def morans_i(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """Global Moran's I spatial autocorrelation of tile point-densities
+    — the classic "is this heatmap clustered or random?" statistic of a
+    spatial-statistics pipeline. ONE row: ``(n_cells, w_pairs,
+    morans_i)``; weights/cell-set semantics and the distributed shape
+    live in :func:`_autocorr_stats`.
+
+    Exactness: the common N² factor cancels to
+
+        I = (N²·P − N·S·Q + S²·W) / (W · (N·SX2 − S²))
+
+    where numerator and denominator are exact integers (arbitrary-
+    precision Python ints at the metadata-sized fold) and the ONE float
+    op is the final division — so the DuckDB twin (HUGEINT sums, one
+    CAST-to-DOUBLE division) matches bitwise. Degenerate inputs (no
+    neighbor pairs, or zero variance) yield NULL, never inf/NaN.
+    """
+    N, S, SX2, W, P, Q, _ = _autocorr_stats(points, res, n_buckets)
+    num = N * N * P - N * S * Q + S * S * W
+    den = W * (N * SX2 - S * S)
+    return _one_row(N, W, "morans_i", float(num) / float(den) if den else None)
+
+
+def gearys_c(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """Global Geary's C of tile point-densities — Moran's I's
+    difference-based companion (sensitive to local rather than global
+    structure; C < 1 clustered, C ≈ 1 random, C > 1 dispersed). ONE
+    row: ``(n_cells, w_pairs, gearys_c)``; semantics and distributed
+    shape shared with :func:`morans_i` via :func:`_autocorr_stats`.
+
+    Exactness: with C2 = Σ_w (x_i−x_j)² over the W ordered neighbor
+    pairs,
+
+        C = ((N−1)·N·C2) / (2·W·(N·SX2 − S²))
+
+    — exact-integer numerator and denominator, ONE float division, so
+    the DuckDB twin matches bitwise."""
+    N, S, SX2, W, _, _, C2 = _autocorr_stats(points, res, n_buckets)
+    num = (N - 1) * N * C2
+    den = 2 * W * (N * SX2 - S * S)
+    return _one_row(N, W, "gearys_c", float(num) / float(den) if den else None)
+
+
+def morans_i_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`morans_i` — HUGEINT-exact sums, one final
+    CAST-to-DOUBLE division (both sides round-to-nearest-even)."""
+    g = 1 << res
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1, 2),
+gsum AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS s,
+                CAST(SUM(x * x) AS HUGEINT) AS sx2 FROM c),
+e AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w,
+             CAST(COALESCE(SUM(a.x * b.x), 0) AS HUGEINT) AS p,
+             CAST(COALESCE(SUM(a.x + b.x), 0) AS HUGEINT) AS q
+      FROM c a JOIN c b
+      ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+         AND NOT (a.ix = b.ix AND a.iy = b.iy))
+SELECT CAST(gsum.n AS BIGINT) AS n_cells,
+       CAST(e.w AS BIGINT) AS w_pairs,
+       CAST(gsum.n * gsum.n * e.p - gsum.n * gsum.s * e.q
+            + gsum.s * gsum.s * e.w AS DOUBLE)
+       / CAST(e.w * (gsum.n * gsum.sx2 - gsum.s * gsum.s) AS DOUBLE)
+       AS morans_i
+FROM gsum, e
+"""
+
+def gearys_c_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`gearys_c` — HUGEINT-exact sums, one final
+    CAST-to-DOUBLE division."""
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1, 2),
+gsum AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS s,
+                CAST(SUM(x * x) AS HUGEINT) AS sx2 FROM c),
+e AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w,
+             CAST(COALESCE(SUM((a.x - b.x) * (a.x - b.x)), 0) AS HUGEINT)
+             AS c2
+      FROM c a JOIN c b
+      ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+         AND NOT (a.ix = b.ix AND a.iy = b.iy))
+SELECT CAST(gsum.n AS BIGINT) AS n_cells,
+       CAST(e.w AS BIGINT) AS w_pairs,
+       CAST((gsum.n - 1) * gsum.n * e.c2 AS DOUBLE)
+       / CAST(2 * e.w * (gsum.n * gsum.sx2 - gsum.s * gsum.s) AS DOUBLE)
+       AS gearys_c
+FROM gsum, e
+"""
+
+def ripley_k(
+    points: Dataset,
+    radius: float,
+    res: int | None = None,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Ripley's K point-pattern statistic at one radius (naive
+    estimator, unit-square window, no edge correction — the variant
+    whose SQL twin is a plain self-join count):
+    ``K̂(r) = A·Σ_{i≠j} 1(d_ij ≤ r) / N²`` with A = 1. K̂ > πr² means
+    clustering at scale r, < πr² dispersion. ONE row:
+    ``(n_points, n_pairs, k_r)``.
+
+    Exactness: the pair count is an exact integer (the comparison
+    ``dx²+dy² ≤ r²`` uses the identical subtraction/product/sum shapes
+    and the identical ``r*r`` double both sides), and K̂ is ONE float
+    division of exact ints — bitwise-equal to DuckDB.
+
+    Scale shape: the all-pairs-within-r problem cell-bucketed — grid
+    resolution is chosen (or given) so the cell width ≥ r, each point
+    lands in its own cell as OWNER plus its ≤8 in-grid neighbor cells
+    as GHOST, so every qualifying pair is owner-local to exactly one
+    cell. ONE cell-bucket shuffle of (cell, id, px, py); per-bucket
+    counting is vectorized owner×candidate chunks (64-row owner chunks
+    bound the band matrix); the driver folds one 2-int partial per
+    bucket. Hot cells pay quadratic candidate work — inherent to the
+    statistic (the SQL is the same self-join); production corpora
+    should pick r (and thus res) so cells stay batch-sized.
+    """
+    import math
+
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+
+    if res is None:
+        # the widest grid whose cell width still covers the radius
+        res = max(int(math.floor(math.log2(1.0 / radius))), 0)
+    if (1.0 / (1 << res)) < radius:
+        raise ValueError(
+            f"ripley_k: cell width {1.0 / (1 << res)} at res {res} is "
+            f"smaller than radius {radius}; pairs would be missed"
+        )
+    r2 = float(radius) * float(radius)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        qid = st.col_np(tbl, "query_id")
+        own = cell_of_points(px, py, res)
+        row, nb = neighbor_cells(own, res, ring=1)  # includes self cell
+        ghost = nb != own[row]
+        grow = row[ghost]
+        cells = np.concatenate([own, nb[ghost]])
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "qid": np.concatenate([qid, qid[grow]]),
+                "px": np.concatenate([px, px[grow]]),
+                "py": np.concatenate([py, py[grow]]),
+                "own": np.concatenate(
+                    [np.ones(own.size, np.int8), np.zeros(grow.size, np.int8)]
+                ),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False) == 1
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], cell_s.size]
+        pairs = 0
+        n_own = int(own.sum())
+        for a, b in zip(starts, ends):
+            sl = order[a:b]
+            o = sl[own[sl]]
+            if o.size == 0:
+                continue
+            cx, cy = px[sl], py[sl]
+            for c0 in range(0, o.size, 64):
+                osl = o[c0 : c0 + 64]
+                dx = px[osl][:, None] - cx[None, :]
+                dy = py[osl][:, None] - cy[None, :]
+                pairs += int((dx * dx + dy * dy <= r2).sum())
+        # every owner also appears once as its own candidate (d = 0):
+        # subtract exactly that self-pair; coincident DISTINCT points
+        # keep counting, as the SQL a.id <> b.id join does
+        pairs -= n_own
+        return pa.table(
+            {
+                "pairs": pa.array([pairs], pa.int64()),
+                "n_own": pa.array([n_own], pa.int64()),
+            }
+        )
+
+    parts = (
+        points.map_batches(
+            assign,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    import pyarrow.compute as pc
+    import ray
+
+    P = N = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        P += int(pc.sum(t.column("pairs")).as_py() or 0)
+        N += int(pc.sum(t.column("n_own")).as_py() or 0)
+    k = float(P) / float(N * N) if N else None
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([N], pa.int64()),
+                "n_pairs": pa.array([P], pa.int64()),
+                "k_r": pa.array([k], pa.float64()),
+            }
+        )
+    )
+
+
+def ripley_k_sql(points_cte: str, radius: float) -> str:
+    """DuckDB twin of :func:`ripley_k` — exact self-join pair count,
+    one CAST-to-DOUBLE division."""
+    r2 = float(radius) * float(radius)
+    return f"""
+WITH p AS ({points_cte}),
+e AS (SELECT CAST(COUNT(*) AS HUGEINT) AS pairs
+      FROM p a JOIN p b
+      ON a.query_id <> b.query_id
+         AND (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) <= {r2!r}),
+g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM p)
+SELECT CAST(g.n AS BIGINT) AS n_points,
+       CAST(e.pairs AS BIGINT) AS n_pairs,
+       CAST(e.pairs AS DOUBLE) / CAST(g.n * g.n AS DOUBLE) AS k_r
+FROM g, e
+"""
+
+def local_morans(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """Local Moran's I (LISA) per occupied tile — the per-cell
+    hot-spot / cold-spot / outlier decomposition of :func:`morans_i`:
+    ``(cell, n_points, n_neighbors, local_i)`` where positive local_i
+    marks a cell whose density agrees with its neighborhood (hot-hot /
+    cold-cold) and negative marks spatial outliers. Queen contiguity,
+    binary weights, occupied cells only (same weight semantics as
+    :func:`_autocorr_stats`).
+
+    Exactness: with global N, S = Σx, SX2 = Σx² and per-cell neighbor
+    aggregates TJ_i = Σ_{j∈nb(i)} x_j, k_i = |nb(i)|, the N factors
+    clear to
+
+        I_i = (N·x_i − S)·(N·TJ_i − k_i·S) / (N·SX2 − S²)
+
+    — exact-integer numerator (arbitrary-precision per cell) and
+    denominator, ONE double division per row, so the DuckDB twin
+    (HUGEINT arithmetic + CAST) matches bitwise.
+
+    Scale shape: the exact cell-count table is built once and pinned
+    (``materialize`` — tile-sized, the broadcast-small-side pattern,
+    never points); one metadata fold computes the three global scalars;
+    ONE cell-bucket shuffle of occupancy rows + ≤8 count-carrying
+    neighbor offers computes (TJ_i, k_i) per cell via sorted reduceat;
+    a stateless final map emits the per-cell statistic. Output is
+    tile-sized.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+    from .merge import bucketed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    ).materialize()  # tile-sized; consumed twice (scalars + offers)
+
+    import pyarrow.compute as pc
+    import ray
+
+    N = S = SX2 = 0
+    for ref in counts.to_arrow_refs():
+        t = ray.get(ref)
+        x = t.column("x")
+        N += t.num_rows
+        S += int(pc.sum(x).as_py() or 0)
+        SX2 += int(pc.sum(pc.multiply(x, x)).as_py() or 0)
+    den = N * SX2 - S * S
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        row, nb = neighbor_cells(c, res, ring=1)  # includes self
+        off = nb != c[row]
+        cells = np.concatenate([c, nb[off]])
+        xv = np.concatenate([x, x[row][off]])
+        is_occ = np.concatenate(
+            [np.ones(c.size, np.int8), np.zeros(nb[off].size, np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "xv": xv,
+                "is_occ": is_occ,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        xv = group.column("xv").to_numpy(zero_copy_only=False)
+        occ = group.column("is_occ").to_numpy(zero_copy_only=False) == 1
+        order = np.lexsort((~occ, c))  # per cell: occupancy row first
+        c_s, x_s, occ_s = c[order], xv[order], occ[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sizes = np.diff(np.r_[starts, c_s.size])
+        has_occ = occ_s[starts]  # offers to empty cells have no marker
+        tj_all = np.add.reduceat(x_s, starts)
+        cell_o = c_s[starts][has_occ]
+        x_o = x_s[starts][has_occ]
+        tj = (tj_all[has_occ] - x_o).astype(np.int64)  # minus own row
+        k = (sizes[has_occ] - 1).astype(np.int64)
+        return pa.table({"cell": cell_o, "x": x_o, "tj": tj, "k": k})
+
+    percell = (
+        counts.map_batches(
+            offers,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        tj = tbl.column("tj").to_numpy(zero_copy_only=False)
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        # exact big-int numerator per row (object dtype: the two factors
+        # fit int64 but their PRODUCT may not), then one rounding each
+        # to double — identical to DuckDB's HUGEINT CASTs
+        f1 = N * x.astype(object) - S
+        f2 = N * tj.astype(object) - k.astype(object) * S
+        num = (f1 * f2).astype(np.float64)
+        li = num / float(den) if den else np.full(x.size, np.nan)
+        return pa.table(
+            {
+                "cell": tbl.column("cell"),
+                "n_points": tbl.column("x"),
+                "n_neighbors": tbl.column("k"),
+                "local_i": pa.array(li, pa.float64()),
+            }
+        )
+
+    return percell.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def local_morans_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`local_morans` — HUGEINT-exact per-cell
+    numerator, one CAST-to-DOUBLE division per row."""
+    g = 1 << res
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1, 2),
+gsum AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS s,
+                CAST(SUM(x * x) AS HUGEINT) AS sx2 FROM c),
+nb AS (SELECT a.ix AS ix, a.iy AS iy, ANY_VALUE(a.x) AS x,
+              CAST(COUNT(b.x) AS HUGEINT) AS k,
+              CAST(COALESCE(SUM(b.x), 0) AS HUGEINT) AS tj
+       FROM c a LEFT JOIN c b
+       ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+          AND NOT (a.ix = b.ix AND a.iy = b.iy)
+       GROUP BY a.ix, a.iy)
+SELECT nb.ix * {g} + nb.iy AS cell,
+       CAST(nb.x AS BIGINT) AS n_points,
+       CAST(nb.k AS BIGINT) AS n_neighbors,
+       CAST((gsum.n * nb.x - gsum.s) * (gsum.n * nb.tj - nb.k * gsum.s)
+            AS DOUBLE)
+       / CAST(gsum.n * gsum.sx2 - gsum.s * gsum.s AS DOUBLE) AS local_i
+FROM nb, gsum
+"""

@@ -3137,3 +3137,272 @@ def test_new_ops_empty_and_degenerate_inputs(ray_session):
     # tile_topk with k larger than any tile population: every point ranks
     out = tile_topk(pts, res=1, k=1000).take_all()
     assert len(out) == keys.size
+
+
+def test_morans_i_matches_dense_reference(ray_session):
+    # global Moran's I (queen contiguity, occupied cells) vs a dense
+    # numpy float reference, plus partition invariance (exact integer
+    # partials -> the float result is bit-identical at any parallelism)
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import morans_i
+
+    rng = np.random.default_rng(47)
+    res, g = 3, 8
+    n = 400
+    pts = rng.random((n, 2))
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    dense = np.zeros((g, g), np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    occ = np.argwhere(dense > 0)
+    x = dense[occ[:, 0], occ[:, 1]].astype(np.float64)
+    N = occ.shape[0]
+    xbar = x.mean()
+    num = 0.0
+    W = 0
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            if (
+                abs(occ[i, 0] - occ[j, 0]) <= 1
+                and abs(occ[i, 1] - occ[j, 1]) <= 1
+            ):
+                W += 1
+                num += (x[i] - xbar) * (x[j] - xbar)
+    want = (N / W) * num / ((x - xbar) ** 2).sum()
+
+    results = []
+    for blocks in (1, 5):
+        ds = _points_ds(ray, pts, np.arange(n), blocks=blocks)
+        rows = morans_i(ds, res=res).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_cells"] == N and r["w_pairs"] == W
+        assert abs(r["morans_i"] - want) < 1e-9
+        results.append(r["morans_i"])
+    # exact integer partials: bit-identical across parallelism
+    assert results[0] == results[1]
+
+    # degenerate variance (every occupied cell identical count) -> the
+    # denominator is exactly 0 and morans_i is NULL, not inf/NaN
+    gx = np.repeat(np.arange(4), 1).astype(np.float64)
+    pts1 = np.stack([(gx + 0.5) / g, np.full(4, 0.5 / g)], axis=1)
+    rows = morans_i(
+        _points_ds(ray, pts1, np.arange(4), blocks=2), res=res
+    ).take_all()
+    assert rows[0]["morans_i"] is None
+
+
+def test_speed_outliers_matches_pandas_reference(ray_session):
+    # teleport detection vs a per-user sorted-scan reference using the
+    # same haversine; zero-gap pairs excluded; partition invariance
+    ray = ray_session
+    import math
+
+    from python_prtree_ray.pipelines.geodesic import DIAM_KM, RAD
+    from python_prtree_ray.pipelines.movement import speed_outliers
+
+    rng = np.random.default_rng(31)
+    n_users, per = 12, 40
+    rows = n_users * per
+    users = np.repeat(np.arange(n_users, dtype=np.int64), per)
+    # timestamps with deliberate duplicates (seq breaks ties) and some
+    # zero gaps
+    base = np.datetime64("2024-03-01", "us")
+    offs = rng.integers(0, 50, rows).astype("timedelta64[h]")
+    ts = (base + offs).astype("datetime64[us]")
+    eid = np.arange(rows, dtype=np.int64)
+    px = rng.random(rows)
+    py = rng.random(rows)
+    t = pa.table(
+        {
+            "user_id": users,
+            "ts": pa.array(ts),
+            "event_id": eid,
+            "px": px,
+            "py": py,
+        }
+    )
+    thr = 3000.0
+
+    def hav_km(lo1, la1, lo2, la2):
+        sdphi = math.sin((la2 - la1) * RAD * 0.5)
+        sdlam = math.sin((lo2 - lo1) * RAD * 0.5)
+        # association mirrors the engine/SQL shape: ((cos*cos)*s)*s
+        a = (
+            sdphi * sdphi
+            + math.cos(la1 * RAD) * math.cos(la2 * RAD) * sdlam * sdlam
+        )
+        return DIAM_KM * math.asin(math.sqrt(min(a, 1.0)))
+
+    want = {}
+    tsi = ts.astype(np.int64)
+    for u in range(n_users):
+        sel = np.flatnonzero(users == u)
+        order = sel[np.lexsort((eid[sel], tsi[sel]))]
+        for a_i, b_i in zip(order[:-1], order[1:]):
+            dt = int(tsi[b_i] - tsi[a_i])
+            if dt <= 0:
+                continue
+            lo1, la1 = px[a_i] * 360.0 - 180.0, py[a_i] * 170.0 - 85.0
+            lo2, la2 = px[b_i] * 360.0 - 180.0, py[b_i] * 170.0 - 85.0
+            d = hav_km(lo1, la1, lo2, la2)
+            sp = d * 3600000000.0 / float(dt)
+            if sp > thr:
+                want[(u, int(eid[a_i]))] = (int(eid[b_i]), dt, d, sp)
+
+    assert len(want) > 10  # the threshold actually bites
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            (r["user_id"], r["event_id"]): (
+                r["next_event_id"],
+                r["dt_us"],
+                r["dist_km"],
+                r["speed_kmh"],
+            )
+            for r in speed_outliers(ds, max_kmh=thr).take_all()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            ge, we = got[k], want[k]
+            assert ge[0] == we[0] and ge[1] == we[1]
+            # doubles match the scalar-libm reference bitwise
+            assert ge[2] == we[2] and ge[3] == we[3], (k, ge, we)
+
+
+def test_gearys_c_matches_dense_reference(ray_session):
+    # Geary's C vs a dense numpy reference on the same occupied-cell /
+    # queen-contiguity definition as morans_i; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import gearys_c
+
+    rng = np.random.default_rng(53)
+    res, g = 3, 8
+    n = 700
+    pts = rng.random((n, 2)) ** 1.5  # skew -> unequal neighbor counts
+    pts = np.clip(pts, 0.0, 0.999999)
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    dense = np.zeros((g, g), np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    occ = np.argwhere(dense > 0)
+    x = dense[occ[:, 0], occ[:, 1]].astype(np.float64)
+    N = occ.shape[0]
+    xbar = x.mean()
+    num = 0.0
+    W = 0
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            if (
+                abs(occ[i, 0] - occ[j, 0]) <= 1
+                and abs(occ[i, 1] - occ[j, 1]) <= 1
+            ):
+                W += 1
+                num += (x[i] - x[j]) ** 2
+    want = ((N - 1) / (2.0 * W)) * num / ((x - xbar) ** 2).sum()
+    assert num > 0  # non-degenerate input
+
+    got = []
+    for blocks in (1, 6):
+        rows = gearys_c(
+            _points_ds(ray, pts, np.arange(n), blocks=blocks), res=res
+        ).take_all()
+        r = rows[0]
+        assert r["n_cells"] == N and r["w_pairs"] == W
+        assert abs(r["gearys_c"] - want) < 1e-9
+        got.append(r["gearys_c"])
+    assert got[0] == got[1]  # exact int partials -> bit-identical
+
+
+def test_ripley_k_matches_brute_force(ray_session):
+    # Ripley's K pair count vs an all-pairs numpy reference, including
+    # coincident distinct points and radius-boundary pairs
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import ripley_k
+
+    rng = np.random.default_rng(59)
+    n = 300
+    pts = rng.random((n, 2))
+    pts[10] = pts[20]  # coincident distinct ids must count
+    pts[30] = pts[31] = [0.5, 0.5]
+    r = 0.05
+    dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+    dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+    within = (dx * dx + dy * dy) <= r * r
+    np.fill_diagonal(within, False)
+    want_pairs = int(within.sum())
+    want_k = float(want_pairs) / float(n * n)
+    assert want_pairs > 0
+
+    for blocks in (1, 5):
+        rows = ripley_k(
+            _points_ds(ray, pts, np.arange(n), blocks=blocks), radius=r
+        ).take_all()
+        out = rows[0]
+        assert out["n_points"] == n
+        assert out["n_pairs"] == want_pairs
+        assert out["k_r"] == want_k
+
+    # a resolution whose cells are narrower than the radius must refuse
+    # loudly rather than undercount
+    import pytest
+
+    with pytest.raises(ValueError, match="cell width"):
+        ripley_k(_points_ds(ray, pts, np.arange(n)), radius=r, res=8)
+
+
+def test_local_morans_matches_dense_reference(ray_session):
+    # per-cell LISA vs a dense numpy reference; sums to (a multiple of)
+    # the global numerator; partition invariance bit-exact
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import local_morans
+
+    rng = np.random.default_rng(61)
+    res, g = 3, 8
+    n = 600
+    pts = rng.random((n, 2))
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    dense = np.zeros((g, g), np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    occ = np.argwhere(dense > 0)
+    x = dense[occ[:, 0], occ[:, 1]].astype(np.float64)
+    N = occ.shape[0]
+    xbar = x.mean()
+    m2 = ((x - xbar) ** 2).sum() / N
+    want = {}
+    for i in range(N):
+        tj = 0.0
+        k = 0
+        for j in range(N):
+            if i == j:
+                continue
+            if (
+                abs(occ[i, 0] - occ[j, 0]) <= 1
+                and abs(occ[i, 1] - occ[j, 1]) <= 1
+            ):
+                k += 1
+                tj += x[j] - xbar
+        cell = int(occ[i, 0] * g + occ[i, 1])
+        want[cell] = (int(x[i]), k, (x[i] - xbar) * tj / m2)
+
+    prev = None
+    for blocks in (1, 6):
+        rows = local_morans(
+            _points_ds(ray, pts, np.arange(n), blocks=blocks), res=res
+        ).take_all()
+        got = {
+            r["cell"]: (r["n_points"], r["n_neighbors"], r["local_i"])
+            for r in rows
+        }
+        assert set(got) == set(want)
+        for c in want:
+            assert got[c][0] == want[c][0] and got[c][1] == want[c][1]
+            assert abs(got[c][2] - want[c][2]) < 1e-9, (c, got[c], want[c])
+        if prev is not None:
+            assert got == prev  # bit-identical across parallelism
+        prev = got
