@@ -238,6 +238,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact integer pair count, ONE float division
         return tiling.ripley_k(tables.points_dataset(sf), radius=RADIUS)
 
+    def q_getis_ord(sf):
+        # Getis-Ord Gi* hot-spot z-scores per tile: exact-integer focal
+        # sums + a fixed correctly-rounded IEEE expression tree shared
+        # with the SQL twin (bitwise doubles)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.getis_ord(pts, res=TILE_RES)
+
+    def q_cell_trend(sf):
+        # emerging-hotspot trend: early-vs-late half counts per tile
+        # around the stream's midpoint timestamp; exact int64
+        from python_prtree_ray.pipelines.movement import cell_trend
+
+        return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
     def q_tile_topk(sf):
         # top-k POIs per map tile by derived score: map-side per-cell
         # prune (k rows per cell per batch), ONE coarse cell shuffle
@@ -1805,6 +1829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gearys_c": q_gearys_c,
         "local_morans": q_local_morans,
         "ripley_k": q_ripley_k,
+        "getis_ord": q_getis_ord,
+        "cell_trend": q_cell_trend,
         "speed_outliers": q_speed_outliers,
         "nn_pairs": q_nn_pairs,
         "grouped_moments": q_grouped_moments,
@@ -1817,10 +1843,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.movement import (
+        cell_trend_sql as _cell_trend_sql,
         speed_outliers_sql as _speed_outliers_sql,
     )
     from python_prtree_ray.pipelines.tiling import (
         gearys_c_sql as _gearys_c_sql,
+        getis_ord_sql as _getis_ord_sql,
         local_morans_sql as _local_morans_sql,
         morans_i_sql as _morans_i_sql,
         ripley_k_sql as _ripley_k_sql,
@@ -3140,6 +3168,12 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "ripley_k": _ripley_k_sql(p_cust, RADIUS),
+        "getis_ord": _getis_ord_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "cell_trend": _cell_trend_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
         "speed_outliers": _speed_outliers_sql(
             derive.points_sql("events", "event_id", "event_id"), SPEED_KMH_T
         ),

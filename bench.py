@@ -170,7 +170,8 @@ QUERY_SUBSET = (
     "tile_topk tile_quantiles idw_grid haversine_join "
     "dbscan pii_scrub doc_lm_freq doc_chunks colocation_pairs ann_range "
     "stay_points resample_track tile_quadkey "
-    "morans_i gearys_c local_morans ripley_k speed_outliers"
+    "morans_i gearys_c local_morans ripley_k speed_outliers "
+    "getis_ord cell_trend"
 ).split()
 
 

@@ -527,3 +527,135 @@ SELECT user_id, event_id, next_event_id, dt_us, dist_km,
 FROM m
 WHERE dist_km * 3600000000.0 / CAST(dt_us AS DOUBLE) > {float(max_kmh)!r}
 """
+
+
+def cell_trend(
+    tracks: Dataset,
+    res: int,
+    ts_col: str = "ts",
+    x_col: str = "gx",
+    y_col: str = "gy",
+) -> Dataset:
+    """Emerging-hotspot trend per tile: split the stream's time range at
+    its midpoint and count events per cell in each half —
+    ``(cell, n_early, n_late, delta)`` with ``delta = n_late −
+    n_early`` (positive = emerging, negative = cooling). The space-time
+    complement of the static density ops. Exact int64 throughout → the
+    SQL twin ((MIN+MAX)/2 epoch-µs midpoint, same floor semantics)
+    matches bit-for-bit.
+
+    Scale shape: pass 1 is a metadata fold (per-batch ts min/max, two
+    scalars to the driver); pass 2 collapses each batch to per-(cell,
+    half) counts and folds them with ONE coarse-bucket sum — tile-sized
+    partials, raw rows never shuffle.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    g = np.int64(1 << res)
+
+    def ts_us(tbl: pa.Table) -> np.ndarray:
+        return (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        t = ts_us(tbl)
+        if t.size == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(t.min())], pa.int64()),
+                "hi": pa.array([int(t.max())], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+    import ray
+
+    lo = hi = None
+    for ref in tracks.map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        blo = pc.min(t.column("lo")).as_py()
+        bhi = pc.max(t.column("hi")).as_py()
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+    if lo is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n_early": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                    "delta": pa.array([], pa.int64()),
+                }
+            )
+        )
+    mid = (lo + hi) // 2  # epoch µs are positive: floor == truncation
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = ts_us(tbl)
+        cell = (
+            tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64) * g
+            + tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        late = t > mid
+        key, inv = np.unique(cell, return_inverse=True)
+        n_late = np.bincount(inv[late], minlength=key.size).astype(np.int64)
+        n_all = np.bincount(inv, minlength=key.size).astype(np.int64)
+        return pa.table(
+            {"cell": key, "n_early": n_all - n_late, "n_late": n_late}
+        )
+
+    summed = bucketed_sum(
+        tracks.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("n_early", "n_late"),
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        e = tbl.column("n_early").to_numpy(zero_copy_only=False)
+        l = tbl.column("n_late").to_numpy(zero_copy_only=False)
+        return tbl.append_column("delta", pa.array(l - e, pa.int64()))
+
+    return summed.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cell_trend_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`cell_trend` over the events table.
+    ``points_cte`` must yield (event_id, px, py)."""
+    from ..functions import derive
+
+    cell = derive.tile_cell_sql("q.px", "q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+p AS (SELECT {cell} AS cell, e.ts AS ts
+      FROM events e JOIN q USING (event_id)),
+b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM p)
+SELECT cell,
+       CAST(SUM(CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_early,
+       CAST(SUM(CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END)
+            AS BIGINT) AS delta
+FROM p, b GROUP BY cell, b.mid
+"""

@@ -1011,3 +1011,180 @@ SELECT nb.ix * {g} + nb.iy AS cell,
        / CAST(gsum.n * gsum.sx2 - gsum.s * gsum.s AS DOUBLE) AS local_i
 FROM nb, gsum
 """
+
+def getis_ord(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """Getis–Ord Gi* hot-spot z-score per occupied tile — the
+    significance-scored member of the hotspot family
+    (:func:`hotspot_cells` gives raw focal sums; this standardizes
+    them): ``(cell, n_points, focal_sum, gi_star)``. Star variant (the
+    cell's own count is in its neighborhood); queen contiguity over
+    OCCUPIED cells, consistent with :func:`morans_i` /
+    :func:`local_morans` (an empty neighbor has x = 0 AND is excluded
+    from the weight count — the sparse-grid convention, which the SQL
+    twin shares).
+
+    Float parity: the inputs (focal sum G_i, weight count k_i+1, global
+    N, S, SX2) are exact integers; Gi* is then a FIXED expression tree
+    of correctly-rounded IEEE ops (two divisions, one sqrt each side of
+    the quotient) evaluated with identical association in NumPy and
+    DuckDB, so the doubles match bitwise:
+
+        x̄ = S/N;  s = sqrt(SX2/N − x̄·x̄);  m = k_i + 1
+        Gi* = (G_i − x̄·m) / (s · sqrt((N·m − m·m) / (N − 1.0)))
+
+    Scale shape: identical to :func:`local_morans` — pinned tile-sized
+    count table, metadata scalar fold, ONE cell-bucket offer shuffle,
+    stateless per-cell finish. Output is tile-sized. Degenerate N ≤ 1
+    or zero variance yields NULL scores, never inf/NaN.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+    from .merge import bucketed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    ).materialize()  # tile-sized; consumed twice (scalars + offers)
+
+    import pyarrow.compute as pc
+    import ray
+
+    N = S = SX2 = 0
+    for ref in counts.to_arrow_refs():
+        t = ray.get(ref)
+        x = t.column("x")
+        N += t.num_rows
+        S += int(pc.sum(x).as_py() or 0)
+        SX2 += int(pc.sum(pc.multiply(x, x)).as_py() or 0)
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        row, nb = neighbor_cells(c, res, ring=1)  # includes self
+        off = nb != c[row]
+        cells = np.concatenate([c, nb[off]])
+        xv = np.concatenate([x, x[row][off]])
+        is_occ = np.concatenate(
+            [np.ones(c.size, np.int8), np.zeros(nb[off].size, np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "xv": xv,
+                "is_occ": is_occ,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        xv = group.column("xv").to_numpy(zero_copy_only=False)
+        occ = group.column("is_occ").to_numpy(zero_copy_only=False) == 1
+        order = np.lexsort((~occ, c))
+        c_s, x_s, occ_s = c[order], xv[order], occ[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sizes = np.diff(np.r_[starts, c_s.size])
+        has_occ = occ_s[starts]
+        g_all = np.add.reduceat(x_s, starts)
+        return pa.table(
+            {
+                "cell": c_s[starts][has_occ],
+                "x": x_s[starts][has_occ],
+                "g": g_all[has_occ].astype(np.int64),  # focal incl self
+                "m": sizes[has_occ].astype(np.int64),  # weights incl self
+            }
+        )
+
+    percell = (
+        counts.map_batches(
+            offers,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        g = tbl.column("g").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = tbl.column("m").to_numpy(zero_copy_only=False).astype(np.float64)
+        if N > 1:
+            nf, sf, sx2f = float(N), float(S), float(SX2)
+            xbar = sf / nf
+            sdev = np.sqrt(sx2f / nf - xbar * xbar)
+            denom = sdev * np.sqrt((nf * m - m * m) / (nf - 1.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gi = (g - xbar * m) / denom
+            gi = np.where(denom > 0.0, gi, np.nan)
+            arr = pa.array(gi, pa.float64())
+            arr = pc.if_else(pc.is_nan(arr), pa.nulls(len(arr), pa.float64()), arr)
+        else:
+            arr = pa.nulls(tbl.num_rows, pa.float64())
+        return pa.table(
+            {
+                "cell": tbl.column("cell"),
+                "n_points": tbl.column("x"),
+                "focal_sum": tbl.column("g"),
+                "gi_star": arr,
+            }
+        )
+
+    return percell.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def getis_ord_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`getis_ord` — identical expression tree of
+    correctly-rounded IEEE ops over exact-integer inputs."""
+    g = 1 << res
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1, 2),
+gsum AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nf,
+                CAST(SUM(x) AS DOUBLE) AS sf,
+                CAST(SUM(x * x) AS DOUBLE) AS sx2f FROM c),
+nb AS (SELECT a.ix AS ix, a.iy AS iy, ANY_VALUE(a.x) AS x,
+              ANY_VALUE(a.x) + CAST(COALESCE(SUM(b.x), 0) AS BIGINT) AS gfoc,
+              1 + CAST(COUNT(b.x) AS BIGINT) AS m
+       FROM c a LEFT JOIN c b
+       ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+          AND NOT (a.ix = b.ix AND a.iy = b.iy)
+       GROUP BY a.ix, a.iy)
+SELECT nb.ix * {g} + nb.iy AS cell,
+       CAST(nb.x AS BIGINT) AS n_points,
+       CAST(nb.gfoc AS BIGINT) AS focal_sum,
+       CASE WHEN gsum.nf > 1
+                 AND SQRT(gsum.sx2f / gsum.nf
+                          - (gsum.sf / gsum.nf) * (gsum.sf / gsum.nf))
+                     * SQRT((gsum.nf * CAST(nb.m AS DOUBLE)
+                             - CAST(nb.m AS DOUBLE) * CAST(nb.m AS DOUBLE))
+                            / (gsum.nf - 1.0)) > 0.0
+       THEN (CAST(nb.gfoc AS DOUBLE)
+             - (gsum.sf / gsum.nf) * CAST(nb.m AS DOUBLE))
+            / (SQRT(gsum.sx2f / gsum.nf
+                    - (gsum.sf / gsum.nf) * (gsum.sf / gsum.nf))
+               * SQRT((gsum.nf * CAST(nb.m AS DOUBLE)
+                       - CAST(nb.m AS DOUBLE) * CAST(nb.m AS DOUBLE))
+                      / (gsum.nf - 1.0)))
+       ELSE NULL END AS gi_star
+FROM nb, gsum
+"""

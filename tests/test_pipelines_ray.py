@@ -3406,3 +3406,107 @@ def test_local_morans_matches_dense_reference(ray_session):
         if prev is not None:
             assert got == prev  # bit-identical across parallelism
         prev = got
+
+
+def test_getis_ord_matches_dense_reference(ray_session):
+    # Gi* z-scores vs a dense numpy reference (star variant, occupied
+    # cells only); partition-invariant bit-exact
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import getis_ord
+
+    rng = np.random.default_rng(67)
+    res, g = 3, 8
+    n = 800
+    pts = rng.random((n, 2)) ** 2  # skew for non-trivial z-scores
+    pts = np.clip(pts, 0.0, 0.999999)
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    dense = np.zeros((g, g), np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    occ = np.argwhere(dense > 0)
+    x = dense[occ[:, 0], occ[:, 1]].astype(np.float64)
+    N = occ.shape[0]
+    xbar = x.mean()
+    s = np.sqrt((x * x).mean() - xbar * xbar)
+    want = {}
+    for i in range(N):
+        gfoc = x[i]
+        m = 1
+        for j in range(N):
+            if i == j:
+                continue
+            if (
+                abs(occ[i, 0] - occ[j, 0]) <= 1
+                and abs(occ[i, 1] - occ[j, 1]) <= 1
+            ):
+                m += 1
+                gfoc += x[j]
+        denom = s * np.sqrt((N * m - m * m) / (N - 1.0))
+        cell = int(occ[i, 0] * g + occ[i, 1])
+        want[cell] = (
+            int(x[i]),
+            int(gfoc),
+            (gfoc - xbar * m) / denom if denom > 0 else None,
+        )
+
+    prev = None
+    for blocks in (1, 6):
+        got = {
+            r["cell"]: (r["n_points"], r["focal_sum"], r["gi_star"])
+            for r in getis_ord(
+                _points_ds(ray, pts, np.arange(n), blocks=blocks), res=res
+            ).take_all()
+        }
+        assert set(got) == set(want)
+        for c in want:
+            assert got[c][0] == want[c][0] and got[c][1] == want[c][1]
+            if want[c][2] is None:
+                assert got[c][2] is None
+            else:
+                assert abs(got[c][2] - want[c][2]) < 1e-9, (c, got[c], want[c])
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # the statistic actually separates: some hot, some cold
+    zs = [v[2] for v in prev.values() if v[2] is not None]
+    assert max(zs) > 1.0 and min(zs) < 0.0
+
+
+def test_cell_trend_matches_pandas_reference(ray_session):
+    # early/late half counts around the global midpoint timestamp vs a
+    # pandas reference; exact ints, partition-invariant
+    ray = ray_session
+    import pandas as pd
+
+    from python_prtree_ray.pipelines.movement import cell_trend
+
+    rng = np.random.default_rng(41)
+    res, g = 3, 8
+    n = 900
+    ts = (
+        np.datetime64("2024-05-01", "us")
+        + rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    ).astype("datetime64[us]")
+    gx = rng.integers(0, g, n).astype(np.int64)
+    gy = rng.integers(0, g, n).astype(np.int64)
+    t = pa.table({"ts": pa.array(ts), "gx": gx, "gy": gy})
+
+    tsi = ts.astype(np.int64)
+    mid = (int(tsi.min()) + int(tsi.max())) // 2
+    cell = gx * g + gy
+    df = pd.DataFrame({"cell": cell, "late": tsi > mid})
+    ref = df.groupby("cell")["late"].agg(["count", "sum"])
+    want = {
+        int(c): (int(r["count"] - r["sum"]), int(r["sum"]))
+        for c, r in ref.iterrows()
+    }
+
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["cell"]: (r["n_early"], r["n_late"])
+            for r in cell_trend(ds, res=res).take_all()
+        }
+        assert got == want
+        rows = cell_trend(ds, res=res).take_all()
+        assert all(r["delta"] == r["n_late"] - r["n_early"] for r in rows)

@@ -138,7 +138,11 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
             if a.dtype.kind in "fc" or b.dtype.kind in "fc":
-                same = np.array_equal(a.astype(np.float64), b.astype(np.float64))
+                # equal_nan: a NULL/NaN in the same row on both sides is a
+                # match (the driver's value-hash sees identical bytes)
+                same = np.array_equal(
+                    a.astype(np.float64), b.astype(np.float64), equal_nan=True
+                )
             else:
                 same = np.array_equal(a.astype(str), b.astype(str)) if a.dtype == object else np.array_equal(a, b)
             if not same:
