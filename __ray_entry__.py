@@ -35,6 +35,11 @@ STAY_RES = 4  # stay-point grid (16x16)
 RESAMPLE_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
 RESAMPLE_STEP_US = 21_600_000_000  # 6h cadence
 SPEED_KMH_T = 5000.0  # teleport threshold: faster than any aircraft
+SNAP_RES = 8  # map-matching grid (256x256)
+SNAP_MAXMOVE = 48  # teleport gate for snap segments (grid units)
+SNAP_R = 12  # snap search radius (grid units)
+TRACK_SIM_RES = 7  # hausdorff track grid (128x128)
+TRACK_SIM_START_RES = 2  # co-start blocking tiles (4x4)
 
 
 # ------------------------------------------------------------------ entry
@@ -192,6 +197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int64 digit math + Arrow cast/lpad — SQL twin exact
         return tiling.tile_quadkey(tables.points_dataset(sf), res=TILE_RES)
 
+    def q_tile_hilbert(sf):
+        # Hilbert space-filling-curve tile keys — the locality-
+        # preserving range-partition key (consecutive indices are always
+        # 4-neighbor cells); pure int64 bit math, stateless map
+        return tiling.tile_hilbert(tables.points_dataset(sf), res=TILE_RES)
+
     def q_morans_i(sf):
         # global Moran's I spatial autocorrelation of tile densities
         # (queen contiguity, occupied cells): exact integer sums, ONE
@@ -261,6 +272,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.movement import cell_trend
 
         return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_track_hausdorff(sf):
+        # track-similarity join: symmetric Hausdorff² between co-started
+        # users (same start tile); exact int64, no float anywhere
+        from python_prtree_ray.pipelines.trajectory import trajectory_hausdorff
+
+        return trajectory_hausdorff(
+            _event_tracks(sf, TRACK_SIM_RES),
+            start_res=TRACK_SIM_START_RES,
+            res=TRACK_SIM_RES,
+        )
+
+    def q_snap_points(sf):
+        # map matching: snap each customer probe point to its nearest
+        # event-track segment within r grid units — exact rational
+        # distances, (dist2, user, seq) argmin shared with the SQL twin
+        import pyarrow as pa
+        import ray
+
+        from python_prtree_ray.pipelines.movement import snap_to_segments
+
+        cust = ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+
+        def probe(tbl):
+            k = tbl.column("c_custkey").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(k)
+            return pa.table(
+                {
+                    "query_id": k.astype("int64"),
+                    "qx": derive.tile_index(p["px"], SNAP_RES),
+                    "qy": derive.tile_index(p["py"], SNAP_RES),
+                }
+            )
+
+        probes = cust.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        return snap_to_segments(
+            probes,
+            _event_tracks(sf, SNAP_RES),
+            r=SNAP_R,
+            max_move=SNAP_MAXMOVE,
+            res=SNAP_RES,
+            bucket_res=3,
+        )
 
     def q_tile_topk(sf):
         # top-k POIs per map tile by derived score: map-side per-cell
@@ -1226,6 +1280,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return curation.decontaminate(docs, n=4, bench_modulus=97)
 
+    def q_dup_ngram_coverage(sf):
+        # exact-substring-dedup coverage: per-doc count of 3-gram
+        # positions duplicated in >=1 other doc; gram-bucket fold, text
+        # never shuffles
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return curation.dup_ngram_coverage(docs, n=3)
+
     def q_search_topk(sf):
         # integer tf-idf retrieval: global top-20 docs for a fixed term
         # set; tiny df aggregate + threshold-pruned global_topk merge
@@ -1725,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_extent": q_tile_extent,
         "tile_topk": q_tile_topk,
         "tile_quadkey": q_tile_quadkey,
+        "tile_hilbert": q_tile_hilbert,
         "tile_quantiles": q_tile_quantiles,
         "idw_grid": q_idw_grid,
         "haversine_join": q_haversine_join,
@@ -1809,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "search_topk": q_search_topk,
         "search_bm25": q_search_bm25,
         "hotspot_cells": q_hotspot_cells,
@@ -1831,6 +1899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": q_ripley_k,
         "getis_ord": q_getis_ord,
         "cell_trend": q_cell_trend,
+        "snap_points": q_snap_points,
+        "track_hausdorff": q_track_hausdorff,
         "speed_outliers": q_speed_outliers,
         "nn_pairs": q_nn_pairs,
         "grouped_moments": q_grouped_moments,
@@ -1844,7 +1914,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.movement import (
         cell_trend_sql as _cell_trend_sql,
+        snap_to_segments_sql as _snap_to_segments_sql,
         speed_outliers_sql as _speed_outliers_sql,
+    )
+    from python_prtree_ray.pipelines.trajectory import (
+        trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
+    )
+    from python_prtree_ray.pipelines.curation import (
+        dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
     )
     from python_prtree_ray.pipelines.tiling import (
         gearys_c_sql as _gearys_c_sql,
@@ -1852,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         local_morans_sql as _local_morans_sql,
         morans_i_sql as _morans_i_sql,
         ripley_k_sql as _ripley_k_sql,
+        tile_hilbert_sql as _tile_hilbert_sql,
     )
 
     b_orders = derive.boxes_sql("orders", "o_orderkey", "idx")
@@ -2663,6 +2741,7 @@ WHERE {intersects}
         "tile_extent": tile_extent_sql,
         "tile_topk": tile_topk_sql,
         "tile_quadkey": tile_quadkey_sql,
+        "tile_hilbert": _tile_hilbert_sql(p_cust, TILE_RES),
         "tile_quantiles": tile_quantiles_sql,
         "idw_grid": idw_grid_sql_q,
         "haversine_join": haversine_join_sql_q,
@@ -2896,6 +2975,7 @@ FROM events
             " SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits"
             " FROM probe p JOIN bench USING (gram) GROUP BY p.doc_id"
         ),
+        "dup_ngram_coverage": _dup_ngram_coverage_sql(3),
         "search_topk": (
             "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
             " '[a-z]+')) AS word FROM documents),"
@@ -3173,6 +3253,18 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "cell_trend": _cell_trend_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "snap_points": _snap_to_segments_sql(
+            derive.points_sql("events", "event_id", "event_id"),
+            p_cust,
+            SNAP_R,
+            SNAP_MAXMOVE,
+            SNAP_RES,
+        ),
+        "track_hausdorff": _trajectory_hausdorff_sql(
+            derive.points_sql("events", "event_id", "event_id"),
+            TRACK_SIM_START_RES,
+            TRACK_SIM_RES,
         ),
         "speed_outliers": _speed_outliers_sql(
             derive.points_sql("events", "event_id", "event_id"), SPEED_KMH_T

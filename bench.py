@@ -171,7 +171,8 @@ QUERY_SUBSET = (
     "dbscan pii_scrub doc_lm_freq doc_chunks colocation_pairs ann_range "
     "stay_points resample_track tile_quadkey "
     "morans_i gearys_c local_morans ripley_k speed_outliers "
-    "getis_ord cell_trend"
+    "getis_ord cell_trend tile_hilbert snap_points track_hausdorff "
+    "dup_ngram_coverage"
 ).split()
 
 

@@ -537,3 +537,120 @@ def doc_lm_freq(docs: Dataset) -> Dataset:
     return docs.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def dup_ngram_coverage(docs: Dataset, n: int = 3, n_buckets: int = 512) -> Dataset:
+    """Exact-substring-dedup coverage (the per-document diagnostic of
+    "Deduplicating Training Data Makes Language Models Better"-style
+    cross-document repeated-span removal): ``(doc_id, n_grams, n_dup)``
+    where ``n_grams`` is the doc's word ``n``-gram position count and
+    ``n_dup`` the positions whose n-gram also occurs in ≥1 OTHER
+    document. ``n_dup / n_grams`` is the doc's cross-corpus duplication
+    ratio; docs with <n tokens are absent.
+
+    Scale shape: text never shuffles. Pass 1 collapses each batch to
+    distinct ``(gram_hash, doc, n_positions)`` rows (63-bit rolling word
+    hashes — same machinery as :func:`decontaminate`); ONE gram-bucket
+    groupby counts distinct docs per gram AND folds the per-(gram, doc)
+    partials in the same pass, emitting doc-keyed partials; ONE tiny
+    doc-bucket sum finishes. Same collision caveat as
+    :func:`decontaminate`: the SQL twin compares gram STRINGS, this side
+    63-bit hashes — expected cross-side divergence ~ G²/2⁶³.
+    """
+    from .merge import bucketed_sum
+    from .text import hash_str_array
+    from ..functions.buckets import bucket_of
+
+    _empty_part = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "npos": pa.array([], pa.int64()),
+        }
+    )
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _empty_part
+        doc_row, codes, dic = doc_token_codes(tbl)
+        word_h = hash_str_array(dic)[codes]
+        gd, gh = _gram_hashes(doc_row, word_h, n)
+        if gd.size == 0:
+            return _empty_part
+        order = np.lexsort((gh, gd))
+        gd, gh = gd[order], gh[order]
+        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        starts = np.flatnonzero(first)
+        npos = np.diff(np.r_[starts, gd.shape[0]]).astype(np.int64)
+        gd, gh = gd[starts], gh[starts]
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": bucket_of(gh, n_buckets),
+                "gh": gh,
+                "doc_id": ids[gd].astype(np.int64),
+                "npos": npos,
+            }
+        )
+
+    _empty_doc = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_doc
+        gh = group.column("gh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        npos = group.column("npos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, gh))
+        gh, doc, npos = gh[order], doc[order], npos[order]
+        # collapse same-(gram, doc) partials from different batches
+        pd_first = np.r_[True, (gh[1:] != gh[:-1]) | (doc[1:] != doc[:-1])]
+        p_starts = np.flatnonzero(pd_first)
+        npos_t = np.add.reduceat(npos, p_starts)
+        gh, doc = gh[p_starts], doc[p_starts]
+        # distinct-doc count per gram (rows are now unique (gram, doc))
+        g_starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        ndocs = np.diff(np.r_[g_starts, gh.shape[0]])
+        dup = np.repeat(ndocs >= 2, ndocs)
+        return pa.table(
+            {
+                "doc_id": doc,
+                "n_grams": npos_t.astype(np.int64),
+                "n_dup": np.where(dup, npos_t, 0).astype(np.int64),
+            }
+        )
+
+    parts = docs.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    per_doc = parts.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+    return bucketed_sum(per_doc, key_col="doc_id", value_cols=("n_grams", "n_dup"))
+
+
+def dup_ngram_coverage_sql(n: int = 3) -> str:
+    """DuckDB twin of :func:`dup_ngram_coverage` (gram strings instead
+    of hashes; otherwise the same counts)."""
+    joins = " ".join(
+        f"JOIN w t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{j}.w" for j in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+           FROM documents),
+w AS (SELECT doc_id, l[i] AS w, i AS pos FROM t,
+      LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+g AS (SELECT t0.doc_id, {concat} AS gram
+      FROM w t0 {joins}),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM g JOIN gd USING (gram) GROUP BY g.doc_id
+"""

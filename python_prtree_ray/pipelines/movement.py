@@ -659,3 +659,303 @@ SELECT cell,
             AS BIGINT) AS delta
 FROM p, b GROUP BY cell, b.mid
 """
+
+
+_EMPTY_SNAP = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "snap_user": pa.array([], pa.int64()),
+        "snap_seq": pa.array([], pa.int64()),
+        "dist2": pa.array([], pa.float64()),
+    }
+)
+
+
+def snap_to_segments(
+    probes: Dataset,
+    tracks: Dataset,
+    r: int,
+    max_move: int = 64,
+    res: int = 9,
+    bucket_res: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Map matching: snap each probe point to its NEAREST movement
+    segment within squared grid distance ``r²`` —
+    ``(query_id, snap_user, snap_seq, dist2)``, one row per probe with
+    ≥1 candidate. Segments are consecutive same-entity moves (earlier
+    event's seq is the segment id), teleport-gated at L-inf
+    ``max_move`` like :func:`~..geofence.segment_crossings`.
+
+    Exactness: endpoints and probes are integer grid coords, so the
+    point-to-segment squared distance is the exact rational num/den —
+    ``c1 = (b−a)·(p−a)`` and ``len2 = |b−a|²`` decide the clamp case
+    (num = |p−a|² / |p−b|² with den = 1, else num = cross², den =
+    len2) — all int64. The radius gate compares ``num ≤ r²·den`` in
+    exact integers; only the OUTPUT distance (and the argmin sort key)
+    is the single correctly-rounded division num/den, identical in
+    NumPy and the SQL twin, with exact-int (user, seq) tie-breaks —
+    so the chosen segment and the double agree bitwise.
+
+    Scale shape: ONE entity-bucket shuffle builds segments; each
+    segment offers itself to the coarse tiles of its r-expanded bbox
+    (fan-out bounded by ``(max_move + 2r) / tile_edge``, asserted);
+    each probe lands on exactly ONE coarse tile, so the per-tile
+    groupby sees every candidate within r of its probes — per-group
+    argmin IS the global argmin, no second pass. Raw tracks shuffle
+    once; probes shuffle once; both fixed-width ints.
+    """
+    tune_context()
+    if not 0 <= bucket_res <= res:
+        raise ValueError("snap_to_segments: need 0 <= bucket_res <= res")
+    shift = res - bucket_res
+    edge = 1 << shift
+    # fan-out bound: a segment's r-expanded bbox spans at most
+    # (max_move + 2r)/edge + 2 tiles per axis — keep it a small constant
+    if (max_move + 2 * r) > 6 * edge:
+        raise ValueError(
+            f"snap_to_segments: max_move + 2r = {max_move + 2 * r} exceeds "
+            f"6 tile edges ({6 * edge}); lower bucket_res or r"
+        )
+    gb = np.int64(1 << bucket_res)
+    r2 = np.int64(r) * np.int64(r)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": k,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gx": tbl.column(x_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gy": tbl.column(y_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "bucket": bucket_of(k, n_buckets),
+            }
+        )
+
+    _empty_tagged = pa.table(
+        {
+            "tile": pa.array([], pa.int64()),
+            "is_probe": pa.array([], pa.int8()),
+            "ida": pa.array([], pa.int64()),
+            "idb": pa.array([], pa.int64()),
+            "x1": pa.array([], pa.int64()),
+            "y1": pa.array([], pa.int64()),
+            "x2": pa.array([], pa.int64()),
+            "y2": pa.array([], pa.int64()),
+        }
+    )
+
+    def to_segments(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        if key.size < 2:
+            return _empty_tagged
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False)
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s, s_s = key[order], seq[order]
+        x_s, y_s = gx[order], gy[order]
+        m = (
+            (k_s[1:] == k_s[:-1])
+            & (np.abs(np.diff(x_s)) <= max_move)
+            & (np.abs(np.diff(y_s)) <= max_move)
+        )
+        if not m.any():
+            return _empty_tagged
+        i = np.flatnonzero(m)
+        x1, y1, x2, y2 = x_s[i], y_s[i], x_s[i + 1], y_s[i + 1]
+        # offer each segment to every coarse tile of its r-expanded bbox
+        g_hi = (np.int64(1) << res) - 1
+        tx0 = np.clip(np.minimum(x1, x2) - r, 0, g_hi) >> shift
+        tx1 = np.clip(np.maximum(x1, x2) + r, 0, g_hi) >> shift
+        ty0 = np.clip(np.minimum(y1, y2) - r, 0, g_hi) >> shift
+        ty1 = np.clip(np.maximum(y1, y2) + r, 0, g_hi) >> shift
+        ntx = tx1 - tx0 + 1
+        nty = ty1 - ty0 + 1
+        reps = ntx * nty
+        idx = np.repeat(np.arange(i.size, dtype=np.int64), reps)
+        starts = np.cumsum(reps) - reps
+        off = np.arange(int(reps.sum()), dtype=np.int64) - starts[idx]
+        tile = (tx0[idx] + off // nty[idx]) * gb + (ty0[idx] + off % nty[idx])
+        return pa.table(
+            {
+                "tile": tile,
+                "is_probe": np.zeros(tile.size, np.int8),
+                "ida": k_s[i][idx],
+                "idb": s_s[i][idx],
+                "x1": x1[idx],
+                "y1": y1[idx],
+                "x2": x2[idx],
+                "y2": y2[idx],
+            }
+        )
+
+    def tag_probes(tbl: pa.Table) -> pa.Table:
+        qid = tbl.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = tbl.column("qx").to_numpy(zero_copy_only=False).astype(np.int64)
+        qy = tbl.column("qy").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "tile": (qx >> shift) * gb + (qy >> shift),
+                "is_probe": np.ones(qid.size, np.int8),
+                "ida": qid,
+                "idb": np.zeros(qid.size, np.int64),
+                "x1": qx,
+                "y1": qy,
+                "x2": qx,
+                "y2": qy,
+            }
+        )
+
+    def snap_tile(group: pa.Table) -> pa.Table:
+        is_probe = group.column("is_probe").to_numpy(zero_copy_only=False) == 1
+        if not is_probe.any() or is_probe.all():
+            return _EMPTY_SNAP
+        qid = group.column("ida").to_numpy(zero_copy_only=False)[is_probe]
+        qx = group.column("x1").to_numpy(zero_copy_only=False)[is_probe]
+        qy = group.column("y1").to_numpy(zero_copy_only=False)[is_probe]
+        seg = ~is_probe
+        su = group.column("ida").to_numpy(zero_copy_only=False)[seg]
+        ss = group.column("idb").to_numpy(zero_copy_only=False)[seg]
+        ax = group.column("x1").to_numpy(zero_copy_only=False)[seg]
+        ay = group.column("y1").to_numpy(zero_copy_only=False)[seg]
+        bx = group.column("x2").to_numpy(zero_copy_only=False)[seg]
+        by = group.column("y2").to_numpy(zero_copy_only=False)[seg]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        out = []
+        # chunk probes so the candidate matrix stays ~1e7 cells
+        chunk = max(1, int(10_000_000 // max(1, su.size)))
+        for lo in range(0, qid.size, chunk):
+            px = qx[lo : lo + chunk, None]
+            py = qy[lo : lo + chunk, None]
+            apx, apy = px - ax[None, :], py - ay[None, :]
+            c1 = apx * dx[None, :] + apy * dy[None, :]
+            cross = apx * dy[None, :] - apy * dx[None, :]
+            d_a = apx * apx + apy * apy
+            bpx, bpy = px - bx[None, :], py - by[None, :]
+            d_b = bpx * bpx + bpy * bpy
+            ln = len2[None, :]
+            lowc = c1 <= 0
+            highc = c1 >= ln
+            num = np.where(lowc, d_a, np.where(highc, d_b, cross * cross))
+            den = np.where(lowc | highc, np.int64(1), np.maximum(ln, 1))
+            ok = num <= r2 * den  # exact-integer radius gate
+            if not ok.any():
+                continue
+            d2 = num.astype(np.float64) / den.astype(np.float64)
+            d2 = np.where(ok, d2, np.inf)
+            # argmin by (d2, user, seq): lexsort the candidate axis once
+            # per chunk via structured ranking
+            best = np.argmin(d2, axis=1)
+            rowi = np.arange(d2.shape[0])
+            # resolve double ties by (user, seq) exactly
+            bd = d2[rowi, best]
+            has = np.isfinite(bd)
+            if not has.any():
+                continue
+            # among tied-distance candidates pick min (user, seq) —
+            # two exact int64 passes, full-range safe (no composite key)
+            ties = d2 == bd[:, None]
+            hi = np.iinfo(np.int64).max
+            u_m = np.where(ties, su[None, :], hi)
+            bu = u_m.min(axis=1)
+            s_m = np.where(ties & (su[None, :] == bu[:, None]), ss[None, :], hi)
+            pick = np.argmin(s_m, axis=1)
+            out.append(
+                pa.table(
+                    {
+                        "query_id": qid[lo : lo + chunk][has],
+                        "snap_user": su[pick][has],
+                        "snap_seq": ss[pick][has],
+                        "dist2": bd[has],
+                    }
+                )
+            )
+        if not out:
+            return _EMPTY_SNAP
+        return pa.concat_tables(out)
+
+    keyed = tracks.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    segs = keyed.groupby("bucket").map_groups(to_segments, batch_format="pyarrow")
+    tagged = segs.union(
+        probes.map_batches(tag_probes, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("tile").map_groups(snap_tile, batch_format="pyarrow")
+
+
+def snap_to_segments_sql(
+    points_cte: str, probe_cte: str, r: int, max_move: int, res: int
+) -> str:
+    """DuckDB twin of :func:`snap_to_segments`. ``points_cte`` yields
+    the track stream (event_id, px, py) [joined to events for user/ts];
+    ``probe_cte`` yields (query_id, px, py). Brute-force probe × segment
+    with the SAME exact-integer num/den cases, the same exact radius
+    gate ``num <= r²·den``, the same single division, and the same
+    (dist2, user, seq) argmin order."""
+    from ..functions import derive
+
+    gxe = derive.tile_index_sql("q.px", res)
+    gye = derive.tile_index_sql("q.py", res)
+    gxp = derive.tile_index_sql("px", res)
+    gyp = derive.tile_index_sql("py", res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gxe} AS gx, {gye} AS gy
+        FROM events e JOIN q ON e.event_id = q.event_id),
+seg AS (SELECT u, seq, gx AS x1, gy AS y1,
+               LEAD(gx) OVER w AS x2, LEAD(gy) OVER w AS y2,
+               LEAD(u) OVER w AS u2
+        FROM pts WINDOW w AS (ORDER BY u, ts, seq)),
+sg AS (SELECT u, seq, x1, y1, x2, y2,
+              (x2 - x1) AS dx, (y2 - y1) AS dy,
+              (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS len2
+       FROM seg
+       WHERE u2 = u AND ABS(x2 - x1) <= {max_move} AND ABS(y2 - y1) <= {max_move}),
+pr AS (SELECT query_id, {gxp} AS qx, {gyp} AS qy FROM ({probe_cte})),
+cand AS (SELECT pr.query_id, sg.u, sg.seq,
+                CASE WHEN (pr.qx - sg.x1) * sg.dx + (pr.qy - sg.y1) * sg.dy <= 0
+                     THEN (pr.qx - sg.x1) * (pr.qx - sg.x1)
+                          + (pr.qy - sg.y1) * (pr.qy - sg.y1)
+                     WHEN (pr.qx - sg.x1) * sg.dx + (pr.qy - sg.y1) * sg.dy >= sg.len2
+                     THEN (pr.qx - sg.x2) * (pr.qx - sg.x2)
+                          + (pr.qy - sg.y2) * (pr.qy - sg.y2)
+                     ELSE ((pr.qx - sg.x1) * sg.dy - (pr.qy - sg.y1) * sg.dx)
+                          * ((pr.qx - sg.x1) * sg.dy - (pr.qy - sg.y1) * sg.dx)
+                END AS num,
+                CASE WHEN (pr.qx - sg.x1) * sg.dx + (pr.qy - sg.y1) * sg.dy <= 0
+                          OR (pr.qx - sg.x1) * sg.dx + (pr.qy - sg.y1) * sg.dy >= sg.len2
+                     THEN 1 ELSE GREATEST(sg.len2, 1) END AS den
+         FROM pr, sg),
+gated AS (SELECT query_id, u, seq,
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS dist2
+          FROM cand WHERE num <= {int(r) * int(r)} * den),
+rk AS (SELECT query_id, u, seq, dist2,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist2, u, seq) AS rn
+       FROM gated)
+SELECT query_id, u AS snap_user, seq AS snap_seq, dist2
+FROM rk WHERE rn = 1
+"""

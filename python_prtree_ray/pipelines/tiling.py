@@ -1188,3 +1188,112 @@ SELECT nb.ix * {g} + nb.iy AS cell,
        ELSE NULL END AS gi_star
 FROM nb, gsum
 """
+
+
+def hilbert_d(ix: "np.ndarray", iy: "np.ndarray", res: int) -> "np.ndarray":
+    """Vectorized Hilbert-curve index (xy2d) of grid cells at
+    resolution ``res`` (grid edge 2**res). Pure int64 bit arithmetic —
+    ``res`` iterations of whole-array ops, no Python row loop. The
+    classic top-down formulation: at each level read one x-bit and one
+    y-bit, accumulate the quadrant's rank on the curve, then rotate /
+    reflect the frame for the next level. Matches
+    :func:`tile_hilbert_sql`'s unrolled CTE chain exactly (both sides
+    are pure integer ops, so parity is trivially bitwise)."""
+    import numpy as np
+
+    if not 1 <= res <= 31:
+        raise ValueError(f"hilbert res must be in [1, 31], got {res}")
+    x = ix.astype(np.int64).copy()
+    y = iy.astype(np.int64).copy()
+    d = np.zeros(x.shape, np.int64)
+    s = np.int64(1) << (res - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # drop the consumed bit so coords stay in [0, s) — keeps the
+        # reflection below nonnegative (and therefore expressible with
+        # SQL floor-div/mod, which has no two's-complement semantics)
+        x &= s - 1
+        y &= s - 1
+        # rotate/reflect the lower quadrant frame (only when ry == 0)
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= 1
+    return d
+
+
+def tile_hilbert(points: Dataset, res: int) -> Dataset:
+    """(query_id, cell, hilbert): the Hilbert space-filling-curve index
+    of each point's tile — the engine's LOCALITY-PRESERVING partition
+    key. Unlike the quadkey/Z-order cell id (``ix * g + iy``), sorting
+    or range-partitioning by the Hilbert index keeps every partition
+    spatially contiguous with NO long jumps (consecutive indices are
+    always 4-neighbor cells), which is what bounds the ghost-cell /
+    neighbor-exchange fan-out when a 100-TB corpus is range-sharded by
+    this key. Stateless map, zero shuffle.
+    """
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        qid = st.col_np(tbl, "query_id")
+        px, py = st.col_np(tbl, "px"), st.col_np(tbl, "py")
+        ix = derive.tile_index(px, res)
+        iy = derive.tile_index(py, res)
+        g = np.int64(1) << res
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "cell": pa.array(ix * g + iy),
+                "hilbert": pa.array(hilbert_d(ix, iy, res)),
+            }
+        )
+
+    return points.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tile_hilbert_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_hilbert`: the xy2d level loop unrolled
+    into one generated CTE per level, each carrying (x, y, d) — pure
+    integer CASE arithmetic, bitwise-equal to the NumPy side."""
+    g = 1 << res
+    ctes = [
+        f"""lvl0 AS (SELECT query_id,
+       {derive.tile_index_sql('px', res)} * {g}
+       + {derive.tile_index_sql('py', res)} AS cell,
+       {derive.tile_index_sql('px', res)} AS x,
+       {derive.tile_index_sql('py', res)} AS y,
+       CAST(0 AS BIGINT) AS d
+FROM p0)"""
+    ]
+    for i in range(res):
+        s = 1 << (res - 1 - i)
+        prev = f"lvl{i}"
+        # rx/ry: bit `s` of x/y; quadrant rank (3*rx) XOR ry expanded.
+        # (x % s) masks off the consumed bit — mirrors `x &= s - 1` on
+        # the NumPy side, keeping every value in [0, s) and nonnegative.
+        rx = f"((x // {s}) % 2)"
+        ry = f"((y // {s}) % 2)"
+        ctes.append(
+            f"""lvl{i + 1} AS (SELECT query_id, cell,
+       CASE WHEN {ry} = 1 THEN x % {s}
+            WHEN {rx} = 1 THEN {s - 1} - (y % {s}) ELSE y % {s} END AS x,
+       CASE WHEN {ry} = 1 THEN y % {s}
+            WHEN {rx} = 1 THEN {s - 1} - (x % {s}) ELSE x % {s} END AS y,
+       d + {s * s} * (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0
+                           WHEN {rx} = 0 THEN 1
+                           WHEN {ry} = 0 THEN 3 ELSE 2 END) AS d
+FROM {prev})"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH p0 AS ({points_cte}),
+{chain}
+SELECT query_id, cell, d AS hilbert FROM lvl{res}
+"""

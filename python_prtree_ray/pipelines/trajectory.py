@@ -576,3 +576,188 @@ def resample_track(
         bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+_EMPTY_HAUS = pa.table(
+    {
+        "user_a": pa.array([], pa.int64()),
+        "user_b": pa.array([], pa.int64()),
+        "hausdorff2": pa.array([], pa.int64()),
+    }
+)
+
+
+def trajectory_hausdorff(
+    tracks: Dataset,
+    start_res: int,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Track-similarity join: symmetric Hausdorff SQUARED grid distance
+    between the point sets of every pair of entities that start in the
+    same coarse tile — ``(user_a, user_b, hausdorff2)``, ``user_a <
+    user_b``, exact int64 (H² = max of the two directed
+    max-over-min squared L2 distances; no division, no float). A
+    pair's start tile is each entity's FIRST event by (ts, seq) mapped
+    to the ``start_res`` grid (``res`` is the track grid the
+    coordinates live on). The co-start blocking is both the semantics
+    (compare journeys that begin together) and the scale lever: pair
+    count is per-tile-quadratic, never global-quadratic.
+
+    Scale shape: shuffle 1 is the standard entity-bucket fold (fixed-
+    width ints) that tags every point row of an entity with its start
+    tile; shuffle 2 co-locates whole entities by start tile and folds
+    each tile with ONE chunked vectorized distance matrix. Point sets
+    ship once; text/payloads never. Skew bound: a start tile holding S
+    points costs S² int ops — salt-by-subsampling or cap S upstream if
+    a tile degenerates (logged, not silent: group sizes are visible in
+    ds.stats()).
+    """
+    tune_context()
+    if not 0 <= start_res <= res:
+        raise ValueError("trajectory_hausdorff: need 0 <= start_res <= res")
+    shift = res - start_res
+    gb = np.int64(1 << start_res)
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": k,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gx": tbl.column(x_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gy": tbl.column(y_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "bucket": bucket_of(k, n_buckets),
+            }
+        )
+
+    _empty_tagged = pa.table(
+        {
+            "tile": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "gx": pa.array([], pa.int64()),
+            "gy": pa.array([], pa.int64()),
+        }
+    )
+
+    def tag_start_tile(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return _empty_tagged
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False)
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s = key[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        first = order[starts]  # first event row per entity
+        tile_per_entity = (gx[first] >> shift) * gb + (gy[first] >> shift)
+        # broadcast each entity's start tile onto all its rows
+        inv = np.cumsum(np.r_[False, k_s[1:] != k_s[:-1]])
+        tile_rows = np.empty(key.size, np.int64)
+        tile_rows[order] = tile_per_entity[inv]
+        return pa.table({"tile": tile_rows, "key": key, "gx": gx, "gy": gy})
+
+    def pair_tile(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        users = np.unique(key)
+        if users.size < 2:
+            return _EMPTY_HAUS
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        k_s, x_s, y_s = key[order], gx[order], gy[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], k_s.size]
+        # per-pair cross blocks only — peak memory is max |A|·|B|, never
+        # the full tile-points² matrix
+        ua, ub, h2 = [], [], []
+        for i in range(users.size):
+            xa = x_s[starts[i] : ends[i], None]
+            ya = y_s[starts[i] : ends[i], None]
+            for j in range(i + 1, users.size):
+                xb = x_s[None, starts[j] : ends[j]]
+                yb = y_s[None, starts[j] : ends[j]]
+                blk = (xa - xb) ** 2 + (ya - yb) ** 2
+                # directed: every point of A to its nearest of B, and back
+                h = max(blk.min(axis=1).max(), blk.min(axis=0).max())
+                ua.append(users[i])
+                ub.append(users[j])
+                h2.append(h)
+        return pa.table(
+            {
+                "user_a": np.array(ua, np.int64),
+                "user_b": np.array(ub, np.int64),
+                "hausdorff2": np.array(h2, np.int64),
+            }
+        )
+
+    keyed = tracks.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    tagged = keyed.groupby("bucket").map_groups(
+        tag_start_tile, batch_format="pyarrow"
+    )
+    return tagged.groupby("tile").map_groups(pair_tile, batch_format="pyarrow")
+
+
+def trajectory_hausdorff_sql(points_cte: str, start_res: int, res: int) -> str:
+    """DuckDB twin of :func:`trajectory_hausdorff` over the events
+    table; ``points_cte`` yields (event_id, px, py)."""
+    from ..functions import derive
+
+    shift = res - start_res
+    gb = 1 << start_res
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} AS gx, {gy} AS gy
+        FROM events e JOIN q ON e.event_id = q.event_id),
+fst AS (SELECT u, gx, gy,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, seq) AS rn
+        FROM pts),
+st AS (SELECT u, (gx // {1 << shift}) * {gb} + (gy // {1 << shift}) AS tile
+       FROM fst WHERE rn = 1),
+pairs AS (SELECT a.u AS ua, b.u AS ub
+          FROM st a JOIN st b ON a.tile = b.tile AND a.u < b.u),
+dab AS (SELECT pr.ua, pr.ub, p1.seq,
+               MIN((p1.gx - p2.gx) * (p1.gx - p2.gx)
+                   + (p1.gy - p2.gy) * (p1.gy - p2.gy)) AS md
+        FROM pairs pr
+        JOIN pts p1 ON p1.u = pr.ua
+        JOIN pts p2 ON p2.u = pr.ub
+        GROUP BY pr.ua, pr.ub, p1.seq),
+dba AS (SELECT pr.ua, pr.ub, p2.seq,
+               MIN((p1.gx - p2.gx) * (p1.gx - p2.gx)
+                   + (p1.gy - p2.gy) * (p1.gy - p2.gy)) AS md
+        FROM pairs pr
+        JOIN pts p1 ON p1.u = pr.ua
+        JOIN pts p2 ON p2.u = pr.ub
+        GROUP BY pr.ua, pr.ub, p2.seq),
+hab AS (SELECT ua, ub, MAX(md) AS h FROM dab GROUP BY ua, ub),
+hba AS (SELECT ua, ub, MAX(md) AS h FROM dba GROUP BY ua, ub)
+SELECT hab.ua AS user_a, hab.ub AS user_b,
+       CAST(GREATEST(hab.h, hba.h) AS BIGINT) AS hausdorff2
+FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub
+"""

@@ -3510,3 +3510,237 @@ def test_cell_trend_matches_pandas_reference(ray_session):
         assert got == want
         rows = cell_trend(ds, res=res).take_all()
         assert all(r["delta"] == r["n_late"] - r["n_early"] for r in rows)
+
+
+def test_tile_hilbert_locality_and_parity(ray_session):
+    # kernel: bijection + Hamiltonian 4-neighbor path over the full grid
+    # (the locality property that makes it a range-partition key);
+    # pipeline: matches the kernel, partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import hilbert_d, tile_hilbert
+
+    for res in (2, 4):
+        g = 1 << res
+        xs, ys = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+        ix, iy = xs.ravel(), ys.ravel()
+        d = hilbert_d(ix, iy, res)
+        assert sorted(d) == list(range(g * g))  # bijection
+        o = np.argsort(d)
+        step = np.abs(np.diff(ix[o])) + np.abs(np.diff(iy[o]))
+        assert np.all(step == 1)  # consecutive indices are 4-neighbors
+
+    rng = np.random.default_rng(7)
+    res, g = 5, 32
+    pts = rng.random((600, 2))
+    ids = np.arange(600)
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    want = {
+        int(i): (int(c), int(h))
+        for i, c, h in zip(ids, ix * g + iy, hilbert_d(ix, iy, res))
+    }
+    prev = None
+    for blocks in (1, 5):
+        got = {
+            r["query_id"]: (r["cell"], r["hilbert"])
+            for r in tile_hilbert(
+                _points_ds(ray, pts, ids, blocks=blocks), res=res
+            ).take_all()
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_snap_to_segments_matches_bruteforce(ray_session):
+    # map matching vs an O(P*S) python reference: exact rational
+    # distances, (dist2, user, seq) argmin, radius gate; partition-
+    # invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import snap_to_segments
+
+    rng = np.random.default_rng(23)
+    res, g = 6, 64
+    n_ev, n_users, n_probes = 400, 12, 120
+    max_move, r = 20, 6
+    user = rng.integers(0, n_users, n_ev).astype(np.int64)
+    ts = (
+        np.datetime64("2024-03-01", "us")
+        + rng.integers(0, 10**8, n_ev).astype("timedelta64[us]")
+    ).astype("datetime64[us]")
+    seq = rng.permutation(n_ev).astype(np.int64)
+    gx = rng.integers(0, g, n_ev).astype(np.int64)
+    gy = rng.integers(0, g, n_ev).astype(np.int64)
+    tracks_t = pa.table(
+        {"user_id": user, "ts": pa.array(ts), "event_id": seq, "gx": gx, "gy": gy}
+    )
+    qid = np.arange(n_probes).astype(np.int64)
+    qx = rng.integers(0, g, n_probes).astype(np.int64)
+    qy = rng.integers(0, g, n_probes).astype(np.int64)
+    probes_t = pa.table({"query_id": qid, "qx": qx, "qy": qy})
+
+    # reference segments: per user ordered by (ts, seq), consecutive,
+    # L-inf gated
+    order = np.lexsort((seq, ts.astype(np.int64), user))
+    u_s, s_s = user[order], seq[order]
+    x_s, y_s = gx[order], gy[order]
+    m = (
+        (u_s[1:] == u_s[:-1])
+        & (np.abs(np.diff(x_s)) <= max_move)
+        & (np.abs(np.diff(y_s)) <= max_move)
+    )
+    segs = [
+        (int(u_s[i]), int(s_s[i]), int(x_s[i]), int(y_s[i]), int(x_s[i + 1]), int(y_s[i + 1]))
+        for i in np.flatnonzero(m)
+    ]
+    assert len(segs) > 20
+
+    def d2_frac(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        ln = dx * dx + dy * dy
+        c1 = (px - ax) * dx + (py - ay) * dy
+        if c1 <= 0:
+            return (px - ax) ** 2 + (py - ay) ** 2, 1
+        if c1 >= ln:
+            return (px - bx) ** 2 + (py - by) ** 2, 1
+        cr = (px - ax) * dy - (py - ay) * dx
+        return cr * cr, ln
+
+    want = {}
+    for i in range(n_probes):
+        best = None
+        for (u, s, ax, ay, bx, by) in segs:
+            num, den = d2_frac(int(qx[i]), int(qy[i]), ax, ay, bx, by)
+            if num > r * r * den:
+                continue
+            d2 = num / den  # same single division both sides
+            k = (d2, u, s)
+            if best is None or k < best:
+                best = k
+        if best is not None:
+            want[int(qid[i])] = (best[1], best[2], best[0])
+    assert len(want) > 10
+
+    prev = None
+    for blocks in (1, 5):
+        tr = ray.data.from_arrow(tracks_t).repartition(blocks)
+        pr = ray.data.from_arrow(probes_t).repartition(max(1, blocks - 1))
+        got = {
+            row["query_id"]: (row["snap_user"], row["snap_seq"], row["dist2"])
+            for row in snap_to_segments(
+                pr, tr, r=r, max_move=max_move, res=res, bucket_res=2
+            ).take_all()
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_trajectory_hausdorff_matches_bruteforce(ray_session):
+    # symmetric Hausdorff² between co-started entities vs an O(n²)
+    # python reference; exact int64, partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import trajectory_hausdorff
+
+    rng = np.random.default_rng(31)
+    res, start_res = 6, 2
+    g, n_ev, n_users = 64, 500, 20
+    user = rng.integers(0, n_users, n_ev).astype(np.int64)
+    ts = (
+        np.datetime64("2024-02-01", "us")
+        + rng.integers(0, 10**8, n_ev).astype("timedelta64[us]")
+    ).astype("datetime64[us]")
+    seq = rng.permutation(n_ev).astype(np.int64)
+    gx = rng.integers(0, g, n_ev).astype(np.int64)
+    gy = rng.integers(0, g, n_ev).astype(np.int64)
+    t = pa.table(
+        {"user_id": user, "ts": pa.array(ts), "event_id": seq, "gx": gx, "gy": gy}
+    )
+
+    shift = res - start_res
+    gb = 1 << start_res
+    tsi = ts.astype(np.int64)
+    start_tile, pts = {}, {}
+    for u in np.unique(user):
+        m = user == u
+        first = np.lexsort((seq[m], tsi[m]))[0]
+        start_tile[int(u)] = (int(gx[m][first]) >> shift) * gb + (
+            int(gy[m][first]) >> shift
+        )
+        pts[int(u)] = np.stack([gx[m], gy[m]], axis=1)
+
+    def haus2(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+        return int(max(d2.min(axis=1).max(), d2.min(axis=0).max()))
+
+    us = sorted(pts)
+    want = {
+        (a, b): haus2(pts[a], pts[b])
+        for ai, a in enumerate(us)
+        for b in us[ai + 1 :]
+        if start_tile[a] == start_tile[b]
+    }
+    assert len(want) > 5
+
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            (r["user_a"], r["user_b"]): r["hausdorff2"]
+            for r in trajectory_hausdorff(
+                ds, start_res=start_res, res=res
+            ).take_all()
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_dup_ngram_coverage_matches_bruteforce(ray_session):
+    # cross-doc duplicated n-gram position counts vs a python reference;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.curation import dup_ngram_coverage
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts, n_docs, n = [], 60, 3
+    for i in range(n_docs):
+        toks = [vocab[v] for v in rng.integers(0, len(vocab), rng.integers(2, 14))]
+        texts.append(" ".join(toks))
+    # guarantee exact shared spans
+    texts[7] = texts[3]
+    texts[11] = "alpha beta gamma " + texts[5]
+    ids = np.arange(n_docs, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "text": texts})
+
+    grams = {}
+    for i, tx in enumerate(texts):
+        toks = tx.split()
+        grams[i] = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+    gram_docs = {}
+    for i, gs in grams.items():
+        for g_ in set(gs):
+            gram_docs.setdefault(g_, set()).add(i)
+    want = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        dup = sum(1 for g_ in gs if len(gram_docs[g_]) >= 2)
+        want[int(ids[i])] = (len(gs), dup)
+    assert any(v[1] > 0 for v in want.values())
+
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup"])
+            for r in dup_ngram_coverage(ds, n=n).take_all()
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
