@@ -273,6 +273,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
 
+    def q_heading_histogram(sf):
+        # per-user movement-direction histogram (sign octants, exact
+        # ints): shared trajectory fold, <=8 rows per entity shuffle
+        from python_prtree_ray.pipelines.movement import heading_histogram
+
+        return heading_histogram(_event_tracks(sf, TILE_RES))
+
+    def q_cell_hours(sf):
+        # per-tile hour-of-day activity profile: batch-local (cell,
+        # hour) counts + ONE coarse-bucket sum; pure int arithmetic
+        from python_prtree_ray.pipelines.movement import cell_hours
+
+        return cell_hours(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
     def q_track_hausdorff(sf):
         # track-similarity join: symmetric Hausdorff² between co-started
         # users (same start tile); exact int64, no float anywhere
@@ -1901,6 +1915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_trend": q_cell_trend,
         "snap_points": q_snap_points,
         "track_hausdorff": q_track_hausdorff,
+        "heading_histogram": q_heading_histogram,
+        "cell_hours": q_cell_hours,
         "speed_outliers": q_speed_outliers,
         "nn_pairs": q_nn_pairs,
         "grouped_moments": q_grouped_moments,
@@ -1913,7 +1929,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.movement import (
+        cell_hours_sql as _cell_hours_sql,
         cell_trend_sql as _cell_trend_sql,
+        heading_histogram_sql as _heading_histogram_sql,
         snap_to_segments_sql as _snap_to_segments_sql,
         speed_outliers_sql as _speed_outliers_sql,
     )
@@ -3265,6 +3283,12 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"),
             TRACK_SIM_START_RES,
             TRACK_SIM_RES,
+        ),
+        "heading_histogram": _heading_histogram_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "cell_hours": _cell_hours_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "speed_outliers": _speed_outliers_sql(
             derive.points_sql("events", "event_id", "event_id"), SPEED_KMH_T

@@ -959,3 +959,165 @@ rk AS (SELECT query_id, u, seq, dist2,
 SELECT query_id, u AS snap_user, seq AS snap_seq, dist2
 FROM rk WHERE rn = 1
 """
+
+
+def heading_histogram(
+    tracks: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-entity movement-direction histogram:
+    ``(user_id, dir, n_moves)`` where ``dir`` classifies each
+    consecutive same-entity move by its displacement signs —
+    ``dir = (sign(dx)+1)*3 + sign(dy)+1`` (0..8 = SW,W,NW,S,·,N,SE,E,NE
+    in (dx, dy) sign order; the stationary class 4 is excluded). Exact
+    integer classification — no angles, no floats — so the LAG-window
+    SQL twin matches bit-for-bit. The directional-bias companion of
+    :func:`trajectory_length` (commute asymmetry, drift detection).
+
+    Scale shape: the shared trajectory fold — ONE entity-bucket shuffle
+    of fixed-width ints, per-bucket lexsort fold collapsing to ≤8 rows
+    per entity, ONE tiny coarse-bucket sum."""
+    tune_context()
+    from .merge import bucketed_sum
+
+    def emit(cols, dt):
+        if cols is None:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n_moves": pa.array([], pa.int64())}
+            )
+        fx, tx = cols[x_col]
+        fy, ty = cols[y_col]
+        u, _ = cols[key_col]
+        dx = tx.astype(np.int64) - fx.astype(np.int64)
+        dy = ty.astype(np.int64) - fy.astype(np.int64)
+        d = (np.sign(dx) + 1) * 3 + np.sign(dy) + 1
+        move = d != 4
+        key, n = np.unique(
+            u[move].astype(np.int64) * 9 + d[move], return_counts=True
+        )
+        return pa.table({"key": key, "n_moves": n.astype(np.int64)})
+
+    keyed = _bucketed(
+        tracks, key_col, ts_col, seq_col, (x_col, y_col, key_col), n_buckets
+    )
+    folded = _fold_pairs(keyed, (x_col, y_col, key_col), emit)
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n_moves",))
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": key // 9,
+                "dir": key % 9,
+                "n_moves": tbl.column("n_moves"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heading_histogram_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`heading_histogram` over the events table;
+    ``points_cte`` must yield (event_id, px, py)."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} AS gx, {gy} AS gy
+        FROM events e JOIN q ON e.event_id = q.event_id),
+m AS (SELECT u,
+             gx - LAG(gx) OVER w AS dx,
+             gy - LAG(gy) OVER w AS dy
+      FROM pts WINDOW w AS (PARTITION BY u ORDER BY ts, seq))
+SELECT u AS user_id,
+       CAST((SIGN(dx) + 1) * 3 + SIGN(dy) + 1 AS BIGINT) AS dir,
+       CAST(COUNT(*) AS BIGINT) AS n_moves
+FROM m WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
+GROUP BY u, (SIGN(dx) + 1) * 3 + SIGN(dy) + 1
+"""
+
+
+def cell_hours(
+    tracks: Dataset,
+    res: int,
+    ts_col: str = "ts",
+    x_col: str = "gx",
+    y_col: str = "gy",
+) -> Dataset:
+    """Per-tile hour-of-day activity profile: ``(cell, hour, n_events)``
+    with ``hour = (epoch_µs // 3.6e9) % 24`` (UTC; pure integer
+    arithmetic so the SQL twin is bit-identical). The temporal-rhythm
+    complement of the static density ops — nightlife vs commuter vs
+    office tiles separate on this profile.
+
+    Scale shape: ZERO entity state needed — each batch collapses to
+    per-(cell, hour) counts and ONE coarse-bucket sum folds them; at
+    most tile_count × 24 rows ever shuffle."""
+    tune_context()
+    from .merge import bucketed_sum
+
+    g = np.int64(1 << res)
+    HOUR_US = np.int64(3_600_000_000)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hour = (t // HOUR_US) % 24  # epoch µs are positive: floor == trunc
+        cell = (
+            tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64) * g
+            + tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        key, n = np.unique(cell * 24 + hour, return_counts=True)
+        return pa.table({"key": key, "n_events": n.astype(np.int64)})
+
+    summed = bucketed_sum(
+        tracks.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="key",
+        value_cols=("n_events",),
+    )
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": key // 24,
+                "hour": key % 24,
+                "n_events": tbl.column("n_events"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cell_hours_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`cell_hours` over the events table."""
+    from ..functions import derive
+
+    cell = derive.tile_cell_sql("q.px", "q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+p AS (SELECT {cell} AS cell,
+             (epoch_us(e.ts) // 3600000000) % 24 AS hour
+      FROM events e JOIN q USING (event_id))
+SELECT cell, CAST(hour AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM p GROUP BY cell, hour
+"""

@@ -3744,3 +3744,73 @@ def test_dup_ngram_coverage_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_heading_histogram_matches_pandas_reference(ray_session):
+    # per-user sign-octant move counts vs a pandas reference; exact
+    # ints, partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import heading_histogram
+
+    rng = np.random.default_rng(53)
+    g, n_ev, n_users = 16, 600, 15
+    user = rng.integers(0, n_users, n_ev).astype(np.int64)
+    ts = (
+        np.datetime64("2024-04-01", "us")
+        + rng.integers(0, 10**8, n_ev).astype("timedelta64[us]")
+    ).astype("datetime64[us]")
+    seq = rng.permutation(n_ev).astype(np.int64)
+    gx = rng.integers(0, g, n_ev).astype(np.int64)
+    gy = rng.integers(0, g, n_ev).astype(np.int64)
+    t = pa.table(
+        {"user_id": user, "ts": pa.array(ts), "event_id": seq, "gx": gx, "gy": gy}
+    )
+
+    want = {}
+    order = np.lexsort((seq, ts.astype(np.int64), user))
+    u_s, x_s, y_s = user[order], gx[order], gy[order]
+    same = u_s[1:] == u_s[:-1]
+    dx = np.diff(x_s)[same]
+    dy = np.diff(y_s)[same]
+    uu = u_s[1:][same]
+    d = (np.sign(dx) + 1) * 3 + np.sign(dy) + 1
+    for u, dd in zip(uu[d != 4], d[d != 4]):
+        want[(int(u), int(dd))] = want.get((int(u), int(dd)), 0) + 1
+
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            (r["user_id"], r["dir"]): r["n_moves"]
+            for r in heading_histogram(ds).take_all()
+        }
+        assert got == want
+
+
+def test_cell_hours_matches_pandas_reference(ray_session):
+    # per-(cell, hour-of-day) counts vs a numpy reference
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import cell_hours
+
+    rng = np.random.default_rng(59)
+    g, n_ev = 8, 700
+    ts = (
+        np.datetime64("2024-01-01", "us")
+        + rng.integers(0, 90 * 86_400 * 10**6, n_ev).astype("timedelta64[us]")
+    ).astype("datetime64[us]")
+    gx = rng.integers(0, g, n_ev).astype(np.int64)
+    gy = rng.integers(0, g, n_ev).astype(np.int64)
+    t = pa.table({"ts": pa.array(ts), "gx": gx, "gy": gy})
+
+    hour = (ts.astype(np.int64) // 3_600_000_000) % 24
+    cell = gx * g + gy
+    want = {}
+    for c, h in zip(cell, hour):
+        want[(int(c), int(h))] = want.get((int(c), int(h)), 0) + 1
+
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            (r["cell"], r["hour"]): r["n_events"]
+            for r in cell_hours(ds, res=3).take_all()
+        }
+        assert got == want
