@@ -203,6 +203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 4-neighbor cells); pure int64 bit math, stateless map
         return tiling.tile_hilbert(tables.points_dataset(sf), res=TILE_RES)
 
+    def q_hilbert_ranges(sf):
+        # range-partition planner: n_parts contiguous Hilbert ranges
+        # with near-equal counts; points never shuffle, the occupied-
+        # tile count table folds once
+        return tiling.hilbert_ranges(
+            tables.points_dataset(sf), res=TILE_RES, n_parts=8
+        )
+
     def q_morans_i(sf):
         # global Moran's I spatial autocorrelation of tile densities
         # (queen contiguity, occupied cells): exact integer sums, ONE
@@ -272,6 +280,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.movement import cell_trend
 
         return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_interval_union(sf):
+        # per-user union length of overlapping 1h activity windows:
+        # entity-bucket sweep, one row per key out, exact int64 µs
+        import ray
+        from python_prtree_ray.pipelines.interval import interval_union_len
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+        return interval_union_len(ev, window_us=3_600_000_000)
 
     def q_heading_histogram(sf):
         # per-user movement-direction histogram (sign octants, exact
@@ -1788,6 +1807,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = ann.ann_ivf_topk(emb, qv, qids, k=ANN_K)
         return res.select_columns(["query_id", "vec_id", "rank"])
 
+    def q_ann_pq(sf):
+        # product-quantization ANN: the compressed scale path (byte
+        # codes + asymmetric LUT scoring); rows-only, recall floor in
+        # pytest vs ann_brute_topk
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 10)
+        qv = np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+        qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+        res = ann.ann_pq_topk(emb, qv, qids, k=ANN_K)
+        return res.select_columns(["query_id", "vec_id", "rank"])
+
     return {
         "spatial_join": q_spatial_join,
         "self_join": q_self_join,
@@ -1806,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_topk": q_tile_topk,
         "tile_quadkey": q_tile_quadkey,
         "tile_hilbert": q_tile_hilbert,
+        "hilbert_ranges": q_hilbert_ranges,
         "tile_quantiles": q_tile_quantiles,
         "idw_grid": q_idw_grid,
         "haversine_join": q_haversine_join,
@@ -1917,6 +1953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_hausdorff": q_track_hausdorff,
         "heading_histogram": q_heading_histogram,
         "cell_hours": q_cell_hours,
+        "interval_union": q_interval_union,
+        "ann_pq": q_ann_pq,
         "speed_outliers": q_speed_outliers,
         "nn_pairs": q_nn_pairs,
         "grouped_moments": q_grouped_moments,
@@ -1941,11 +1979,15 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.curation import (
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
     )
+    from python_prtree_ray.pipelines.interval import (
+        interval_union_len_sql as _interval_union_len_sql,
+    )
     from python_prtree_ray.pipelines.tiling import (
         gearys_c_sql as _gearys_c_sql,
         getis_ord_sql as _getis_ord_sql,
         local_morans_sql as _local_morans_sql,
         morans_i_sql as _morans_i_sql,
+        hilbert_ranges_sql as _hilbert_ranges_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
     )
@@ -2760,6 +2802,7 @@ WHERE {intersects}
         "tile_topk": tile_topk_sql,
         "tile_quadkey": tile_quadkey_sql,
         "tile_hilbert": _tile_hilbert_sql(p_cust, TILE_RES),
+        "hilbert_ranges": _hilbert_ranges_sql(p_cust, TILE_RES, 8),
         "tile_quantiles": tile_quantiles_sql,
         "idw_grid": idw_grid_sql_q,
         "haversine_join": haversine_join_sql_q,
@@ -3287,6 +3330,7 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         "heading_histogram": _heading_histogram_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
+        "interval_union": _interval_union_len_sql(3_600_000_000),
         "cell_hours": _cell_hours_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),

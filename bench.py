@@ -172,7 +172,8 @@ QUERY_SUBSET = (
     "stay_points resample_track tile_quadkey "
     "morans_i gearys_c local_morans ripley_k speed_outliers "
     "getis_ord cell_trend tile_hilbert snap_points track_hausdorff "
-    "dup_ngram_coverage heading_histogram cell_hours"
+    "dup_ngram_coverage heading_histogram cell_hours hilbert_ranges "
+    "interval_union ann_pq"
 ).split()
 
 

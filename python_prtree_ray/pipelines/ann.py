@@ -428,3 +428,80 @@ def ann_range(
     return embeddings.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ann_pq_topk(
+    embeddings: Dataset,
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Product-quantization approximate top-k — the COMPRESSED scale
+    path (the memory-bound complement of :func:`ann_ivf_topk`'s
+    FLOP-bound pruning). Each normalized vector is split into ``m_sub``
+    subspaces; each subvector quantizes to its best-cosine centroid of a
+    seeded deterministic codebook (no training pass — identical index at
+    any parallelism, like the IVF quantizer) plus its exact subvector
+    norm, so a vector is ``m_sub`` byte-codes + ``m_sub`` scales instead
+    of D floats. Queries score by asymmetric LUT lookup:
+    ``sim ≈ Σ_m ‖v_m‖ · (q_m · c_codes[m])`` — M multiply-adds per
+    (query, vector) instead of D.
+
+    At corpus scale the encode is a one-time stored artifact; this
+    pipeline encodes per batch only because the test corpus arrives raw.
+    LUTs for all queries are precomputed once on the driver
+    ((m_sub, nq, n_codes) — KB-sized) and broadcast via ``ray.put``;
+    the scan streams, partial top-k per batch (threshold-inclusive),
+    ONE coarse-bucket merge. Recall < 1 by design (rows-only check;
+    pytest measures the floor vs :func:`ann_brute_topk`).
+    """
+    tune_context()
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    dim = q.shape[1]
+    if dim % m_sub != 0:
+        raise ValueError(f"ann_pq_topk: dim {dim} not divisible by m_sub {m_sub}")
+    ds_ = dim // m_sub
+    cents = []
+    for m in range(m_sub):
+        c = np.random.default_rng(7 + m).standard_normal((n_codes, ds_))
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        cents.append(c)
+    # asymmetric LUTs: luts[m][qi][code] = q_m . c — computed ONCE
+    luts = np.stack(
+        [qn[:, m * ds_ : (m + 1) * ds_] @ cents[m].T for m in range(m_sub)]
+    )
+    ref = ray.put(
+        (luts, np.asarray(query_ids, dtype=np.int64), np.stack(cents))
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        luts_, qids_, cents_ = ray.get(ref)
+        mat = _emb_matrix(tbl, emb_col)
+        if mat.shape[0] == 0:
+            return _empty_partial(id_col)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = mn.shape[0]
+        nq = luts_.shape[1]
+        sims = np.zeros((nq, nb))
+        for m in range(m_sub):
+            sub = mn[:, m * ds_ : (m + 1) * ds_]
+            nrm = np.linalg.norm(sub, axis=1)
+            codes = np.argmax(sub @ cents_[m].T, axis=1)
+            sims += luts_[m][:, codes] * nrm[None, :]
+        qrow = np.repeat(np.arange(nq, dtype=np.int64), nb)
+        vrow = np.tile(np.arange(nb, dtype=np.int64), nq)
+        q_k, s_k, v_k = _threshold_topk_rows(qrow, sims.ravel(), vrow, k)
+        return pa.table(
+            {"query_id": qids_[q_k], id_col: ids[v_k], "sim": s_k}
+        )
+
+    partials = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _merge_topk(partials, k, id_col)

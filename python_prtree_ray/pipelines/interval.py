@@ -143,3 +143,109 @@ def _boxes(
         )
 
     return ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_union_len(
+    events: Dataset,
+    window_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-key UNION length of overlapping activity intervals: each
+    event opens ``[ts, ts + window_us)``; overlaps within a key merge —
+    ``(user_id, n_intervals, covered_us)``, exact int64 microseconds.
+    The classic sorted sweep (contribution of interval i in start order
+    is ``max(0, e_i − max(s_i, running_max_end))``), whose sum is
+    order-invariant under start ties, so the SQL window twin matches
+    exactly despite nondeterministic tie order.
+
+    Scale shape: ONE entity-bucket shuffle of (key, ts) pairs; each
+    bucket folds in one lexsort + reset-able running-max pass (the
+    cummax resets at key boundaries via an exact int64 offset trick —
+    no Python loop) and collapses to one row per key; no further
+    shuffle (keys are unique across buckets)."""
+    from ..config import COMBINE_BATCH, tune_context
+    from ..functions.buckets import bucket_of
+
+    tune_context()
+    w = np.int64(window_us)
+    if w <= 0:
+        raise ValueError(f"interval_union_len: window_us must be > 0, got {window_us}")
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": k,
+                "s": _ts_us(tbl, ts_col),
+                "bucket": bucket_of(k, n_buckets),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+            "covered_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return empty
+        s = group.column("s").to_numpy(zero_copy_only=False)
+        e = s + w
+        order = np.lexsort((e, s, key))
+        k_s, s_s, e_s = key[order], s[order], e[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        seg = np.cumsum(np.r_[False, k_s[1:] != k_s[:-1]]).astype(np.int64)
+        # reset-able running max of ends per key segment: shift each
+        # segment into its own disjoint value band, one global cummax
+        lo = np.int64(s_s.min())
+        band = np.int64(int(e_s.max()) - int(lo) + 1)
+        if (int(seg[-1]) + 1) * int(band) >= 1 << 62:
+            # banded offsets would overflow int64 (astronomical keys-per-
+            # bucket x time-range product): shrink buckets, never wrap
+            raise ValueError(
+                "interval_union_len: per-bucket key count x time range "
+                "overflows the banded cummax; raise n_buckets"
+            )
+        m = np.maximum.accumulate(e_s - lo + seg * band)
+        # previous running max (exclusive); first of each segment has none
+        pm = np.empty_like(m)
+        pm[1:] = m[:-1]
+        pm[starts] = -1  # sentinel: no predecessor in segment
+        prev_end = np.where(pm >= seg * band, pm - seg * band + lo, s_s)
+        contrib = np.maximum(e_s - np.maximum(s_s, prev_end), 0)
+        return pa.table(
+            {
+                "user_id": k_s[starts],
+                "n_intervals": np.diff(np.r_[starts, k_s.size]).astype(np.int64),
+                "covered_us": np.add.reduceat(contrib, starts).astype(np.int64),
+            }
+        )
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def interval_union_len_sql(window_us: int) -> str:
+    """DuckDB twin of :func:`interval_union_len` over the events table."""
+    return f"""
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {int(window_us)} AS e
+            FROM events),
+m AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0))
+            AS BIGINT) AS covered_us
+FROM m GROUP BY user_id
+"""

@@ -1297,3 +1297,107 @@ WITH p0 AS ({points_cte}),
 {chain}
 SELECT query_id, cell, d AS hilbert FROM lvl{res}
 """
+
+
+def hilbert_ranges(points: Dataset, res: int, n_parts: int) -> Dataset:
+    """The range-partition PLANNER over :func:`tile_hilbert` keys:
+    ``(part, lo, hi, n_points)`` — ``n_parts`` contiguous Hilbert-index
+    ranges with near-equal point counts. A tile (one Hilbert key) is
+    atomic and lands in part ``(n_parts * count_before_key) // N`` —
+    exact integer arithmetic, deterministic at any parallelism, and
+    identical to the SQL twin's window-cumsum formulation. Because the
+    Hilbert curve is a Hamiltonian 4-neighbor path, every planned part
+    is a spatially CONTIGUOUS region — the shard map a 100-TB corpus
+    would be re-sharded by (ghost/neighbor exchange stays intra-part
+    except at ``n_parts − 1`` curve cuts). Empty parts (possible when a
+    single hot tile spans several quantiles) are absent.
+
+    Scale shape: per-batch (hilbert, count) partials → ONE coarse-bucket
+    sum → the OCCUPIED-tile count table (≤ 4^res rows, metadata-sized by
+    the repo's tile-table convention) folds on the driver with one
+    cumsum. Points never shuffle.
+    """
+    import numpy as np
+    import ray
+
+    from .merge import bucketed_sum
+
+    if n_parts < 1:
+        raise ValueError(f"hilbert_ranges: n_parts must be >= 1, got {n_parts}")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        h = hilbert_d(
+            derive.tile_index(px, res), derive.tile_index(py, res), res
+        )
+        key, n = np.unique(h, return_counts=True)
+        return pa.table({"hilbert": key, "c": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="hilbert",
+        value_cols=("c",),
+    )
+    parts = [
+        t
+        for t in ray.get(counts.to_arrow_refs())
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "part": pa.array([], pa.int64()),
+            "lo": pa.array([], pa.int64()),
+            "hi": pa.array([], pa.int64()),
+            "n_points": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(parts)
+    h = tbl.column("hilbert").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(h)
+    h, c = h[order], c[order]
+    n_total = int(c.sum())
+    before = np.cumsum(c) - c  # count strictly before each key
+    part = (np.int64(n_parts) * before) // np.int64(n_total)
+    starts = np.flatnonzero(np.r_[True, part[1:] != part[:-1]])
+    ends = np.r_[starts[1:], h.size]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "part": part[starts],
+                "lo": h[starts],
+                "hi": h[ends - 1],
+                "n_points": np.add.reduceat(c, starts).astype(np.int64),
+            }
+        )
+    )
+
+
+def hilbert_ranges_sql(points_cte: str, res: int, n_parts: int) -> str:
+    """DuckDB twin of :func:`hilbert_ranges` — the same unrolled-CTE
+    Hilbert encode (:func:`tile_hilbert_sql`) + window cumsum + integer
+    part assignment."""
+    hil = tile_hilbert_sql(points_cte, res)
+    return f"""
+WITH hsrc AS ({hil}),
+k AS (SELECT hilbert, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hsrc GROUP BY hilbert),
+cum AS (SELECT hilbert, c,
+               COALESCE(SUM(c) OVER (ORDER BY hilbert
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb,
+               (SELECT SUM(c) FROM k) AS n
+        FROM k)
+SELECT CAST(({n_parts} * cb) // n AS BIGINT) AS part,
+       MIN(hilbert) AS lo, MAX(hilbert) AS hi,
+       CAST(SUM(c) AS BIGINT) AS n_points
+FROM cum GROUP BY ({n_parts} * cb) // n
+"""

@@ -3814,3 +3814,81 @@ def test_cell_hours_matches_pandas_reference(ray_session):
             for r in cell_hours(ds, res=3).take_all()
         }
         assert got == want
+
+
+def test_hilbert_ranges_matches_reference(ray_session):
+    # partition planner: exact part assignment vs a python reference,
+    # full coverage, contiguity, near-equal counts, partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import hilbert_d, hilbert_ranges
+
+    rng = np.random.default_rng(83)
+    res, g, n, P = 5, 32, 2000, 7
+    pts = rng.random((n, 2)) ** 1.7  # skew so tiles have unequal counts
+    pts = np.clip(pts, 0.0, 0.999999)
+    ids = np.arange(n)
+    ix = np.clip((pts[:, 0] * g).astype(np.int64), 0, g - 1)
+    iy = np.clip((pts[:, 1] * g).astype(np.int64), 0, g - 1)
+    h = hilbert_d(ix, iy, res)
+    key, c = np.unique(h, return_counts=True)
+    before = np.cumsum(c) - c
+    part = (P * before) // n
+    want = {}
+    for p in np.unique(part):
+        m = part == p
+        want[int(p)] = (int(key[m].min()), int(key[m].max()), int(c[m].sum()))
+
+    prev = None
+    for blocks in (1, 6):
+        got = {
+            r["part"]: (r["lo"], r["hi"], r["n_points"])
+            for r in hilbert_ranges(
+                _points_ds(ray, pts, ids, blocks=blocks), res=res, n_parts=P
+            ).take_all()
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # invariants: full coverage, contiguity in hilbert order, balance
+    assert sum(v[2] for v in got.values()) == n
+    bounds = [got[p] for p in sorted(got)]
+    for a, b in zip(bounds, bounds[1:]):
+        assert a[1] < b[0]  # disjoint and ordered
+    assert max(v[2] for v in got.values()) <= 2 * (n // P + max(c))
+
+
+def test_interval_union_len_matches_bruteforce(ray_session):
+    # per-key union length of overlapping windows vs a python sweep;
+    # exact int64, partition-invariant; dense ties exercised
+    ray = ray_session
+    from python_prtree_ray.pipelines.interval import interval_union_len
+
+    rng = np.random.default_rng(71)
+    n, n_users, w = 800, 25, 5_000_000
+    user = rng.integers(0, n_users, n).astype(np.int64)
+    base = np.datetime64("2024-06-01", "us")
+    off = rng.integers(0, 10**8, n)
+    off[: n // 8] = off[n // 8 : 2 * (n // 8)]  # duplicate start ties
+    ts = (base + off.astype("timedelta64[us]")).astype("datetime64[us]")
+    t = pa.table({"user_id": user, "ts": pa.array(ts)})
+
+    tsi = ts.astype(np.int64)
+    want = {}
+    for u in np.unique(user):
+        s = np.sort(tsi[user == u])
+        e = s + w
+        cov, m = 0, None
+        for si, ei in zip(s, e):
+            lo = si if m is None else max(si, m)
+            cov += max(0, ei - lo)
+            m = ei if m is None else max(m, ei)
+        want[int(u)] = (int(s.size), int(cov))
+
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["user_id"]: (r["n_intervals"], r["covered_us"])
+            for r in interval_union_len(ds, window_us=w).take_all()
+        }
+        assert got == want
