@@ -40,6 +40,8 @@ SNAP_MAXMOVE = 48  # teleport gate for snap segments (grid units)
 SNAP_R = 12  # snap search radius (grid units)
 TRACK_SIM_RES = 7  # hausdorff track grid (128x128)
 TRACK_SIM_START_RES = 2  # co-start blocking tiles (4x4)
+KNOX_R = 0.02  # Knox spatial radius (unit square)
+KNOX_TAU_US = 21_600_000_000  # Knox temporal radius: 6h
 
 
 # ------------------------------------------------------------------ entry
@@ -316,6 +318,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             start_res=TRACK_SIM_START_RES,
             res=TRACK_SIM_RES,
         )
+
+    def q_knox(sf):
+        # Knox space-time interaction test on a deterministic event
+        # subset: exact pair counts via owner/ghost cells in 2D space
+        # AND 1D τ-time; one fixed-expression ratio double
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "ts"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            keep = eid % 4 == 0
+            tbl = tbl.filter(pa.array(keep))
+            eid = eid[keep]
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "query_id": eid.astype("int64"),
+                    "px": p["px"],
+                    "py": p["py"],
+                    "ts": tbl.column("ts"),
+                }
+            )
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.knox_stat(pts, radius=KNOX_R, tau_us=KNOX_TAU_US)
 
     def q_snap_points(sf):
         # map matching: snap each customer probe point to its nearest
@@ -1950,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord": q_getis_ord,
         "cell_trend": q_cell_trend,
         "snap_points": q_snap_points,
+        "knox_stat": q_knox,
         "track_hausdorff": q_track_hausdorff,
         "heading_histogram": q_heading_histogram,
         "cell_hours": q_cell_hours,
@@ -1988,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
         local_morans_sql as _local_morans_sql,
         morans_i_sql as _morans_i_sql,
         hilbert_ranges_sql as _hilbert_ranges_sql,
+        knox_stat_sql as _knox_stat_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
     )
@@ -3309,6 +3342,14 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "ripley_k": _ripley_k_sql(p_cust, RADIUS),
+        "knox_stat": _knox_stat_sql(
+            derive.points_sql(
+                "(SELECT event_id FROM events WHERE event_id % 4 = 0)",
+                "event_id",
+            ),
+            KNOX_R,
+            KNOX_TAU_US,
+        ),
         "getis_ord": _getis_ord_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),

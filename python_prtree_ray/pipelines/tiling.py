@@ -1401,3 +1401,255 @@ SELECT CAST(({n_parts} * cb) // n AS BIGINT) AS part,
        CAST(SUM(c) AS BIGINT) AS n_points
 FROM cum GROUP BY ({n_parts} * cb) // n
 """
+
+
+def knox_stat(
+    points: Dataset,
+    radius: float,
+    tau_us: int,
+    res: int | None = None,
+    n_buckets: int = 256,
+    ts_col: str = "ts",
+) -> Dataset:
+    """Knox space-time interaction test (epidemiology / crime-series
+    detection): over ordered pairs i≠j, count pairs close in SPACE
+    (d ≤ radius), close in TIME (|Δt| ≤ tau_us), and close in BOTH —
+    ONE row ``(n_points, n_space, n_time, n_spacetime, knox_ratio)``
+    with ``knox_ratio = (X·P) / (S·T)`` (P = N(N−1) ordered pairs;
+    ratio > 1 ⇒ space-time clustering beyond what the marginals
+    explain). All four counts are exact integers; the ratio is a fixed
+    expression of four exact-int→double casts (each < 2⁵³), so the SQL
+    twin matches bitwise with no overflow at any N.
+
+    Scale shape: the space and space-time counts ride
+    :func:`ripley_k`'s owner/ghost cell-bucket fold (cell width ≥
+    radius ⇒ every qualifying pair owner-local to one cell) with the
+    timestamp carried alongside; the time marginal uses the SAME
+    owner/ghost trick in 1D (τ-width time cells, ±1 ghosts) — no
+    global sort, no all-pairs. Three bucket shuffles of fixed-width
+    columns; the driver folds ≤ 2·n_buckets 2-int partials.
+    """
+    import math
+
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+
+    if res is None:
+        res = max(int(math.floor(math.log2(1.0 / radius))), 0)
+    if (1.0 / (1 << res)) < radius:
+        raise ValueError(
+            f"knox_stat: cell width {1.0 / (1 << res)} at res {res} is "
+            f"smaller than radius {radius}; pairs would be missed"
+        )
+    r2 = float(radius) * float(radius)
+    tau = np.int64(tau_us)
+    if tau <= 0:
+        raise ValueError(f"knox_stat: tau_us must be > 0, got {tau_us}")
+
+    def ts_us(tbl: pa.Table) -> "np.ndarray":
+        return (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    # ---- space + space-time: owner/ghost 2D cells carrying t ----
+    def assign_sp(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        t = ts_us(tbl)
+        own = cell_of_points(px, py, res)
+        row, nb = neighbor_cells(own, res, ring=1)
+        ghost = nb != own[row]
+        grow = row[ghost]
+        cells = np.concatenate([own, nb[ghost]])
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "px": np.concatenate([px, px[grow]]),
+                "py": np.concatenate([py, py[grow]]),
+                "t": np.concatenate([t, t[grow]]),
+                "own": np.concatenate(
+                    [np.ones(own.size, np.int8), np.zeros(grow.size, np.int8)]
+                ),
+            }
+        )
+
+    def fold_sp(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False) == 1
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], cell_s.size]
+        n_s = n_st = 0
+        n_own = int(own.sum())
+        for a, b in zip(starts, ends):
+            sl = order[a:b]
+            o = sl[own[sl]]
+            if o.size == 0:
+                continue
+            cx, cy, ct = px[sl], py[sl], t[sl]
+            for c0 in range(0, o.size, 64):
+                osl = o[c0 : c0 + 64]
+                dx = px[osl][:, None] - cx[None, :]
+                dy = py[osl][:, None] - cy[None, :]
+                close = dx * dx + dy * dy <= r2
+                n_s += int(close.sum())
+                dt = np.abs(t[osl][:, None] - ct[None, :])
+                n_st += int((close & (dt <= tau)).sum())
+        # each owner meets itself once (d=0, dt=0): subtract the self-pair
+        return pa.table(
+            {
+                "n_s": pa.array([n_s - n_own], pa.int64()),
+                "n_st": pa.array([n_st - n_own], pa.int64()),
+                "n_own": pa.array([n_own], pa.int64()),
+            }
+        )
+
+    # ---- time marginal: owner/ghost 1D τ-cells ----
+    def assign_t(tbl: pa.Table) -> pa.Table:
+        t = ts_us(tbl)
+        own = t // tau
+        cells = np.concatenate([own, own - 1, own + 1])
+        t3 = np.concatenate([t, t, t])
+        is_own = np.concatenate(
+            [
+                np.ones(t.size, np.int8),
+                np.zeros(2 * t.size, np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "t": t3,
+                "own": is_own,
+            }
+        )
+
+    def fold_t(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False) == 1
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], cell_s.size]
+        n_t = 0
+        n_own = int(own.sum())
+        for a, b in zip(starts, ends):
+            sl = order[a:b]
+            o = sl[own[sl]]
+            if o.size == 0:
+                continue
+            ct = np.sort(t[sl])
+            to = t[o]
+            # vectorized |Δt| <= tau count via two searchsorted calls
+            n_t += int(
+                (
+                    np.searchsorted(ct, to + tau, side="right")
+                    - np.searchsorted(ct, to - tau, side="left")
+                ).sum()
+            )
+        return pa.table(
+            {"n_t": pa.array([n_t - n_own], pa.int64())}
+        )
+
+    import ray
+
+    sp = (
+        points.map_batches(
+            assign_sp,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold_sp, batch_format="pyarrow")
+    )
+    tm = (
+        points.map_batches(
+            assign_t,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold_t, batch_format="pyarrow")
+    )
+    N = S = X = 0
+    for tb in ray.get(sp.to_arrow_refs()):
+        if tb.num_rows == 0:
+            continue
+        import pyarrow.compute as pc
+
+        S += int(pc.sum(tb.column("n_s")).as_py() or 0)
+        X += int(pc.sum(tb.column("n_st")).as_py() or 0)
+        N += int(pc.sum(tb.column("n_own")).as_py() or 0)
+    T = 0
+    for tb in ray.get(tm.to_arrow_refs()):
+        if tb.num_rows == 0:
+            continue
+        import pyarrow.compute as pc
+
+        T += int(pc.sum(tb.column("n_t")).as_py() or 0)
+    P = N * (N - 1)
+    if S > 0 and T > 0:
+        ratio = (float(X) * float(P)) / (float(S) * float(T))
+        ratio_arr = pa.array([ratio], pa.float64())
+    else:
+        ratio_arr = pa.nulls(1, pa.float64())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([N], pa.int64()),
+                "n_space": pa.array([S], pa.int64()),
+                "n_time": pa.array([T], pa.int64()),
+                "n_spacetime": pa.array([X], pa.int64()),
+                "knox_ratio": ratio_arr,
+            }
+        )
+    )
+
+
+def knox_stat_sql(points_cte: str, radius: float, tau_us: int) -> str:
+    """DuckDB twin of :func:`knox_stat`: three exact self-join counts
+    over the SAME derived points (which must carry event ts via the
+    events join), identical double expression for the ratio."""
+    r2 = float(radius) * float(radius)
+    return f"""
+WITH p0 AS ({points_cte}),
+p AS (SELECT p0.query_id AS id, p0.px AS px, p0.py AS py,
+             epoch_us(e.ts) AS t
+      FROM p0 JOIN events e ON e.event_id = p0.query_id),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM p a JOIN p b
+      ON a.id <> b.id
+         AND (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) <= {r2!r}),
+x AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM p a JOIN p b
+      ON a.id <> b.id
+         AND (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) <= {r2!r}
+         AND ABS(a.t - b.t) <= {int(tau_us)}),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM p a JOIN p b
+      ON a.id <> b.id AND ABS(a.t - b.t) <= {int(tau_us)}),
+g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM p)
+SELECT CAST(g.n AS BIGINT) AS n_points,
+       CAST(s.c AS BIGINT) AS n_space,
+       CAST(t.c AS BIGINT) AS n_time,
+       CAST(x.c AS BIGINT) AS n_spacetime,
+       CASE WHEN s.c > 0 AND t.c > 0
+            THEN (CAST(x.c AS DOUBLE) * CAST(g.n * (g.n - 1) AS DOUBLE))
+                 / (CAST(s.c AS DOUBLE) * CAST(t.c AS DOUBLE))
+       ELSE NULL END AS knox_ratio
+FROM g, s, x, t
+"""

@@ -1491,3 +1491,41 @@ def test_ann_pq_recall_floor(ray_session):
     # partition invariance of the approximate result itself
     pq_1blk = pairs(ann_pq_topk(ray.data.from_arrow(t), q, qids, k=k))
     assert pq_1blk == pq
+
+
+def test_concurrent_queries_shared_tree(ray_session):
+    # reference concurrency semantics (tests/unit/test_concurrency.py:64,
+    # :108, :148): many query workloads against ONE shared tree return
+    # the same results as sequential runs and do not interfere. In the
+    # engine the tree is immutable partitioned state, so this exercises
+    # concurrent Ray Data executions over shared broadcast/actor state
+    # from multiple driver threads.
+    import concurrent.futures as cf
+
+    ray = ray_session
+    rng = np.random.default_rng(91)
+    boxes = random_boxes(rng, 1500, edge=0.05)
+    ids = np.arange(1500, dtype=np.int64)
+    tree = RayPRTree(_boxes_ds(ray, boxes, ids), res=4, strict=False)
+
+    workloads = []
+    for w in range(4):
+        qs = random_boxes(np.random.default_rng(100 + w), 80, edge=0.1)
+        qids = np.arange(80, dtype=np.int64)
+        workloads.append((qs, qids))
+
+    sequential = [_query_set(tree, ray, qs, qids) for qs, qids in workloads]
+    assert any(sequential)  # non-trivial results
+
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(_query_set, tree, ray, qs, qids) for qs, qids in workloads
+        ]
+        concurrent = [f.result(timeout=120) for f in futs]
+    assert concurrent == sequential
+    # a second concurrent round is still identical (no state corruption)
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(_query_set, tree, ray, qs, qids) for qs, qids in workloads
+        ]
+        assert [f.result(timeout=120) for f in futs] == sequential

@@ -3892,3 +3892,52 @@ def test_interval_union_len_matches_bruteforce(ray_session):
             for r in interval_union_len(ds, window_us=w).take_all()
         }
         assert got == want
+
+
+def test_knox_stat_matches_bruteforce(ray_session):
+    # space-time interaction counts vs an O(n²) python reference; exact
+    # ints + one fixed-expression double; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import knox_stat
+
+    rng = np.random.default_rng(97)
+    n = 300
+    pts = rng.random((n, 2))
+    ids = np.arange(n)
+    ts = (
+        np.datetime64("2024-07-01", "us")
+        + rng.integers(0, 10**8, n).astype("timedelta64[us]")
+    ).astype("datetime64[us]")
+    r, tau = 0.05, 3_000_000
+    t = pa.table(
+        {
+            "query_id": ids.astype(np.int64),
+            "px": pts[:, 0],
+            "py": pts[:, 1],
+            "ts": pa.array(ts),
+        }
+    )
+
+    tsi = ts.astype(np.int64)
+    dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+    dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+    sp = (dx * dx + dy * dy <= r * r) & ~np.eye(n, dtype=bool)
+    tm = (np.abs(tsi[:, None] - tsi[None, :]) <= tau) & ~np.eye(n, dtype=bool)
+    S, T, X = int(sp.sum()), int(tm.sum()), int((sp & tm).sum())
+    P = n * (n - 1)
+    want_ratio = (float(X) * float(P)) / (float(S) * float(T))
+    assert X > 0  # the statistic is non-trivial on this input
+
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = knox_stat(ds, radius=r, tau_us=tau).take_all()
+        assert len(rows) == 1
+        got = rows[0]
+        assert (got["n_points"], got["n_space"], got["n_time"], got["n_spacetime"]) == (
+            n, S, T, X
+        )
+        assert got["knox_ratio"] == want_ratio
+        if prev is not None:
+            assert got == prev
+        prev = got
