@@ -276,6 +276,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.getis_ord(pts, res=TILE_RES)
 
+    def q_quadrat_test(sf):
+        # quadrat-count chi-square CSR screen over the full lattice:
+        # exact integer sums (empty quadrats enter only via 4^res),
+        # ONE float division -> bitwise SQL twin
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.quadrat_test(pts, res=TILE_RES)
+
+    def q_join_counts(sf):
+        # binary occupied/empty join-count statistics (queen contiguity,
+        # full lattice totals): every output an exact integer
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.join_counts(pts, res=TILE_RES)
+
+    def q_clark_evans(sf):
+        # Clark-Evans NN-distance CSR index (squared-distance variant):
+        # exact scaled-int distance sum over the nn_pairs kNN path, one
+        # fixed final double expression shared with the SQL twin
+        from python_prtree_ray.pipelines.knn import clark_evans
+
+        return clark_evans(tables.points_dataset(sf))
+
     def q_cell_trend(sf):
         # emerging-hotspot trend: early-vs-late half counts per tile
         # around the stream's midpoint timestamp; exact int64
@@ -799,6 +840,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return interleaved_docs(n).map_batches(
             explode_spans, batch_format="pyarrow", zero_copy_batch=True
         )
+
+    def q_doc_modality(sf):
+        # per-doc modality profile of the interleaved spans (span
+        # counts per kind + text chars): zero-shuffle Arrow offset
+        # arithmetic, hash-checked against the DuckDB span regeneration
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import doc_modality
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return doc_modality(interleaved_docs(n))
 
     def q_video_frames(sf):
         import pyarrow.parquet as pq
@@ -1979,6 +2031,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_morans": q_local_morans,
         "ripley_k": q_ripley_k,
         "getis_ord": q_getis_ord,
+        "quadrat_test": q_quadrat_test,
+        "join_counts": q_join_counts,
+        "clark_evans": q_clark_evans,
+        "doc_modality": q_doc_modality,
         "cell_trend": q_cell_trend,
         "snap_points": q_snap_points,
         "knox_stat": q_knox,
@@ -2021,8 +2077,13 @@ def oracle_sql() -> dict[str, str]:
         morans_i_sql as _morans_i_sql,
         hilbert_ranges_sql as _hilbert_ranges_sql,
         knox_stat_sql as _knox_stat_sql,
+        quadrat_test_sql as _quadrat_test_sql,
+        join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
+    )
+    from python_prtree_ray.pipelines.knn import (
+        clark_evans_sql as _clark_evans_sql,
     )
 
     b_orders = derive.boxes_sql("orders", "o_orderkey", "idx")
@@ -2896,6 +2957,22 @@ WHERE list_cosine_similarity(q.embedding, e.embedding) >= {ANN_RANGE_T}
             "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
         )
         + ")",
+        # per-doc modality profile over the regenerated span corpus
+        "doc_modality": "SELECT doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_text, "
+        "CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_image, "
+        "CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_audio, "
+        "CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_video, "
+        "CAST(SUM(length(text)) AS BIGINT) AS text_chars FROM ("
+        + interleaved_spans_sql(
+            "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
+        )
+        + ") GROUP BY doc_id",
         # resume reread must equal the plain join's pair set
         "checkpoint_resume": spatial_join_sql,
         # a saved+loaded tree must answer queries identically
@@ -3353,6 +3430,13 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         "getis_ord": _getis_ord_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
+        "quadrat_test": _quadrat_test_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "join_counts": _join_counts_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "clark_evans": _clark_evans_sql(p_cust),
         "cell_trend": _cell_trend_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),

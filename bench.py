@@ -173,7 +173,8 @@ QUERY_SUBSET = (
     "morans_i gearys_c local_morans ripley_k speed_outliers "
     "getis_ord cell_trend tile_hilbert snap_points track_hausdorff "
     "dup_ngram_coverage heading_histogram cell_hours hilbert_ranges "
-    "interval_union ann_pq knox_stat"
+    "interval_union ann_pq knox_stat quadrat_test join_counts clark_evans "
+    "doc_modality"
 ).split()
 
 

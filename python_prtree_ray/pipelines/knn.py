@@ -644,3 +644,111 @@ def nn_pairs(
         )
 
     return best.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clark_evans(
+    points: Dataset,
+    res: int = 5,
+    broadcast: bool | None = None,
+    coords=None,
+) -> Dataset:
+    """Clark–Evans-style nearest-neighbor CSR index, squared-distance
+    variant: ONE row ``(n_points, sum_nn_s, ce_ratio)`` where
+    ``ce_ratio = mean(d²_nn) / E_CSR[d²_nn]`` (< 1 clustered, ≈ 1
+    random, > 1 dispersed — the NN-distance companion of the quadrat
+    and autocorrelation tests). For N points in the unit square the
+    CSR expectation is E[d²_nn] = 1/(π·N), so the ratio collapses to
+    ``S · π / MOD²`` with S the exact-integer scaled distance sum.
+
+    Exactness contract: per-pair d² is ONE double expression
+    (``dx·dx + dy·dy``) evaluated identically by NumPy and DuckDB,
+    then scaled by the fixed constant MOD² and FLOORED to an int64 —
+    so the per-point minima are bitwise identical both sides and the
+    global sum is an order-independent exact integer; π enters once
+    in the final fixed expression (``PI()`` and ``math.pi`` are the
+    same double). ``coords(ids) -> {px, py}`` recomputes coordinates
+    from ids (default: the derive channels the oracle tables use).
+
+    Scale shape: rides :func:`nn_pairs` (cell/ring kNN, no all-pairs);
+    the reduction is a per-batch 2-int partial fold — the driver sums
+    block partials, never rows.
+    """
+    import math
+
+    from ..functions import derive
+
+    if coords is None:
+        coords = derive.derive_points
+    MOD2 = 1000000007.0 * 1000000007.0
+
+    nn = nn_pairs(points, res=res, broadcast=broadcast)
+    INT64_MAX = (1 << 63) - 1
+
+    def scaled(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        m = tbl.column("nn_id").to_numpy(zero_copy_only=False)
+        pq, pm = coords(q), coords(m)
+        dx = pq["px"] - pm["px"]
+        dy = pq["py"] - pm["py"]
+        s = np.floor((dx * dx + dy * dy) * MOD2).astype(np.int64)
+        tot = int(s.astype(object).sum()) if s.size else 0
+        if tot > INT64_MAX:
+            raise ValueError(
+                "clark_evans: per-batch scaled-distance partial overflows "
+                "int64 (pathologically dispersed input)"
+            )
+        return pa.table(
+            {
+                "n": pa.array([int(s.size)], pa.int64()),
+                "s": pa.array([tot], pa.int64()),
+            }
+        )
+
+    parts = nn.map_batches(
+        scaled, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+
+    import pyarrow.compute as pc
+
+    n = s = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        n += int(pc.sum(t.column("n")).as_py() or 0)
+        s += int(pc.sum(t.column("s")).as_py() or 0)
+    ratio = (float(s) * math.pi) / MOD2 if n else None
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([n], pa.int64()),
+                "sum_nn_s": pa.array([s], pa.int64()),
+                "ce_ratio": pa.array([ratio], pa.float64()),
+            }
+        )
+    )
+
+
+def clark_evans_sql(points_cte: str) -> str:
+    """DuckDB twin of :func:`clark_evans` — identical double d²
+    expression, identical FLOOR scaling, HUGEINT-exact sum, one fixed
+    final expression (CAST · PI() / MOD²)."""
+    return """
+WITH p AS ({cte}),
+d AS (SELECT a.query_id AS id,
+             MIN((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) AS d2
+      FROM p a JOIN p b ON a.query_id <> b.query_id
+      GROUP BY a.query_id),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CAST(FLOOR(
+               d2 * (CAST(1000000007 AS DOUBLE) * CAST(1000000007 AS DOUBLE))) AS BIGINT)), 0)
+               AS HUGEINT) AS s
+      FROM d)
+SELECT n AS n_points,
+       CAST(s AS BIGINT) AS sum_nn_s,
+       CASE WHEN n > 0
+            THEN (CAST(s AS DOUBLE) * PI())
+                 / (CAST(1000000007 AS DOUBLE) * CAST(1000000007 AS DOUBLE))
+       ELSE NULL END AS ce_ratio
+FROM g
+""".format(cte=points_cte)

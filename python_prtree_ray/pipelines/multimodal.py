@@ -177,3 +177,52 @@ def video_frame_pipeline(docs: Dataset, every: int = 4, concurrency=(1, 8)) -> D
         )
 
     return framed.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_modality(docs: Dataset) -> Dataset:
+    """Per-document modality profile over the interleaved spans —
+    ``(doc_id, n_spans, n_text, n_image, n_audio, n_video,
+    text_chars)`` — the curation signal a multimodal training mix is
+    balanced on (text-only vs media-heavy docs, modality ratios,
+    text-token budget per doc).
+
+    Zero shuffle: every span of a doc lives inside its own row's
+    ``spans`` list, so the profile is a pure ``map_batches`` of Arrow
+    offset arithmetic — per-doc segment sums via prefix sums over the
+    flat span children, no explode, no groupby, no Python row loop.
+    """
+    import pyarrow.compute as pc
+
+    def profile(tbl: pa.Table) -> pa.Table:
+        spans = tbl.column("spans").combine_chunks()
+        vals = spans.flatten()  # slice-safe flat struct children
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+
+        def seg_sum(flat: np.ndarray) -> np.ndarray:
+            pref = np.zeros(flat.shape[0] + 1, dtype=np.int64)
+            np.cumsum(flat, out=pref[1:])
+            return pref[offs[1:]] - pref[offs[:-1]]
+
+        kind = vals.field("kind")
+        cols: dict = {
+            "doc_id": tbl.column("doc_id"),
+            "n_spans": pa.array(counts, pa.int64()),
+        }
+        for k in ("text", "image", "audio", "video"):
+            flags = (
+                pc.equal(kind, k)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            cols[f"n_{k}"] = pa.array(seg_sum(flags), pa.int64())
+        tlen = (
+            pc.utf8_length(vals.field("text"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cols["text_chars"] = pa.array(seg_sum(tlen), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True)

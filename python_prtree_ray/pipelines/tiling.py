@@ -1653,3 +1653,274 @@ SELECT CAST(g.n AS BIGINT) AS n_points,
        ELSE NULL END AS knox_ratio
 FROM g, s, x, t
 """
+
+
+def quadrat_test(points: Dataset, res: int, n_buckets: int = 512) -> Dataset:
+    """Quadrat-count chi-square test of complete spatial randomness
+    (CSR) over the FULL ``4^res``-quadrat lattice — the classic "are
+    these points uniform?" screen run before the heavier
+    autocorrelation statistics. ONE row ``(n_points, n_quadrats,
+    n_occupied, chi2)``.
+
+    Exactness: with quadrat counts c_i (empty quadrats included) and
+    m = N / n_q, the statistic Σ (c_i − m)² / m collapses to
+
+        chi2 = (n_q · Σc² − N²) / N
+
+    — empty quadrats enter only through n_q, so only OCCUPIED-cell
+    counts are ever computed, and numerator/denominator are exact
+    integers (arbitrary-precision at the fold) with ONE final double
+    division, so the DuckDB twin (HUGEINT sums, one CAST-to-DOUBLE
+    division) matches bitwise.
+
+    Scale shape: each point batch collapses to distinct-cell partial
+    counts, :func:`~.merge.bucketed_sum` folds them exactly in ONE
+    coarse-bucket shuffle, and each cell-table block reduces to a
+    3-int partial row — the driver folds block counts, never cells,
+    never points.
+    """
+    import numpy as np
+
+    from .merge import bucketed_sum
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"quadrat_test: res must be in [0, 15], got {res}")
+    n_q = 1 << (2 * res)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    INT64_MAX = (1 << 63) - 1
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("x").to_numpy(zero_copy_only=False).astype(object)
+        vals = {
+            "nocc": int(x.size),
+            "s": int(x.sum()) if x.size else 0,
+            "sx2": int((x * x).sum()) if x.size else 0,
+        }
+        for k, v in vals.items():
+            if v > INT64_MAX:
+                raise ValueError(
+                    f"quadrat_test: per-block partial {k} overflows int64; "
+                    f"raise res so per-cell counts spread thinner"
+                )
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in vals.items()})
+
+    parts = counts.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+
+    import ray
+    import pyarrow.compute as pc
+
+    nocc = s = sx2 = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        nocc += int(pc.sum(t.column("nocc")).as_py() or 0)
+        s += int(pc.sum(t.column("s")).as_py() or 0)
+        sx2 += int(pc.sum(t.column("sx2")).as_py() or 0)
+    chi2 = float(n_q * sx2 - s * s) / float(s) if s else None
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([s], pa.int64()),
+                "n_quadrats": pa.array([n_q], pa.int64()),
+                "n_occupied": pa.array([nocc], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+            }
+        )
+    )
+
+
+def quadrat_test_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`quadrat_test` — HUGEINT-exact sums, one
+    final CAST-to-DOUBLE division."""
+    n_q = 1 << (2 * res)
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nocc,
+             CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS s,
+             CAST(COALESCE(SUM(x * x), 0) AS HUGEINT) AS sx2 FROM c)
+SELECT CAST(s AS BIGINT) AS n_points,
+       CAST({n_q} AS BIGINT) AS n_quadrats,
+       CAST(nocc AS BIGINT) AS n_occupied,
+       CASE WHEN s > 0
+            THEN CAST({n_q} * sx2 - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+       ELSE NULL END AS chi2
+FROM g
+"""
+
+
+def join_counts(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """Join-count statistics of the OCCUPIED/EMPTY binary marking of
+    the ``res``-grid under queen contiguity — the binary-mark
+    companion of :func:`morans_i` (epidemiology / land-cover
+    adjacency analysis). ONE row ``(n_occupied, n_quadrats,
+    total_pairs, bb, bw, ww)`` — every value an EXACT integer (no
+    float anywhere), so the DuckDB twin matches trivially.
+
+    With B = occupied ("black") and W = empty ("white") cells on the
+    full g×g lattice: ``bb`` = unordered adjacent B–B pairs, ``bw`` =
+    adjacent B–W pairs, ``ww`` = the remainder of the
+    ``total_pairs = 2(g−1)(2g−1)`` lattice adjacencies. Only occupied
+    cells are ever enumerated: bb comes from the ordered occupied
+    neighbor-pair count W₀ (= 2·bb), bw from Σ degree(occupied) − W₀
+    (each B–W pair has exactly one occupied endpoint), and ww by
+    subtraction — the empty side never materializes.
+
+    Scale shape: identical to :func:`_autocorr_stats` — per-batch
+    distinct-cell counts, one exact bucketed fold to the cell table,
+    one owner/ghost cell-bucket groupby for the neighbor matching,
+    driver folds ≤``n_buckets`` 3-int partial rows.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from .merge import bucketed_sum
+
+    if not 1 <= res <= 15:
+        raise ValueError(f"join_counts: res must be in [1, 15], got {res}")
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c = np.unique(cellmod.cell_of_points(px, py, res))
+        return pa.table({"cell": c, "x": np.ones(c.size, np.int64)})
+
+    # occupancy only: min-fold keeps one row per occupied cell
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+        reduce="min",
+    )
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cell").to_numpy(zero_copy_only=False)
+        row, nb = cellmod.neighbor_cells(c, res, ring=1)  # includes self
+        off = nb != c[row]
+        cells = np.concatenate([c, nb[off]])
+        is_occ = np.concatenate(
+            [np.ones(c.size, np.int8), np.zeros(nb[off].size, np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "is_occ": is_occ,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        occ = group.column("is_occ").to_numpy(zero_copy_only=False) == 1
+        oc = np.sort(c[occ])
+        fc = c[~occ]
+        pos = np.searchsorted(oc, fc)
+        pos_c = np.minimum(pos, max(oc.size - 1, 0))
+        hit = (
+            (pos < oc.size) & (oc[pos_c] == fc)
+            if oc.size
+            else np.zeros(fc.size, bool)
+        )
+        # queen degree of each occupied cell (in-grid neighbor count)
+        ix, iy = oc // g, oc % g
+        spanx = 3 - (ix == 0).astype(np.int64) - (ix == g - 1).astype(np.int64)
+        spany = 3 - (iy == 0).astype(np.int64) - (iy == g - 1).astype(np.int64)
+        deg = spanx * spany - 1
+        return pa.table(
+            {
+                "n": pa.array([int(oc.size)], pa.int64()),
+                "w": pa.array([int(hit.sum())], pa.int64()),
+                "d": pa.array([int(deg.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        counts.map_batches(
+            offers,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    import ray
+    import pyarrow.compute as pc
+
+    n = w = d = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        n += int(pc.sum(t.column("n")).as_py() or 0)
+        w += int(pc.sum(t.column("w")).as_py() or 0)
+        d += int(pc.sum(t.column("d")).as_py() or 0)
+    total = 2 * (g - 1) * (2 * g - 1)
+    bb = w // 2
+    bw = d - w
+    ww = total - bb - bw
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_occupied": pa.array([n], pa.int64()),
+                "n_quadrats": pa.array([g * g], pa.int64()),
+                "total_pairs": pa.array([total], pa.int64()),
+                "bb": pa.array([bb], pa.int64()),
+                "bw": pa.array([bw], pa.int64()),
+                "ww": pa.array([ww], pa.int64()),
+            }
+        )
+    )
+
+
+def join_counts_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`join_counts` — pure integer arithmetic
+    end to end (COUNT/SUM over occupied cells + fixed lattice totals)."""
+    g = 1 << res
+    total = 2 * (g - 1) * (2 * g - 1)
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT DISTINCT {ix} AS ix, {iy} AS iy FROM p0),
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nocc FROM c),
+w AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w0 FROM c a JOIN c b
+      ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+         AND NOT (a.ix = b.ix AND a.iy = b.iy)),
+d AS (SELECT CAST(COALESCE(SUM(
+        (3 - CASE WHEN ix = 0 THEN 1 ELSE 0 END
+           - CASE WHEN ix = {g - 1} THEN 1 ELSE 0 END)
+      * (3 - CASE WHEN iy = 0 THEN 1 ELSE 0 END
+           - CASE WHEN iy = {g - 1} THEN 1 ELSE 0 END) - 1), 0) AS HUGEINT)
+      AS dsum FROM c)
+SELECT CAST(n.nocc AS BIGINT) AS n_occupied,
+       CAST({g * g} AS BIGINT) AS n_quadrats,
+       CAST({total} AS BIGINT) AS total_pairs,
+       CAST(w.w0 // 2 AS BIGINT) AS bb,
+       CAST(d.dsum - w.w0 AS BIGINT) AS bw,
+       CAST({total} - w.w0 // 2 - (d.dsum - w.w0) AS BIGINT) AS ww
+FROM n, w, d
+"""

@@ -3941,3 +3941,159 @@ def test_knox_stat_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_quadrat_test_matches_bruteforce(ray_session):
+    # chi2 over the FULL lattice (empty quadrats included) vs a direct
+    # numpy recomputation; exact ints + one division; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import quadrat_test
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(41)
+    n, res = 700, 4
+    pts = rng.random((n, 2))
+    g = 1 << res
+    n_q = g * g
+    c = np.bincount(cell_of_points(pts[:, 0], pts[:, 1], res), minlength=n_q)
+    m = n / n_q
+    want_chi2 = float(((c - m) ** 2 / m).sum())
+    sx2 = int((c.astype(object) ** 2).sum())
+    exact_chi2 = float(n_q * sx2 - n * n) / float(n)
+    # the collapsed exact-int form equals the textbook form
+    assert abs(exact_chi2 - want_chi2) < 1e-6 * max(1.0, want_chi2)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        row = quadrat_test(ds, res=res).take_all()[0]
+        assert row["n_points"] == n
+        assert row["n_quadrats"] == n_q
+        assert row["n_occupied"] == int((c > 0).sum())
+        assert row["chi2"] == exact_chi2
+        if prev is not None:
+            assert row == prev
+        prev = row
+
+
+def test_join_counts_matches_bruteforce(ray_session):
+    # BB/BW/WW queen join counts vs a full-lattice numpy recomputation
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import join_counts
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(43)
+    n, res = 300, 3
+    pts = rng.random((n, 2))
+    g = 1 << res
+    occ = np.zeros((g, g), dtype=bool)
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    occ[cells // g, cells % g] = True
+
+    bb = bw = ww = total = 0
+    for ix in range(g):
+        for iy in range(g):
+            for dx, dy in ((1, -1), (1, 0), (1, 1), (0, 1)):
+                jx, jy = ix + dx, iy + dy
+                if 0 <= jx < g and 0 <= jy < g:
+                    total += 1
+                    a, b = occ[ix, iy], occ[jx, jy]
+                    if a and b:
+                        bb += 1
+                    elif a or b:
+                        bw += 1
+                    else:
+                        ww += 1
+    assert total == 2 * (g - 1) * (2 * g - 1)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        row = join_counts(ds, res=res).take_all()[0]
+        assert row["n_occupied"] == int(occ.sum())
+        assert row["n_quadrats"] == g * g
+        assert (row["total_pairs"], row["bb"], row["bw"], row["ww"]) == (
+            total, bb, bw, ww
+        )
+        if prev is not None:
+            assert row == prev
+        prev = row
+
+
+def test_clark_evans_matches_bruteforce(ray_session):
+    # exact scaled NN-d2 sum + fixed-expression ratio vs O(n^2) python
+    ray = ray_session
+    import math
+
+    from python_prtree_ray.pipelines.knn import clark_evans
+
+    rng = np.random.default_rng(47)
+    n = 250
+    ids = rng.choice(5000, size=n, replace=False).astype(np.int64)
+    p = derive.derive_points(ids)
+    pts = np.stack([p["px"], p["py"]], axis=1)
+
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    mind2 = d2.min(axis=1)
+    MOD2 = 1000000007.0 * 1000000007.0
+    want_s = int(np.floor(mind2 * MOD2).astype(np.int64).astype(object).sum())
+    want_ratio = (float(want_s) * math.pi) / MOD2
+
+    t = pa.table({"query_id": ids, "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        row = clark_evans(ds).take_all()[0]
+        assert row["n_points"] == n
+        assert row["sum_nn_s"] == want_s
+        assert row["ce_ratio"] == want_ratio
+        if prev is not None:
+            assert row == prev
+        prev = row
+
+
+def test_doc_modality_matches_explode(ray_session):
+    # per-doc modality profile vs a groupby over the exploded spans
+    ray = ray_session
+    from python_prtree_ray.sources.synth import interleaved_docs
+    from python_prtree_ray.pipelines.multimodal import doc_modality, explode_spans
+
+    n = 400
+    docs = interleaved_docs(n, override_num_blocks=5)
+    got = (
+        doc_modality(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    flat = (
+        interleaved_docs(n)
+        .map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    want = (
+        flat.assign(
+            is_text=(flat["kind"] == "text").astype("int64"),
+            is_image=(flat["kind"] == "image").astype("int64"),
+            is_audio=(flat["kind"] == "audio").astype("int64"),
+            is_video=(flat["kind"] == "video").astype("int64"),
+            tlen=flat["text"].str.len().astype("int64"),
+        )
+        .groupby("doc_id", as_index=False)
+        .agg(
+            n_spans=("seq", "size"),
+            n_text=("is_text", "sum"),
+            n_image=("is_image", "sum"),
+            n_audio=("is_audio", "sum"),
+            n_video=("is_video", "sum"),
+            text_chars=("tlen", "sum"),
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    for col in ("n_spans", "n_text", "n_image", "n_audio", "n_video", "text_chars"):
+        assert got[col].astype("int64").tolist() == want[col].tolist(), col
