@@ -40,6 +40,9 @@ SNAP_MAXMOVE = 48  # teleport gate for snap segments (grid units)
 SNAP_R = 12  # snap search radius (grid units)
 TRACK_SIM_RES = 7  # hausdorff track grid (128x128)
 TRACK_SIM_START_RES = 2  # co-start blocking tiles (4x4)
+RASTER_MIN = 16  # raster_regions activity threshold (points per tile)
+SPAN_BUDGET = 16  # span_windows token budget per context window
+SPAN_MEDIA_TOK = 8  # span_windows fixed token cost of a media span
 KNOX_R = 0.02  # Knox spatial radius (unit square)
 KNOX_TAU_US = 21_600_000_000  # Knox temporal radius: 6h
 
@@ -309,6 +312,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.join_counts(pts, res=TILE_RES)
 
+    def q_raster_regions(sf):
+        # raster->vector segmentation: threshold the density raster of
+        # SQUARED event coordinates (squaring concentrates mass near the
+        # origin so thresholded regions actually form), label connected
+        # components, emit one exact-int vector row per region
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"] * p["px"], "py": p["py"] * p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.raster_regions(pts, res=TILE_RES, min_count=RASTER_MIN)
+
     def q_clark_evans(sf):
         # Clark-Evans NN-distance CSR index (squared-distance variant):
         # exact scaled-int distance sum over the nn_pairs kNN path, one
@@ -323,6 +344,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.movement import cell_trend
 
         return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_cell_slope(sf):
+        # per-tile OLS activity-trend slope over 8 equal time bins
+        # (multi-bin refinement of cell_trend): exact-int numerator over
+        # a constant denominator, one double division per tile
+        from python_prtree_ray.pipelines.movement import cell_slope
+
+        return cell_slope(_event_tracks(sf, TILE_RES), res=TILE_RES)
 
     def q_interval_union(sf):
         # per-user union length of overlapping 1h activity windows:
@@ -355,6 +384,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from python_prtree_ray.pipelines.trajectory import trajectory_hausdorff
 
         return trajectory_hausdorff(
+            _event_tracks(sf, TRACK_SIM_RES),
+            start_res=TRACK_SIM_START_RES,
+            res=TRACK_SIM_RES,
+        )
+
+    def q_track_dtw(sf):
+        # ordered track similarity: DTW optimal-alignment cost between
+        # co-started users (anti-diagonal DP vectorized across pairs,
+        # exact int64). DP recursion has no ANSI-SQL twin -> rows-only;
+        # exactness vs a per-pair reference DP is pytest-checked
+        from python_prtree_ray.pipelines.trajectory import trajectory_dtw
+
+        return trajectory_dtw(
             _event_tracks(sf, TRACK_SIM_RES),
             start_res=TRACK_SIM_START_RES,
             res=TRACK_SIM_RES,
@@ -760,6 +802,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
         )
 
+    def q_doc_compress(sf):
+        # per-doc zlib compressibility quality signal: actor-pool stage
+        # (compressor built once per actor, per-row body is one C call).
+        # Deflate has no ANSI-SQL twin -> rows-only; exactness vs direct
+        # zlib and parallelism invariance are pytest-checked
+        import ray
+        from python_prtree_ray.pipelines.text import compress_ratio
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return compress_ratio(docs)
+
     def q_doc_lm_freq(sf):
         # unigram corpus-frequency LM proxy: ONE vocab-sized hash fold +
         # broadcast, then a map-only searchsorted scoring pass
@@ -839,6 +894,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
         return interleaved_docs(n).map_batches(
             explode_spans, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_span_windows(sf):
+        # multimodal context-window packing: cumulative-cost window
+        # assignment over ordered spans (text = word count, media =
+        # fixed cost); zero-shuffle Arrow offset arithmetic
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import span_windows
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return span_windows(
+            interleaved_docs(n), budget=SPAN_BUDGET, media_tokens=SPAN_MEDIA_TOK
         )
 
     def q_doc_modality(sf):
@@ -1933,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "pii_scrub": q_pii_scrub,
         "doc_lm_freq": q_doc_lm_freq,
+        "doc_compress": q_doc_compress,
         "doc_chunks": q_doc_chunks,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -2032,13 +2101,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": q_ripley_k,
         "getis_ord": q_getis_ord,
         "quadrat_test": q_quadrat_test,
+        "raster_regions": q_raster_regions,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
+        "span_windows": q_span_windows,
         "cell_trend": q_cell_trend,
+        "cell_slope": q_cell_slope,
         "snap_points": q_snap_points,
         "knox_stat": q_knox,
         "track_hausdorff": q_track_hausdorff,
+        "track_dtw": q_track_dtw,
         "heading_histogram": q_heading_histogram,
         "cell_hours": q_cell_hours,
         "interval_union": q_interval_union,
@@ -2056,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.movement import (
         cell_hours_sql as _cell_hours_sql,
+        cell_slope_sql as _cell_slope_sql,
         cell_trend_sql as _cell_trend_sql,
         heading_histogram_sql as _heading_histogram_sql,
         snap_to_segments_sql as _snap_to_segments_sql,
@@ -2078,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         hilbert_ranges_sql as _hilbert_ranges_sql,
         knox_stat_sql as _knox_stat_sql,
         quadrat_test_sql as _quadrat_test_sql,
+        raster_regions_sql as _raster_regions_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
@@ -2957,6 +3032,29 @@ WHERE list_cosine_similarity(q.embedding, e.embedding) >= {ANN_RANGE_T}
             "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
         )
         + ")",
+        # context-window packing over the regenerated span corpus:
+        # window = cumulative-cost-before // budget (window SUM twin)
+        "span_windows": f"""
+WITH sp AS ({interleaved_spans_sql(
+        "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
+    )}),
+c AS (SELECT doc_id, seq, kind,
+             CASE WHEN kind = 'text'
+                  THEN length(text) - length(replace(text, ' ', '')) + 1
+                  ELSE {SPAN_MEDIA_TOK} END AS cost
+      FROM sp),
+w AS (SELECT doc_id, kind, cost,
+             COALESCE(SUM(cost) OVER (PARTITION BY doc_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {SPAN_BUDGET} AS window_id
+      FROM c)
+SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(cost) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN kind = 'text' THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_media
+FROM w GROUP BY doc_id, window_id
+""",
         # per-doc modality profile over the regenerated span corpus
         "doc_modality": "SELECT doc_id, "
         "CAST(COUNT(*) AS BIGINT) AS n_spans, "
@@ -3433,11 +3531,21 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         "quadrat_test": _quadrat_test_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
+        "raster_regions": _raster_regions_sql(
+            "SELECT event_id, px * px AS px, py * py AS py FROM ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ")",
+            TILE_RES,
+            RASTER_MIN,
+        ),
         "join_counts": _join_counts_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "clark_evans": _clark_evans_sql(p_cust),
         "cell_trend": _cell_trend_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "cell_slope": _cell_slope_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "snap_points": _snap_to_segments_sql(

@@ -174,7 +174,8 @@ QUERY_SUBSET = (
     "getis_ord cell_trend tile_hilbert snap_points track_hausdorff "
     "dup_ngram_coverage heading_histogram cell_hours hilbert_ranges "
     "interval_union ann_pq knox_stat quadrat_test join_counts clark_evans "
-    "doc_modality"
+    "doc_modality raster_regions doc_compress track_dtw cell_slope "
+    "span_windows"
 ).split()
 
 

@@ -1121,3 +1121,179 @@ SELECT cell, CAST(hour AS BIGINT) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM p GROUP BY cell, hour
 """
+
+
+def cell_slope(
+    tracks: Dataset,
+    res: int,
+    n_bins: int = 8,
+    ts_col: str = "ts",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-tile activity TREND SLOPE — the multi-bin refinement of
+    :func:`cell_trend`: split the stream's time range into ``n_bins``
+    equal bins and fit the per-tile ordinary-least-squares slope of
+    (bin index → event count), empty bins included as zeros —
+    ``(cell, n_events, slope)``; slope > 0 = emerging, < 0 = cooling,
+    in events per bin.
+
+    Exactness: with fixed x = 0..n_bins−1, Σx and Σx² are constants,
+    so slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) has an exact-integer
+    numerator (counts and bin indices) over a CONSTANT integer
+    denominator — ONE double division per cell, so the SQL twin
+    matches bitwise. Bin assignment is pure integer arithmetic off the
+    exact global (min, max) epoch-µs fold.
+
+    Scale shape: pass 1 is the two-scalar ts min/max metadata fold;
+    pass 2 collapses each batch to (cell·n_bins+bin, count) partials
+    folded by ONE :func:`~.merge.bucketed_sum`; the closing slope fold
+    regroups the tile×bins-sized sum table by CELL bucket — metadata-
+    sized, raw rows never shuffle.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    if n_bins < 2:
+        raise ValueError(f"cell_slope: n_bins must be >= 2, got {n_bins}")
+    g = np.int64(1 << res)
+    nb = np.int64(n_bins)
+    sx = n_bins * (n_bins - 1) // 2
+    sx2 = (n_bins - 1) * n_bins * (2 * n_bins - 1) // 6
+    den = n_bins * sx2 - sx * sx  # constant positive integer
+
+    def ts_us(tbl: pa.Table) -> np.ndarray:
+        return (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        t = ts_us(tbl)
+        if t.size == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(t.min())], pa.int64()),
+                "hi": pa.array([int(t.max())], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+    import ray
+
+    lo = hi = None
+    for ref in tracks.map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        blo = pc.min(t.column("lo")).as_py()
+        bhi = pc.max(t.column("hi")).as_py()
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+    empty = pa.table(
+        {
+            "cell": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "slope": pa.array([], pa.float64()),
+        }
+    )
+    if lo is None:
+        return ray.data.from_arrow(empty)
+    span = hi - lo + 1  # epoch µs are positive; +1 keeps hi in the last bin
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = ts_us(tbl)
+        cell = (
+            tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64) * g
+            + tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        b = np.minimum((t - lo) * nb // span, nb - 1)
+        key, inv = np.unique(cell * nb + b, return_inverse=True)
+        n = np.bincount(inv, minlength=key.size).astype(np.int64)
+        return pa.table({"key": key, "n": n})
+
+    summed = bucketed_sum(
+        tracks.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="key",
+        value_cols=("n",),
+    )
+
+    from ..functions.buckets import bucket_of
+
+    def by_cell(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return tbl.append_column("cb", pa.array(bucket_of(key // nb, n_buckets)))
+
+    def slope_fold(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return empty
+        cell = key // nb
+        b = key - cell * nb
+        order = np.argsort(cell, kind="stable")
+        c_s, b_s, n_s = cell[order], b[order], n[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sy = np.add.reduceat(n_s, starts)
+        sxy = np.add.reduceat(b_s * n_s, starts)
+        num = n_bins * sxy - sx * sy
+        return pa.table(
+            {
+                "cell": pa.array(c_s[starts], pa.int64()),
+                "n_events": pa.array(sy, pa.int64()),
+                "slope": pa.array(
+                    num.astype(np.float64) / np.float64(den), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        summed.map_batches(by_cell, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cb")
+        .map_groups(slope_fold, batch_format="pyarrow")
+    )
+
+
+def cell_slope_sql(points_cte: str, res: int, n_bins: int = 8) -> str:
+    """DuckDB twin of :func:`cell_slope` — same integer bin assignment
+    off the exact global (min, max), same exact-int numerator over the
+    constant denominator, one CAST-to-DOUBLE division."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    g = 1 << res
+    sx = n_bins * (n_bins - 1) // 2
+    sx2 = (n_bins - 1) * n_bins * (2 * n_bins - 1) // 6
+    den = n_bins * sx2 - sx * sx
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT {gx} * {g} + {gy} AS cell, epoch_us(e.ts) AS t
+        FROM events e JOIN q ON e.event_id = q.event_id),
+rng AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pts),
+binned AS (SELECT cell,
+                  LEAST((t - rng.lo) * {n_bins} // (rng.hi - rng.lo + 1),
+                        {n_bins - 1}) AS b
+           FROM pts, rng),
+cb AS (SELECT cell, b, CAST(COUNT(*) AS BIGINT) AS n
+       FROM binned GROUP BY cell, b)
+SELECT cell,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST({n_bins} * SUM(b * n) - {sx} * SUM(n) AS DOUBLE)
+       / CAST({den} AS DOUBLE) AS slope
+FROM cb GROUP BY cell
+"""

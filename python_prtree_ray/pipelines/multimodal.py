@@ -226,3 +226,88 @@ def doc_modality(docs: Dataset) -> Dataset:
         return pa.table(cols)
 
     return docs.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def span_windows(
+    docs: Dataset, budget: int = 16, media_tokens: int = 8
+) -> Dataset:
+    """Context-window assignment over interleaved spans — the chunking
+    step of a multimodal training pipeline: walk each doc's spans in
+    order, cost text spans at their word count and media spans at a
+    fixed ``media_tokens``, and assign each span to window
+    ``cum_tokens_before // budget``. Output one row per (doc, window):
+    ``(doc_id, window_id, n_spans, n_tokens, n_media)``.
+
+    The non-resetting prefix-sum window rule (cumulative cost before
+    the span, floor-divided by the budget) is deliberately
+    SQL-expressible — the DuckDB twin is a window SUM + integer
+    division — while staying the real packer shape (greedy windows
+    that never split a span). Zero shuffle: spans live inside their
+    doc's row, so windows are pure Arrow offset arithmetic — global
+    prefix sums minus per-doc starts, reduceat over (doc, window)
+    change points, no explode, no groupby, no Python row loop.
+    """
+    import pyarrow.compute as pc
+
+    if budget < 1:
+        raise ValueError(f"span_windows: budget must be >= 1, got {budget}")
+    if media_tokens < 0:
+        raise ValueError(
+            f"span_windows: media_tokens must be >= 0, got {media_tokens}"
+        )
+
+    def windows(tbl: pa.Table) -> pa.Table:
+        spans = tbl.column("spans").combine_chunks()
+        vals = spans.flatten()
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        kind = vals.field("kind")
+        text = vals.field("text")
+        is_text = (
+            pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        )
+        words = (
+            pc.add(pc.count_substring(text, " "), 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cost = np.where(is_text, words, np.int64(media_tokens))
+        # per-span cumulative cost BEFORE the span, within its doc
+        cum = np.zeros(cost.shape[0] + 1, dtype=np.int64)
+        np.cumsum(cost, out=cum[1:])
+        doc_of = np.repeat(np.arange(counts.size), counts)
+        before = cum[:-1] - cum[offs[:-1]][doc_of]
+        win = before // budget
+        # group rows: change points of (doc, window) over the flat spans
+        key_doc = doc_of
+        new = np.r_[
+            True, (key_doc[1:] != key_doc[:-1]) | (win[1:] != win[:-1])
+        ] if cost.size else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        n_spans = np.diff(np.r_[starts, cost.size])
+        doc_idx = key_doc[starts] if cost.size else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").take(pa.array(doc_idx)),
+                "window_id": pa.array(
+                    win[starts] if cost.size else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_spans": pa.array(n_spans.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(
+                    np.add.reduceat(cost, starts)
+                    if cost.size
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_media": pa.array(
+                    np.add.reduceat((~is_text).astype(np.int64), starts)
+                    if cost.size
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)

@@ -658,3 +658,70 @@ def pii_scrub(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class CompressRatioScorer:
+    """Actor-pool stage: per-doc zlib compressibility — the classic
+    cheap quality / repetition signal (boilerplate and machine-generated
+    spam compress far below prose; near-random noise barely compresses).
+    Output per doc: ``(doc_id, n_bytes, z_bytes, compress_ratio)`` with
+    ``compress_ratio = z_bytes / n_bytes`` (both int64; one double
+    division per row).
+
+    Shaped like a model-inference stage: a callable CLASS so the
+    compressor configuration is built once per actor; the per-row body
+    is a single C call (``zlib.compress``), not Python arithmetic —
+    the deflate kernel dominates, exactly like a tokenizer or decoder
+    would. Deterministic: fixed level ⇒ identical bytes on every run
+    and at any parallelism. No SQL twin (deflate is not expressible);
+    correctness is pytest-checked against direct zlib."""
+
+    def __init__(self, level: int = 6):
+        import zlib
+
+        self._compress = zlib.compress
+        self._level = int(level)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        comp, lvl = self._compress, self._level
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_large_string(text.type):
+            text = text.cast(pa.string())
+        buf = text.buffers()
+        off_np = np.frombuffer(buf[1], dtype=np.int32)
+        offs = off_np[text.offset : text.offset + len(text) + 1]
+        raw = buf[2].to_pybytes() if buf[2] is not None else b""
+        n = (offs[1:] - offs[:-1]).astype(np.int64)
+        z = np.fromiter(
+            (
+                len(comp(raw[offs[i] : offs[i + 1]], lvl))
+                for i in range(len(text))
+            ),
+            dtype=np.int64,
+            count=len(text),
+        )
+        ratio = np.where(n > 0, z / np.maximum(n, 1), np.float64(0.0))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_bytes": pa.array(n, pa.int64()),
+                "z_bytes": pa.array(z, pa.int64()),
+                "compress_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+
+def compress_ratio(docs: Dataset, level: int = 6, concurrency=(1, 8)) -> Dataset:
+    """Per-doc zlib compressibility scores via an actor pool (state in
+    ``__init__``, per-batch work in ``__call__``; see
+    :class:`CompressRatioScorer`)."""
+    return docs.map_batches(
+        CompressRatioScorer,
+        fn_constructor_kwargs=dict(level=level),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1924,3 +1924,232 @@ SELECT CAST(n.nocc AS BIGINT) AS n_occupied,
        CAST({total} - w.w0 // 2 - (d.dsum - w.w0) AS BIGINT) AS ww
 FROM n, w, d
 """
+
+
+def raster_regions(
+    points: Dataset,
+    res: int,
+    min_count: int,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Raster→VECTOR segmentation — the inverse of
+    :func:`raster_tile_join`: threshold the per-tile density raster at
+    ``min_count`` points, label queen-connected components of the
+    active tiles, and emit one vector summary row per region:
+    ``(region_id, n_cells, n_points, ix_min, iy_min, ix_max, iy_max)``
+    with ``region_id`` = the smallest member cell id. Every output is
+    an exact integer, so the DuckDB twin (recursive-CTE label closure)
+    matches trivially.
+
+    Scale shape: points collapse to distinct-cell counts
+    (:func:`~.merge.bucketed_sum`, ONE coarse shuffle); active-cell
+    EDGES come from one owner/ghost cell-bucket matching (the
+    join_counts pattern, emitting pairs instead of counts); labels run
+    through the shared :func:`~.graph.connected_components`
+    (2 shuffles/round over cell-sized rows, O(log diameter) rounds);
+    isolated actives keep their own id via a LEFT hash join. Points
+    never shuffle; everything after pass 1 is tile-sized.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from .graph import connected_components
+    from .join import hash_equi_join
+    from .merge import bucketed_sum
+
+    if not 1 <= res <= 15:
+        raise ValueError(f"raster_regions: res must be in [1, 15], got {res}")
+    if min_count < 1:
+        raise ValueError(f"raster_regions: min_count must be >= 1, got {min_count}")
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    import pyarrow.compute as pc
+
+    def threshold(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.greater_equal(tbl.column("x"), min_count))
+
+    active = counts.map_batches(
+        threshold, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # ---- edges between active cells: owner/ghost neighbor matching ----
+    def offers(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cell").to_numpy(zero_copy_only=False)
+        row, nb = cellmod.neighbor_cells(c, res, ring=1)  # includes self
+        off = nb != c[row]
+        cells = np.concatenate([c, nb[off]])
+        src = np.concatenate([np.full(c.size, -1, np.int64), c[row][off]])
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "src": src,  # -1 marks the occupancy row
+            }
+        )
+
+    def match(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        occ = src == -1
+        oc = np.sort(c[occ])
+        fc, fs = c[~occ], src[~occ]
+        pos = np.searchsorted(oc, fc)
+        pos_c = np.minimum(pos, max(oc.size - 1, 0))
+        hit = (
+            (pos < oc.size) & (oc[pos_c] == fc)
+            if oc.size
+            else np.zeros(fc.size, bool)
+        )
+        a, b = fs[hit], fc[hit]
+        keep = a < b  # one direction; CC symmetrizes internally
+        return pa.table({"id_a": a[keep], "id_b": b[keep]})
+
+    edges = (
+        active.map_batches(
+            offers,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(match, batch_format="pyarrow")
+    )
+
+    labels = connected_components(edges)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cell": tbl.column("doc_id"), "region": tbl.column("cluster_id")}
+        )
+
+    lab = labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    # an edgeless raster (all regions singleton) yields a block-less label
+    # dataset with no schema — seed it with an empty typed table so the
+    # LEFT join below can resolve its right-side column types
+    import ray
+
+    lab = ray.data.from_arrow(
+        pa.table(
+            {"cell": pa.array([], pa.int64()), "region": pa.array([], pa.int64())}
+        )
+    ).union(lab)
+    joined = hash_equi_join(
+        active, lab, on="cell", left_cols=("x",), right_cols=("region",),
+        how="left",
+    )
+
+    def region_partial(tbl: pa.Table) -> pa.Table:
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        # isolated active cells never entered the pair graph: own label
+        reg = (
+            pc.coalesce(tbl.column("region"), tbl.column("cell"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ix, iy = cell // g, cell % g
+        order = np.argsort(reg, kind="stable")
+        r_s = reg[order]
+        starts = np.flatnonzero(np.r_[True, r_s[1:] != r_s[:-1]])
+        red = np.minimum.reduceat
+        redmax = np.maximum.reduceat
+        addred = np.add.reduceat
+        return pa.table(
+            {
+                "region_id": r_s[starts],
+                "n_cells": addred(np.ones(reg.size, np.int64)[order], starts),
+                "n_points": addred(x[order], starts),
+                "ix_min": red(ix[order], starts),
+                "iy_min": red(iy[order], starts),
+                "ix_max": redmax(ix[order], starts),
+                "iy_max": redmax(iy[order], starts),
+            }
+        )
+
+    parts = joined.map_batches(
+        region_partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "region_id": pa.array(
+                    [group.column("region_id")[0].as_py()], pa.int64()
+                ),
+                "n_cells": pa.array(
+                    [pc2.sum(group.column("n_cells")).as_py()], pa.int64()
+                ),
+                "n_points": pa.array(
+                    [pc2.sum(group.column("n_points")).as_py()], pa.int64()
+                ),
+                "ix_min": pa.array(
+                    [pc2.min(group.column("ix_min")).as_py()], pa.int64()
+                ),
+                "iy_min": pa.array(
+                    [pc2.min(group.column("iy_min")).as_py()], pa.int64()
+                ),
+                "ix_max": pa.array(
+                    [pc2.max(group.column("ix_max")).as_py()], pa.int64()
+                ),
+                "iy_max": pa.array(
+                    [pc2.max(group.column("iy_max")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return parts.groupby("region_id").map_groups(fold, batch_format="pyarrow")
+
+
+def raster_regions_sql(points_cte: str, res: int, min_count: int) -> str:
+    """DuckDB twin of :func:`raster_regions` — recursive-CTE label
+    closure (min reachable cell id per component), pure integers."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH RECURSIVE
+p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+a AS (SELECT cell, x FROM c WHERE x >= {min_count}),
+e AS (SELECT a1.cell AS src, a2.cell AS dst FROM a a1 JOIN a a2
+      ON ABS(a1.cell // {g} - a2.cell // {g}) <= 1
+         AND ABS(a1.cell % {g} - a2.cell % {g}) <= 1
+         AND a1.cell <> a2.cell),
+lab AS (
+  SELECT cell, cell AS lbl FROM a
+  UNION
+  SELECT e.dst AS cell, lab.lbl FROM lab JOIN e ON e.src = lab.cell
+),
+m AS (SELECT cell, MIN(lbl) AS region FROM lab GROUP BY cell)
+SELECT CAST(m.region AS BIGINT) AS region_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(a.x) AS BIGINT) AS n_points,
+       CAST(MIN(a.cell // {g}) AS BIGINT) AS ix_min,
+       CAST(MIN(a.cell % {g}) AS BIGINT) AS iy_min,
+       CAST(MAX(a.cell // {g}) AS BIGINT) AS ix_max,
+       CAST(MAX(a.cell % {g}) AS BIGINT) AS iy_max
+FROM m JOIN a ON a.cell = m.cell
+GROUP BY m.region
+"""

@@ -761,3 +761,184 @@ SELECT hab.ua AS user_a, hab.ub AS user_b,
        CAST(GREATEST(hab.h, hba.h) AS BIGINT) AS hausdorff2
 FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub
 """
+
+
+_EMPTY_DTW = pa.table(
+    {
+        "user_a": pa.array([], pa.int64()),
+        "user_b": pa.array([], pa.int64()),
+        "dtw2": pa.array([], pa.int64()),
+    }
+)
+
+# large-but-safe int64 sentinel for DP boundaries: one third of int64 max
+# so `cost + min(three sentinels)` can never wrap
+_DTW_INF = (1 << 62) // 3
+
+
+def trajectory_dtw(
+    tracks: Dataset,
+    start_res: int,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+    max_len: int = 512,
+) -> Dataset:
+    """Dynamic-time-warping track-similarity join between co-started
+    entities — ``(user_a, user_b, dtw2)``, ``user_a < user_b``, where
+    ``dtw2`` is the classic DTW optimal alignment cost with squared-L2
+    grid step costs: exact int64 end to end (sums of integer squared
+    distances along the optimal monotone alignment path; no float, no
+    division). The ORDERED companion of :func:`trajectory_hausdorff`
+    (which ignores visit order): two users tracing the same loop in
+    opposite directions are near-identical under Hausdorff but far
+    apart under DTW. Same co-start blocking (first event's coarse tile
+    at ``start_res``) — the pair count stays per-tile-quadratic.
+
+    Scale/vectorization shape: same two shuffles as hausdorff (entity-
+    bucket fold tags start tiles, ONE tile shuffle co-locates whole
+    entities). Inside a tile the DP is NOT a per-pair Python loop: all
+    pairs advance together along anti-diagonals — per diagonal one
+    vectorized gather/min/add over a (pairs × diagonal-length) slab,
+    ≤ La+Lb−1 ≈ 2·max_len iterations total per tile regardless of
+    pair count. Tracks longer than ``max_len`` raise loudly (the DP
+    slab is pairs·max_len² int64 — cap it upstream by simplifying or
+    windowing tracks, never silently truncate). DP recursion is not
+    ANSI-SQL-expressible → rows-only op; exactness is pytest-checked
+    against a per-pair reference DP.
+    """
+    tune_context()
+    if not 0 <= start_res <= res:
+        raise ValueError("trajectory_dtw: need 0 <= start_res <= res")
+    shift = res - start_res
+    gb = np.int64(1 << start_res)
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": k,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gx": tbl.column(x_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gy": tbl.column(y_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "bucket": bucket_of(k, n_buckets),
+            }
+        )
+
+    _empty_tagged = pa.table(
+        {
+            "tile": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+            "gx": pa.array([], pa.int64()),
+            "gy": pa.array([], pa.int64()),
+        }
+    )
+
+    def tag_start_tile(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return _empty_tagged
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False)
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s = key[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        starts = np.flatnonzero(new)
+        first = order[starts]
+        tile_per_entity = (gx[first] >> shift) * gb + (gy[first] >> shift)
+        inv = np.cumsum(np.r_[False, k_s[1:] != k_s[:-1]])
+        tile_rows = np.empty(key.size, np.int64)
+        tile_rows[order] = tile_per_entity[inv]
+        # in-track rank: position of each row within its entity's
+        # (ts, seq) order — carried so the tile fold can re-sort tracks
+        rk = np.empty(key.size, np.int64)
+        rk[order] = np.arange(key.size) - np.repeat(starts, np.diff(np.r_[starts, key.size]))
+        return pa.table(
+            {"tile": tile_rows, "key": key, "rk": rk, "gx": gx, "gy": gy}
+        )
+
+    def pair_tile(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        users = np.unique(key)
+        if users.size < 2:
+            return _EMPTY_DTW
+        rk = group.column("rk").to_numpy(zero_copy_only=False)
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rk, key))
+        k_s, x_s, y_s = key[order], gx[order], gy[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], k_s.size]
+        lens = ends - starts
+        L = int(lens.max())
+        if L > max_len:
+            raise ValueError(
+                f"trajectory_dtw: track length {L} exceeds max_len "
+                f"{max_len}; simplify or window tracks upstream"
+            )
+        nu = users.size
+        # padded per-entity coordinate matrix (nu, L)
+        X = np.zeros((nu, L), np.int64)
+        Y = np.zeros((nu, L), np.int64)
+        rows = np.repeat(np.arange(nu), lens)
+        cols = np.arange(k_s.size) - np.repeat(starts, lens)
+        X[rows, cols] = x_s
+        Y[rows, cols] = y_s
+        ia, ib = np.triu_indices(nu, k=1)
+        P = ia.size
+        la, lb = lens[ia], lens[ib]
+        # all-pairs cost tensor (P, L, L) with +inf beyond real lengths
+        dx = X[ia][:, :, None] - X[ib][:, None, :]
+        dy = Y[ia][:, :, None] - Y[ib][:, None, :]
+        C = dx * dx + dy * dy
+        pad_i = np.arange(L)[None, :, None] >= la[:, None, None]
+        pad_j = np.arange(L)[None, None, :] >= lb[:, None, None]
+        C[pad_i | pad_j] = _DTW_INF
+        # anti-diagonal DP, vectorized over pairs x diagonal cells
+        D = np.full((P, L + 1, L + 1), _DTW_INF, np.int64)
+        D[:, 0, 0] = 0
+        for k in range(2, 2 * L + 1):
+            i0 = max(1, k - L)
+            i1 = min(L, k - 1)
+            i = np.arange(i0, i1 + 1)
+            j = k - i
+            step = np.minimum(
+                np.minimum(D[:, i - 1, j], D[:, i, j - 1]), D[:, i - 1, j - 1]
+            )
+            D[:, i, j] = np.minimum(C[:, i - 1, j - 1] + step, _DTW_INF)
+        dtw = D[np.arange(P), la, lb]
+        return pa.table(
+            {
+                "user_a": users[ia],
+                "user_b": users[ib],
+                "dtw2": dtw,
+            }
+        )
+
+    keyed = tracks.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    tagged = keyed.groupby("bucket").map_groups(
+        tag_start_tile, batch_format="pyarrow"
+    )
+    return tagged.groupby("tile").map_groups(pair_tile, batch_format="pyarrow")

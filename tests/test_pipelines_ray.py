@@ -4097,3 +4097,343 @@ def test_doc_modality_matches_explode(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     for col in ("n_spans", "n_text", "n_image", "n_audio", "n_video", "text_chars"):
         assert got[col].astype("int64").tolist() == want[col].tolist(), col
+
+
+def test_raster_regions_matches_bruteforce(ray_session):
+    # raster->vector segmentation vs a python BFS labeling of the
+    # thresholded grid; all-integer rows; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import raster_regions
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(53)
+    res, T = 4, 3
+    g = 1 << res
+    # clustered mixture: three gaussian blobs + uniform background
+    blobs = [
+        np.clip(rng.normal(c, 0.05, (150, 2)), 0, 0.999)
+        for c in ((0.2, 0.3), (0.7, 0.6), (0.25, 0.35))
+    ]
+    pts = np.concatenate(blobs + [rng.random((200, 2))])
+
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    counts = np.bincount(cells, minlength=g * g)
+    active = set(np.flatnonzero(counts >= T).tolist())
+    assert len(active) > 3  # non-trivial raster
+
+    seen: set[int] = set()
+    want = {}
+    for s in sorted(active):
+        if s in seen:
+            continue
+        comp = [s]
+        seen.add(s)
+        stack = [s]
+        while stack:
+            u = stack.pop()
+            ux, uy = u // g, u % g
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    vx, vy = ux + dx, uy + dy
+                    if 0 <= vx < g and 0 <= vy < g:
+                        v = vx * g + vy
+                        if v in active and v not in seen:
+                            seen.add(v)
+                            comp.append(v)
+                            stack.append(v)
+        arr = np.array(comp)
+        ix, iy = arr // g, arr % g
+        want[int(arr.min())] = (
+            len(comp),
+            int(counts[arr].sum()),
+            int(ix.min()), int(iy.min()), int(ix.max()), int(iy.max()),
+        )
+    assert len(want) >= 2  # multiple regions
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = raster_regions(ds, res=res, min_count=T).take_all()
+        got = {
+            r["region_id"]: (
+                r["n_cells"], r["n_points"],
+                r["ix_min"], r["iy_min"], r["ix_max"], r["iy_max"],
+            )
+            for r in rows
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_raster_regions_all_singletons(ray_session):
+    # an edgeless raster (every active tile isolated) must still emit
+    # one singleton region per active tile (the empty-labels path)
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import raster_regions
+
+    # 3 isolated dense tiles at res 3 (cells far apart)
+    res, T = 3, 4
+    g = 1 << res
+    centers = [(0.0625, 0.0625), (0.5625, 0.0625), (0.0625, 0.9375)]
+    pts = np.concatenate([np.full((5, 2), c) for c in centers])
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    rows = raster_regions(
+        ray.data.from_arrow(t).repartition(2), res=res, min_count=T
+    ).take_all()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_cells"] == 1 and r["n_points"] == 5
+        assert (r["ix_min"], r["iy_min"]) == (r["ix_max"], r["iy_max"])
+        assert r["region_id"] == r["ix_min"] * g + r["iy_min"]
+
+
+def test_compress_ratio_matches_zlib(ray_session):
+    # actor-pool zlib scores vs direct zlib; parallelism-invariant
+    import zlib
+
+    ray = ray_session
+    from python_prtree_ray.pipelines.text import compress_ratio
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "aaaaaaaaaabbbbbbbbbb" * 50,
+        "",
+        "unique words never repeat galaxy quantum violet marble",
+        "x",
+    ] * 8
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": ids, "text": pa.array(texts)})
+
+    want = {}
+    for i, s in zip(ids, texts):
+        raw = s.encode()
+        z = len(zlib.compress(raw, 6))
+        n = len(raw)
+        want[int(i)] = (n, z, (z / max(n, 1)) if n > 0 else 0.0)
+
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = compress_ratio(ds).take_all()
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["z_bytes"], r["compress_ratio"])
+            for r in rows
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # the signal separates repetitive from diverse text
+    assert want[1][2] < 0.1 < want[3][2]
+
+
+def _dtw_ref(A, B):
+    # reference O(La*Lb) DP with exact python ints
+    la, lb = len(A), len(B)
+    INF = float("inf")
+    D = [[INF] * (lb + 1) for _ in range(la + 1)]
+    D[0][0] = 0
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            c = (A[i - 1][0] - B[j - 1][0]) ** 2 + (A[i - 1][1] - B[j - 1][1]) ** 2
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    return D[la][lb]
+
+
+def test_trajectory_dtw_matches_bruteforce(ray_session):
+    # vectorized anti-diagonal DP vs per-pair python DP; exact int64;
+    # partition-invariant; order-sensitivity sanity vs hausdorff
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import trajectory_dtw
+
+    rng = np.random.default_rng(59)
+    res, start_res = 8, 0  # one start tile -> every pair compared
+    n_users, g = 7, 1 << 8
+    t0 = np.datetime64("2024-05-01", "us")
+    rows = {"user_id": [], "ts": [], "event_id": [], "gx": [], "gy": []}
+    tracks = {}
+    eid = 0
+    for u in range(n_users):
+        L = int(rng.integers(3, 14))
+        xs = rng.integers(0, g, L)
+        ys = rng.integers(0, g, L)
+        tracks[u] = list(zip(xs.tolist(), ys.tolist()))
+        for k in range(L):
+            rows["user_id"].append(u)
+            rows["ts"].append(t0 + np.timedelta64(int(k * 60 + u), "s"))
+            rows["event_id"].append(eid)
+            rows["gx"].append(int(xs[k]))
+            rows["gy"].append(int(ys[k]))
+            eid += 1
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "gx": pa.array(rows["gx"], pa.int64()),
+            "gy": pa.array(rows["gy"], pa.int64()),
+        }
+    )
+
+    want = {}
+    for a in range(n_users):
+        for b in range(a + 1, n_users):
+            want[(a, b)] = _dtw_ref(tracks[a], tracks[b])
+
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = trajectory_dtw(ds, start_res=start_res, res=res).take_all()
+        got = {(r["user_a"], r["user_b"]): r["dtw2"] for r in out}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_trajectory_dtw_is_order_sensitive(ray_session):
+    # same loop traced forward vs reversed: hausdorff2 == 0 (same point
+    # set) but DTW is large — the ordered-similarity semantics
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import (
+        trajectory_dtw,
+        trajectory_hausdorff,
+    )
+
+    pts = [(0, 0), (40, 0), (80, 0), (80, 40), (80, 80), (40, 80), (0, 80), (0, 40)]
+    t0 = np.datetime64("2024-05-01", "us")
+    rows = {"user_id": [], "ts": [], "event_id": [], "gx": [], "gy": []}
+    eid = 0
+    for u, track in ((0, pts), (1, pts[:1] + pts[1:][::-1])):
+        for k, (x, y) in enumerate(track):
+            rows["user_id"].append(u)
+            rows["ts"].append(t0 + np.timedelta64(k * 60, "s"))
+            rows["event_id"].append(eid)
+            rows["gx"].append(x)
+            rows["gy"].append(y)
+            eid += 1
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "gx": pa.array(rows["gx"], pa.int64()),
+            "gy": pa.array(rows["gy"], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    h = trajectory_hausdorff(ds, start_res=0, res=8).take_all()
+    d = trajectory_dtw(ds, start_res=0, res=8).take_all()
+    assert h[0]["hausdorff2"] == 0
+    assert d[0]["dtw2"] == _dtw_ref(pts, pts[:1] + pts[1:][::-1]) > 0
+
+
+def test_cell_slope_matches_bruteforce(ray_session):
+    # per-tile OLS trend slope vs a direct numpy lstsq-free recompute;
+    # exact ints + one division; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import cell_slope
+
+    rng = np.random.default_rng(61)
+    res, nb = 3, 8
+    g = 1 << res
+    n = 900
+    gx = rng.integers(0, g, n)
+    gy = rng.integers(0, g, n)
+    t0 = np.datetime64("2024-03-01", "us")
+    offs = rng.integers(0, 10**9, n)
+    ts = t0 + offs.astype("timedelta64[us]")
+
+    lo, hi = int(offs.min()), int(offs.max())
+    b = np.minimum((offs - lo) * nb // (hi - lo + 1), nb - 1)
+    cell = gx * g + gy
+    sx = nb * (nb - 1) // 2
+    sx2 = (nb - 1) * nb * (2 * nb - 1) // 6
+    den = nb * sx2 - sx * sx
+    want = {}
+    for c in np.unique(cell):
+        m = cell == c
+        sy = int(m.sum())
+        sxy = int(b[m].sum())  # Σ b over events = Σ b·count
+        num = nb * sxy - sx * sy
+        want[int(c)] = (sy, float(num) / float(den))
+
+    t = pa.table(
+        {
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "gx": pa.array(gx.astype(np.int64)),
+            "gy": pa.array(gy.astype(np.int64)),
+        }
+    )
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = cell_slope(ds, res=res, n_bins=nb).take_all()
+        got = {r["cell"]: (r["n_events"], r["slope"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # sanity: an all-in-last-bin cell has the maximal positive slope shape
+    assert any(v[1] > 0 for v in want.values()) and any(
+        v[1] < 0 for v in want.values()
+    )
+
+
+def test_span_windows_matches_explode(ray_session):
+    # window assignment vs a pandas recompute over the exploded spans;
+    # packing invariants; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.sources.synth import interleaved_docs
+    from python_prtree_ray.pipelines.multimodal import span_windows, explode_spans
+
+    n, B, K = 300, 16, 8
+    flat = (
+        interleaved_docs(n)
+        .map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["doc_id", "seq"])
+    )
+    cost = np.where(
+        flat["kind"].values == "text",
+        flat["text"].str.count(" ").values + 1,
+        K,
+    ).astype(np.int64)
+    flat = flat.assign(cost=cost)
+    want = {}
+    for doc, gdf in flat.groupby("doc_id"):
+        before = np.r_[0, np.cumsum(gdf["cost"].values)[:-1]]
+        win = before // B
+        for w in np.unique(win):
+            m = win == w
+            want[(doc, int(w))] = (
+                int(m.sum()),
+                int(gdf["cost"].values[m].sum()),
+                int((gdf["kind"].values[m] != "text").sum()),
+            )
+
+    prev = None
+    for blocks in (1, 5):
+        got_rows = span_windows(
+            interleaved_docs(n, override_num_blocks=blocks), budget=B, media_tokens=K
+        ).take_all()
+        got = {
+            (r["doc_id"], r["window_id"]): (r["n_spans"], r["n_tokens"], r["n_media"])
+            for r in got_rows
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # invariants: window ids dense from 0 per doc; every span assigned
+    per_doc: dict = {}
+    for (doc, w), (ns, _, _) in want.items():
+        per_doc.setdefault(doc, []).append(w)
+        assert ns >= 1
+    for doc, ws in per_doc.items():
+        assert sorted(ws) == list(range(len(ws)))
