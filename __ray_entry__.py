@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.getis_ord(pts, res=TILE_RES)
 
+    def q_tile_geohash(sf):
+        # base32 geohash interop tokens (x-first bit interleave, 5 bits
+        # per char): pure int64 bit math + fixed-width string gather
+        return tiling.tile_geohash(tables.points_dataset(sf), nchars=6)
+
     def q_quadrat_test(sf):
         # quadrat-count chi-square CSR screen over the full lattice:
         # exact integer sums (empty quadrats enter only via 4^res),
@@ -2102,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord": q_getis_ord,
         "quadrat_test": q_quadrat_test,
         "raster_regions": q_raster_regions,
+        "tile_geohash": q_tile_geohash,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
@@ -2153,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         knox_stat_sql as _knox_stat_sql,
         quadrat_test_sql as _quadrat_test_sql,
         raster_regions_sql as _raster_regions_sql,
+        tile_geohash_sql as _tile_geohash_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
@@ -3542,6 +3549,7 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "clark_evans": _clark_evans_sql(p_cust),
+        "tile_geohash": _tile_geohash_sql(p_cust, 6),
         "cell_trend": _cell_trend_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),

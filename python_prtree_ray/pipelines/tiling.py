@@ -2153,3 +2153,102 @@ SELECT CAST(m.region AS BIGINT) AS region_id,
 FROM m JOIN a ON a.cell = m.cell
 GROUP BY m.region
 """
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def tile_geohash(points: Dataset, nchars: int = 6) -> Dataset:
+    """(query_id, geohash): the standard base32 geohash token of each
+    point over the unit square — the third interop token format next
+    to :func:`tile_quadkey` (Bing) and :func:`tile_hilbert` (range
+    keys). Geohash semantics: bits interleave x-first MSB-first, 5
+    bits per character, classic ``0-9 b-z`` (no a/i/l/o) alphabet;
+    with ``nchars`` characters x gets ⌈5n/2⌉ bits and y ⌊5n/2⌋.
+    (Standard lon/lat geohash is this exact token after the affine map
+    lon = 360·px − 180, lat = 180·py − 90.)
+
+    Stateless map, zero shuffle, pure int64 bit math; the string build
+    is one fixed-width uint8 gather (no per-row Python). The SQL twin
+    unrolls the per-character bit arithmetic into generated
+    expressions over the same clamped floor grid indices, so tokens
+    match exactly."""
+    import numpy as np
+
+    if not 1 <= nchars <= 12:
+        raise ValueError(f"tile_geohash: nchars must be in [1, 12], got {nchars}")
+    total = 5 * nchars
+    bx = (total + 1) // 2
+    by = total // 2
+    alpha = np.frombuffer(_GEOHASH32.encode(), dtype=np.uint8)
+
+    # per character, the (source, bit) list: source 0 = x, 1 = y
+    char_bits: list[list[tuple[int, int]]] = []
+    xi = yi = 0
+    for c in range(nchars):
+        bits = []
+        for j in range(5):
+            k = 5 * c + j
+            if k % 2 == 0:
+                bits.append((0, bx - 1 - xi))
+                xi += 1
+            else:
+                bits.append((1, by - 1 - yi))
+                yi += 1
+        char_bits.append(bits)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        qid = st.col_np(tbl, "query_id")
+        px, py = st.col_np(tbl, "px"), st.col_np(tbl, "py")
+        ix = derive.tile_index(px, bx)
+        iy = derive.tile_index(py, by)
+        n = qid.shape[0]
+        buf = np.empty((n, nchars), dtype=np.uint8)
+        for c, bits in enumerate(char_bits):
+            val = np.zeros(n, np.int64)
+            for j, (src, b) in enumerate(bits):
+                src_arr = ix if src == 0 else iy
+                val = val + (((src_arr >> b) & 1) << (4 - j))
+            buf[:, c] = alpha[val]
+        offsets = np.arange(0, (n + 1) * nchars, nchars, dtype=np.int32)
+        gh = pa.Array.from_buffers(
+            pa.string(),
+            n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        return pa.table({"query_id": pa.array(qid), "geohash": gh})
+
+    return points.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tile_geohash_sql(points_cte: str, nchars: int = 6) -> str:
+    """DuckDB twin of :func:`tile_geohash` — the per-character bit
+    arithmetic unrolled into generated expressions."""
+    total = 5 * nchars
+    bx = (total + 1) // 2
+    by = total // 2
+    ix = derive.tile_index_sql("px", bx)
+    iy = derive.tile_index_sql("py", by)
+    chars = []
+    xi = yi = 0
+    for c in range(nchars):
+        terms = []
+        for j in range(5):
+            k = 5 * c + j
+            if k % 2 == 0:
+                terms.append(f"(((ix >> {bx - 1 - xi}) & 1) << {4 - j})")
+                xi += 1
+            else:
+                terms.append(f"(((iy >> {by - 1 - yi}) & 1) << {4 - j})")
+                yi += 1
+        chars.append(
+            "substr('" + _GEOHASH32 + "', CAST("
+            + " + ".join(terms)
+            + " AS INTEGER) + 1, 1)"
+        )
+    concat = " || ".join(chars)
+    return f"""
+WITH p0 AS ({points_cte}),
+g AS (SELECT query_id, {ix} AS ix, {iy} AS iy FROM p0)
+SELECT query_id, {concat} AS geohash FROM g
+"""

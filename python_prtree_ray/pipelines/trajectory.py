@@ -786,30 +786,38 @@ def trajectory_dtw(
     x_col: str = "gx",
     y_col: str = "gy",
     n_buckets: int = 256,
-    max_len: int = 512,
+    max_len: int = 4096,
+    band: int = 8,
+    pair_chunk: int = 2048,
 ) -> Dataset:
-    """Dynamic-time-warping track-similarity join between co-started
-    entities — ``(user_a, user_b, dtw2)``, ``user_a < user_b``, where
-    ``dtw2`` is the classic DTW optimal alignment cost with squared-L2
-    grid step costs: exact int64 end to end (sums of integer squared
-    distances along the optimal monotone alignment path; no float, no
-    division). The ORDERED companion of :func:`trajectory_hausdorff`
-    (which ignores visit order): two users tracing the same loop in
-    opposite directions are near-identical under Hausdorff but far
-    apart under DTW. Same co-start blocking (first event's coarse tile
-    at ``start_res``) — the pair count stays per-tile-quadratic.
+    """Banded dynamic-time-warping track-similarity join between
+    co-started entities — ``(user_a, user_b, dtw2)``, ``user_a <
+    user_b``, where ``dtw2`` is the Sakoe–Chiba-banded DTW optimal
+    alignment cost with squared-L2 grid step costs: exact int64 end to
+    end (sums of integer squared distances along the optimal monotone
+    alignment path with ``|i − j| ≤ w``; no float, no division). Each
+    pair's band is its OWN ``w = max(band, |La − Lb|)`` (the widening
+    keeps every pair feasible and makes results independent of how
+    pairs are chunked). The ORDERED companion of
+    :func:`trajectory_hausdorff` (which ignores visit order): two
+    users tracing the same loop in opposite directions are
+    near-identical under Hausdorff but far apart under DTW. Same
+    co-start blocking (first event's coarse tile at ``start_res``) —
+    the pair count stays per-tile-quadratic.
 
     Scale/vectorization shape: same two shuffles as hausdorff (entity-
     bucket fold tags start tiles, ONE tile shuffle co-locates whole
-    entities). Inside a tile the DP is NOT a per-pair Python loop: all
-    pairs advance together along anti-diagonals — per diagonal one
-    vectorized gather/min/add over a (pairs × diagonal-length) slab,
-    ≤ La+Lb−1 ≈ 2·max_len iterations total per tile regardless of
-    pair count. Tracks longer than ``max_len`` raise loudly (the DP
-    slab is pairs·max_len² int64 — cap it upstream by simplifying or
-    windowing tracks, never silently truncate). DP recursion is not
-    ANSI-SQL-expressible → rows-only op; exactness is pytest-checked
-    against a per-pair reference DP.
+    entities). Inside a tile the DP is NOT a per-pair Python loop and
+    never materializes a (pairs × L × L) cost tensor: pairs advance
+    together along anti-diagonals in chunks of ``pair_chunk``, each
+    diagonal one vectorized gather/min/add over a (chunk ×
+    band-width) slab — O(pairs · L · w) work and O(chunk · w) memory
+    instead of O(pairs · L²) (the unbanded form was measured 30×
+    slower at avg track length 67). Tracks longer than ``max_len``
+    raise loudly — simplify or window tracks upstream, never silently
+    truncate. DP recursion is not ANSI-SQL-expressible → rows-only
+    op; exactness is pytest-checked against a per-pair reference DP
+    with the identical band rule.
     """
     tune_context()
     if not 0 <= start_res <= res:
@@ -877,6 +885,71 @@ def trajectory_dtw(
             {"tile": tile_rows, "key": key, "rk": rk, "gx": gx, "gy": gy}
         )
 
+    def _dtw_chunk(Xa, Ya, Xb, Yb, la, lb, w):
+        """Banded anti-diagonal sweep for one chunk of pairs.
+
+        ``Xa/Ya/Xb/Yb``: (P, L) padded coordinate rows; ``la/lb``:
+        (P,) true lengths; ``w``: (P,) per-pair band. Returns (P,)
+        exact dtw2. Diagonal k holds cells (i, j=k−i); under the
+        chunk-wide band W only i ∈ [⌈(k−W)/2⌉, ⌊(k+W)/2⌋] can be
+        finite, so each sweep step is a (P, ≤W+1) slab; cells outside
+        a pair's own band/lengths are masked to the INF sentinel."""
+        P, L = Xa.shape
+        W = int(w.max())
+        kmax = int((la + lb).max())
+        out = np.full(P, _DTW_INF, np.int64)
+        # diagonal buffers: value of D on diag k at absolute i = lo + idx
+        prev2 = np.full((P, 1), 0, np.int64)  # diag 0: D[0,0] = 0
+        lo2 = 0
+        prev1 = np.full((P, 2), _DTW_INF, np.int64)  # diag 1: INF boundary
+        lo1 = 0
+        rowix = np.arange(P)
+        for k in range(2, kmax + 1):
+            i0 = max(1, k - L, (k - W + 1) // 2)
+            i1 = min(L, k - 1, (k + W) // 2)
+            if i0 > i1:
+                prev2, lo2, prev1, lo1 = prev1, lo1, np.full((P, 1), _DTW_INF, np.int64), i0
+                continue
+            iv = np.arange(i0, i1 + 1)
+            jv = k - iv
+            m = iv.size
+
+            def gather(buf, lo, want):
+                idx = want - lo
+                ok = (idx >= 0) & (idx < buf.shape[1])
+                idxc = np.clip(idx, 0, max(buf.shape[1] - 1, 0))
+                g = buf[:, idxc]
+                if not ok.all():
+                    g = np.where(ok[None, :], g, _DTW_INF)
+                return g
+
+            a = gather(prev1, lo1, iv - 1)  # D[i-1, j]   on diag k-1
+            b = gather(prev1, lo1, iv)      # D[i,   j-1] on diag k-1
+            c = gather(prev2, lo2, iv - 1)  # D[i-1, j-1] on diag k-2
+            step = np.minimum(np.minimum(a, b), c)
+            dx = Xa[:, iv - 1] - Xb[:, jv - 1]
+            dy = Ya[:, iv - 1] - Yb[:, jv - 1]
+            cost = dx * dx + dy * dy
+            cur = np.minimum(cost + step, _DTW_INF)
+            # mask cells outside each pair's own lengths and band
+            bad = (
+                (iv[None, :] > la[:, None])
+                | (jv[None, :] > lb[:, None])
+                | (np.abs(iv[None, :] - jv[None, :]) > w[:, None])
+            )
+            if bad.any():
+                cur = np.where(bad, _DTW_INF, cur)
+            # capture finished pairs (corner cell la+lb == k at i == la)
+            done = (la + lb) == k
+            if done.any():
+                idx = la[done] - i0
+                ok = (idx >= 0) & (idx < m)
+                rows = rowix[done][ok]
+                out[rows] = cur[done][ok, idx[ok]]
+            prev2, lo2 = prev1, lo1
+            prev1, lo1 = cur, i0
+        return out
+
     def pair_tile(group: pa.Table) -> pa.Table:
         key = group.column("key").to_numpy(zero_copy_only=False)
         users = np.unique(key)
@@ -905,33 +978,24 @@ def trajectory_dtw(
         X[rows, cols] = x_s
         Y[rows, cols] = y_s
         ia, ib = np.triu_indices(nu, k=1)
-        P = ia.size
-        la, lb = lens[ia], lens[ib]
-        # all-pairs cost tensor (P, L, L) with +inf beyond real lengths
-        dx = X[ia][:, :, None] - X[ib][:, None, :]
-        dy = Y[ia][:, :, None] - Y[ib][:, None, :]
-        C = dx * dx + dy * dy
-        pad_i = np.arange(L)[None, :, None] >= la[:, None, None]
-        pad_j = np.arange(L)[None, None, :] >= lb[:, None, None]
-        C[pad_i | pad_j] = _DTW_INF
-        # anti-diagonal DP, vectorized over pairs x diagonal cells
-        D = np.full((P, L + 1, L + 1), _DTW_INF, np.int64)
-        D[:, 0, 0] = 0
-        for k in range(2, 2 * L + 1):
-            i0 = max(1, k - L)
-            i1 = min(L, k - 1)
-            i = np.arange(i0, i1 + 1)
-            j = k - i
-            step = np.minimum(
-                np.minimum(D[:, i - 1, j], D[:, i, j - 1]), D[:, i - 1, j - 1]
+        out = np.empty(ia.size, np.int64)
+        # chunk pairs in ascending band order: the sweep pays the CHUNK
+        # maximum band, so w-homogeneous chunks keep narrow-band pairs
+        # cheap (results are per-pair-banded either way — order-free)
+        w_all = np.maximum(band, np.abs(lens[ia] - lens[ib]))
+        by_w = np.argsort(w_all, kind="stable")
+        for c0 in range(0, ia.size, pair_chunk):
+            sel = by_w[c0 : c0 + pair_chunk]
+            ca, cb = ia[sel], ib[sel]
+            la, lb = lens[ca], lens[cb]
+            out[sel] = _dtw_chunk(
+                X[ca], Y[ca], X[cb], Y[cb], la, lb, w_all[sel]
             )
-            D[:, i, j] = np.minimum(C[:, i - 1, j - 1] + step, _DTW_INF)
-        dtw = D[np.arange(P), la, lb]
         return pa.table(
             {
                 "user_a": users[ia],
                 "user_b": users[ib],
-                "dtw2": dtw,
+                "dtw2": out,
             }
         )
 

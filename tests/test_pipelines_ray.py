@@ -4230,14 +4230,16 @@ def test_compress_ratio_matches_zlib(ray_session):
     assert want[1][2] < 0.1 < want[3][2]
 
 
-def _dtw_ref(A, B):
-    # reference O(La*Lb) DP with exact python ints
+def _dtw_ref(A, B, band=8):
+    # reference banded DP with exact python ints: |i-j| <= w with the
+    # same per-pair band rule as the engine, w = max(band, |La-Lb|)
     la, lb = len(A), len(B)
+    w = max(band, abs(la - lb))
     INF = float("inf")
     D = [[INF] * (lb + 1) for _ in range(la + 1)]
     D[0][0] = 0
     for i in range(1, la + 1):
-        for j in range(1, lb + 1):
+        for j in range(max(1, i - w), min(lb, i + w) + 1):
             c = (A[i - 1][0] - B[j - 1][0]) ** 2 + (A[i - 1][1] - B[j - 1][1]) ** 2
             D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
     return D[la][lb]
@@ -4437,3 +4439,110 @@ def test_span_windows_matches_explode(ray_session):
         assert ns >= 1
     for doc, ws in per_doc.items():
         assert sorted(ws) == list(range(len(ws)))
+
+
+def _geohash_ref(px, py, nchars):
+    # classic successive-halving geohash encode on the unit square,
+    # x-first bit interleave, base32 alphabet
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    x_lo, x_hi, y_lo, y_hi = 0.0, 1.0, 0.0, 1.0
+    out, bits, val, even = [], 0, 0, True
+    while len(out) < nchars:
+        if even:
+            mid = (x_lo + x_hi) / 2
+            if px >= mid:
+                val = (val << 1) | 1
+                x_lo = mid
+            else:
+                val <<= 1
+                x_hi = mid
+        else:
+            mid = (y_lo + y_hi) / 2
+            if py >= mid:
+                val = (val << 1) | 1
+                y_lo = mid
+            else:
+                val <<= 1
+                y_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alpha[val])
+            bits, val = 0, 0
+    return "".join(out)
+
+
+def test_tile_geohash_matches_reference(ray_session):
+    # engine bit-interleave tokens vs classic successive-halving encode
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_geohash
+
+    rng = np.random.default_rng(67)
+    n = 400
+    pts = rng.random((n, 2))
+    ids = np.arange(n, dtype=np.int64)
+    want = {
+        int(i): _geohash_ref(float(pts[i, 0]), float(pts[i, 1]), 6)
+        for i in range(n)
+    }
+    t = pa.table({"query_id": ids, "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_geohash(ds, nchars=6).take_all()
+        got = {r["query_id"]: r["geohash"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # neighbor-prefix property: shared prefixes shorten with distance
+    a = tile_geohash(ray.data.from_arrow(pa.table(
+        {"query_id": np.array([0, 1], np.int64),
+         "px": np.array([0.300000001, 0.300000002]),
+         "py": np.array([0.70000001, 0.70000002])}
+    )), nchars=6).take_all()
+    assert a[0]["geohash"] == a[1]["geohash"]  # ~1e-9 apart: same 30-bit cell
+
+
+def test_trajectory_dtw_chunking_invariant(ray_session):
+    # pair_chunk must not affect results (per-pair band, not chunk band)
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import trajectory_dtw
+
+    rng = np.random.default_rng(71)
+    g = 1 << 8
+    t0 = np.datetime64("2024-05-01", "us")
+    rows = {"user_id": [], "ts": [], "event_id": [], "gx": [], "gy": []}
+    eid = 0
+    for u in range(9):
+        L = int(rng.integers(5, 40))
+        for k in range(L):
+            rows["user_id"].append(u)
+            rows["ts"].append(t0 + np.timedelta64(k, "m"))
+            rows["event_id"].append(eid)
+            rows["gx"].append(int(rng.integers(0, g)))
+            rows["gy"].append(int(rng.integers(0, g)))
+            eid += 1
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "gx": pa.array(rows["gx"], pa.int64()),
+            "gy": pa.array(rows["gy"], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    base = {
+        (r["user_a"], r["user_b"]): r["dtw2"]
+        for r in trajectory_dtw(ds, start_res=0, res=8).take_all()
+    }
+    assert len(base) == 36
+    for chunk in (1, 3):
+        got = {
+            (r["user_a"], r["user_b"]): r["dtw2"]
+            for r in trajectory_dtw(
+                ds, start_res=0, res=8, pair_chunk=chunk
+            ).take_all()
+        }
+        assert got == base
