@@ -279,6 +279,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.getis_ord(pts, res=TILE_RES)
 
+    def q_tile_users(sf):
+        # exact distinct-visitor count per tile: distinct (cell, user)
+        # pair partials -> ONE cell-bucket fold; raw events never shuffle
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "px": p["px"],
+                    "py": p["py"],
+                }
+            )
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.tile_distinct_users(pts, res=TILE_RES)
+
     def q_tile_geohash(sf):
         # base32 geohash interop tokens (x-first bit interleave, 5 bits
         # per char): pure int64 bit math + fixed-width string gather
@@ -2108,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadrat_test": q_quadrat_test,
         "raster_regions": q_raster_regions,
         "tile_geohash": q_tile_geohash,
+        "tile_users": q_tile_users,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
@@ -2160,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         quadrat_test_sql as _quadrat_test_sql,
         raster_regions_sql as _raster_regions_sql,
         tile_geohash_sql as _tile_geohash_sql,
+        tile_distinct_users_sql as _tile_distinct_users_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
@@ -3550,6 +3576,12 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "clark_evans": _clark_evans_sql(p_cust),
         "tile_geohash": _tile_geohash_sql(p_cust, 6),
+        "tile_users": _tile_distinct_users_sql(
+            "SELECT e.user_id, q.px, q.py FROM ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ") q JOIN events e ON e.event_id = q.event_id",
+            TILE_RES,
+        ),
         "cell_trend": _cell_trend_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),

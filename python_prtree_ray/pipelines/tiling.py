@@ -2252,3 +2252,103 @@ WITH p0 AS ({points_cte}),
 g AS (SELECT query_id, {ix} AS ix, {iy} AS iy FROM p0)
 SELECT query_id, {concat} AS geohash FROM g
 """
+
+
+def tile_distinct_users(
+    points: Dataset,
+    res: int,
+    user_col: str = "user_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Exact distinct-visitor count per tile — ``(cell, n_users,
+    n_points)`` — the spatial cardinality primitive (unique devices
+    per cell, footfall dedup). Exact integers throughout.
+
+    Scale shape: each batch collapses to DISTINCT (cell, user) pairs
+    with a per-pair point count; ONE cell-bucket shuffle of those
+    fixed-width pair partials (bounded by the distinct-pair count,
+    never the event count — raw rows and user payloads never move);
+    the fold re-dedups pairs per cell with one lexsort+reduceat pass.
+    For cardinalities where even distinct pairs are too heavy, the
+    HLL sketch path (`pipelines/sketch.py`) is the approximate
+    fallback — this op is its exact twin.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"tile_distinct_users: res must be in [0, 15], got {res}")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        u = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = cellmod.cell_of_points(px, py, res)
+        order = np.lexsort((u, cell))
+        c_s, u_s = cell[order], u[order]
+        new = np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, c_s.size])
+        return pa.table(
+            {
+                "bucket": bucket_of(c_s[starts], n_buckets),
+                "cell": c_s[starts],
+                "user": u_s[starts],
+                "n": n.astype(np.int64),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        user = group.column("user").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((user, cell))
+        c_s, u_s, n_s = cell[order], user[order], n[order]
+        new_pair = np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        pair_starts = np.flatnonzero(new_pair)
+        pc_ = c_s[pair_starts]
+        new_cell = np.r_[True, pc_[1:] != pc_[:-1]]
+        cell_starts = np.flatnonzero(new_cell)
+        n_users = np.diff(np.r_[cell_starts, pc_.size])
+        # per-pair point sums, then regrouped to cells
+        per_pair = np.add.reduceat(n_s, pair_starts)
+        n_points_per_cell = np.add.reduceat(per_pair, cell_starts)
+        return pa.table(
+            {
+                "cell": pa.array(pc_[cell_starts], pa.int64()),
+                "n_users": pa.array(n_users.astype(np.int64), pa.int64()),
+                "n_points": pa.array(n_points_per_cell, pa.int64()),
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def tile_distinct_users_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_distinct_users`."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte})
+SELECT {cell} AS cell,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM p0 GROUP BY 1
+"""

@@ -4546,3 +4546,31 @@ def test_trajectory_dtw_chunking_invariant(ray_session):
             ).take_all()
         }
         assert got == base
+
+
+def test_tile_distinct_users_matches_bruteforce(ray_session):
+    # exact per-tile distinct-user counts vs pandas; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_distinct_users
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(73)
+    n, res = 2000, 3
+    pts = rng.random((n, 2))
+    users = rng.integers(0, 40, n).astype(np.int64)
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    want = {}
+    for c in np.unique(cells):
+        m = cells == c
+        want[int(c)] = (int(np.unique(users[m]).size), int(m.sum()))
+
+    t = pa.table({"user_id": users, "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_distinct_users(ds, res=res).take_all()
+        got = {r["cell"]: (r["n_users"], r["n_points"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
