@@ -87,6 +87,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), res=RES
         )
 
+    def q_spatial_join_shuffle(sf):
+        # the FORCED big-big cell-shuffle physical plan (broadcast=False)
+        # driven through the driver oracle: same pair set as the
+        # broadcast plan, co-partitioned ONE-shuffle execution — the
+        # path a 100-TB run takes when neither side fits a broadcast
+        return sj.spatial_join(
+            tables.boxes_dataset(sf),
+            tables.query_boxes_dataset(sf),
+            res=RES,
+            broadcast=False,
+        )
+
+    def q_knn_ring(sf):
+        # the histogram ring-expansion kNN physical plan
+        # (broadcast=False) driven through the driver oracle: identical
+        # (query, idx, rank) rows as the broadcast local-top-k plan
+        return knn.knn_join(
+            tables.boxes_dataset(sf),
+            tables.points_dataset(sf, "supplier", "s_suppkey"),
+            k=KNN_K,
+            res=5,
+            broadcast=False,
+        )
+
     def q_self_join(sf):
         ds = sj.self_join(tables.boxes_dataset(sf, "part", "p_partkey"), res=RES)
         return ds.rename_columns({"query_id": "idx_a", "idx": "idx_b"})
@@ -2005,6 +2029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "spatial_join": q_spatial_join,
+        "spatial_join_shuffle": q_spatial_join_shuffle,
+        "knn_ring": q_knn_ring,
         "self_join": q_self_join,
         "point_query": q_point_query,
         "knn": q_knn,
@@ -2988,9 +3014,13 @@ WHERE {intersects}
 
     return {
         "spatial_join": spatial_join_sql,
+        # same semantics, forced cell-shuffle physical plan
+        "spatial_join_shuffle": spatial_join_sql,
         "self_join": self_join_sql,
         "point_query": point_query_sql,
         "knn": knn_sql,
+        # same semantics, forced histogram ring-expansion physical plan
+        "knn_ring": knn_sql,
         "knn_3d": knn_3d_sql,
         "knn_4d": knn_4d_sql,
         "radius_join": radius_join_sql,

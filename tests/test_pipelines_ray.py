@@ -4574,3 +4574,42 @@ def test_tile_distinct_users_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_trajectory_dtw_length_one_tracks(ray_session):
+    # degenerate tracks: a single-point track vs a long one (band
+    # widens to |La-Lb|); both directions of extreme length imbalance
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import trajectory_dtw
+
+    t0 = np.datetime64("2024-05-01", "us")
+    rows = {"user_id": [], "ts": [], "event_id": [], "gx": [], "gy": []}
+    eid = 0
+    tracks = {0: [(10, 10)], 1: [(k * 3, 7) for k in range(20)], 2: [(5, 5)]}
+    for u, track in tracks.items():
+        for k, (x, y) in enumerate(track):
+            rows["user_id"].append(u)
+            rows["ts"].append(t0 + np.timedelta64(k, "m"))
+            rows["event_id"].append(eid)
+            rows["gx"].append(x)
+            rows["gy"].append(y)
+            eid += 1
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "gx": pa.array(rows["gx"], pa.int64()),
+            "gy": pa.array(rows["gy"], pa.int64()),
+        }
+    )
+    got = {
+        (r["user_a"], r["user_b"]): r["dtw2"]
+        for r in trajectory_dtw(
+            ray.data.from_arrow(t), start_res=0, res=8
+        ).take_all()
+    }
+    for (a, b) in ((0, 1), (0, 2), (1, 2)):
+        assert got[(a, b)] == _dtw_ref(tracks[a], tracks[b])
+    # 1-vs-1: single aligned pair, plain squared distance
+    assert got[(0, 2)] == (10 - 5) ** 2 + (10 - 5) ** 2
