@@ -949,6 +949,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             explode_spans, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def q_span_tiles(sf):
+        # span-LEVEL georeferencing (north-rule: "georeferencing each
+        # document's spans"): deterministic point + quadkey tile per
+        # span, full row set hash-checked vs the SQL corpus twin
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import span_tiles
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return span_tiles(interleaved_docs(n), res=TILE_RES)
+
     def q_span_windows(sf):
         # multimodal context-window packing: cumulative-cost window
         # assignment over ordered spans (text = word count, media =
@@ -2163,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
         "span_windows": q_span_windows,
+        "span_tiles": q_span_tiles,
         "cell_trend": q_cell_trend,
         "cell_slope": q_cell_slope,
         "snap_points": q_snap_points,
@@ -3095,6 +3107,23 @@ WHERE list_cosine_similarity(q.embedding, e.embedding) >= {ANN_RANGE_T}
             "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
         )
         + ")",
+        # span-level georeference + tile: sid = doc_num*16 + seq, the
+        # same derive channels and clamped-floor tile math both sides
+        "span_tiles": f"""
+WITH sp AS ({interleaved_spans_sql(
+        "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
+    )}),
+s AS (SELECT doc_id, seq, kind,
+             CAST(substr(doc_id, 4) AS BIGINT) * 16 + seq AS sid
+      FROM sp),
+p AS (SELECT doc_id, seq, kind,
+             {derive._frac_sql('sid', 4)} AS px,
+             {derive._frac_sql('sid', 5)} AS py
+      FROM s)
+SELECT doc_id, seq, kind, px, py,
+       {derive.tile_cell_sql('px', 'py', TILE_RES)} AS cell
+FROM p
+""",
         # context-window packing over the regenerated span corpus:
         # window = cumulative-cost-before // budget (window SUM twin)
         "span_windows": f"""

@@ -175,7 +175,8 @@ QUERY_SUBSET = (
     "dup_ngram_coverage heading_histogram cell_hours hilbert_ranges "
     "interval_union ann_pq knox_stat quadrat_test join_counts clark_evans "
     "doc_modality raster_regions doc_compress track_dtw cell_slope "
-    "span_windows tile_geohash tile_users spatial_join_shuffle knn_ring"
+    "span_windows tile_geohash tile_users spatial_join_shuffle knn_ring "
+    "span_tiles"
 ).split()
 
 

@@ -311,3 +311,46 @@ def span_windows(
         )
 
     return docs.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def span_tiles(docs: Dataset, res: int) -> Dataset:
+    """SPAN-level georeferencing + tile assignment — the north-rule
+    clause "georeferencing each document's spans" at span granularity
+    (the flagship pipeline georeferences per-DOC bboxes; this op drops
+    to individual spans): every span of every interleaved doc gets a
+    deterministic point from its span key ``sid = doc_num·16 + seq``
+    (the same derive channels the synthesizer uses) and the quadkey
+    tile of that point — ``(doc_id, seq, kind, px, py, cell)``.
+
+    Zero shuffle: explode is offset arithmetic, the point derivation
+    and tile math are the shared NumPy/SQL derive twins, so the full
+    row set — span identity AND geometry AND tile — hash-checks
+    against the DuckDB corpus regeneration.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions import derive
+    from ..functions.cells import cell_of_points
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        flat = explode_spans(tbl)
+        doc_num = pc.cast(
+            pc.utf8_slice_codeunits(flat.column("doc_id").combine_chunks(), 3),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        seq = flat.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = doc_num * 16 + seq
+        p = derive.derive_points(sid)
+        cell = cell_of_points(p["px"], p["py"], res)
+        return pa.table(
+            {
+                "doc_id": flat.column("doc_id"),
+                "seq": flat.column("seq"),
+                "kind": flat.column("kind"),
+                "px": pa.array(p["px"], pa.float64()),
+                "py": pa.array(p["py"], pa.float64()),
+                "cell": pa.array(cell, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

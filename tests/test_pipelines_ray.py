@@ -4613,3 +4613,41 @@ def test_trajectory_dtw_length_one_tracks(ray_session):
         assert got[(a, b)] == _dtw_ref(tracks[a], tracks[b])
     # 1-vs-1: single aligned pair, plain squared distance
     assert got[(0, 2)] == (10 - 5) ** 2 + (10 - 5) ** 2
+
+
+def test_span_tiles_matches_derive(ray_session):
+    # span-level georeference: point/cell per span equals the direct
+    # derive computation over the exploded spans; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.sources.synth import interleaved_docs
+    from python_prtree_ray.pipelines.multimodal import span_tiles, explode_spans
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    n, res = 250, 6
+    flat = (
+        interleaved_docs(n)
+        .map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    sid = flat["doc_id"].str[3:].astype(np.int64).values * 16 + flat["seq"].values
+    p = derive.derive_points(sid)
+    want_cell = cell_of_points(p["px"], p["py"], res)
+    want = {
+        (d, int(s)): (k, px, py, int(c))
+        for d, s, k, px, py, c in zip(
+            flat["doc_id"], flat["seq"], flat["kind"], p["px"], p["py"], want_cell
+        )
+    }
+    prev = None
+    for blocks in (1, 4):
+        rows = span_tiles(
+            interleaved_docs(n, override_num_blocks=blocks), res=res
+        ).take_all()
+        got = {
+            (r["doc_id"], r["seq"]): (r["kind"], r["px"], r["py"], r["cell"])
+            for r in rows
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got

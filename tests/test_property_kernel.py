@@ -82,3 +82,50 @@ def test_kernel_touching_edges_always_hit(data, n):
     got = set(zip(qi.tolist(), bi.tolist()))
     for i in range(n - 2):
         assert (i, i + 1) in got and (i + 1, i) in got  # touching edge hits
+
+
+@given(st.data(), st.integers(min_value=1, max_value=400))
+@settings(max_examples=30, deadline=None)
+def test_cover_boxes_contains_point_cells(data, n):
+    # any point inside a box maps to a cell that the box's cover includes
+    from python_prtree_ray.functions.cells import cell_of_points, cover_boxes
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    res = data.draw(st.integers(min_value=1, max_value=8))
+    x0 = rng.random(n)
+    y0 = rng.random(n)
+    w = rng.random(n) * 0.2
+    h = rng.random(n) * 0.2
+    x1, y1 = np.minimum(x0 + w, 1.0), np.minimum(y0 + h, 1.0)
+    row, cell = cover_boxes(x0, y0, x1, y1, res)
+    cover = {}
+    for r, c in zip(row, cell):
+        cover.setdefault(int(r), set()).add(int(c))
+    # sample interior points per box
+    t = rng.random((n, 2))
+    px = x0 + t[:, 0] * (x1 - x0)
+    py = y0 + t[:, 1] * (y1 - y0)
+    pc_ = cell_of_points(px, py, res)
+    for i in range(n):
+        assert int(pc_[i]) in cover[i]
+
+
+@given(st.integers(min_value=1, max_value=10), st.integers(0, 2**31))
+@settings(max_examples=20, deadline=None)
+def test_hilbert_curve_is_bijective_neighbor_path(res, seed):
+    # hilbert_d over the full res-grid is a permutation, and consecutive
+    # curve indices are always 4-neighbor cells (the locality property
+    # hilbert_ranges' contiguous-partition guarantee rests on)
+    from python_prtree_ray.pipelines.tiling import hilbert_d
+
+    g = 1 << res
+    if g * g > 4096:
+        g = 64
+        res = 6
+    ix, iy = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+    d = hilbert_d(ix.ravel().astype(np.int64), iy.ravel().astype(np.int64), res)
+    assert np.unique(d).size == g * g  # bijective
+    order = np.argsort(d)
+    ox, oy = ix.ravel()[order], iy.ravel()[order]
+    step = np.abs(np.diff(ox)) + np.abs(np.diff(oy))
+    assert (step == 1).all()  # L1-adjacent along the curve
