@@ -303,6 +303,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.getis_ord(pts, res=TILE_RES)
 
+    def q_tile_buffer(sf):
+        # buffer/proximity raster (bounded Chebyshev distance
+        # transform): one offer shuffle + min fold, exact ints
+        return tiling.tile_buffer(
+            tables.points_dataset(sf), res=TILE_RES, max_d=2
+        )
+
+    def q_skyline(sf):
+        # Pareto frontier (minimize px AND 1-py — a real tradeoff
+        # frontier; the raw corner would be dominated by key 0's
+        # near-origin point): local-skyline batch scan -> ~ln(n)-row
+        # driver fold; raw points never shuffle
+        import pyarrow as pa
+
+        from python_prtree_ray.pipelines.agg import skyline
+
+        def flip(tbl):
+            py = tbl.column("py").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "query_id": tbl.column("query_id"),
+                    "px": tbl.column("px"),
+                    "py": pa.array(1.0 - py, pa.float64()),
+                }
+            )
+
+        pts = tables.points_dataset(sf).map_batches(
+            flip, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return skyline(pts)
+
     def q_tile_users(sf):
         # exact distinct-visitor count per tile: distinct (cell, user)
         # pair partials -> ONE cell-bucket fold; raw events never shuffle
@@ -2170,6 +2201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": q_raster_regions,
         "tile_geohash": q_tile_geohash,
         "tile_users": q_tile_users,
+        "skyline": q_skyline,
+        "tile_buffer": q_tile_buffer,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
@@ -2224,12 +2257,16 @@ def oracle_sql() -> dict[str, str]:
         raster_regions_sql as _raster_regions_sql,
         tile_geohash_sql as _tile_geohash_sql,
         tile_distinct_users_sql as _tile_distinct_users_sql,
+        tile_buffer_sql as _tile_buffer_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
     )
     from python_prtree_ray.pipelines.knn import (
         clark_evans_sql as _clark_evans_sql,
+    )
+    from python_prtree_ray.pipelines.agg import (
+        skyline_sql as _skyline_sql,
     )
 
     b_orders = derive.boxes_sql("orders", "o_orderkey", "idx")
@@ -3640,6 +3677,12 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             + derive.points_sql("events", "event_id", "event_id")
             + ") q JOIN events e ON e.event_id = q.event_id",
             TILE_RES,
+        ),
+        "tile_buffer": _tile_buffer_sql(p_cust, TILE_RES, 2),
+        "skyline": _skyline_sql(
+            "SELECT query_id, px, CAST(1 AS DOUBLE) - py AS py FROM ("
+            + p_cust
+            + ")"
         ),
         "cell_trend": _cell_trend_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES

@@ -273,3 +273,96 @@ def funnel_counts(
     folded = mins.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
     summed = bucketed_sum(folded, "g", names, n_buckets=1)
     return summed.select_columns(list(names))
+
+
+def skyline(points: Dataset, id_col: str = "query_id") -> Dataset:
+    """2-D skyline (Pareto frontier, minimizing both coordinates):
+    the points no other point dominates (``px' ≤ px ∧ py' ≤ py`` with
+    at least one strict) — ``(query_id, px, py)``; duplicate skyline
+    points all survive (no strict inequality between equals). The
+    classic distributed-analytics frontier query (cheapest-AND-closest
+    style tradeoff sets).
+
+    Scale shape: the skyline of a union is the skyline of the unions'
+    skylines, so each batch collapses to its LOCAL skyline with one
+    lexsort + prefix-min scan (for n uniform points the expected
+    skyline is ~ln n rows), and the driver re-runs the same scan over
+    the tiny candidate union — raw points never shuffle, no groupby
+    at all. Adversarially anti-correlated data (skyline ≈ n) degrades
+    the fold to the input size; that shape is inherent to the query,
+    not the plan.
+    """
+    import numpy as np
+
+    def _local(px, py, ids):
+        order = np.lexsort((py, px))
+        pxs, pys, ids_s = px[order], py[order], ids[order]
+        pref_before = np.r_[np.inf, np.minimum.accumulate(pys)[:-1]]
+        grp_start = np.r_[True, pxs[1:] != pxs[:-1]]
+        gs = np.flatnonzero(grp_start)
+        counts = np.diff(np.r_[gs, pxs.size])
+        m1 = np.repeat(pref_before[gs], counts)  # min py with px' < px
+        gmin = np.repeat(pys[gs], counts)  # min py within equal px
+        keep = (pys < m1) & (pys == gmin)
+        return ids_s[keep], pxs[keep], pys[keep]
+
+    def local_skyline(tbl: pa.Table) -> pa.Table:
+        px = tbl.column("px").to_numpy(zero_copy_only=False)
+        py = tbl.column("py").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        i, x, y = _local(px, py, ids)
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                "px": pa.array(x, pa.float64()),
+                "py": pa.array(y, pa.float64()),
+            }
+        )
+
+    import ray
+
+    cand = points.map_batches(
+        local_skyline,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    tables = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "px": pa.array([], pa.float64()),
+                    "py": pa.array([], pa.float64()),
+                }
+            )
+        )
+    allc = pa.concat_tables(tables)
+    i, x, y = _local(
+        allc.column("px").to_numpy(zero_copy_only=False),
+        allc.column("py").to_numpy(zero_copy_only=False),
+        allc.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                "px": pa.array(x, pa.float64()),
+                "py": pa.array(y, pa.float64()),
+            }
+        )
+    )
+
+
+def skyline_sql(points_cte: str) -> str:
+    """DuckDB twin of :func:`skyline` — textbook NOT EXISTS dominance."""
+    return f"""
+WITH p AS ({points_cte})
+SELECT a.query_id, a.px, a.py FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.px <= a.px AND b.py <= a.py
+    AND (b.px < a.px OR b.py < a.py)
+)
+"""

@@ -2352,3 +2352,78 @@ SELECT {cell} AS cell,
        CAST(COUNT(*) AS BIGINT) AS n_points
 FROM p0 GROUP BY 1
 """
+
+
+def tile_buffer(points: Dataset, res: int, max_d: int = 2) -> Dataset:
+    """Buffer / proximity raster (GIS buffer zone as a distance
+    transform, bounded): for every tile within Chebyshev distance
+    ``max_d`` of an OCCUPIED tile, the distance to the nearest
+    occupied tile — ``(cell, dist)`` with dist 0 = occupied, exact
+    integers. The raster-morphology companion of
+    :func:`raster_regions` (dilation by ``max_d`` with distance
+    labels).
+
+    Scale shape: ONE shuffle. Each batch collapses to its distinct
+    occupied cells and immediately emits (neighbor, distance) offers
+    for the (2·max_d+1)² Chebyshev disc; a single
+    :func:`~.merge.bucketed_sum` min-fold keeps the nearest-occupied
+    distance per cell (duplicate offers across batches collapse in
+    the fold — no occupancy pre-pass needed). Offer fan-out is
+    (2·max_d+1)² per occupied cell; keep ``max_d`` small (bounded
+    transforms are the streaming-friendly form — an unbounded
+    transform needs iterative frontier rounds like
+    connected_components).
+    """
+    import numpy as np
+
+    from .merge import bucketed_sum
+
+    if not 1 <= res <= 15:
+        raise ValueError(f"tile_buffer: res must be in [1, 15], got {res}")
+    if not 1 <= max_d <= 8:
+        raise ValueError(f"tile_buffer: max_d must be in [1, 8], got {max_d}")
+    g = 1 << res
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c = np.unique(cellmod.cell_of_points(px, py, res))
+        row, nb = cellmod.neighbor_cells(c, res, ring=max_d)  # incl. self
+        six, siy = c[row] // g, c[row] % g
+        nix, niy = nb // g, nb % g
+        dist = np.maximum(np.abs(nix - six), np.abs(niy - siy))
+        return pa.table({"cell": nb, "dist": dist.astype(np.int64)})
+
+    return bucketed_sum(
+        points.map_batches(
+            offers,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("dist",),
+        reduce="min",
+    )
+
+
+def tile_buffer_sql(points_cte: str, res: int, max_d: int = 2) -> str:
+    """DuckDB twin of :func:`tile_buffer` — Chebyshev disc cross join
+    over distinct occupied tiles, MIN per cell, pure integers."""
+    g = 1 << res
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT DISTINCT {ix} AS ix, {iy} AS iy FROM p0),
+offs AS (
+  SELECT c.ix + dx.range AS nix, c.iy + dy.range AS niy,
+         GREATEST(ABS(dx.range), ABS(dy.range)) AS dist
+  FROM c, range(-{max_d}, {max_d + 1}) dx, range(-{max_d}, {max_d + 1}) dy
+  WHERE c.ix + dx.range BETWEEN 0 AND {g - 1}
+    AND c.iy + dy.range BETWEEN 0 AND {g - 1}
+)
+SELECT CAST(nix * {g} + niy AS BIGINT) AS cell,
+       CAST(MIN(dist) AS BIGINT) AS dist
+FROM offs GROUP BY 1
+"""

@@ -4651,3 +4651,72 @@ def test_span_tiles_matches_derive(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    # Pareto frontier vs O(n^2) dominance scan, incl. duplicate points
+    # and tied coordinates; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.agg import skyline
+
+    rng = np.random.default_rng(79)
+    n = 600
+    pts = np.round(rng.random((n, 2)), 2)  # coarse grid -> many ties
+    pts[50] = pts[40]  # exact duplicate pair
+    ids = np.arange(n, dtype=np.int64)
+
+    keep = set()
+    for i in range(n):
+        dominated = (
+            (pts[:, 0] <= pts[i, 0])
+            & (pts[:, 1] <= pts[i, 1])
+            & ((pts[:, 0] < pts[i, 0]) | (pts[:, 1] < pts[i, 1]))
+        ).any()
+        if not dominated:
+            keep.add(int(ids[i]))
+
+    t = pa.table({"query_id": ids, "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = skyline(ds).take_all()
+        got = {r["query_id"] for r in rows}
+        assert got == keep
+        for r in rows:  # coordinates survive unchanged
+            assert (r["px"], r["py"]) == (pts[r["query_id"], 0], pts[r["query_id"], 1])
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_tile_buffer_matches_bruteforce(ray_session):
+    # bounded Chebyshev distance transform vs direct grid scan
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_buffer
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(83)
+    res, d = 4, 2
+    g = 1 << res
+    pts = rng.random((120, 2))
+    occ = np.unique(cell_of_points(pts[:, 0], pts[:, 1], res))
+    oxy = np.stack([occ // g, occ % g], axis=1)
+    want = {}
+    for ix in range(g):
+        for iy in range(g):
+            cheb = np.maximum(
+                np.abs(oxy[:, 0] - ix), np.abs(oxy[:, 1] - iy)
+            ).min()
+            if cheb <= d:
+                want[ix * g + iy] = int(cheb)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_buffer(ds, res=res, max_d=d).take_all()
+        got = {r["cell"]: r["dist"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
