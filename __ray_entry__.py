@@ -429,6 +429,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
 
+    def q_home_cells(sf):
+        # home-location inference: per-user most-visited tile with the
+        # (count DESC, cell ASC) tie-break; exact ints
+        from python_prtree_ray.pipelines.movement import home_cells
+
+        return home_cells(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+    def q_rog(sf):
+        # radius of gyration (Gonzalez et al. mobility spread): exact-
+        # int numerator over n², one double division per user
+        from python_prtree_ray.pipelines.movement import radius_of_gyration
+
+        return radius_of_gyration(_event_tracks(sf, TRACK_RES))
+
+    def q_jump_hist(sf):
+        # jump-length distribution: log2-spaced squared-displacement
+        # bins (float-exponent bin == generated CASE ladder, exact)
+        from python_prtree_ray.pipelines.movement import jump_histogram
+
+        return jump_histogram(_event_tracks(sf, TRACK_RES))
+
     def q_cell_slope(sf):
         # per-tile OLS activity-trend slope over 8 equal time bins
         # (multi-bin refinement of cell_trend): exact-int numerator over
@@ -2210,6 +2231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_tiles": q_span_tiles,
         "cell_trend": q_cell_trend,
         "cell_slope": q_cell_slope,
+        "home_cells": q_home_cells,
+        "radius_gyration": q_rog,
+        "jump_histogram": q_jump_hist,
         "snap_points": q_snap_points,
         "knox_stat": q_knox,
         "track_hausdorff": q_track_hausdorff,
@@ -2232,6 +2256,9 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.movement import (
         cell_hours_sql as _cell_hours_sql,
         cell_slope_sql as _cell_slope_sql,
+        home_cells_sql as _home_cells_sql,
+        jump_histogram_sql as _jump_histogram_sql,
+        radius_of_gyration_sql as _radius_of_gyration_sql,
         cell_trend_sql as _cell_trend_sql,
         heading_histogram_sql as _heading_histogram_sql,
         snap_to_segments_sql as _snap_to_segments_sql,
@@ -3689,6 +3716,15 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "cell_slope": _cell_slope_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "home_cells": _home_cells_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "radius_gyration": _radius_of_gyration_sql(
+            derive.points_sql("events", "event_id", "event_id"), TRACK_RES
+        ),
+        "jump_histogram": _jump_histogram_sql(
+            derive.points_sql("events", "event_id", "event_id"), TRACK_RES
         ),
         "snap_points": _snap_to_segments_sql(
             derive.points_sql("events", "event_id", "event_id"),

@@ -176,7 +176,8 @@ QUERY_SUBSET = (
     "interval_union ann_pq knox_stat quadrat_test join_counts clark_evans "
     "doc_modality raster_regions doc_compress track_dtw cell_slope "
     "span_windows tile_geohash tile_users spatial_join_shuffle knn_ring "
-    "span_tiles skyline tile_buffer"
+    "span_tiles skyline tile_buffer home_cells radius_gyration "
+    "jump_histogram"
 ).split()
 
 

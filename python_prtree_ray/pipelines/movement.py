@@ -1297,3 +1297,304 @@ SELECT cell,
        / CAST({den} AS DOUBLE) AS slope
 FROM cb GROUP BY cell
 """
+
+
+def home_cells(
+    tracks: Dataset,
+    res: int,
+    key_col: str = "user_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Home-location inference: each entity's most-visited tile —
+    ``(user_id, home_cell, n_visits, n_points)`` with the classic
+    deterministic tie-break (max count, then smallest cell id). Exact
+    integers; the SQL twin is a per-user window argmax.
+
+    Scale shape: each batch collapses to (user, cell, count) partials;
+    :func:`~.merge.bucketed_sum` folds them exactly (key =
+    user·4^res + cell — ONE coarse shuffle of int partials, raw rows
+    never move); a metadata-sized user-bucket regroup takes the
+    per-user argmax with one lexsort.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+    from ..functions.buckets import bucket_of
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"home_cells: res must be in [0, 15], got {res}")
+    g = np.int64(1 << res)
+    ncells = g * g
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = (
+            tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64) * g
+            + tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if (u < 0).any() or (u > (1 << 62) // ncells - 1).any():
+            raise ValueError("home_cells: user id out of packable range")
+        key, inv = np.unique(u * ncells + cell, return_inverse=True)
+        n = np.bincount(inv, minlength=key.size).astype(np.int64)
+        return pa.table({"key": key, "n": n})
+
+    summed = bucketed_sum(
+        tracks.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="key",
+        value_cols=("n",),
+    )
+
+    def by_user(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "ub", pa.array(bucket_of(key // ncells, n_buckets))
+        )
+
+    def argmax_fold(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "home_cell": pa.array([], pa.int64()),
+                    "n_visits": pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                }
+            )
+        user = key // ncells
+        cell = key - user * ncells
+        # per user: max n, tie -> smallest cell. lexsort: within user,
+        # ascending (-n, cell) puts the winner first
+        order = np.lexsort((cell, -n, user))
+        u_s = user[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        win = order[starts]
+        totals = np.add.reduceat(n[order], starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts], pa.int64()),
+                "home_cell": pa.array(cell[win], pa.int64()),
+                "n_visits": pa.array(n[win], pa.int64()),
+                "n_points": pa.array(totals, pa.int64()),
+            }
+        )
+
+    return (
+        summed.map_batches(by_user, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ub")
+        .map_groups(argmax_fold, batch_format="pyarrow")
+    )
+
+
+def home_cells_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`home_cells` — window argmax with the
+    (count DESC, cell ASC) tie-break."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    g = 1 << res
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS user_id, {gx} * {g} + {gy} AS cell
+        FROM events e JOIN q ON e.event_id = q.event_id),
+uc AS (SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n
+       FROM pts GROUP BY user_id, cell),
+r AS (SELECT user_id, cell, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, cell ASC) AS rn,
+             SUM(n) OVER (PARTITION BY user_id) AS tot
+      FROM uc)
+SELECT user_id, cell AS home_cell, n AS n_visits,
+       CAST(tot AS BIGINT) AS n_points
+FROM r WHERE rn = 1
+"""
+
+
+def radius_of_gyration(
+    tracks: Dataset,
+    key_col: str = "user_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-entity radius of gyration — THE classic human-mobility
+    spread metric (Gonzalez et al.'s Nature 2008 measure): rog² =
+    mean squared distance of an entity's points from its centroid, on
+    the integer track grid. ``(user_id, n_points, rog2)``.
+
+    Exactness: with integer coords, n·Σd² from the centroid collapses
+    to ``num = n·(Σx² + Σy²) − (Σx)² − (Σy)²`` — an exact integer —
+    and rog² = num / n², ONE double division per entity, so the
+    HUGEINT SQL twin matches bitwise.
+
+    Scale shape: per-batch (user, n, Σx, Σy, Σx², Σy²) partials →
+    ONE exact bucketed fold → one-row-per-user finish. Raw rows never
+    shuffle.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key, inv = np.unique(u, return_inverse=True)
+        m = key.size
+        n = np.bincount(inv, minlength=m).astype(np.int64)
+        sx = np.bincount(inv, weights=x, minlength=m).astype(np.int64)
+        sy = np.bincount(inv, weights=y, minlength=m).astype(np.int64)
+        sx2 = np.bincount(inv, weights=(x * x).astype(np.float64), minlength=m)
+        sy2 = np.bincount(inv, weights=(y * y).astype(np.float64), minlength=m)
+        # bincount weights go through float64: exact only below 2^53 —
+        # grid coords are <= 2^res <= 2^15 so x^2 <= 2^30 and per-batch
+        # sums stay far under the exactness bound (COMBINE_BATCH·2^30 ≈ 2^46)
+        return pa.table(
+            {
+                "user": key,
+                "n": n,
+                "sx": sx,
+                "sy": sy,
+                "sx2": sx2.astype(np.int64),
+                "sy2": sy2.astype(np.int64),
+            }
+        )
+
+    summed = bucketed_sum(
+        tracks.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="user",
+        value_cols=("n", "sx", "sy", "sx2", "sy2"),
+        n_buckets=n_buckets,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy(zero_copy_only=False).astype(object)
+        sx = tbl.column("sx").to_numpy(zero_copy_only=False).astype(object)
+        sy = tbl.column("sy").to_numpy(zero_copy_only=False).astype(object)
+        sx2 = tbl.column("sx2").to_numpy(zero_copy_only=False).astype(object)
+        sy2 = tbl.column("sy2").to_numpy(zero_copy_only=False).astype(object)
+        num = n * (sx2 + sy2) - sx * sx - sy * sy  # exact python ints
+        rog2 = np.array(
+            [float(a) / float(b * b) for a, b in zip(num, n)], np.float64
+        )
+        return pa.table(
+            {
+                "user_id": tbl.column("user"),
+                "n_points": tbl.column("n"),
+                "rog2": pa.array(rog2, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def radius_of_gyration_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`radius_of_gyration` — HUGEINT-exact sums,
+    one CAST-to-DOUBLE division per user."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS user_id, {gx} AS x, {gy} AS y
+        FROM events e JOIN q ON e.event_id = q.event_id),
+s AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sx2,
+             CAST(SUM(y * y) AS HUGEINT) AS sy2
+      FROM pts GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_points,
+       CAST(n * (sx2 + sy2) - sx * sx - sy * sy AS DOUBLE)
+       / CAST(n * n AS DOUBLE) AS rog2
+FROM s
+"""
+
+
+def jump_histogram(
+    tracks: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Jump-length distribution — the third classic mobility statistic
+    next to :func:`home_cells` and :func:`radius_of_gyration`:
+    histogram of consecutive same-entity displacement lengths in
+    log₂-spaced bins of the squared grid distance — ``(bin, n_moves)``
+    with ``bin = ⌊log₂ d²⌋`` and ``bin = -1`` for zero-displacement
+    fixes. Exact integers: the bin index comes from the FLOAT EXPONENT
+    of the exact-int d² (``np.frexp`` — no libm log), the SQL twin
+    from a generated power-of-two CASE ladder, so the two are
+    identical by construction.
+
+    Scale shape: the shared trajectory fold (ONE coarse entity-bucket
+    shuffle of fixed-width ints, vectorized consecutive-pair mask),
+    per-group bin counts, one tiny bucketed sum — output is
+    ~60 rows max at any data size.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    def emit(cols, dt):
+        if cols is None:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        (x1, x2) = cols[x_col]
+        (y1, y2) = cols[y_col]
+        dx = x2.astype(np.int64) - x1.astype(np.int64)
+        dy = y2.astype(np.int64) - y1.astype(np.int64)
+        d2 = dx * dx + dy * dy
+        # floor(log2(d2)) via the float exponent — exact for d2 < 2^53
+        bins = np.where(
+            d2 > 0, np.frexp(d2.astype(np.float64))[1] - 1, np.int64(-1)
+        ).astype(np.int64)
+        key, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv, minlength=key.size).astype(np.int64)
+        return pa.table({"bin": key, "n": n})
+
+    keyed = _bucketed(
+        tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets
+    )
+    parts = _fold_pairs(keyed, (x_col, y_col), emit)
+    return bucketed_sum(parts, key_col="bin", value_cols=("n",))
+
+
+def jump_histogram_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`jump_histogram` — LAG pairs, exact-int
+    d², generated power-of-two CASE ladder for the bin."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    max_bin = 2 * res + 1  # d2 <= 2*(2^res - 1)^2 < 2^(2res+1)
+    ladder = " ".join(
+        f"WHEN d2 < {1 << (k + 1)} THEN {k}" for k in range(max_bin + 1)
+    )
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} AS x, {gy} AS y
+        FROM events e JOIN q ON e.event_id = q.event_id),
+mv AS (SELECT u, x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+       FROM pts WINDOW w AS (PARTITION BY u ORDER BY ts, seq)),
+d AS (SELECT dx * dx + dy * dy AS d2 FROM mv WHERE dx IS NOT NULL),
+b AS (SELECT CASE WHEN d2 = 0 THEN -1 {ladder} END AS bin FROM d)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bin
+"""

@@ -4720,3 +4720,118 @@ def test_tile_buffer_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_home_cells_matches_bruteforce(ray_session):
+    # per-user argmax tile with (count desc, cell asc) tie-break
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import home_cells
+
+    rng = np.random.default_rng(89)
+    res = 2  # tiny grid -> many count ties exercise the tie-break
+    g = 1 << res
+    n = 800
+    users = rng.integers(0, 25, n).astype(np.int64)
+    gx = rng.integers(0, g, n).astype(np.int64)
+    gy = rng.integers(0, g, n).astype(np.int64)
+    cell = gx * g + gy
+    want = {}
+    for u in np.unique(users):
+        m = users == u
+        cs, counts = np.unique(cell[m], return_counts=True)
+        order = np.lexsort((cs, -counts))
+        want[int(u)] = (int(cs[order[0]]), int(counts[order[0]]), int(m.sum()))
+
+    t = pa.table({"user_id": users, "gx": gx, "gy": gy})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = home_cells(ds, res=res).take_all()
+        got = {
+            r["user_id"]: (r["home_cell"], r["n_visits"], r["n_points"])
+            for r in rows
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_radius_of_gyration_matches_bruteforce(ray_session):
+    # exact-int rog2 vs direct float recompute; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import radius_of_gyration
+
+    rng = np.random.default_rng(97)
+    n = 700
+    users = rng.integers(0, 20, n).astype(np.int64)
+    gx = rng.integers(0, 1 << 10, n).astype(np.int64)
+    gy = rng.integers(0, 1 << 10, n).astype(np.int64)
+    want = {}
+    for u in np.unique(users):
+        m = users == u
+        x, y = gx[m].astype(object), gy[m].astype(object)
+        nn = int(m.sum())
+        num = nn * int((x * x + y * y).sum()) - int(x.sum()) ** 2 - int(y.sum()) ** 2
+        want[int(u)] = (nn, float(num) / float(nn * nn))
+        # the exact-int form equals the textbook mean-squared-deviation
+        mx, my = gx[m].mean(), gy[m].mean()
+        ref = (((gx[m] - mx) ** 2 + (gy[m] - my) ** 2).mean())
+        assert abs(want[int(u)][1] - ref) < 1e-6 * max(1.0, ref)
+
+    t = pa.table({"user_id": users, "gx": gx, "gy": gy})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = radius_of_gyration(ds).take_all()
+        got = {r["user_id"]: (r["n_points"], r["rog2"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_jump_histogram_matches_bruteforce(ray_session):
+    # log2-spaced displacement histogram vs direct pandas recompute
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import jump_histogram
+
+    rng = np.random.default_rng(101)
+    n, g = 900, 1 << 10
+    users = rng.integers(0, 15, n).astype(np.int64)
+    gx = rng.integers(0, g, n).astype(np.int64)
+    gy = rng.integers(0, g, n).astype(np.int64)
+    # force some zero-displacement consecutive fixes
+    gx[100] = gx[99]; gy[100] = gy[99]; users[100] = users[99]
+    ts = np.datetime64("2024-04-01", "us") + np.arange(n).astype("timedelta64[s]")
+    eid = np.arange(n, dtype=np.int64)
+
+    import collections
+    want = collections.Counter()
+    order = np.lexsort((eid, ts.astype(np.int64), users))
+    us, xs, ys, tss = users[order], gx[order], gy[order], ts[order]
+    for i in range(1, n):
+        if us[i] != us[i - 1]:
+            continue
+        d2 = int((xs[i] - xs[i - 1]) ** 2 + (ys[i] - ys[i - 1]) ** 2)
+        want[-1 if d2 == 0 else d2.bit_length() - 1] += 1
+    assert want[-1] >= 1
+
+    t = pa.table(
+        {
+            "user_id": users,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": eid,
+            "gx": gx,
+            "gy": gy,
+        }
+    )
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = jump_histogram(ds).take_all()
+        got = {r["bin"]: r["n"] for r in rows}
+        assert got == dict(want)
+        if prev is not None:
+            assert got == prev
+        prev = got
