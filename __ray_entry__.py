@@ -303,6 +303,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.getis_ord(pts, res=TILE_RES)
 
+    def q_tile_gini(sf):
+        # spatial-concentration Gini of occupied-tile densities over
+        # the denser event-point grid: exact-int rank-weighted sum,
+        # ONE double division
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.tile_gini(pts, res=TILE_RES)
+
     def q_tile_buffer(sf):
         # buffer/proximity raster (bounded Chebyshev distance
         # transform): one offer shuffle + min fold, exact ints
@@ -2224,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_users": q_tile_users,
         "skyline": q_skyline,
         "tile_buffer": q_tile_buffer,
+        "tile_gini": q_tile_gini,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
@@ -2285,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         tile_geohash_sql as _tile_geohash_sql,
         tile_distinct_users_sql as _tile_distinct_users_sql,
         tile_buffer_sql as _tile_buffer_sql,
+        tile_gini_sql as _tile_gini_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
@@ -3706,6 +3725,9 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             TILE_RES,
         ),
         "tile_buffer": _tile_buffer_sql(p_cust, TILE_RES, 2),
+        "tile_gini": _tile_gini_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
         "skyline": _skyline_sql(
             "SELECT query_id, px, CAST(1 AS DOUBLE) - py AS py FROM ("
             + p_cust

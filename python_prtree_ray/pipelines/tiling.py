@@ -2427,3 +2427,108 @@ SELECT CAST(nix * {g} + niy AS BIGINT) AS cell,
        CAST(MIN(dist) AS BIGINT) AS dist
 FROM offs GROUP BY 1
 """
+
+
+def tile_gini(points: Dataset, res: int) -> Dataset:
+    """Spatial-concentration Gini coefficient of the OCCUPIED-tile
+    density distribution — the standard "how unevenly is activity
+    spread over space?" inequality measure (0 = uniform across
+    occupied tiles, →1 = concentrated in few). ONE row
+    ``(n_cells, n_points, gini)``.
+
+    Exactness: with the occupied-cell counts x sorted ascending,
+
+        gini = Σᵢ (2i − n + 1)·xᵢ / (n · Σx)        (i zero-based)
+
+    — numerator and denominator exact integers (the coefficient form
+    is invariant to tie order, so the SQL twin's ROW_NUMBER tie
+    arbitrariness cannot change the value), ONE double division.
+
+    Scale shape: points collapse to per-batch distinct-cell counts,
+    ONE exact bucketed fold to the occupied-tile table, and the
+    driver sorts that OCCUPIED-TILE-SIZED multiset (the same driver
+    bound as :func:`hilbert_ranges` — tiles, never points; a global
+    sort is inherent to rank statistics).
+    """
+    import numpy as np
+
+    from .merge import bucketed_sum
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"tile_gini: res must be in [0, 15], got {res}")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    import ray
+
+    xs = []
+    for ref in counts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            xs.append(t.column("x").to_numpy(zero_copy_only=False))
+    if not xs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_cells": pa.array([0], pa.int64()),
+                    "n_points": pa.array([0], pa.int64()),
+                    "gini": pa.nulls(1, pa.float64()),
+                }
+            )
+        )
+    x = np.sort(np.concatenate(xs)).astype(object)
+    n = x.size
+    s = int(x.sum())
+    coef = 2 * np.arange(n, dtype=object) - n + 1
+    num = int((coef * x).sum())
+    den = n * s
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n], pa.int64()),
+                "n_points": pa.array([s], pa.int64()),
+                "gini": pa.array(
+                    [float(num) / float(den) if den else None], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def tile_gini_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_gini` — HUGEINT-exact rank-weighted
+    sum, one CAST-to-DOUBLE division."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS s FROM c),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM c),
+g AS (SELECT CAST(COALESCE(SUM(
+        (2 * CAST(rn - 1 AS HUGEINT) - (SELECT n FROM m) + 1) * x), 0)
+        AS HUGEINT) AS num
+      FROM r)
+SELECT CAST(m.n AS BIGINT) AS n_cells,
+       CAST(m.s AS BIGINT) AS n_points,
+       CASE WHEN m.n * m.s > 0
+            THEN CAST(g.num AS DOUBLE) / CAST(m.n * m.s AS DOUBLE)
+       ELSE NULL END AS gini
+FROM m, g
+"""

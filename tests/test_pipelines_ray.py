@@ -4835,3 +4835,37 @@ def test_jump_histogram_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_tile_gini_matches_bruteforce(ray_session):
+    # rank-weighted exact-int Gini vs the textbook mean-absolute-
+    # difference definition; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_gini
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(103)
+    res = 3
+    # skewed points (squared coords) so gini is far from 0
+    pts = rng.random((1200, 2)) ** 2
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    _, x = np.unique(cells, return_counts=True)
+    n, s = x.size, int(x.sum())
+    mad = np.abs(x[:, None].astype(np.int64) - x[None, :].astype(np.int64)).sum()
+    want_gini_textbook = mad / (2.0 * n * n * (s / n))
+    xs = np.sort(x).astype(object)
+    num = int(((2 * np.arange(n, dtype=object) - n + 1) * xs).sum())
+    want = float(num) / float(n * s)
+    assert abs(want - want_gini_textbook) < 1e-9
+    assert want > 0.15  # non-trivial inequality on this input
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        row = tile_gini(ds, res=res).take_all()[0]
+        assert row["n_cells"] == n and row["n_points"] == s
+        assert row["gini"] == want
+        if prev is not None:
+            assert row == prev
+        prev = row
