@@ -320,6 +320,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_gini(pts, res=TILE_RES)
 
+    def q_std_ellipse(sf):
+        # standard deviational ellipse of event points: per-batch
+        # 6-int moment partials, exact-int numerators, ONE double
+        # division per output value (orientation as tan2theta -- no
+        # libm atan2 both sides)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.std_ellipse(pts, grid_res=12)
+
+    def q_flow_direction(sf):
+        # D8 steepest-descent flow routing over the event-density
+        # raster: exact tile counts + ONE neighbor-offer shuffle,
+        # all-integer argmin per tile
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.flow_direction(pts, res=TILE_RES)
+
+    def q_cross_k(sf):
+        # bivariate Ripley's cross-K between customer points (type A)
+        # and event points (type B) at r=RADIUS: exact integer
+        # cross-pair count, ONE float division
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        b = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.cross_k(tables.points_dataset(sf), b, radius=RADIUS)
+
+    def q_semivariogram(sf):
+        # experimental semivariogram of the integer point measure over
+        # customer points, 8 distance lags within r=0.05: exact-int
+        # pair/sum partials, repr'd lag edges shared with the SQL twin
+        import pyarrow as pa
+
+        def add_z(tbl):
+            q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+            return tbl.append_column(
+                "pz", pa.array(derive.point_measure(q), pa.int64())
+            )
+
+        pts = tables.points_dataset(sf).map_batches(
+            add_z, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return tiling.semivariogram(pts, radius=0.05, n_bins=8)
+
     def q_tile_buffer(sf):
         # buffer/proximity raster (bounded Chebyshev distance
         # transform): one offer shuffle + min fold, exact ints
@@ -2242,6 +2311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "tile_buffer": q_tile_buffer,
         "tile_gini": q_tile_gini,
+        "std_ellipse": q_std_ellipse,
+        "flow_direction": q_flow_direction,
+        "cross_k": q_cross_k,
+        "semivariogram": q_semivariogram,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "doc_modality": q_doc_modality,
@@ -2304,6 +2377,10 @@ def oracle_sql() -> dict[str, str]:
         tile_distinct_users_sql as _tile_distinct_users_sql,
         tile_buffer_sql as _tile_buffer_sql,
         tile_gini_sql as _tile_gini_sql,
+        std_ellipse_sql as _std_ellipse_sql,
+        flow_direction_sql as _flow_direction_sql,
+        cross_k_sql as _cross_k_sql,
+        semivariogram_sql as _semivariogram_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
@@ -3727,6 +3804,26 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         "tile_buffer": _tile_buffer_sql(p_cust, TILE_RES, 2),
         "tile_gini": _tile_gini_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "std_ellipse": _std_ellipse_sql(
+            derive.points_sql("events", "event_id", "event_id"), 12
+        ),
+        "flow_direction": _flow_direction_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "cross_k": _cross_k_sql(
+            p_cust,
+            derive.points_sql("events", "event_id", "event_id"),
+            RADIUS,
+        ),
+        "semivariogram": _semivariogram_sql(
+            "SELECT query_id, px, py, "
+            + derive.point_measure_sql("query_id")
+            + " AS pz FROM ("
+            + p_cust
+            + ")",
+            0.05,
+            8,
         ),
         "skyline": _skyline_sql(
             "SELECT query_id, px, CAST(1 AS DOUBLE) - py AS py FROM ("

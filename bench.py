@@ -177,7 +177,8 @@ QUERY_SUBSET = (
     "doc_modality raster_regions doc_compress track_dtw cell_slope "
     "span_windows tile_geohash tile_users spatial_join_shuffle knn_ring "
     "span_tiles skyline tile_buffer home_cells radius_gyration "
-    "jump_histogram tile_gini"
+    "jump_histogram tile_gini std_ellipse flow_direction cross_k "
+    "semivariogram"
 ).split()
 
 

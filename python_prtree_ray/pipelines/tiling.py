@@ -2532,3 +2532,659 @@ SELECT CAST(m.n AS BIGINT) AS n_cells,
        ELSE NULL END AS gini
 FROM m, g
 """
+
+
+def std_ellipse(points: Dataset, grid_res: int = 12) -> Dataset:
+    """Standard deviational ellipse of a point pattern — the classic
+    directional-dispersion summary (mean center + variance/covariance
+    + orientation of the 1-σ ellipse). ONE row ``(n_points, mean_x,
+    mean_y, var_x, var_y, cov_xy, tan2theta)`` over the FLOOR grid at
+    ``grid_res`` (same integer-coordinate contract as
+    :func:`~python_prtree_ray.pipelines.movement.radius_of_gyration`).
+
+    Exactness: with integer grid coords and exact sums
+    (n, Σx, Σy, Σx², Σy², Σxy),
+
+        mean_x  = Σx / n
+        var_x   = (n·Σx² − (Σx)²) / n²          (population variance)
+        cov_xy  = (n·Σxy − Σx·Σy) / n²
+        tan2θ   = 2·(n·Σxy − Σx·Σy)
+                  / ((n·Σx² − (Σx)²) − (n·Σy² − (Σy)²))
+
+    — every numerator/denominator an exact (arbitrary-precision)
+    integer, ONE double division per output value, so the HUGEINT SQL
+    twin matches bitwise. The orientation is reported as ``tan2theta``
+    (NULL when the variance difference is exactly 0) rather than θ
+    itself — atan2 is not correctly rounded in libm, the ratio is.
+
+    Scale shape: per-batch 6-int partials, driver folds ONE row per
+    block. Raw rows never shuffle.
+    """
+    import numpy as np
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = derive.tile_index(st.col_np(tbl, "px"), grid_res)
+        y = derive.tile_index(st.col_np(tbl, "py"), grid_res)
+        # x < 2^grid_res <= 2^15, so x² < 2^30 and per-batch int64 sums
+        # stay far below overflow (COMBINE_BATCH·2^30 ≈ 2^46)
+        return pa.table(
+            {
+                "n": pa.array([x.size], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    if not 0 <= grid_res <= 15:
+        raise ValueError(f"std_ellipse: grid_res must be in [0, 15], got {grid_res}")
+
+    parts = points.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+
+    import pyarrow.compute as pc
+    import ray
+
+    n = sx = sy = sxx = syy = sxy = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            n += int(pc.sum(t.column("n")).as_py() or 0)
+            sx += int(pc.sum(t.column("sx")).as_py() or 0)
+            sy += int(pc.sum(t.column("sy")).as_py() or 0)
+            sxx += int(pc.sum(t.column("sxx")).as_py() or 0)
+            syy += int(pc.sum(t.column("syy")).as_py() or 0)
+            sxy += int(pc.sum(t.column("sxy")).as_py() or 0)
+
+    if n == 0:
+        mean_x = mean_y = var_x = var_y = cov = tan2 = None
+    else:
+        vx_num = n * sxx - sx * sx
+        vy_num = n * syy - sy * sy
+        cv_num = n * sxy - sx * sy
+        den = n * n
+        mean_x = float(sx) / float(n)
+        mean_y = float(sy) / float(n)
+        var_x = float(vx_num) / float(den)
+        var_y = float(vy_num) / float(den)
+        cov = float(cv_num) / float(den)
+        t_den = vx_num - vy_num
+        tan2 = float(2 * cv_num) / float(t_den) if t_den != 0 else None
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([n], pa.int64()),
+                "mean_x": pa.array([mean_x], pa.float64()),
+                "mean_y": pa.array([mean_y], pa.float64()),
+                "var_x": pa.array([var_x], pa.float64()),
+                "var_y": pa.array([var_y], pa.float64()),
+                "cov_xy": pa.array([cov], pa.float64()),
+                "tan2theta": pa.array([tan2], pa.float64()),
+            }
+        )
+    )
+
+
+def std_ellipse_sql(points_cte: str, grid_res: int) -> str:
+    """DuckDB twin of :func:`std_ellipse` — HUGEINT-exact moment sums,
+    one CAST-to-DOUBLE division per output value."""
+    gx = derive.tile_index_sql("px", grid_res)
+    gy = derive.tile_index_sql("py", grid_res)
+    return f"""
+WITH p0 AS ({points_cte}),
+g AS (SELECT {gx} AS x, {gy} AS y FROM p0),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx,
+             CAST(COALESCE(SUM(y), 0) AS HUGEINT) AS sy,
+             CAST(COALESCE(SUM(x * x), 0) AS HUGEINT) AS sxx,
+             CAST(COALESCE(SUM(y * y), 0) AS HUGEINT) AS syy,
+             CAST(COALESCE(SUM(x * y), 0) AS HUGEINT) AS sxy
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n_points,
+       CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_x,
+       CASE WHEN n > 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_y,
+       CASE WHEN n > 0 THEN CAST(n * sxx - sx * sx AS DOUBLE)
+                            / CAST(n * n AS DOUBLE) END AS var_x,
+       CASE WHEN n > 0 THEN CAST(n * syy - sy * sy AS DOUBLE)
+                            / CAST(n * n AS DOUBLE) END AS var_y,
+       CASE WHEN n > 0 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * n AS DOUBLE) END AS cov_xy,
+       CASE WHEN n > 0 AND (n * sxx - sx * sx) <> (n * syy - sy * sy)
+            THEN CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) - (n * syy - sy * sy) AS DOUBLE)
+       END AS tan2theta
+FROM s
+"""
+
+
+def flow_direction(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """D8 flow direction over the point-density raster — the classic
+    raster flow-routing operator (steepest DESCENT variant, unit
+    neighbor weights): for every occupied tile, the 8-neighborhood
+    direction its density gradient drains toward. One row per occupied
+    tile ``(cell, x, flow_dir, drop_n)`` where ``flow_dir`` is the
+    direction code ``(dx+1)*3 + (dy+1)`` (dx, dy ∈ {-1,0,1}, so codes
+    {0,1,2,3,5,6,7,8}) of the IN-GRID neighbor with the smallest
+    density (unoccupied in-grid neighbors count 0; off-grid neighbors
+    are not candidates — the grid-edge convention), tie-broken by the
+    smallest code; ``flow_dir = -1`` (a sink) when no in-grid neighbor
+    is strictly lower. ``drop_n = x − min_neighbor`` when flowing,
+    else 0. All-integer → bitwise-trivially exact vs the SQL twin.
+
+    Scale shape: points collapse to the exact occupied-tile count
+    table (per-batch distinct-cell partials + ONE bucketed fold); each
+    occupied tile then offers its count to its ≤8 in-grid neighbors —
+    ONE cell-bucket shuffle of (cell, code, count) int rows, with the
+    tile's own row riding the same shuffle — and a sorted
+    lexsort/argmin fold per bucket emits the per-tile direction.
+    Output is tile-sized; raw points never shuffle.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from .merge import bucketed_sum
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"flow_direction: res must be in [0, 15], got {res}")
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    # offsets (dx, dy) and the code the RECEIVER sees for an offer
+    # arriving from (dx, dy): the direction receiver→sender.
+    d = np.array([-1, 0, 1], np.int64)
+    ddx, ddy = np.meshgrid(d, d, indexing="ij")
+    ddx, ddy = ddx.ravel(), ddy.ravel()
+    keep = ~((ddx == 0) & (ddy == 0))
+    ddx, ddy = ddx[keep], ddy[keep]
+    recv_code = (ddx + 1) * 3 + (ddy + 1)  # code of sender as seen from receiver
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        ix, iy = cell // g, cell % g
+        # offer rows: sender c at (ix,iy) → receiver r = c + (-dx,-dy)
+        # so that from r's perspective the sender sits at (dx, dy)
+        nx = ix[:, None] - ddx[None, :]
+        ny = iy[:, None] - ddy[None, :]
+        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+        row = np.repeat(np.arange(cell.size, dtype=np.int64), ok.sum(axis=1))
+        rcell = (nx * g + ny)[ok]
+        code = np.broadcast_to(recv_code, ok.shape)[ok]
+        out_cell = np.concatenate([cell, rcell])
+        out_code = np.concatenate([np.full(cell.size, -1, np.int64), code])
+        out_x = np.concatenate([x, x[row]])
+        return pa.table(
+            {
+                "bucket": bucket_of(out_cell, n_buckets),
+                "cell": out_cell,
+                "code": out_code,
+                "x": out_x,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        code = group.column("code").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        own = code == -1
+        occ = cell[own]
+        if occ.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "flow_dir": pa.array([], pa.int64()),
+                    "drop_n": pa.array([], pa.int64()),
+                }
+            )
+        occ_x = x[own]
+        o = np.argsort(occ, kind="stable")
+        occ, occ_x = occ[o], occ_x[o]
+        # zero placeholders for every in-grid direction of each
+        # occupied receiver; real offers override by summing (each
+        # (cell, code) has at most one offer)
+        ix, iy = occ // g, occ % g
+        nx = ix[:, None] + ddx[None, :]
+        ny = iy[:, None] + ddy[None, :]
+        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+        zrow = np.repeat(np.arange(occ.size, dtype=np.int64), ok.sum(axis=1))
+        zcode = np.broadcast_to(recv_code, ok.shape)[ok]
+        # offers addressed to occupied receivers in this bucket
+        off = ~own
+        pos = np.searchsorted(occ, cell[off])
+        pos_ok = (pos < occ.size) & (occ[np.minimum(pos, occ.size - 1)] == cell[off])
+        orow = pos[pos_ok]
+        ocode = code[off][pos_ok]
+        ox = x[off][pos_ok]
+        arow = np.concatenate([zrow, orow])
+        acode = np.concatenate([zcode, ocode])
+        ax = np.concatenate([np.zeros(zrow.size, np.int64), ox])
+        # per (receiver, code): value = sum (placeholder 0 + optional offer)
+        order = np.lexsort((acode, arow))
+        arow, acode, ax = arow[order], acode[order], ax[order]
+        starts = np.flatnonzero(
+            np.r_[True, (arow[1:] != arow[:-1]) | (acode[1:] != acode[:-1])]
+        )
+        rrow = arow[starts]
+        rcode2 = acode[starts]
+        rval = np.add.reduceat(ax, starts)
+        # per receiver: argmin by (value, code) — lexsort then first
+        order2 = np.lexsort((rcode2, rval, rrow))
+        rrow, rcode2, rval = rrow[order2], rcode2[order2], rval[order2]
+        first = np.flatnonzero(np.r_[True, rrow[1:] != rrow[:-1]])
+        win_row = rrow[first]
+        win_code = rcode2[first]
+        win_val = rval[first]
+        self_x = occ_x[win_row]
+        flows = win_val < self_x
+        return pa.table(
+            {
+                "cell": occ[win_row],
+                "x": self_x,
+                "flow_dir": np.where(flows, win_code, np.int64(-1)),
+                "drop_n": np.where(flows, self_x - win_val, np.int64(0)),
+            }
+        )
+
+    return (
+        counts.map_batches(offers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def flow_direction_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`flow_direction` — occupied-cell counts,
+    generated 8-offset neighbor join, ROW_NUMBER argmin."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    dirs = ", ".join(
+        f"({(dx + 1) * 3 + (dy + 1)}, {dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+d(code, dx, dy) AS (VALUES {dirs}),
+n AS (SELECT c.cell, d.code,
+             (c.cell // {g}) + d.dx AS nx, (c.cell % {g}) + d.dy AS ny
+      FROM c CROSS JOIN d),
+f AS (SELECT n.cell, n.code, COALESCE(cn.x, 0) AS nbx
+      FROM n LEFT JOIN c cn ON cn.cell = n.nx * {g} + n.ny
+      WHERE n.nx BETWEEN 0 AND {g - 1} AND n.ny BETWEEN 0 AND {g - 1}),
+r AS (SELECT cell, code, nbx,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY nbx, code) AS rn
+      FROM f)
+SELECT c.cell, c.x,
+       CAST(CASE WHEN r.nbx < c.x THEN r.code ELSE -1 END AS BIGINT) AS flow_dir,
+       CAST(CASE WHEN r.nbx < c.x THEN c.x - r.nbx ELSE 0 END AS BIGINT) AS drop_n
+FROM c JOIN r ON r.cell = c.cell AND r.rn = 1
+"""
+
+
+def cross_k(
+    points_a: Dataset,
+    points_b: Dataset,
+    radius: float,
+    res: int | None = None,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Bivariate (cross-type) Ripley's K at one radius — the standard
+    two-population interaction statistic (naive estimator, unit-square
+    window, no edge correction, same conventions as :func:`ripley_k`):
+    ``K̂_AB(r) = Σ_{i∈A, j∈B} 1(d_ij ≤ r) / (n_A · n_B)``. K̂ > πr²
+    means attraction between the two types at scale r, < πr²
+    repulsion. ONE row ``(n_a, n_b, n_pairs, k_ab)``.
+
+    Exactness: the pair count is an exact integer (identical
+    ``dx²+dy² ≤ r²`` double shapes both sides) and K̂ is ONE float
+    division of exact ints — bitwise-equal to DuckDB. Coincident A/B
+    points count (there is no self-pair to exclude across types).
+
+    Scale shape: the A side lands once in its own cell as OWNER; the
+    B side lands in its cell plus ≤8 ring-1 neighbors as CANDIDATE
+    (cell width ≥ r, so every qualifying pair is owner-local to
+    exactly one cell). ONE cell-bucket shuffle, vectorized owner×
+    candidate chunks per bucket, one 3-int partial per bucket folded
+    on the driver.
+    """
+    import math
+
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+
+    if res is None:
+        res = max(int(math.floor(math.log2(1.0 / radius))), 0)
+    if (1.0 / (1 << res)) < radius:
+        raise ValueError(
+            f"cross_k: cell width {1.0 / (1 << res)} at res {res} is "
+            f"smaller than radius {radius}; pairs would be missed"
+        )
+    r2 = float(radius) * float(radius)
+
+    def assign_a(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        cells = cell_of_points(px, py, res)
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "px": px,
+                "py": py,
+                # 0 = A owner; 1 = B ghost candidate; 2 = B own candidate
+                "role": np.zeros(px.size, np.int8),
+            }
+        )
+
+    def assign_b(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        own = cell_of_points(px, py, res)
+        row, nb = neighbor_cells(own, res, ring=1)  # includes self cell
+        role = np.where(nb == own[row], np.int8(2), np.int8(1))
+        return pa.table(
+            {
+                "bucket": bucket_of(nb, n_buckets),
+                "cell": nb,
+                "px": px[row],
+                "py": py[row],
+                "role": role,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        role = group.column("role").to_numpy(zero_copy_only=False)
+        owners = role == 0
+        cands = role >= 1
+        n_a = int(owners.sum())
+        n_b = int((role == 2).sum())
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], cell_s.size]
+        pairs = 0
+        for a, b in zip(starts, ends):
+            sl = order[a:b]
+            o = sl[owners[sl]]
+            c = sl[cands[sl]]
+            if o.size == 0 or c.size == 0:
+                continue
+            cx, cy = px[c], py[c]
+            for c0 in range(0, o.size, 64):
+                osl = o[c0 : c0 + 64]
+                dx = px[osl][:, None] - cx[None, :]
+                dy = py[osl][:, None] - cy[None, :]
+                pairs += int((dx * dx + dy * dy <= r2).sum())
+        return pa.table(
+            {
+                "pairs": pa.array([pairs], pa.int64()),
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+            }
+        )
+
+    a = points_a.map_batches(
+        assign_a,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    b = points_b.map_batches(
+        assign_b,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    parts = a.union(b).groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+    import pyarrow.compute as pc
+    import ray
+
+    P = NA = NB = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        P += int(pc.sum(t.column("pairs")).as_py() or 0)
+        NA += int(pc.sum(t.column("n_a")).as_py() or 0)
+        NB += int(pc.sum(t.column("n_b")).as_py() or 0)
+    k = float(P) / float(NA * NB) if NA and NB else None
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([NA], pa.int64()),
+                "n_b": pa.array([NB], pa.int64()),
+                "n_pairs": pa.array([P], pa.int64()),
+                "k_ab": pa.array([k], pa.float64()),
+            }
+        )
+    )
+
+
+def cross_k_sql(points_a_cte: str, points_b_cte: str, radius: float) -> str:
+    """DuckDB twin of :func:`cross_k` — exact cross-join pair count,
+    one CAST-to-DOUBLE division."""
+    r2 = float(radius) * float(radius)
+    return f"""
+WITH pa AS ({points_a_cte}),
+pb AS ({points_b_cte}),
+e AS (SELECT CAST(COUNT(*) AS HUGEINT) AS pairs
+      FROM pa a JOIN pb b
+      ON (a.px - b.px) * (a.px - b.px)
+         + (a.py - b.py) * (a.py - b.py) <= {r2!r}),
+ga AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pa),
+gb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pb)
+SELECT CAST(ga.n AS BIGINT) AS n_a,
+       CAST(gb.n AS BIGINT) AS n_b,
+       CAST(e.pairs AS BIGINT) AS n_pairs,
+       CASE WHEN ga.n * gb.n > 0
+            THEN CAST(e.pairs AS DOUBLE) / CAST(ga.n * gb.n AS DOUBLE)
+       END AS k_ab
+FROM ga, gb, e
+"""
+
+
+def semivariogram(
+    points: Dataset,
+    radius: float,
+    n_bins: int = 8,
+    res: int | None = None,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Experimental (empirical) semivariogram — the geostatistics
+    spatial-continuity summary: for ordered point pairs (i ≠ j) within
+    ``radius``, binned by distance into ``n_bins`` equal-width lags,
+    ``γ(h) = Σ (z_i − z_j)² / (2·N(h))``. One row per occupied bin
+    ``(bin, n_pairs, sum_dz2, gamma)``; small γ at short lags with
+    growth toward a sill is the classic spatially-autocorrelated-field
+    signature. ``z`` is the integer ``pz`` column.
+
+    Exactness: the pair predicate and the bin index compare the ONE
+    double expression ``dx²+dy²`` against Python-repr'd squared lag
+    edges embedded verbatim in the SQL (``bin = Σ_k 1(d² > e_k)``), so
+    binning is bitwise-identical; N(h) and Σdz² are exact ints and γ is
+    ONE double division. Self-pairs (d²=0, dz²=0) are excluded exactly
+    (the owner count is subtracted from bin 0, matching the SQL
+    ``a.query_id <> b.query_id``); coincident DISTINCT points keep
+    counting both sides.
+
+    Scale shape: identical to :func:`ripley_k` — owner-in-own-cell +
+    ring-1 ghost candidates (cell width ≥ radius), ONE cell-bucket
+    shuffle, vectorized owner×candidate chunks, per-bucket
+    ``(bin, n, Σdz²)`` partials folded by ONE tiny bucketed sum.
+    """
+    import math
+
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+    from .merge import bucketed_sum
+
+    if res is None:
+        res = max(int(math.floor(math.log2(1.0 / radius))), 0)
+    if (1.0 / (1 << res)) < radius:
+        raise ValueError(
+            f"semivariogram: cell width {1.0 / (1 << res)} at res {res} is "
+            f"smaller than radius {radius}; pairs would be missed"
+        )
+    if n_bins < 1:
+        raise ValueError(f"semivariogram: n_bins must be >= 1, got {n_bins}")
+    r2 = float(radius) * float(radius)
+    # interior squared lag edges e_1..e_{n_bins-1}; bin = #edges below d²
+    edges = np.array(
+        [(radius * k / n_bins) ** 2 for k in range(1, n_bins)], np.float64
+    )
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        z = st.col_np(tbl, "pz").astype(np.int64)
+        own = cell_of_points(px, py, res)
+        row, nb = neighbor_cells(own, res, ring=1)
+        ghost = nb != own[row]
+        grow = row[ghost]
+        cells = np.concatenate([own, nb[ghost]])
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "px": np.concatenate([px, px[grow]]),
+                "py": np.concatenate([py, py[grow]]),
+                "z": np.concatenate([z, z[grow]]),
+                "own": np.concatenate(
+                    [np.ones(own.size, np.int8), np.zeros(grow.size, np.int8)]
+                ),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        z = group.column("z").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False) == 1
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], cell_s.size]
+        n = np.zeros(n_bins, np.int64)
+        s = np.zeros(n_bins, np.int64)
+        n_own = int(own.sum())
+        for a, b in zip(starts, ends):
+            sl = order[a:b]
+            o = sl[own[sl]]
+            if o.size == 0:
+                continue
+            cx, cy, cz = px[sl], py[sl], z[sl]
+            for c0 in range(0, o.size, 64):
+                osl = o[c0 : c0 + 64]
+                dx = px[osl][:, None] - cx[None, :]
+                dy = py[osl][:, None] - cy[None, :]
+                d2 = dx * dx + dy * dy
+                hit = d2 <= r2
+                d2h = d2[hit]
+                if d2h.size == 0:
+                    continue
+                dz = z[osl][:, None] - cz[None, :]
+                dz2 = (dz * dz)[hit]
+                bins = (d2h[:, None] > edges[None, :]).sum(axis=1)
+                n += np.bincount(bins, minlength=n_bins)
+                s += np.bincount(bins, weights=dz2.astype(np.float64),
+                                 minlength=n_bins).astype(np.int64)
+        # each owner pairs with its own candidate copy once: d²=0,
+        # dz²=0 → bin 0 count only (sum unaffected), exactly the SQL
+        # a.query_id <> b.query_id exclusion
+        n[0] -= n_own
+        keep = n > 0
+        return pa.table(
+            {
+                "bin": np.flatnonzero(keep).astype(np.int64),
+                "n": n[keep],
+                "s": s[keep],
+            }
+        )
+
+    parts = (
+        points.map_batches(
+            assign,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    summed = bucketed_sum(parts, key_col="bin", value_cols=("n", "s"), n_buckets=16)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        s = tbl.column("s").to_numpy(zero_copy_only=False)
+        keep = n > 0
+        gamma = np.zeros(keep.sum(), np.float64)
+        nk, sk = n[keep], s[keep]
+        for i in range(nk.size):
+            gamma[i] = float(int(sk[i])) / float(2 * int(nk[i]))
+        return pa.table(
+            {
+                "bin": tbl.column("bin").filter(pa.array(keep)),
+                "n_pairs": pa.array(nk, pa.int64()),
+                "sum_dz2": pa.array(sk, pa.int64()),
+                "gamma": pa.array(gamma, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semivariogram_sql(points_cte: str, radius: float, n_bins: int = 8) -> str:
+    """DuckDB twin of :func:`semivariogram` — exact self-join with the
+    same repr'd squared lag edges, HUGEINT sums, one division."""
+    r2 = float(radius) * float(radius)
+    edges = [(radius * k / n_bins) ** 2 for k in range(1, n_bins)]
+    bin_expr = " + ".join(
+        f"(CASE WHEN d2 > {e!r} THEN 1 ELSE 0 END)" for e in edges
+    ) or "0"
+    return f"""
+WITH p AS ({points_cte}),
+pr AS (SELECT (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) AS d2,
+              (a.pz - b.pz) * (a.pz - b.pz) AS dz2
+       FROM p a JOIN p b ON a.query_id <> b.query_id),
+f AS (SELECT {bin_expr} AS bin, dz2 FROM pr WHERE d2 <= {r2!r})
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(dz2) AS BIGINT) AS sum_dz2,
+       CAST(SUM(dz2) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE) AS gamma
+FROM f GROUP BY bin
+"""

@@ -4869,3 +4869,156 @@ def test_tile_gini_matches_bruteforce(ray_session):
         if prev is not None:
             assert row == prev
         prev = row
+
+
+def test_std_ellipse_matches_bruteforce(ray_session):
+    # exact-int moments vs numpy population moments on the grid;
+    # partition-invariant; orientation reported as tan2theta
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import std_ellipse
+
+    rng = np.random.default_rng(104)
+    res = 10
+    g = 1 << res
+    pts = rng.random((900, 2))
+    x = np.clip(np.floor(pts[:, 0] * g), 0, g - 1).astype(np.int64)
+    y = np.clip(np.floor(pts[:, 1] * g), 0, g - 1).astype(np.int64)
+    n = x.size
+    vx = (n * int((x * x).sum()) - int(x.sum()) ** 2) / n**2
+    vy = (n * int((y * y).sum()) - int(y.sum()) ** 2) / n**2
+    cv = (n * int((x * y).sum()) - int(x.sum()) * int(y.sum())) / n**2
+    assert abs(vx - x.var()) < 1e-6 and abs(vy - y.var()) < 1e-6
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        row = std_ellipse(ds, grid_res=res).take_all()[0]
+        assert row["n_points"] == n
+        assert row["mean_x"] == float(int(x.sum())) / float(n)
+        assert row["var_x"] == float(n * int((x * x).sum()) - int(x.sum()) ** 2) / float(n * n)
+        assert abs(row["cov_xy"] - cv) < 1e-12
+        num = 2 * (n * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+        den = (n * int((x * x).sum()) - int(x.sum()) ** 2) - (
+            n * int((y * y).sum()) - int(y.sum()) ** 2
+        )
+        assert row["tan2theta"] == float(num) / float(den)
+        if prev is not None:
+            assert row == prev
+        prev = row
+
+
+def test_flow_direction_matches_bruteforce(ray_session):
+    # D8 steepest-descent with unit weights vs a dense-grid reference;
+    # partition-invariant; sinks flagged -1
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import flow_direction
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(105)
+    res = 3
+    g = 1 << res
+    pts = rng.random((600, 2)) ** 2  # skew so some tiles are empty
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    grid = np.zeros((g, g), np.int64)
+    for c in cells:
+        grid[c // g, c % g] += 1
+    want = {}
+    for ix in range(g):
+        for iy in range(g):
+            if grid[ix, iy] == 0:
+                continue
+            best = None
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    nx, ny = ix + dx, iy + dy
+                    if not (0 <= nx < g and 0 <= ny < g):
+                        continue
+                    cand = (grid[nx, ny], (dx + 1) * 3 + (dy + 1))
+                    if best is None or cand < best:
+                        best = cand
+            x = int(grid[ix, iy])
+            if best is not None and best[0] < x:
+                want[ix * g + iy] = (x, best[1], x - int(best[0]))
+            else:
+                want[ix * g + iy] = (x, -1, 0)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = flow_direction(ds, res=res).take_all()
+        got = {r["cell"]: (r["x"], r["flow_dir"], r["drop_n"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # some cell flows and at least one non-trivial drop on skewed input
+    assert any(v[1] >= 0 and v[2] > 0 for v in want.values())
+
+
+def test_cross_k_matches_bruteforce(ray_session):
+    # exact cross-pair count vs the O(nA*nB) reference at two radii;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import cross_k
+
+    rng = np.random.default_rng(106)
+    a = rng.random((300, 2))
+    b = rng.random((500, 2))
+    ta = pa.table({"px": a[:, 0], "py": a[:, 1]})
+    tb = pa.table({"px": b[:, 0], "py": b[:, 1]})
+    for r in (0.03, 0.11):
+        dx = a[:, 0][:, None] - b[:, 0][None, :]
+        dy = a[:, 1][:, None] - b[:, 1][None, :]
+        want_pairs = int((dx * dx + dy * dy <= r * r).sum())
+        prev = None
+        for blocks in (1, 4):
+            da = ray.data.from_arrow(ta).repartition(blocks)
+            db = ray.data.from_arrow(tb).repartition(blocks)
+            row = cross_k(da, db, radius=r).take_all()[0]
+            assert row["n_a"] == 300 and row["n_b"] == 500
+            assert row["n_pairs"] == want_pairs
+            assert row["k_ab"] == float(want_pairs) / float(300 * 500)
+            if prev is not None:
+                assert row == prev
+            prev = row
+
+
+def test_semivariogram_matches_bruteforce(ray_session):
+    # binned gamma vs the O(n^2) ordered-pair reference; self-pairs
+    # excluded; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import semivariogram
+
+    rng = np.random.default_rng(107)
+    n, r, nb = 400, 0.12, 6
+    pts = rng.random((n, 2))
+    z = rng.integers(0, 1000, n).astype(np.int64)
+    dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+    dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+    d2 = dx * dx + dy * dy
+    hit = (d2 <= r * r) & ~np.eye(n, dtype=bool)
+    edges = np.array([(r * k / nb) ** 2 for k in range(1, nb)])
+    bins = (d2[hit][:, None] > edges[None, :]).sum(1)
+    dz2 = ((z[:, None] - z[None, :]) ** 2)[hit]
+    want = {}
+    for k in range(nb):
+        m = bins == k
+        if m.sum():
+            want[k] = (int(m.sum()), int(dz2[m].sum()),
+                       float(int(dz2[m].sum())) / float(2 * int(m.sum())))
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1], "pz": z,
+                  "query_id": np.arange(n, dtype=np.int64)})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = semivariogram(ds, radius=r, n_bins=nb).take_all()
+        got = {r0["bin"]: (r0["n_pairs"], r0["sum_dz2"], r0["gamma"]) for r0 in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
