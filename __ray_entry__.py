@@ -508,6 +508,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return clark_evans(tables.points_dataset(sf))
 
+    def q_nn_histogram(sf):
+        # G-function NN-distance distribution in log2 lags of the
+        # FLOOR-scaled squared distance: exact integer bins (power-of-
+        # two comparisons, no libm log), <=63 output rows at any size
+        from python_prtree_ray.pipelines.knn import nn_histogram
+
+        return nn_histogram(tables.points_dataset(sf))
+
     def q_cell_trend(sf):
         # emerging-hotspot trend: early-vs-late half counts per tile
         # around the stream's midpoint timestamp; exact int64
@@ -2317,6 +2325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semivariogram": q_semivariogram,
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
+        "nn_histogram": q_nn_histogram,
         "doc_modality": q_doc_modality,
         "span_windows": q_span_windows,
         "span_tiles": q_span_tiles,
@@ -2387,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.knn import (
         clark_evans_sql as _clark_evans_sql,
+        nn_histogram_sql as _nn_histogram_sql,
     )
     from python_prtree_ray.pipelines.agg import (
         skyline_sql as _skyline_sql,
@@ -3794,6 +3804,7 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "clark_evans": _clark_evans_sql(p_cust),
+        "nn_histogram": _nn_histogram_sql(p_cust),
         "tile_geohash": _tile_geohash_sql(p_cust, 6),
         "tile_users": _tile_distinct_users_sql(
             "SELECT e.user_id, q.px, q.py FROM ("

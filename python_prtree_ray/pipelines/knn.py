@@ -752,3 +752,81 @@ SELECT n AS n_points,
        ELSE NULL END AS ce_ratio
 FROM g
 """.format(cte=points_cte)
+
+
+def nn_histogram(
+    points: Dataset,
+    res: int = 5,
+    broadcast: bool | None = None,
+    coords=None,
+) -> Dataset:
+    """Nearest-neighbor distance distribution — the empirical
+    G-function of point-pattern analysis, binned in log₂-spaced lags
+    of the FLOOR-scaled squared NN distance: ``(bin, n)`` with
+    ``bin = ⌊log₂ s⌋`` for ``s = ⌊d²_nn · MOD²⌋`` and ``bin = -1``
+    for exactly-coincident neighbors (s = 0). Mass at low bins =
+    clustering, high bins = dispersion — the distributional
+    companion of the scalar :func:`clark_evans` ratio.
+
+    Exactness: d² is the ONE shared double expression, the scale/FLOOR
+    step matches :func:`clark_evans` bit for bit, and the bin comes
+    from exact INTEGER comparisons against powers of two (no libm log,
+    no float exponent — s can exceed 2⁵³ where float rounding could
+    cross a power-of-two boundary); the SQL twin is a generated
+    power-of-two CASE ladder on the same BIGINT.
+
+    Scale shape: rides :func:`nn_pairs` (cell/ring kNN, never
+    all-pairs); per-batch (bin, n) partials, ONE tiny bucketed fold —
+    output is ≤63 rows at any size.
+    """
+    from ..functions import derive
+    from .merge import bucketed_sum
+
+    if coords is None:
+        coords = derive.derive_points
+    MOD2 = 1000000007.0 * 1000000007.0
+    # s = floor(d2 * MOD2) <= floor(2 * MOD2) < 2^61
+    pows = (np.int64(1) << np.arange(62, dtype=np.int64))
+
+    nn = nn_pairs(points, res=res, broadcast=broadcast)
+
+    def binned(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        m = tbl.column("nn_id").to_numpy(zero_copy_only=False)
+        pq, pm = coords(q), coords(m)
+        dx = pq["px"] - pm["px"]
+        dy = pq["py"] - pm["py"]
+        s = np.floor((dx * dx + dy * dy) * MOD2).astype(np.int64)
+        # exact floor(log2): count powers of two <= s; s = 0 -> -1
+        bins = (s[:, None] >= pows[None, :]).sum(axis=1).astype(np.int64) - 1
+        key, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv, minlength=key.size).astype(np.int64)
+        return pa.table({"bin": key, "n": n})
+
+    parts = nn.map_batches(
+        binned, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    return bucketed_sum(parts, key_col="bin", value_cols=("n",), n_buckets=16)
+
+
+def nn_histogram_sql(points_cte: str) -> str:
+    """DuckDB twin of :func:`nn_histogram` — MIN-d² per point (nn-tie
+    proof: the histogram depends only on the minimum), identical FLOOR
+    scaling, generated power-of-two CASE ladder on the exact BIGINT."""
+    ladder = " ".join(
+        f"WHEN s < {1 << (k + 1)} THEN {k}" for k in range(62)
+    )
+    return f"""
+WITH p AS ({points_cte}),
+d AS (SELECT MIN((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) AS d2
+      FROM p a JOIN p b ON a.query_id <> b.query_id
+      GROUP BY a.query_id),
+s AS (SELECT CAST(FLOOR(d2 * (CAST(1000000007 AS DOUBLE)
+                              * CAST(1000000007 AS DOUBLE))) AS BIGINT) AS s
+      FROM d),
+b AS (SELECT CASE WHEN s = 0 THEN -1 {ladder} END AS bin FROM s)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bin
+"""

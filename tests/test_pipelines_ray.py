@@ -5022,3 +5022,44 @@ def test_semivariogram_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_nn_histogram_matches_bruteforce(ray_session):
+    # exact log2-lag NN-distance histogram vs the O(n^2) reference,
+    # with injected coincident points exercising the s=0 -> -1 bin;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.knn import nn_histogram
+
+    rng = np.random.default_rng(108)
+    n = 350
+    pts = rng.random((n, 2))
+    pts[17] = pts[3]  # coincident pair -> nn d2 = 0 for both
+    ids = np.arange(n, dtype=np.int64)
+
+    def coords(k):
+        return {"px": pts[k, 0], "py": pts[k, 1]}
+
+    dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+    dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    nn_d2 = d2.min(axis=1)
+    MOD2 = 1000000007.0 * 1000000007.0
+    s = np.floor(nn_d2 * MOD2).astype(np.int64)
+    want = {}
+    for v in s:
+        b = -1 if v == 0 else int(v).bit_length() - 1
+        want[b] = want.get(b, 0) + 1
+
+    t = pa.table({"query_id": ids, "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = nn_histogram(ds, coords=coords).take_all()
+        got = {r["bin"]: r["n"] for r in rows}
+        assert got == want
+        assert got.get(-1, 0) == 2
+        if prev is not None:
+            assert got == prev
+        prev = got
