@@ -2054,6 +2054,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
         return text.vocab_topk(docs, k=100)
 
+    def q_bigram_lift(sf):
+        # top collocations by lift (the PMI ranking without libm log):
+        # per-batch Arrow value_counts over joined pair strings, ONE
+        # pair-hash fold, vocabulary-sized marginal broadcast, map-side
+        # top-k prune + tiny merge
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        return text.bigram_lift(docs, k=100, min_count=3)
+
     def q_dup_clusters(sf):
         # near-dup pair mining → connected components → canonical doc per
         # cluster (min id): the cluster-dedup step of a training pipeline
@@ -2280,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q_corpus_curation,
         "events_user_topk": q_events_user_topk,
         "vocab_topk": q_vocab_topk,
+        "bigram_lift": q_bigram_lift,
         "tile_pyramid": q_tile_pyramid,
         "events_dedup": q_events_dedup,
         "quality_adaptive": q_quality_adaptive,
@@ -2369,6 +2380,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.curation import (
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
+    )
+    from python_prtree_ray.pipelines.text import (
+        bigram_lift_sql as _bigram_lift_sql,
     )
     from python_prtree_ray.pipelines.interval import (
         interval_union_len_sql as _interval_union_len_sql,
@@ -3425,6 +3439,7 @@ WHERE d.doc_id NOT IN
             " AS rank FROM c)"
             " SELECT word, n, rank FROM r WHERE rank <= 100"
         ),
+        "bigram_lift": _bigram_lift_sql("documents", 100, 3),
         "events_user_topk": (
             "WITH c AS (SELECT user_id, event_id, CAST(FLOOR(value * 100.0)"
             " AS BIGINT) AS value_cents FROM events),"

@@ -725,3 +725,236 @@ def compress_ratio(docs: Dataset, level: int = 6, concurrency=(1, 8)) -> Dataset
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def bigram_lift(
+    docs: Dataset,
+    k: int = 100,
+    min_count: int = 3,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Top-k adjacent-word collocations by LIFT — the association /
+    first-BPE-merge statistic over the corpus: for bigram (w1, w2),
+    ``lift = n_xy · T / (n_x · n_y)`` where n_xy is the bigram count,
+    n_x / n_y the counts of w1 as any bigram's LEFT / w2 as any RIGHT,
+    and T the total bigram count. Lift is a monotone transform of PMI
+    (= log lift), so the ranking is the PMI ranking without either
+    side touching libm log. Output ``(w1, w2, n_xy, n_x, n_y, lift,
+    rank)`` with ``n_xy >= min_count`` and ties broken
+    ``(lift DESC, w1, w2)``.
+
+    Exactness: every count is an exact int and lift is ONE double
+    division of exact int64 products (guarded against overflow), so
+    values — and therefore the ordering and the selected top-k — are
+    bitwise-equal to the SQL twin.
+
+    Scale shape: tokenization and the first bigram count collapse
+    INSIDE each batch (Arrow ``value_counts`` over joined pair
+    strings), so the pair-hash shuffle ships distinct-pair partials,
+    never tokens; ONE bucketed reduceat fold yields exact pair counts.
+    The marginals (n_x, n_y, T) fold from that distinct-pair table —
+    vocabulary-sized metadata, broadcast back via ``ray.put`` as
+    sorted numpy arrays (a 10^7-word vocabulary is ~100 MB — beyond
+    that swap the broadcast for a hash join on w1/w2). Top-k is
+    map-side pruned per block (lexsort), then one tiny merge ranks
+    the <= blocks·k survivors.
+    """
+    import ray
+
+    SEP = "\x1f"
+
+    def pair_partials(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(tbl.column("text")), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        words = flat.filter(keep)
+        m = len(words)
+        empty = pa.table(
+            {
+                "pb": np.empty(0, np.int64),
+                "h": np.empty(0, np.int64),
+                "pair": pa.array([], pa.string()),
+                "n": np.empty(0, np.int64),
+            }
+        )
+        if m < 2:
+            return empty
+        # doc boundaries in the FILTERED token stream: cumulative
+        # nonempty-token counts at each original list offset
+        csum = np.r_[0, np.cumsum(keep_np)]
+        new_off = csum[offsets - offsets[0]]
+        valid = np.ones(m - 1, bool)
+        ends = new_off[1:] - 1
+        ends = ends[(ends >= 0) & (ends < m - 1)]
+        valid[ends] = False
+        if not valid.any():
+            return empty
+        vmask = pa.array(valid)
+        pairs = pc.binary_join_element_wise(
+            words.slice(0, m - 1).filter(vmask),
+            words.slice(1).filter(vmask),
+            SEP,
+        )
+        vc = pc.value_counts(pairs)
+        p, n = vc.field("values"), vc.field("counts")
+        h = hash_str_array(p)
+        return pa.table(
+            {
+                "pb": h % np.int64(n_buckets),
+                "h": h,
+                "pair": p,
+                "n": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def pair_fold(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_xy": np.empty(0, np.int64),
+                }
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        tot = np.add.reduceat(n[order], starts)
+        pairs = group.column("pair").take(pa.array(order[starts]))
+        split = pc.split_pattern(pairs, SEP, max_splits=1)
+        return pa.table(
+            {
+                "w1": pc.list_element(split, 0),
+                "w2": pc.list_element(split, 1),
+                "n_xy": tot.astype(np.int64),
+            }
+        )
+
+    partials = docs.map_batches(
+        pair_partials,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    # pinned: consumed twice (marginal fold + scoring pass); the table
+    # is distinct-pair-sized, far below the corpus
+    pair_counts = partials.groupby("pb").map_groups(
+        pair_fold, batch_format="pyarrow"
+    ).materialize()
+
+    w1_parts, w2_parts, n_parts = [], [], []
+    for ref in pair_counts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            w1_parts.append(t.column("w1").to_numpy(zero_copy_only=False))
+            w2_parts.append(t.column("w2").to_numpy(zero_copy_only=False))
+            n_parts.append(t.column("n_xy").to_numpy(zero_copy_only=False))
+    if not w1_parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                    "n_x": pa.array([], pa.int64()),
+                    "n_y": pa.array([], pa.int64()),
+                    "lift": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    w1_all = np.concatenate(w1_parts)
+    w2_all = np.concatenate(w2_parts)
+    n_all = np.concatenate(n_parts)
+    lw, linv = np.unique(w1_all, return_inverse=True)
+    ln = np.bincount(linv, weights=n_all, minlength=lw.size).astype(np.int64)
+    rw, rinv = np.unique(w2_all, return_inverse=True)
+    rn = np.bincount(rinv, weights=n_all, minlength=rw.size).astype(np.int64)
+    T = int(n_all.sum())
+    INT64_MAX = (1 << 63) - 1
+    if T and T * int(n_all.max()) > INT64_MAX:
+        raise ValueError(
+            "bigram_lift: n_xy * T overflows int64; corpus too large for "
+            "the vectorized lift path (use object-int scoring)"
+        )
+    side = ray.put((lw, ln, rw, rn, T))
+
+    def score_block(tbl: pa.Table) -> pa.Table:
+        lw_, ln_, rw_, rn_, tt = ray.get(side)
+        w1 = tbl.column("w1").to_numpy(zero_copy_only=False)
+        w2 = tbl.column("w2").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_xy").to_numpy(zero_copy_only=False)
+        keep = n >= min_count
+        w1, w2, n = w1[keep], w2[keep], n[keep]
+        nx = ln_[np.searchsorted(lw_, w1)] if w1.size else np.empty(0, np.int64)
+        ny = rn_[np.searchsorted(rw_, w2)] if w2.size else np.empty(0, np.int64)
+        num = (n * tt).astype(np.float64)
+        den = (nx * ny).astype(np.float64)
+        lift = num / den if n.size else np.empty(0, np.float64)
+        order = np.lexsort((w2, w1, -lift))[:k]
+        return pa.table(
+            {
+                "g": np.zeros(order.size, np.int8),
+                "w1": pa.array(w1[order], pa.string()),
+                "w2": pa.array(w2[order], pa.string()),
+                "n_xy": pa.array(n[order], pa.int64()),
+                "n_x": pa.array(nx[order], pa.int64()),
+                "n_y": pa.array(ny[order], pa.int64()),
+                "lift": pa.array(lift[order], pa.float64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        w1 = group.column("w1").to_numpy(zero_copy_only=False)
+        w2 = group.column("w2").to_numpy(zero_copy_only=False)
+        lift = group.column("lift").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -lift))[:k]
+        out = group.take(pa.array(order))
+        return pa.table(
+            {
+                "w1": out.column("w1"),
+                "w2": out.column("w2"),
+                "n_xy": out.column("n_xy"),
+                "n_x": out.column("n_x"),
+                "n_y": out.column("n_y"),
+                "lift": out.column("lift"),
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+            }
+        )
+
+    scored = pair_counts.map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scored.groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+def bigram_lift_sql(table: str = "documents", k: int = 100, min_count: int = 3) -> str:
+    """DuckDB twin of :func:`bigram_lift` — LATERAL position unnest,
+    exact counts, one CAST-to-DOUBLE division, identical tie order."""
+    return f"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM {table}),
+u AS (SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM u GROUP BY w1, w2),
+l AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY w1),
+r AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY w2),
+tt AS (SELECT CAST(SUM(n_xy) AS HUGEINT) AS t FROM c),
+j AS (SELECT c.w1, c.w2, c.n_xy, l.n_x, r.n_y,
+             CAST(CAST(c.n_xy AS HUGEINT) * tt.t AS DOUBLE)
+             / CAST(CAST(l.n_x AS HUGEINT) * r.n_y AS DOUBLE) AS lift
+      FROM c JOIN l USING (w1) JOIN r USING (w2), tt
+      WHERE c.n_xy >= {min_count}),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rank FROM j)
+SELECT w1, w2, n_xy, n_x, n_y, lift, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""

@@ -5063,3 +5063,58 @@ def test_nn_histogram_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_bigram_lift_matches_bruteforce(ray_session):
+    # lift ranking vs a pure-Python reference with doc boundaries,
+    # punctuation, case folding, and empty docs; partition-invariant
+    ray = ray_session
+    import re
+    from collections import Counter
+    from python_prtree_ray.pipelines.text import bigram_lift
+
+    rng = np.random.default_rng(109)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = []
+    for _ in range(40):
+        L = int(rng.integers(0, 12))
+        words = [vocab[int(i)] for i in rng.integers(0, len(vocab), L)]
+        # punctuation/case noise the tokenizer must strip
+        docs.append(" ".join(w.upper() if rng.random() < 0.3 else w + "," for w in words))
+    docs.append("")  # empty doc
+    docs.append("solo")  # single-token doc -> no bigram
+
+    pair_counts = Counter()
+    for d in docs:
+        toks = re.findall(r"[a-z]+", d.lower())
+        for a, b in zip(toks, toks[1:]):
+            pair_counts[(a, b)] += 1
+    T = sum(pair_counts.values())
+    left = Counter()
+    right = Counter()
+    for (a, b), c in pair_counts.items():
+        left[a] += c
+        right[b] += c
+    min_count, k = 2, 10
+    cand = [
+        (a, b, c, left[a], right[b], float(c * T) / float(left[a] * right[b]))
+        for (a, b), c in pair_counts.items()
+        if c >= min_count
+    ]
+    cand.sort(key=lambda r0: (-r0[5], r0[0], r0[1]))
+    want = [
+        {"w1": a, "w2": b, "n_xy": c, "n_x": nx, "n_y": ny, "lift": lf,
+         "rank": i + 1}
+        for i, (a, b, c, nx, ny, lf) in enumerate(cand[:k])
+    ]
+    assert len(want) >= 3  # non-trivial input
+
+    t = pa.table({"text": docs})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = bigram_lift(ds, k=k, min_count=min_count).take_all()
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
