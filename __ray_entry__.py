@@ -537,6 +537,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return radius_of_gyration(_event_tracks(sf, TRACK_RES))
 
+    def q_track_diameter(sf):
+        # per-user max squared grid distance (footprint diameter):
+        # exact-int hull + h^2 vertex max per track, never n^2
+        from python_prtree_ray.pipelines.trajectory import track_diameter
+
+        return track_diameter(_event_tracks(sf, TRACK_RES))
+
     def q_jump_hist(sf):
         # jump-length distribution: log2-spaced squared-displacement
         # bins (float-exponent bin == generated CASE ladder, exact)
@@ -2344,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_slope": q_cell_slope,
         "home_cells": q_home_cells,
         "radius_gyration": q_rog,
+        "track_diameter": q_track_diameter,
         "jump_histogram": q_jump_hist,
         "snap_points": q_snap_points,
         "knox_stat": q_knox,
@@ -2377,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.trajectory import (
         trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
+        track_diameter_sql as _track_diameter_sql,
     )
     from python_prtree_ray.pipelines.curation import (
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
@@ -3869,6 +3878,9 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"), TRACK_RES
         ),
         "jump_histogram": _jump_histogram_sql(
+            derive.points_sql("events", "event_id", "event_id"), TRACK_RES
+        ),
+        "track_diameter": _track_diameter_sql(
             derive.points_sql("events", "event_id", "event_id"), TRACK_RES
         ),
         "snap_points": _snap_to_segments_sql(

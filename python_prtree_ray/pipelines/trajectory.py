@@ -1006,3 +1006,100 @@ def trajectory_dtw(
         tag_start_tile, batch_format="pyarrow"
     )
     return tagged.groupby("tile").map_groups(pair_tile, batch_format="pyarrow")
+
+
+def track_diameter(
+    tracks: Dataset,
+    key_col: str = "user_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-entity track diameter — the maximum squared grid distance
+    between any two visited points (the "how far apart did this entity
+    ever get" footprint scalar, the max-companion of
+    :func:`~python_prtree_ray.pipelines.movement.radius_of_gyration`):
+    ``(user_id, n_points, diam2)``. Exact int64 throughout, so the
+    per-user MAX self-join SQL twin matches bit-for-bit (single-point
+    and all-coincident tracks get diam2 = 0, matching the twin's
+    self-pair).
+
+    Scale shape: ONE coarse entity-bucket shuffle of three fixed-width
+    int columns; per track, the Euclidean diameter's endpoints are
+    convex-hull vertices, so the fold computes the exact integer
+    monotone-chain hull (:func:`_hull_indices`) and maxes d² over hull
+    vertex pairs — h² work on the O(h)-sized hull, never n² on the
+    track. Coordinates < 2^20 keep every product exact in int64.
+    """
+    tune_context()
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": k,
+                "gx": tbl.column(x_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "gy": tbl.column(y_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "bucket": bucket_of(k, n_buckets),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                    "diam2": pa.array([], pa.int64()),
+                }
+            )
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        k_s, x_s, y_s = key[order], gx[order], gy[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], k_s.size]
+        out_k = k_s[starts]
+        out_n = (ends - starts).astype(np.int64)
+        out_d = np.zeros(starts.size, np.int64)
+        for i, (a, b) in enumerate(zip(starts, ends)):  # per track, not row
+            h = _hull_indices(x_s[a:b], y_s[a:b])
+            hx, hy = x_s[a:b][h], y_s[a:b][h]
+            if hx.size >= 2:
+                dx = hx[:, None] - hx[None, :]
+                dy = hy[:, None] - hy[None, :]
+                out_d[i] = int((dx * dx + dy * dy).max())
+        return pa.table(
+            {key_col: out_k, "n_points": out_n, "diam2": out_d}
+        )
+
+    keyed = tracks.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def track_diameter_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`track_diameter` — per-user MAX d² over the
+    grid-point self-join (self-pairs included so singletons get 0)."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS user_id, {gx} AS x, {gy} AS y
+        FROM events e JOIN q ON e.event_id = q.event_id)
+SELECT a.user_id,
+       CAST(COUNT(DISTINCT a.rn) AS BIGINT) AS n_points,
+       CAST(MAX((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS diam2
+FROM (SELECT user_id, x, y, ROW_NUMBER() OVER () AS rn FROM pts) a
+JOIN pts b USING (user_id)
+GROUP BY a.user_id
+"""

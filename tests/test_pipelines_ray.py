@@ -5118,3 +5118,50 @@ def test_bigram_lift_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_track_diameter_matches_bruteforce(ray_session):
+    # hull+calipers diameter vs the O(n^2) all-pairs reference,
+    # including singleton, coincident, and collinear tracks;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import track_diameter
+
+    rng = np.random.default_rng(110)
+    rows_u, rows_x, rows_y = [], [], []
+    want = {}
+    for u in range(25):
+        L = int(rng.integers(1, 40))
+        if u == 0:
+            x = np.array([7]); y = np.array([3])            # singleton
+        elif u == 1:
+            x = np.full(5, 9); y = np.full(5, 9)            # coincident
+        elif u == 2:
+            x = np.arange(6) * 3; y = np.arange(6) * 4      # collinear
+        else:
+            x = rng.integers(0, 1024, L)
+            y = rng.integers(0, 1024, L)
+        x, y = x.astype(np.int64), y.astype(np.int64)
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        want[u] = (x.size, int((dx * dx + dy * dy).max()))
+        rows_u.append(np.full(x.size, u, np.int64))
+        rows_x.append(x)
+        rows_y.append(y)
+    t = pa.table(
+        {
+            "user_id": np.concatenate(rows_u),
+            "gx": np.concatenate(rows_x),
+            "gy": np.concatenate(rows_y),
+        }
+    )
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = track_diameter(ds).take_all()
+        got = {r["user_id"]: (r["n_points"], r["diam2"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    assert want[0][1] == 0 and want[1][1] == 0 and want[2][1] == 15 * 15 + 20 * 20
