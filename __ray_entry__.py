@@ -320,6 +320,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_gini(pts, res=TILE_RES)
 
+    def q_contour_cases(sf):
+        # marching-squares case codes of the event-density raster at
+        # threshold 3: exact tile counts + ONE (block, weight) fold,
+        # iso-line-sized output
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.contour_cases(pts, res=TILE_RES, threshold=3)
+
     def q_std_ellipse(sf):
         # standard deviational ellipse of event points: per-batch
         # 6-int moment partials, exact-int numerators, ONE double
@@ -2338,6 +2355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_buffer": q_tile_buffer,
         "tile_gini": q_tile_gini,
         "std_ellipse": q_std_ellipse,
+        "contour_cases": q_contour_cases,
         "flow_direction": q_flow_direction,
         "cross_k": q_cross_k,
         "semivariogram": q_semivariogram,
@@ -2410,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         tile_buffer_sql as _tile_buffer_sql,
         tile_gini_sql as _tile_gini_sql,
         std_ellipse_sql as _std_ellipse_sql,
+        contour_cases_sql as _contour_cases_sql,
         flow_direction_sql as _flow_direction_sql,
         cross_k_sql as _cross_k_sql,
         semivariogram_sql as _semivariogram_sql,
@@ -3842,6 +3861,9 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "std_ellipse": _std_ellipse_sql(
             derive.points_sql("events", "event_id", "event_id"), 12
+        ),
+        "contour_cases": _contour_cases_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES, 3
         ),
         "flow_direction": _flow_direction_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES

@@ -3188,3 +3188,113 @@ SELECT CAST(bin AS BIGINT) AS bin,
        CAST(SUM(dz2) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE) AS gamma
 FROM f GROUP BY bin
 """
+
+
+def contour_cases(points: Dataset, res: int, threshold: int, n_buckets: int = 256) -> Dataset:
+    """Marching-squares case classification of the point-density
+    raster — the raster→vector contouring primitive: for every 2×2
+    corner block of the grid, the 4-bit case code of "corner density
+    ≥ threshold" (bit 8 = corner (0,0), 4 = (1,0), 2 = (1,1),
+    1 = (0,1)), keeping the blocks the iso-line actually crosses
+    (``0 < case < 15``). Output ``(block, case_code)`` with ``block``
+    the anchor-corner cell id. All-integer → trivially exact vs SQL.
+
+    Scale shape: points collapse to the exact occupied-tile counts
+    (ONE bucketed fold); only ABOVE-threshold tiles then offer their
+    corner bit-weight to their ≤4 containing blocks — ONE
+    (block, weight) int shuffle summed by a second tiny fold, so
+    all-below blocks never materialize and all-above blocks are
+    filtered by the case range. Output is iso-line-sized.
+    """
+    import numpy as np
+
+    from .merge import bucketed_sum
+
+    if not 1 <= res <= 15:
+        raise ValueError(f"contour_cases: res must be in [1, 15], got {res}")
+    if threshold < 1:
+        raise ValueError(
+            f"contour_cases: threshold must be >= 1, got {threshold}"
+        )
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    # corner (dx, dy) of a block → case bit weight
+    ddx = np.array([0, 1, 1, 0], np.int64)
+    ddy = np.array([0, 0, 1, 1], np.int64)
+    wts = np.array([8, 4, 2, 1], np.int64)
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        hot = x >= threshold
+        cell = cell[hot]
+        ix, iy = cell // g, cell % g
+        bx = ix[:, None] - ddx[None, :]
+        by = iy[:, None] - ddy[None, :]
+        ok = (bx >= 0) & (bx <= g - 2) & (by >= 0) & (by <= g - 2)
+        block = (bx * g + by)[ok]
+        w = np.broadcast_to(wts, ok.shape)[ok]
+        return pa.table({"block": block, "w": w})
+
+    summed = bucketed_sum(
+        counts.map_batches(offers, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="block",
+        value_cols=("w",),
+        n_buckets=n_buckets,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        keep = pa.array((w > 0) & (w < 15))
+        out = tbl.filter(keep)
+        return pa.table(
+            {
+                "block": out.column("block"),
+                "case_code": out.column("w"),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contour_cases_sql(points_cte: str, res: int, threshold: int) -> str:
+    """DuckDB twin of :func:`contour_cases` — above-threshold cells,
+    4-corner offset join, case-range filter."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    corners = ", ".join(
+        f"({w}, {dx}, {dy})"
+        for w, dx, dy in ((8, 0, 0), (4, 1, 0), (2, 1, 1), (1, 0, 1))
+    )
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+hot AS (SELECT cell FROM c WHERE x >= {threshold}),
+k(w, dx, dy) AS (VALUES {corners}),
+o AS (SELECT ((hot.cell // {g}) - k.dx) * {g} + ((hot.cell % {g}) - k.dy) AS block,
+             k.w AS w
+      FROM hot CROSS JOIN k
+      WHERE (hot.cell // {g}) - k.dx BETWEEN 0 AND {g - 2}
+        AND (hot.cell % {g}) - k.dy BETWEEN 0 AND {g - 2})
+SELECT block, CAST(SUM(w) AS BIGINT) AS case_code
+FROM o GROUP BY block
+HAVING SUM(w) > 0 AND SUM(w) < 15
+"""

@@ -5165,3 +5165,42 @@ def test_track_diameter_matches_bruteforce(ray_session):
             assert got == prev
         prev = got
     assert want[0][1] == 0 and want[1][1] == 0 and want[2][1] == 15 * 15 + 20 * 20
+
+
+def test_contour_cases_matches_bruteforce(ray_session):
+    # marching-squares case codes vs a dense-grid reference;
+    # partition-invariant; all-above (15) and all-below (0) excluded
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import contour_cases
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(111)
+    res, t = 3, 2
+    g = 1 << res
+    pts = rng.random((900, 2)) ** 2  # skewed so both 0 and 15 blocks exist
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    grid = np.zeros((g, g), np.int64)
+    for c in cells:
+        grid[c // g, c % g] += 1
+    b = (grid >= t).astype(np.int64)
+    want = {}
+    n_full = 0
+    for bx in range(g - 1):
+        for by in range(g - 1):
+            code = 8 * b[bx, by] + 4 * b[bx + 1, by] + 2 * b[bx + 1, by + 1] + b[bx, by + 1]
+            if code == 15:
+                n_full += 1
+            if 0 < code < 15:
+                want[bx * g + by] = code
+    assert want and n_full  # non-trivial: iso-line exists, interior exists
+
+    tbl = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        rows = contour_cases(ds, res=res, threshold=t).take_all()
+        got = {r["block"]: r["case_code"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
