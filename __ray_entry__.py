@@ -554,6 +554,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return radius_of_gyration(_event_tracks(sf, TRACK_RES))
 
+    def q_segment_tiles(sf):
+        # supercover line rasterization: every TILE_RES tile each
+        # teleport-gated move crosses (exact int SAT test: closed bbox
+        # + segment-normal corner signs), one row per (move, tile)
+        from python_prtree_ray.pipelines.movement import segment_tiles
+
+        return segment_tiles(
+            _event_tracks(sf, TRACK_RES), res=TILE_RES, fine_res=TRACK_RES
+        )
+
     def q_track_diameter(sf):
         # per-user max squared grid distance (footprint diameter):
         # exact-int hull + h^2 vertex max per track, never n^2
@@ -2370,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "home_cells": q_home_cells,
         "radius_gyration": q_rog,
         "track_diameter": q_track_diameter,
+        "segment_tiles": q_segment_tiles,
         "jump_histogram": q_jump_hist,
         "snap_points": q_snap_points,
         "knox_stat": q_knox,
@@ -2399,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         cell_trend_sql as _cell_trend_sql,
         heading_histogram_sql as _heading_histogram_sql,
         snap_to_segments_sql as _snap_to_segments_sql,
+        segment_tiles_sql as _segment_tiles_sql,
         speed_outliers_sql as _speed_outliers_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
@@ -3904,6 +3916,11 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "track_diameter": _track_diameter_sql(
             derive.points_sql("events", "event_id", "event_id"), TRACK_RES
+        ),
+        "segment_tiles": _segment_tiles_sql(
+            derive.points_sql("events", "event_id", "event_id"),
+            TILE_RES,
+            TRACK_RES,
         ),
         "snap_points": _snap_to_segments_sql(
             derive.points_sql("events", "event_id", "event_id"),

@@ -1598,3 +1598,165 @@ b AS (SELECT CASE WHEN d2 = 0 THEN -1 {ladder} END AS bin FROM d)
 SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY bin
 """
+
+
+def segment_tiles(
+    tracks: Dataset,
+    res: int,
+    fine_res: int,
+    max_move: int = 128,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Supercover line rasterization of movement segments — every tile
+    at resolution ``res`` a consecutive same-entity move passes
+    through (the trajectory→raster footprint op: coverage heat-maps,
+    corridor extraction). ``gx``/``gy`` must be grid indices at the
+    finer ``fine_res``; output ``(user_id, seq, cell)`` with ``seq``
+    the FROM event id, one row per (move, crossed tile). CLOSED
+    semantics: a segment running along a tile boundary belongs to both
+    tiles (the cover-boxes convention).
+
+    Exactness: a tile square intersects a closed segment iff their
+    closed bounding intervals overlap AND the square's four corners
+    are not all STRICTLY on one side of the segment's supporting line
+    (the complete separating-axis set for segment-vs-AABB: x, y, and
+    the segment normal) — all evaluated in int64 (fine coords < 2^20
+    keep every cross product exact), so the LAG + LATERAL SQL twin
+    matches exactly. Teleport gate: moves with L∞ > ``max_move`` fine
+    units are dropped (same convention as ``segment_crossings``).
+
+    Scale shape: the shared trajectory fold (ONE entity-bucket shuffle
+    of fixed-width ints); per move the candidate set is its bbox's
+    ≤ (max_move/w + 2)² tiles, expanded and tested fully vectorized
+    (repeat/arange, no per-move loop). Output is corridor-sized.
+    """
+    tune_context()
+
+    if not 0 <= res <= fine_res <= 15:
+        raise ValueError(
+            f"segment_tiles: need 0 <= res <= fine_res <= 15, got {res}, {fine_res}"
+        )
+    shift = fine_res - res
+    g = np.int64(1 << res)
+    w = np.int64(1 << shift)
+
+    def emit(cols, dt):
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "cell": pa.array([], pa.int64()),
+            }
+        )
+        if cols is None:
+            return empty
+        x1, x2 = (v.astype(np.int64) for v in cols[x_col])
+        y1, y2 = (v.astype(np.int64) for v in cols[y_col])
+        u, _ = cols[key_col]
+        s, _ = cols[seq_col]
+        keep = np.maximum(np.abs(x2 - x1), np.abs(y2 - y1)) <= max_move
+        if not keep.any():
+            return empty
+        x1, x2, y1, y2 = x1[keep], x2[keep], y1[keep], y2[keep]
+        u = u[keep].astype(np.int64)
+        s = s[keep].astype(np.int64)
+        mnx, mxx = np.minimum(x1, x2), np.maximum(x1, x2)
+        mny, mxy = np.minimum(y1, y2), np.maximum(y1, y2)
+        # candidate tile ranges, low side widened by 1 for the closed-
+        # boundary case (a point exactly on a tile edge hits both tiles)
+        cx0 = np.maximum(mnx // w - 1, 0)
+        cx1 = mxx // w
+        cy0 = np.maximum(mny // w - 1, 0)
+        cy1 = mxy // w
+        nx = (cx1 - cx0 + 1).astype(np.int64)
+        ny = (cy1 - cy0 + 1).astype(np.int64)
+        per = nx * ny
+        row = np.repeat(np.arange(per.size, dtype=np.int64), per)
+        # local candidate index within each move's range, then (cx, cy)
+        off = np.concatenate([[0], np.cumsum(per)[:-1]])
+        loc = np.arange(int(per.sum()), dtype=np.int64) - off[row]
+        cx = cx0[row] + loc // ny[row]
+        cy = cy0[row] + loc % ny[row]
+        X0, X1 = cx * w, (cx + 1) * w
+        Y0, Y1 = cy * w, (cy + 1) * w
+        # closed bbox overlap on both axes
+        ok = (mxx[row] >= X0) & (mnx[row] <= X1) & (mxy[row] >= Y0) & (mny[row] <= Y1)
+        # corner-side test on the segment normal
+        dx = (x2 - x1)[row]
+        dy = (y2 - y1)[row]
+        rx1, ry1 = x1[row], y1[row]
+        c1 = dx * (Y0 - ry1) - dy * (X0 - rx1)
+        c2 = dx * (Y0 - ry1) - dy * (X1 - rx1)
+        c3 = dx * (Y1 - ry1) - dy * (X0 - rx1)
+        c4 = dx * (Y1 - ry1) - dy * (X1 - rx1)
+        pos = (c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)
+        neg = (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+        ok &= ~(pos | neg)
+        return pa.table(
+            {
+                "user_id": u[row][ok],
+                "seq": s[row][ok],
+                "cell": (cx * g + cy)[ok],
+            }
+        )
+
+    keyed = _bucketed(
+        tracks, key_col, ts_col, seq_col, (x_col, y_col, key_col, seq_col), n_buckets
+    )
+    return _fold_pairs(keyed, (x_col, y_col, key_col, seq_col), emit)
+
+
+def segment_tiles_sql(
+    points_cte: str, res: int, fine_res: int, max_move: int = 128
+) -> str:
+    """DuckDB twin of :func:`segment_tiles` — LAG pairs, LATERAL tile
+    ranges, identical closed bbox + corner-side integer tests."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", fine_res)
+    gy = derive.tile_index_sql("q.py", fine_res)
+    g = 1 << res
+    w = 1 << (fine_res - res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} AS x, {gy} AS y
+        FROM events e JOIN q ON e.event_id = q.event_id),
+mv AS (SELECT u, seq,
+              LAG(x) OVER win AS x1, LAG(y) OVER win AS y1,
+              x AS x2, y AS y2,
+              LAG(seq) OVER win AS seq1
+       FROM pts WINDOW win AS (PARTITION BY u ORDER BY ts, seq)),
+seg AS (SELECT u, seq1 AS seq, x1, y1, x2, y2
+        FROM mv
+        WHERE x1 IS NOT NULL
+          AND GREATEST(ABS(x2 - x1), ABS(y2 - y1)) <= {max_move}),
+cand AS (SELECT seg.*, cx.cx, cy.cy
+         FROM seg,
+              LATERAL (SELECT unnest(generate_series(
+                  GREATEST(LEAST(x1, x2) // {w} - 1, 0),
+                  GREATEST(x1, x2) // {w})) AS cx) cx,
+              LATERAL (SELECT unnest(generate_series(
+                  GREATEST(LEAST(y1, y2) // {w} - 1, 0),
+                  GREATEST(y1, y2) // {w})) AS cy) cy)
+SELECT u AS user_id, seq, CAST(cx * {g} + cy AS BIGINT) AS cell
+FROM cand
+WHERE GREATEST(x1, x2) >= cx * {w} AND LEAST(x1, x2) <= (cx + 1) * {w}
+  AND GREATEST(y1, y2) >= cy * {w} AND LEAST(y1, y2) <= (cy + 1) * {w}
+  AND NOT (
+    ((x2 - x1) * (cy * {w} - y1) - (y2 - y1) * (cx * {w} - x1) > 0
+     AND (x2 - x1) * (cy * {w} - y1) - (y2 - y1) * ((cx + 1) * {w} - x1) > 0
+     AND (x2 - x1) * ((cy + 1) * {w} - y1) - (y2 - y1) * (cx * {w} - x1) > 0
+     AND (x2 - x1) * ((cy + 1) * {w} - y1) - (y2 - y1) * ((cx + 1) * {w} - x1) > 0)
+    OR
+    ((x2 - x1) * (cy * {w} - y1) - (y2 - y1) * (cx * {w} - x1) < 0
+     AND (x2 - x1) * (cy * {w} - y1) - (y2 - y1) * ((cx + 1) * {w} - x1) < 0
+     AND (x2 - x1) * ((cy + 1) * {w} - y1) - (y2 - y1) * (cx * {w} - x1) < 0
+     AND (x2 - x1) * ((cy + 1) * {w} - y1) - (y2 - y1) * ((cx + 1) * {w} - x1) < 0)
+  )
+"""

@@ -5204,3 +5204,81 @@ def test_contour_cases_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_segment_tiles_matches_bruteforce(ray_session):
+    # supercover SAT test vs an all-tiles scalar reference (no
+    # candidate-range pruning), incl. boundary-riding and degenerate
+    # zero-length moves; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import segment_tiles
+
+    rng = np.random.default_rng(112)
+    fine_res, res = 6, 3
+    gf, g = 1 << fine_res, 1 << res
+    w = 1 << (fine_res - res)
+    users, tss, seqs, xs, ys = [], [], [], [], []
+    seq = 0
+    for u in range(8):
+        L = int(rng.integers(2, 9))
+        x = rng.integers(0, gf, L)
+        y = rng.integers(0, gf, L)
+        if u == 0:
+            x[:2] = [16, 32]; y[:2] = [8, 8]   # ride a tile boundary? y=8=w -> boundary row
+        if u == 1:
+            x[0] = x[1]; y[0] = y[1]           # zero-length move
+        for i in range(L):
+            users.append(u); tss.append(1_000_000 * (i + 1)); seqs.append(seq)
+            xs.append(int(x[i])); ys.append(int(y[i]))
+            seq += 1
+
+    def seg_hits(x1, y1, x2, y2):
+        out = set()
+        for cx in range(g):
+            for cy in range(g):
+                X0, X1, Y0, Y1 = cx * w, (cx + 1) * w, cy * w, (cy + 1) * w
+                if not (max(x1, x2) >= X0 and min(x1, x2) <= X1
+                        and max(y1, y2) >= Y0 and min(y1, y2) <= Y1):
+                    continue
+                dx, dy = x2 - x1, y2 - y1
+                cs = [dx * (py - y1) - dy * (px - x1)
+                      for px in (X0, X1) for py in (Y0, Y1)]
+                if all(c > 0 for c in cs) or all(c < 0 for c in cs):
+                    continue
+                out.add(cx * g + cy)
+        return out
+
+    want = set()
+    by_user = {}
+    for u, t0, s, x, y in zip(users, tss, seqs, xs, ys):
+        by_user.setdefault(u, []).append((t0, s, x, y))
+    for u, rows in by_user.items():
+        rows.sort()
+        for (t1, s1, x1, y1), (t2, s2, x2, y2) in zip(rows, rows[1:]):
+            if max(abs(x2 - x1), abs(y2 - y1)) <= 128:
+                for c in seg_hits(x1, y1, x2, y2):
+                    want.add((u, s1, c))
+
+    t = pa.table(
+        {
+            "user_id": np.array(users, np.int64),
+            "ts": pa.array(
+                np.array(tss, "datetime64[us]"), pa.timestamp("us")
+            ),
+            "event_id": np.array(seqs, np.int64),
+            "gx": np.array(xs, np.int64),
+            "gy": np.array(ys, np.int64),
+        }
+    )
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = segment_tiles(ds, res=res, fine_res=fine_res).take_all()
+        got = {(r["user_id"], r["seq"], r["cell"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # boundary-riding move must hit tiles on BOTH sides of the ridden row
+    u0 = {c for (u, s, c) in want if u == 0}
+    assert u0
