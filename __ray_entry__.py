@@ -1164,6 +1164,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
         return doc_modality(interleaved_docs(n))
 
+    def q_span_transitions(sf):
+        # modality-transition matrix of the interleaved corpus: per-
+        # batch <=16-int partials via masked bincount over span-kind
+        # codes, one tiny fold; exact ints
+        import pyarrow.parquet as pq
+        from python_prtree_ray.sources.synth import interleaved_docs
+        from python_prtree_ray.pipelines.multimodal import span_transitions
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        return span_transitions(interleaved_docs(n))
+
     def q_video_frames(sf):
         import pyarrow.parquet as pq
         from python_prtree_ray.sources.synth import interleaved_docs
@@ -2373,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clark_evans": q_clark_evans,
         "nn_histogram": q_nn_histogram,
         "doc_modality": q_doc_modality,
+        "span_transitions": q_span_transitions,
         "span_windows": q_span_windows,
         "span_tiles": q_span_tiles,
         "cell_trend": q_cell_trend,
@@ -3387,6 +3399,19 @@ FROM w GROUP BY doc_id, window_id
             "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
         )
         + ") GROUP BY doc_id",
+        # modality interleaving structure over the regenerated spans
+        "span_transitions": """
+WITH sp AS ("""
+        + interleaved_spans_sql(
+            "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
+        )
+        + """),
+d AS (SELECT doc_id, kind,
+             LAG(kind) OVER (PARTITION BY doc_id ORDER BY seq) AS from_kind
+      FROM sp)
+SELECT from_kind, kind AS to_kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE from_kind IS NOT NULL GROUP BY from_kind, kind
+""",
         # resume reread must equal the plain join's pair set
         "checkpoint_resume": spatial_join_sql,
         # a saved+loaded tree must answer queries identically

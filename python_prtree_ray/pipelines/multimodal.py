@@ -354,3 +354,69 @@ def span_tiles(docs: Dataset, res: int) -> Dataset:
         )
 
     return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_KINDS = ("text", "image", "audio", "video")
+
+
+def span_transitions(docs: Dataset) -> Dataset:
+    """Modality-transition matrix over the interleaved spans — how the
+    corpus interleaves: counts of consecutive same-document
+    ``(from_kind, to_kind)`` span pairs, the structure statistic a
+    multimodal mix is tuned on (text→image rate, media run-length
+    tendency). Output ≤16 rows ``(from_kind, to_kind, n)``.
+
+    Zero text/media shuffle: spans live inside their doc's row, so the
+    adjacency collapses per batch to a ≤16-int transition partial
+    (kind codes + one bincount over masked pair keys — the doc
+    boundary mask kills cross-doc adjacency); ONE tiny bucketed fold
+    sums the partials. Exact integers throughout.
+    """
+    import pyarrow.compute as pc
+
+    from .merge import bucketed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        spans = tbl.column("spans").combine_chunks()
+        vals = spans.flatten()
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        kind = vals.field("kind")
+        code = np.zeros(len(kind), np.int64)
+        for i, k in enumerate(_KINDS[1:], start=1):
+            code[pc.equal(kind, k).to_numpy(zero_copy_only=False)] = i
+        if code.size < 2:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        valid = np.ones(code.size - 1, bool)
+        ends = offs[1:] - 1
+        ends = ends[(ends >= 0) & (ends < code.size - 1)]
+        valid[ends] = False
+        key = (code[:-1] * 4 + code[1:])[valid]
+        if key.size == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        n = np.bincount(key, minlength=16).astype(np.int64)
+        occ = np.flatnonzero(n)
+        return pa.table({"key": occ.astype(np.int64), "n": n[occ]})
+
+    summed = bucketed_sum(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="key",
+        value_cols=("n",),
+        n_buckets=4,
+    )
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "from_kind": pa.array([_KINDS[k // 4] for k in key], pa.string()),
+                "to_kind": pa.array([_KINDS[k % 4] for k in key], pa.string()),
+                "n": tbl.column("n"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

@@ -5282,3 +5282,51 @@ def test_segment_tiles_matches_bruteforce(ray_session):
     # boundary-riding move must hit tiles on BOTH sides of the ridden row
     u0 = {c for (u, s, c) in want if u == 0}
     assert u0
+
+
+def test_span_transitions_matches_bruteforce(ray_session):
+    # transition counts vs a per-doc Python reference over hand-built
+    # interleaved spans, incl. single-span and empty docs;
+    # partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.multimodal import span_transitions
+
+    rng = np.random.default_rng(113)
+    kinds = ["text", "image", "audio", "video"]
+    docs = []
+    for i in range(60):
+        L = int(rng.integers(0, 7)) if i else 1  # doc 0: single span
+        docs.append([kinds[int(j)] for j in rng.integers(0, 4, L)])
+    want = Counter()
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            want[(a, b)] += 1
+
+    span_type = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    flat = [
+        {"kind": k, "text": "", "media_ref": "", "offset": 0}
+        for d in docs
+        for k in d
+    ]
+    offs = np.concatenate([[0], np.cumsum([len(d) for d in docs])]).astype(np.int32)
+    spans = pa.ListArray.from_arrays(
+        pa.array(offs), pa.array(flat, type=span_type)
+    )
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(docs))], "spans": spans})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = span_transitions(ds).take_all()
+        got = {(r["from_kind"], r["to_kind"]): r["n"] for r in rows}
+        assert got == dict(want)
+        if prev is not None:
+            assert got == prev
+        prev = got
