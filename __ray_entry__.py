@@ -2099,6 +2099,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
         return text.vocab_topk(docs, k=100)
 
+    def q_char_trigrams(sf):
+        # char-trigram top-100 within [a-z]+ word runs: zero-copy
+        # UTF-8 buffer byte arithmetic + 26^3 bincount per batch, one
+        # tiny fold; grams decoded only for the final k rows
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        return text.char_trigrams(docs, k=100)
+
     def q_bigram_lift(sf):
         # top collocations by lift (the PMI ranking without libm log):
         # per-batch Arrow value_counts over joined pair strings, ONE
@@ -2336,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topk": q_events_user_topk,
         "vocab_topk": q_vocab_topk,
         "bigram_lift": q_bigram_lift,
+        "char_trigrams": q_char_trigrams,
         "tile_pyramid": q_tile_pyramid,
         "events_dedup": q_events_dedup,
         "quality_adaptive": q_quality_adaptive,
@@ -2434,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
+        char_trigrams_sql as _char_trigrams_sql,
     )
     from python_prtree_ray.pipelines.interval import (
         interval_union_len_sql as _interval_union_len_sql,
@@ -3505,6 +3516,7 @@ WHERE d.doc_id NOT IN
             " SELECT word, n, rank FROM r WHERE rank <= 100"
         ),
         "bigram_lift": _bigram_lift_sql("documents", 100, 3),
+        "char_trigrams": _char_trigrams_sql("documents", 100),
         "events_user_topk": (
             "WITH c AS (SELECT user_id, event_id, CAST(FLOOR(value * 100.0)"
             " AS BIGINT) AS value_cents FROM events),"

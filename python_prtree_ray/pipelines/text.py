@@ -958,3 +958,108 @@ rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rank FROM j)
 SELECT w1, w2, n_xy, n_x, n_y, lift, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {k}
 """
+
+
+def char_trigrams(docs: Dataset, k: int = 100) -> Dataset:
+    """Global character-trigram top-k over the word stream — the
+    char-n-gram statistic language-ID models and BPE seeding are built
+    on: trigrams WITHIN lowercase ``[a-z]+`` word runs (no cross-word
+    or cross-space grams), ranked ``(n DESC, gram ASC)``. Output
+    ``(gram, n, rank)``.
+
+    Scale shape: trigrams never exist as strings in the hot path —
+    each batch tokenizes with the shared Arrow kernels, then reads the
+    word array's UTF-8 DATA BUFFER zero-copy and bincounts the packed
+    26³ integer key (byte arithmetic, no per-row loop, no numpy-
+    unicode materialization); partials are ≤17576-int tables, ONE tiny
+    bucketed fold + one merge ranks them. Document text never
+    shuffles.
+    """
+    from .merge import bucketed_sum
+
+    B = 17576  # 26^3
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(tbl.column("text")), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(flat) == 0:
+            return empty
+        off = np.frombuffer(flat.buffers()[1], np.int32)[
+            flat.offset : flat.offset + len(flat) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(flat.buffers()[2], np.uint8)
+        lens = np.diff(off)
+        per = np.maximum(lens - 2, 0)
+        total = int(per.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(per.size, dtype=np.int64), per)
+        base = np.concatenate([[0], np.cumsum(per)[:-1]])
+        s = off[row] + (np.arange(total, dtype=np.int64) - base[row])
+        a = data[s].astype(np.int64) - 97
+        b = data[s + 1].astype(np.int64) - 97
+        c = data[s + 2].astype(np.int64) - 97
+        n = np.bincount(a * 676 + b * 26 + c, minlength=B)
+        occ = np.flatnonzero(n)
+        return pa.table({"key": occ.astype(np.int64), "n": n[occ].astype(np.int64)})
+
+    summed = bucketed_sum(
+        docs.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="key",
+        value_cols=("n",),
+        n_buckets=16,
+    )
+
+    def regroup(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("g", pa.array(np.zeros(tbl.num_rows, np.int8)))
+
+    def final(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -n))[:k]
+        kk, nn = key[order], n[order]
+        grams = [
+            chr(97 + v // 676) + chr(97 + (v // 26) % 26) + chr(97 + v % 26)
+            for v in kk
+        ]  # <= k decoded strings, never the corpus
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "n": pa.array(nn, pa.int64()),
+                "rank": np.arange(1, kk.size + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        summed.map_batches(regroup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def char_trigrams_sql(table: str = "documents", k: int = 100) -> str:
+    """DuckDB twin of :func:`char_trigrams` — word unnest, LATERAL
+    position series, substr grams (char == byte on [a-z])."""
+    return f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM {table}),
+t AS (SELECT substr(word, i, 3) AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(word) - 2)) AS i) s),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY gram),
+r AS (SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rank FROM c)
+SELECT gram, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}
+"""

@@ -5330,3 +5330,40 @@ def test_span_transitions_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_char_trigrams_matches_bruteforce(ray_session):
+    # byte-buffer trigram extraction vs a pure-Python reference with
+    # unicode noise, short words, and case folding; partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.text import char_trigrams
+
+    import re as _re
+
+    docs = [
+        "The quick brown fox-jumps; over THE lazy dog",
+        "ab abc abcd ünïcödé stripped",   # non-ascii splits words
+        "",
+        "aaaa aaa aa a",
+    ]
+    want = Counter()
+    for d in docs:
+        for w in _re.findall(r"[a-z]+", d.lower()):
+            for i in range(len(w) - 2):
+                want[w[i : i + 3]] += 1
+    k = 10
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want_rows = [
+        {"gram": g, "n": n, "rank": i + 1} for i, (g, n) in enumerate(ranked)
+    ]
+
+    t = pa.table({"text": docs})
+    prev = None
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = char_trigrams(ds, k=k).take_all()
+        assert got == want_rows
+        if prev is not None:
+            assert got == prev
+        prev = got
