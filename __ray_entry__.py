@@ -564,6 +564,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _event_tracks(sf, TRACK_RES), res=TILE_RES, fine_res=TRACK_RES
         )
 
+    def q_turn_histogram(sf):
+        # per-user turning-behavior histogram over move pairs: exact
+        # integer cross/dot sign classes (no angles), double-LAG twin
+        from python_prtree_ray.pipelines.movement import turn_histogram
+
+        return turn_histogram(_event_tracks(sf, TRACK_RES))
+
     def q_track_diameter(sf):
         # per-user max squared grid distance (footprint diameter):
         # exact-int hull + h^2 vertex max per track, never n^2
@@ -2403,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_gyration": q_rog,
         "track_diameter": q_track_diameter,
         "segment_tiles": q_segment_tiles,
+        "turn_histogram": q_turn_histogram,
         "jump_histogram": q_jump_hist,
         "snap_points": q_snap_points,
         "knox_stat": q_knox,
@@ -2433,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
         heading_histogram_sql as _heading_histogram_sql,
         snap_to_segments_sql as _snap_to_segments_sql,
         segment_tiles_sql as _segment_tiles_sql,
+        turn_histogram_sql as _turn_histogram_sql,
         speed_outliers_sql as _speed_outliers_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
@@ -3958,6 +3967,9 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"),
             TILE_RES,
             TRACK_RES,
+        ),
+        "turn_histogram": _turn_histogram_sql(
+            derive.points_sql("events", "event_id", "event_id"), TRACK_RES
         ),
         "snap_points": _snap_to_segments_sql(
             derive.points_sql("events", "event_id", "event_id"),

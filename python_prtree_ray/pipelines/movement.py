@@ -1760,3 +1760,129 @@ WHERE GREATEST(x1, x2) >= cx * {w} AND LEAST(x1, x2) <= (cx + 1) * {w}
      AND (x2 - x1) * ((cy + 1) * {w} - y1) - (y2 - y1) * ((cx + 1) * {w} - x1) < 0)
   )
 """
+
+
+_TURN_LABELS = ("degenerate", "left", "right", "straight", "uturn")
+
+
+def turn_histogram(
+    tracks: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-entity turning-behavior histogram over consecutive move
+    PAIRS (three consecutive fixes): ``(user_id, turn, n_turns)``
+    where ``turn`` classifies the second move relative to the first by
+    the EXACT integer cross/dot signs — ``left`` (cross > 0),
+    ``right`` (cross < 0), ``straight`` (cross = 0, dot > 0),
+    ``uturn`` (cross = 0, dot < 0), ``degenerate`` (either move has
+    zero length). No angles, no floats — the double-LAG SQL twin
+    matches bit-for-bit. The rotation companion of
+    :func:`heading_histogram` (commute-loop chirality, wandering vs
+    directed movement).
+
+    Scale shape: the shared trajectory fold machinery extended to
+    TRIPLES — same ONE entity-bucket shuffle of fixed-width ints; the
+    per-bucket lexsort fold takes consecutive same-key row triples and
+    collapses them to ≤5 rows per entity; ONE tiny coarse-bucket sum.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        key = group.column("_mv_key").to_numpy(zero_copy_only=False)
+        if key.size < 3:
+            return empty
+        ts = (
+            group.column("_mv_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("_mv_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s = key[order]
+        same2 = (k_s[2:] == k_s[:-2])
+        if not same2.any():
+            return empty
+        x = group.column(x_col).to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        y = group.column(y_col).to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        x1, x2, x3 = x[:-2][same2], x[1:-1][same2], x[2:][same2]
+        y1, y2, y3 = y[:-2][same2], y[1:-1][same2], y[2:][same2]
+        u = k_s[:-2][same2]
+        d1x, d1y = x2 - x1, y2 - y1
+        d2x, d2y = x3 - x2, y3 - y2
+        cross = d1x * d2y - d1y * d2x
+        dot = d1x * d2x + d1y * d2y
+        degen = ((d1x == 0) & (d1y == 0)) | ((d2x == 0) & (d2y == 0))
+        cls = np.where(
+            degen,
+            0,
+            np.where(
+                cross > 0,
+                1,
+                np.where(cross < 0, 2, np.where(dot > 0, 3, 4)),
+            ),
+        ).astype(np.int64)
+        k2, n = np.unique(u * 8 + cls, return_counts=True)
+        return pa.table({"key": k2, "n": n.astype(np.int64)})
+
+    keyed = _bucketed(tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets)
+    folded = keyed.groupby("_mv_bucket").map_groups(fold, batch_format="pyarrow")
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": key // 8,
+                "turn": pa.array(
+                    [_TURN_LABELS[int(c)] for c in key % 8], pa.string()
+                ),
+                "n_turns": tbl.column("n"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def turn_histogram_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`turn_histogram` — double-LAG windows,
+    identical exact integer cross/dot classification."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} AS x, {gy} AS y
+        FROM events e JOIN q ON e.event_id = q.event_id),
+tr AS (SELECT u,
+              LAG(x, 2) OVER w AS x1, LAG(y, 2) OVER w AS y1,
+              LAG(x, 1) OVER w AS x2, LAG(y, 1) OVER w AS y2,
+              x AS x3, y AS y3
+       FROM pts WINDOW w AS (PARTITION BY u ORDER BY ts, seq)),
+t3 AS (SELECT u,
+              (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2) AS cr,
+              (x2 - x1) * (x3 - x2) + (y2 - y1) * (y3 - y2) AS dt,
+              (x2 = x1 AND y2 = y1) OR (x3 = x2 AND y3 = y2) AS degen
+       FROM tr WHERE x1 IS NOT NULL),
+c AS (SELECT u,
+             CASE WHEN degen THEN 'degenerate'
+                  WHEN cr > 0 THEN 'left'
+                  WHEN cr < 0 THEN 'right'
+                  WHEN dt > 0 THEN 'straight'
+                  ELSE 'uturn' END AS turn
+      FROM t3)
+SELECT u AS user_id, turn, CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM c GROUP BY u, turn
+"""

@@ -5367,3 +5367,65 @@ def test_char_trigrams_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_turn_histogram_matches_bruteforce(ray_session):
+    # exact cross/dot turn classes vs a per-track Python reference,
+    # incl. stationary fixes, straight runs, and u-turns;
+    # partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.movement import turn_histogram
+
+    rng = np.random.default_rng(114)
+    users, tss, seqs, xs, ys = [], [], [], [], []
+    tracks = {
+        0: [(0, 0), (1, 0), (2, 0), (3, 1), (4, 0), (3, 0), (3, 0)],
+        # straight, left, right, uturn-ish, degenerate
+        1: [(5, 5), (5, 5), (6, 6)],  # degenerate first move
+        2: [(0, 0), (2, 2), (0, 0)],  # perfect u-turn
+    }
+    for u in range(3, 10):
+        tracks[u] = [tuple(map(int, p)) for p in rng.integers(0, 50, (8, 2))]
+    seq = 0
+    for u, pts in tracks.items():
+        for i, (x, y) in enumerate(pts):
+            users.append(u); tss.append((i + 1) * 1_000_000); seqs.append(seq)
+            xs.append(x); ys.append(y); seq += 1
+
+    def classify(p1, p2, p3):
+        d1 = (p2[0] - p1[0], p2[1] - p1[1])
+        d2 = (p3[0] - p2[0], p3[1] - p2[1])
+        if d1 == (0, 0) or d2 == (0, 0):
+            return "degenerate"
+        cr = d1[0] * d2[1] - d1[1] * d2[0]
+        if cr > 0:
+            return "left"
+        if cr < 0:
+            return "right"
+        return "straight" if d1[0] * d2[0] + d1[1] * d2[1] > 0 else "uturn"
+
+    want = Counter()
+    for u, pts in tracks.items():
+        for p1, p2, p3 in zip(pts, pts[1:], pts[2:]):
+            want[(u, classify(p1, p2, p3))] += 1
+
+    t = pa.table(
+        {
+            "user_id": np.array(users, np.int64),
+            "ts": pa.array(np.array(tss, "datetime64[us]"), pa.timestamp("us")),
+            "event_id": np.array(seqs, np.int64),
+            "gx": np.array(xs, np.int64),
+            "gy": np.array(ys, np.int64),
+        }
+    )
+    assert ("2", ) is not None and want[(2, "uturn")] == 1
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = turn_histogram(ds).take_all()
+        got = {(r["user_id"], r["turn"]): r["n_turns"] for r in rows}
+        assert got == dict(want)
+        if prev is not None:
+            assert got == prev
+        prev = got
