@@ -1200,6 +1200,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return windows.tumbling_window_agg(ev)
 
+    def q_emb_covariance(sf):
+        # exact covariance matrix of the embedding corpus on the
+        # 2^20 scaled-int grid: per-batch integer-matmul moment
+        # partials, vectors never shuffle
+        import ray
+        from python_prtree_ray.pipelines.ann import emb_covariance
+
+        vec = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        return emb_covariance(vec)
+
     def q_ann_topk(sf):
         import ray
         import pyarrow.parquet as pq
@@ -2290,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
+        "emb_covariance": q_emb_covariance,
         "ann_range": q_ann_range,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -2450,6 +2463,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.curation import (
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
+    )
+    from python_prtree_ray.pipelines.ann import (
+        emb_covariance_sql as _emb_covariance_sql,
     )
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
@@ -3432,6 +3448,7 @@ d AS (SELECT doc_id, kind,
 SELECT from_kind, kind AS to_kind, CAST(COUNT(*) AS BIGINT) AS n
 FROM d WHERE from_kind IS NOT NULL GROUP BY from_kind, kind
 """,
+        "emb_covariance": _emb_covariance_sql("embeddings"),
         # resume reread must equal the plain join's pair set
         "checkpoint_resume": spatial_join_sql,
         # a saved+loaded tree must answer queries identically

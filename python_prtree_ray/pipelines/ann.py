@@ -505,3 +505,121 @@ def ann_pq_topk(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return _merge_topk(partials, k, id_col)
+
+
+def emb_covariance(vectors: Dataset, col: str = "embedding", scale_bits: int = 20) -> Dataset:
+    """Exact population covariance matrix of the embedding table — the
+    whitening / drift-monitoring statistic of an embedding corpus:
+    upper-triangle rows ``(i, j, cov)`` for dimensions i ≤ j.
+
+    Exactness: each float32 component is widened to double (exact),
+    scaled by the power-of-two ``2^scale_bits`` (exact — no rounding)
+    and FLOORED to an int; with exact integer sums (n, Σxᵢ, Σxᵢxⱼ),
+    ``cov_ij = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / n²`` on the scaled grid is ONE
+    double division of arbitrary-precision ints — bitwise-equal to the
+    HUGEINT SQL twin. (Float sums are NOT distribution-exact — adding
+    them in shuffle order would break parallelism invariance; the
+    scaled-int grid is the same trick as ``clark_evans``.)
+
+    Scale shape: per-batch (1 + d + d²)-int moment partials (the d²
+    product matrix via one integer matmul per batch — vectors never
+    shuffle, never transpose globally); the driver folds one partial
+    row per block and emits the d²-sized result. |x| < 2^(21+
+    scale_bits-20) keeps per-batch products < 2^44 and block sums far
+    inside int64.
+    """
+    tune_context()
+    S = float(1 << scale_bits)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        E = _emb_matrix(tbl, col)
+        if E.shape[0] == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "sv": pa.array([np.zeros(0, np.int64).tobytes()], pa.binary()),
+                    "sp": pa.array([np.zeros(0, np.int64).tobytes()], pa.binary()),
+                }
+            )
+        X = np.floor(E.astype(np.float64) * S).astype(np.int64)
+        sv = X.sum(axis=0, dtype=np.int64)
+        sp = X.T @ X  # integer matmul: d x d exact int64
+        return pa.table(
+            {
+                "n": pa.array([E.shape[0]], pa.int64()),
+                "sv": pa.array([sv.tobytes()], pa.binary()),
+                "sp": pa.array([sp.ravel().tobytes()], pa.binary()),
+            }
+        )
+
+    parts = vectors.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+
+    n = 0
+    sv = None
+    sp = None
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for r in range(t.num_rows):
+            nn = int(t.column("n")[r].as_py())
+            if nn == 0:
+                continue
+            v = np.frombuffer(t.column("sv")[r].as_py(), np.int64)
+            p = np.frombuffer(t.column("sp")[r].as_py(), np.int64)
+            n += nn
+            sv = v.copy() if sv is None else sv + v
+            sp = p.copy() if sp is None else sp + p
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "cov": pa.array([], pa.float64()),
+                }
+            )
+        )
+    d = sv.shape[0]
+    sp = sp.reshape(d, d)
+    iu, ju = np.triu_indices(d)
+    num = (
+        int(n) * sp[iu, ju].astype(object)
+        - sv[iu].astype(object) * sv[ju].astype(object)
+    )
+    den = n * n
+    cov = np.array([float(v) / float(den) for v in num], np.float64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "i": pa.array(iu, pa.int64()),
+                "j": pa.array(ju, pa.int64()),
+                "cov": pa.array(cov, pa.float64()),
+            }
+        )
+    )
+
+
+def emb_covariance_sql(table: str = "embeddings", col: str = "embedding", scale_bits: int = 20) -> str:
+    """DuckDB twin of :func:`emb_covariance` — lockstep unnest +
+    subscripts, identical FLOOR scaling, HUGEINT sums, one division."""
+    S = float(1 << scale_bits)
+    return f"""
+WITH u AS (SELECT vec_id,
+                  CAST(FLOOR(CAST(unnest({col}) AS DOUBLE) * {S!r}) AS BIGINT) AS v,
+                  generate_subscripts({col}, 1) AS i
+           FROM {table}),
+s AS (SELECT i, CAST(SUM(v) AS HUGEINT) AS sv FROM u GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS sp
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i),
+g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM {table})
+SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+       CAST(g.n * p.sp - sa.sv * sb.sv AS DOUBLE)
+       / CAST(g.n * g.n AS DOUBLE) AS cov
+FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, g
+"""

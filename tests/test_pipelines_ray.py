@@ -5429,3 +5429,36 @@ def test_turn_histogram_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_emb_covariance_matches_bruteforce(ray_session):
+    # scaled-int covariance vs the numpy reference on the same grid;
+    # partition-invariant (float sums would NOT be)
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import emb_covariance
+
+    rng = np.random.default_rng(115)
+    n, d = 300, 8
+    E = (rng.standard_normal((n, d)) * 0.3).astype(np.float32)
+    X = np.floor(E.astype(np.float64) * (1 << 20)).astype(np.int64)
+    sv = X.sum(0)
+    sp = X.T @ X
+    want = {}
+    for i in range(d):
+        for j in range(i, d):
+            num = n * int(sp[i, j]) - int(sv[i]) * int(sv[j])
+            want[(i, j)] = float(num) / float(n * n)
+
+    t = pa.table({"embedding": pa.array(list(E), pa.list_(pa.float32()))})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = emb_covariance(ds).take_all()
+        got = {(r["i"], r["j"]): r["cov"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # sanity: diagonal is positive and close to the float variance
+    var0 = float(((X[:, 0] - X[:, 0].mean()) ** 2).mean())
+    assert abs(want[(0, 0)] - var0) < 1.0
