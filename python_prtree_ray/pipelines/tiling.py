@@ -3298,3 +3298,104 @@ SELECT block, CAST(SUM(w) AS BIGINT) AS case_code
 FROM o GROUP BY block
 HAVING SUM(w) > 0 AND SUM(w) < 15
 """
+
+
+def tile_majority(
+    points: Dataset, res: int, class_col: str = "cls", n_buckets: int = 256
+) -> Dataset:
+    """Majority class per occupied tile — the zonal-MODE raster
+    aggregate (dominant land-use / dominant event type per cell):
+    ``(cell, cls, n)`` with the winner's count, ties broken by the
+    smallest class string. Exact integers + deterministic tie order →
+    bitwise SQL twin.
+
+    Scale shape: per-batch (cell, class) partial counts collapse
+    inside the batch (lexsort + reduceat — one row per distinct pair
+    per batch, never per point), ONE cell-bucket shuffle of those
+    metadata-sized partials (class cardinality is small; the strings
+    that ship are distinct values, not rows), per-bucket exact sum +
+    per-cell argmax. Output is tile-sized.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.buckets import bucket_of
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        cell = cellmod.cell_of_points(px, py, res)
+        enc = pc.dictionary_encode(tbl.column(class_col)).combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((code, cell))
+        c_s, k_s = cell[order], code[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        )
+        n = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": bucket_of(c_s[starts], n_buckets),
+                "cell": c_s[starts],
+                "cls": enc.dictionary.take(pa.array(k_s[starts])),
+                "n": n,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "cls": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cls = group.column("cls").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        # exact per-(cell, cls) totals
+        order = np.lexsort((cls, cell))
+        c_s, k_s, n_s = cell[order], cls[order], n[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        )
+        tot = np.add.reduceat(n_s, starts)
+        c_u, k_u = c_s[starts], k_s[starts]
+        # per-cell argmax by (n DESC, cls ASC)
+        order2 = np.lexsort((k_u, -tot, c_u))
+        c_o, k_o, t_o = c_u[order2], k_u[order2], tot[order2]
+        first = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]])
+        return pa.table(
+            {
+                "cell": c_o[first],
+                "cls": pa.array(k_o[first], pa.string()),
+                "n": t_o[first],
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def tile_majority_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_majority` — counts + ROW_NUMBER
+    argmax with the identical (n DESC, cls ASC) tie order."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, cls, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p0 GROUP BY 1, 2),
+r AS (SELECT cell, cls, n,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, cls) AS rn
+      FROM c)
+SELECT cell, cls, n FROM r WHERE rn = 1
+"""

@@ -5462,3 +5462,43 @@ def test_emb_covariance_matches_bruteforce(ray_session):
     # sanity: diagonal is positive and close to the float variance
     var0 = float(((X[:, 0] - X[:, 0].mean()) ** 2).mean())
     assert abs(want[(0, 0)] - var0) < 1.0
+
+
+def test_tile_majority_matches_bruteforce(ray_session):
+    # zonal mode vs a Counter reference with forced count ties
+    # (lexicographic winner); partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.tiling import tile_majority
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(116)
+    res = 2
+    n = 800
+    pts = rng.random((n, 2))
+    classes = np.array(["zebra", "apple", "mango"])[rng.integers(0, 3, n)]
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    by_cell = {}
+    for c, k in zip(cells, classes):
+        by_cell.setdefault(int(c), Counter())[k] += 1
+    want = {
+        c: min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for c, cnt in by_cell.items()
+    }
+    # ensure at least one tie exists somewhere (statistically near-certain
+    # with 50 pts/cell over 3 classes; assert so the tie path is covered)
+    assert any(
+        sorted(cnt.values(), reverse=True)[:2][0] == sorted(cnt.values(), reverse=True)[:2][-1]
+        for cnt in by_cell.values() if len(cnt) > 1
+    )
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1], "cls": classes})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_majority(ds, res=res).take_all()
+        got = {r["cell"]: (r["cls"], r["n"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
