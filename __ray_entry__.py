@@ -286,6 +286,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact integer pair count, ONE float division
         return tiling.ripley_k(tables.points_dataset(sf), radius=RADIUS)
 
+    def q_ripley_curve(sf):
+        # multi-radius Ripley K curve (the reference's published-curve
+        # analog): exact binned pair counts, cumulative division
+        return tiling.ripley_curve(
+            tables.points_dataset(sf), radius=0.04, n_bins=8
+        )
+
     def q_getis_ord(sf):
         # Getis-Ord Gi* hot-spot z-scores per tile: exact-integer focal
         # sums + a fixed correctly-rounded IEEE expression tree shared
@@ -2417,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gearys_c": q_gearys_c,
         "local_morans": q_local_morans,
         "ripley_k": q_ripley_k,
+        "ripley_curve": q_ripley_curve,
         "getis_ord": q_getis_ord,
         "quadrat_test": q_quadrat_test,
         "raster_regions": q_raster_regions,
@@ -2516,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         semivariogram_sql as _semivariogram_sql,
         join_counts_sql as _join_counts_sql,
         ripley_k_sql as _ripley_k_sql,
+        ripley_curve_sql as _ripley_curve_sql,
         tile_hilbert_sql as _tile_hilbert_sql,
     )
     from python_prtree_ray.pipelines.knn import (
@@ -3919,6 +3928,7 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "ripley_k": _ripley_k_sql(p_cust, RADIUS),
+        "ripley_curve": _ripley_curve_sql(p_cust, 0.04, 8),
         "knox_stat": _knox_stat_sql(
             derive.points_sql(
                 "(SELECT event_id FROM events WHERE event_id % 4 = 0)",

@@ -3399,3 +3399,173 @@ r AS (SELECT cell, cls, n,
       FROM c)
 SELECT cell, cls, n FROM r WHERE rn = 1
 """
+
+
+def ripley_curve(
+    points: Dataset,
+    radius: float,
+    n_bins: int = 8,
+    res: int | None = None,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Ripley's K as a CURVE — K̂(r) evaluated at ``n_bins`` nested
+    radii up to ``radius`` (the multi-scale clustering profile the
+    reference's published experiment curves correspond to; the
+    single-radius scalar is :func:`ripley_k`). One row per occupied
+    lag ``(bin, n_pairs, cum_pairs, k_r)`` with ``k_r =
+    cum_pairs / N²`` at the bin's upper radius ``radius·(bin+1)/n_bins``.
+
+    Exactness: identical to :func:`semivariogram` — the ONE shared
+    double ``dx²+dy²`` binned against Python-repr'd squared edges, the
+    self-pair subtracted exactly from bin 0, pair counts exact ints,
+    and k_r ONE double division (cumulative sums of exact ints).
+
+    Scale shape: owner/ghost cell bucketing (cell width ≥ radius),
+    ONE cell-bucket shuffle, per-bucket (bin, n) partials (the owner
+    count rides as a ``bin = -1`` row), ONE tiny fold, and an
+    ≤ n_bins-row driver finish for the cumulative divide.
+    """
+    import math
+
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from ..functions.cells import cell_of_points, neighbor_cells
+    from .merge import bucketed_sum
+
+    if res is None:
+        res = max(int(math.floor(math.log2(1.0 / radius))), 0)
+    if (1.0 / (1 << res)) < radius:
+        raise ValueError(
+            f"ripley_curve: cell width {1.0 / (1 << res)} at res {res} is "
+            f"smaller than radius {radius}; pairs would be missed"
+        )
+    if n_bins < 1:
+        raise ValueError(f"ripley_curve: n_bins must be >= 1, got {n_bins}")
+    r2 = float(radius) * float(radius)
+    edges = np.array(
+        [(radius * k / n_bins) ** 2 for k in range(1, n_bins)], np.float64
+    )
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        own = cell_of_points(px, py, res)
+        row, nb = neighbor_cells(own, res, ring=1)
+        ghost = nb != own[row]
+        grow = row[ghost]
+        cells = np.concatenate([own, nb[ghost]])
+        return pa.table(
+            {
+                "bucket": bucket_of(cells, n_buckets),
+                "cell": cells,
+                "px": np.concatenate([px, px[grow]]),
+                "py": np.concatenate([py, py[grow]]),
+                "own": np.concatenate(
+                    [np.ones(own.size, np.int8), np.zeros(grow.size, np.int8)]
+                ),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False) == 1
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], cell_s.size]
+        n = np.zeros(n_bins, np.int64)
+        n_own = int(own.sum())
+        for a, b in zip(starts, ends):
+            sl = order[a:b]
+            o = sl[own[sl]]
+            if o.size == 0:
+                continue
+            cx, cy = px[sl], py[sl]
+            for c0 in range(0, o.size, 64):
+                osl = o[c0 : c0 + 64]
+                dx = px[osl][:, None] - cx[None, :]
+                dy = py[osl][:, None] - cy[None, :]
+                d2 = dx * dx + dy * dy
+                d2h = d2[d2 <= r2]
+                if d2h.size == 0:
+                    continue
+                bins = (d2h[:, None] > edges[None, :]).sum(axis=1)
+                n += np.bincount(bins, minlength=n_bins)
+        n[0] -= n_own  # exact self-pair exclusion (d² = 0 → bin 0)
+        keep = np.flatnonzero(n)
+        out_bin = np.r_[keep.astype(np.int64), [-1]]
+        out_n = np.r_[n[keep], [n_own]]
+        return pa.table({"bin": out_bin, "n": out_n})
+
+    parts = (
+        points.map_batches(
+            assign,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    summed = bucketed_sum(parts, key_col="bin", value_cols=("n",), n_buckets=4)
+
+    import ray
+
+    rows = {}
+    N = 0
+    for ref in summed.to_arrow_refs():
+        t = ray.get(ref)
+        for b, v in zip(
+            t.column("bin").to_numpy(zero_copy_only=False),
+            t.column("n").to_numpy(zero_copy_only=False),
+        ):
+            if b == -1:
+                N += int(v)
+            else:
+                rows[int(b)] = int(v)
+    bins = sorted(rows)
+    cum = 0
+    out_b, out_n, out_c, out_k = [], [], [], []
+    for b in bins:
+        cum += rows[b]
+        out_b.append(b)
+        out_n.append(rows[b])
+        out_c.append(cum)
+        out_k.append(float(cum) / float(N * N) if N else None)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "bin": pa.array(out_b, pa.int64()),
+                "n_pairs": pa.array(out_n, pa.int64()),
+                "cum_pairs": pa.array(out_c, pa.int64()),
+                "k_r": pa.array(out_k, pa.float64()),
+            }
+        )
+    )
+
+
+def ripley_curve_sql(points_cte: str, radius: float, n_bins: int = 8) -> str:
+    """DuckDB twin of :func:`ripley_curve` — same repr'd squared lag
+    edges, window cumulative sum, one division per lag."""
+    r2 = float(radius) * float(radius)
+    edges = [(radius * k / n_bins) ** 2 for k in range(1, n_bins)]
+    bin_expr = " + ".join(
+        f"(CASE WHEN d2 > {e!r} THEN 1 ELSE 0 END)" for e in edges
+    ) or "0"
+    return f"""
+WITH p AS ({points_cte}),
+pr AS (SELECT (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) AS d2
+       FROM p a JOIN p b ON a.query_id <> b.query_id),
+f AS (SELECT {bin_expr} AS bin FROM pr WHERE d2 <= {r2!r}),
+c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY bin),
+g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM p)
+SELECT CAST(bin AS BIGINT) AS bin, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY bin) AS BIGINT) AS cum_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY bin) AS DOUBLE)
+       / CAST((SELECT n * n FROM g) AS DOUBLE) AS k_r
+FROM c
+"""

@@ -5502,3 +5502,41 @@ def test_tile_majority_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_ripley_curve_matches_bruteforce(ray_session):
+    # binned + cumulative pair counts vs the O(n^2) reference;
+    # self-pairs excluded; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import ripley_curve
+
+    rng = np.random.default_rng(117)
+    n, r, nb = 500, 0.1, 6
+    pts = rng.random((n, 2))
+    dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+    dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+    d2 = dx * dx + dy * dy
+    hit = (d2 <= r * r) & ~np.eye(n, dtype=bool)
+    edges = np.array([(r * k / nb) ** 2 for k in range(1, nb)])
+    bins = (d2[hit][:, None] > edges[None, :]).sum(1)
+    cnt = np.bincount(bins, minlength=nb)
+    want = []
+    cum = 0
+    for b in range(nb):
+        if cnt[b]:
+            cum += int(cnt[b])
+            want.append(
+                {"bin": b, "n_pairs": int(cnt[b]), "cum_pairs": cum,
+                 "k_r": float(cum) / float(n * n)}
+            )
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1],
+                  "query_id": np.arange(n, dtype=np.int64)})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = ripley_curve(ds, radius=r, n_bins=nb).take_all()
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
