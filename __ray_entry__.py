@@ -347,6 +347,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_majority(pts, res=TILE_RES)
 
+    def q_type_colocation(sf):
+        # cross-type tile co-location lift: exact distinct-tile counts
+        # per type/pair, one division; C^2-bounded metadata folds
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {"px": p["px"], "py": p["py"], "cls": tbl.column("event_type")}
+            )
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.type_colocation(pts, res=TILE_RES)
+
     def q_contour_cases(sf):
         # marching-squares case codes of the event-density raster at
         # threshold 3: exact tile counts + ONE (block, weight) fold,
@@ -2436,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "std_ellipse": q_std_ellipse,
         "contour_cases": q_contour_cases,
         "tile_majority": q_tile_majority,
+        "type_colocation": q_type_colocation,
         "flow_direction": q_flow_direction,
         "cross_k": q_cross_k,
         "semivariogram": q_semivariogram,
@@ -2519,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         std_ellipse_sql as _std_ellipse_sql,
         contour_cases_sql as _contour_cases_sql,
         tile_majority_sql as _tile_majority_sql,
+        type_colocation_sql as _type_colocation_sql,
         flow_direction_sql as _flow_direction_sql,
         cross_k_sql as _cross_k_sql,
         semivariogram_sql as _semivariogram_sql,
@@ -3971,6 +3993,12 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "contour_cases": _contour_cases_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES, 3
+        ),
+        "type_colocation": _type_colocation_sql(
+            "SELECT e.event_type AS cls, q.px, q.py FROM events e JOIN ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ") q ON e.event_id = q.event_id",
+            TILE_RES,
         ),
         "tile_majority": _tile_majority_sql(
             "SELECT e.event_type AS cls, q.px, q.py FROM events e JOIN ("

@@ -3569,3 +3569,158 @@ SELECT CAST(bin AS BIGINT) AS bin, n_pairs,
        / CAST((SELECT n * n FROM g) AS DOUBLE) AS k_r
 FROM c
 """
+
+
+def type_colocation(
+    points: Dataset, res: int, class_col: str = "cls", n_buckets: int = 256
+) -> Dataset:
+    """Cross-category co-location lift — the categorical association
+    statistic of spatial pattern mining (do two event types occupy the
+    SAME tiles more than chance?): for every unordered class pair
+    (a < b) co-present in ≥1 tile, ``(type_a, type_b, n_a, n_b,
+    n_both, lift)`` where n_a/n_b/n_both count occupied tiles and
+    ``lift = n_both · T / (n_a · n_b)`` with T the total occupied-tile
+    count. lift > 1 = attraction, < 1 = segregation.
+
+    Exactness: all counts are exact distinct-tile integers and lift is
+    ONE double division of exact products — bitwise vs the SQL twin.
+
+    Scale shape: per-batch DISTINCT (cell, class) partials (one row
+    per distinct pair per batch), ONE cell-bucket shuffle dedups
+    across batches and collapses each tile to its ≤C-class set,
+    emitting (class) / (class-pair) / (tile) counter partials — C²-
+    bounded metadata — merged by one tiny final fold.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.buckets import bucket_of
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        cell = cellmod.cell_of_points(px, py, res)
+        enc = pc.dictionary_encode(tbl.column(class_col)).combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((code, cell))
+        c_s, k_s = cell[order], code[order]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        return pa.table(
+            {
+                "bucket": bucket_of(c_s[keep], n_buckets),
+                "cell": c_s[keep],
+                "cls": enc.dictionary.take(pa.array(k_s[keep])),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int8()),
+                "kind": pa.array([], pa.int8()),
+                "k1": pa.array([], pa.string()),
+                "k2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if cell.size == 0:
+            return empty
+        cls = group.column("cls").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cls, cell))
+        c_s, k_s = cell[order], cls[order]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        c_s, k_s = c_s[keep], k_s[keep]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], c_s.size]
+        from collections import Counter
+
+        singles: Counter = Counter()
+        pairs: Counter = Counter()
+        n_tiles = starts.size
+        for a, b in zip(starts, ends):  # per tile; each tile has <= C classes
+            ks = k_s[a:b]
+            for i in range(ks.size):
+                singles[ks[i]] += 1
+                for j in range(i + 1, ks.size):
+                    pairs[(ks[i], ks[j])] += 1
+        k1 = [k for k in singles] + [p[0] for p in pairs] + [""]
+        k2 = ["" for _ in singles] + [p[1] for p in pairs] + [""]
+        kind = [0] * len(singles) + [1] * len(pairs) + [2]
+        n = [singles[k] for k in singles] + [pairs[p] for p in pairs] + [n_tiles]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(n), np.int8)),
+                "kind": pa.array(kind, pa.int8()),
+                "k1": pa.array(k1, pa.string()),
+                "k2": pa.array(k2, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        k1 = group.column("k1").to_numpy(zero_copy_only=False)
+        k2 = group.column("k2").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        singles: dict = {}
+        pairs: dict = {}
+        T = 0
+        for i in range(kind.size):
+            if kind[i] == 0:
+                singles[k1[i]] = singles.get(k1[i], 0) + int(n[i])
+            elif kind[i] == 1:
+                key = (k1[i], k2[i])
+                pairs[key] = pairs.get(key, 0) + int(n[i])
+            else:
+                T += int(n[i])
+        out = sorted(pairs)
+        return pa.table(
+            {
+                "type_a": pa.array([a for a, _ in out], pa.string()),
+                "type_b": pa.array([b for _, b in out], pa.string()),
+                "n_a": pa.array([singles[a] for a, _ in out], pa.int64()),
+                "n_b": pa.array([singles[b] for _, b in out], pa.int64()),
+                "n_both": pa.array([pairs[p] for p in out], pa.int64()),
+                "lift": pa.array(
+                    [
+                        float(pairs[(a, b)] * T) / float(singles[a] * singles[b])
+                        for a, b in out
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def type_colocation_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`type_colocation` — DISTINCT tile sets,
+    pair join on a < b, one division."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+ct AS (SELECT DISTINCT {cell} AS cell, cls FROM p0),
+tot AS (SELECT CAST(COUNT(DISTINCT cell) AS HUGEINT) AS t FROM ct),
+s AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n FROM ct GROUP BY cls),
+b AS (SELECT a.cls AS type_a, b.cls AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ct a JOIN ct b ON a.cell = b.cell AND a.cls < b.cls
+      GROUP BY 1, 2)
+SELECT b.type_a, b.type_b, sa.n AS n_a, sb.n AS n_b, b.n_both,
+       CAST(CAST(b.n_both AS HUGEINT) * tot.t AS DOUBLE)
+       / CAST(CAST(sa.n AS HUGEINT) * sb.n AS DOUBLE) AS lift
+FROM b JOIN s sa ON sa.cls = b.type_a JOIN s sb ON sb.cls = b.type_b, tot
+"""

@@ -5540,3 +5540,49 @@ def test_ripley_curve_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_type_colocation_matches_bruteforce(ray_session):
+    # pair lift vs a set-based Python reference with a type that never
+    # co-occurs (absent pair) and skewed tiles; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import type_colocation
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(118)
+    res = 2
+    pts = rng.random((500, 2)) * 0.49  # left-bottom quadrant only
+    classes = np.array(["aa", "bb", "cc"])[rng.integers(0, 3, 500)]
+    # a 4th class alone in its own far corner tile: no co-occurrence
+    pts = np.vstack([pts, [[0.99, 0.99]]])
+    classes = np.append(classes, "dd")
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    tiles = {}
+    for c, k in zip(cells, classes):
+        tiles.setdefault(int(c), set()).add(k)
+    T = len(tiles)
+    singles = {}
+    pairs = {}
+    for ks in tiles.values():
+        for a in ks:
+            singles[a] = singles.get(a, 0) + 1
+        for a in sorted(ks):
+            for b in sorted(ks):
+                if a < b:
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = [
+        {"type_a": a, "type_b": b, "n_a": singles[a], "n_b": singles[b],
+         "n_both": n, "lift": float(n * T) / float(singles[a] * singles[b])}
+        for (a, b), n in sorted(pairs.items())
+    ]
+    assert not any("dd" in (r["type_a"], r["type_b"]) for r in want)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1], "cls": classes})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = type_colocation(ds, res=res).take_all()
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
