@@ -572,6 +572,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return clark_evans(tables.points_dataset(sf))
 
+    def q_knn_regress(sf):
+        # kNN regression: mean integer measure of the KNN_K nearest
+        # order boxes per supplier point; exact sum, one division
+        from python_prtree_ray.pipelines.knn import knn_regress
+
+        return knn_regress(
+            tables.boxes_dataset(sf),
+            tables.points_dataset(sf, "supplier", "s_suppkey"),
+            k=KNN_K,
+            res=5,
+        )
+
     def q_nn_histogram(sf):
         # G-function NN-distance distribution in log2 lags of the
         # FLOOR-scaled squared distance: exact integer bins (power-of-
@@ -2463,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_counts": q_join_counts,
         "clark_evans": q_clark_evans,
         "nn_histogram": q_nn_histogram,
+        "knn_regress": q_knn_regress,
         "doc_modality": q_doc_modality,
         "span_transitions": q_span_transitions,
         "span_windows": q_span_windows,
@@ -3356,6 +3369,14 @@ WHERE {intersects}
         "self_join": self_join_sql,
         "point_query": point_query_sql,
         "knn": knn_sql,
+        "knn_regress": f"""
+WITH t AS ({knn_sql}),
+v AS (SELECT query_id, {derive.point_measure_sql("idx")} AS v FROM t)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_nb,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pred
+FROM v GROUP BY query_id
+""",
         # same semantics, forced histogram ring-expansion physical plan
         "knn_ring": knn_sql,
         "knn_3d": knn_3d_sql,

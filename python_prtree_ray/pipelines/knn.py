@@ -830,3 +830,81 @@ b AS (SELECT CASE WHEN s = 0 THEN -1 {ladder} END AS bin FROM s)
 SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY bin
 """
+
+
+def knn_regress(
+    boxes: Dataset,
+    points: Dataset,
+    k: int,
+    res: int = 5,
+    broadcast: bool | None = None,
+    measure=None,
+    n_buckets: int = 256,
+) -> Dataset:
+    """k-nearest-neighbor regression — predict each query point's
+    value as the MEAN of its k nearest data items' integer measures
+    (the classic non-parametric spatial predictor; the supervised
+    companion of :func:`knn_join`). Output ``(query_id, n_nb, sum_v,
+    pred)`` with ``pred = sum_v / n_nb`` (n_nb < k only when the data
+    side itself is smaller than k).
+
+    Exactness: neighbor selection is the deterministic (dist2, idx)
+    kNN order shared with the SQL twin; measures are exact ints
+    (``measure(idx) -> int64``, default the derive channel), so sum_v
+    is exact and pred is ONE double division — bitwise-equal to SQL.
+
+    Scale shape: rides :func:`knn_join` (broadcast or histogram-ring
+    path); per-batch (query, n, Σv) partials collapse the k rows per
+    query before ONE tiny bucketed fold. Raw candidates never reach
+    the driver.
+    """
+    tune_context()
+    from ..functions import derive
+    from .merge import bucketed_sum
+
+    if measure is None:
+        measure = derive.point_measure
+
+    top = knn_join(boxes, points, k=k, res=res, broadcast=broadcast)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        idx = tbl.column("idx").to_numpy(zero_copy_only=False)
+        v = measure(idx).astype(np.int64)
+        key, inv = np.unique(q, return_inverse=True)
+        n = np.bincount(inv, minlength=key.size).astype(np.int64)
+        sv = np.bincount(inv, weights=v.astype(np.float64), minlength=key.size)
+        # measure < 1000 and <= k rows per query per batch: the float64
+        # pathway through bincount stays far below 2^53 (exact)
+        return pa.table(
+            {"query_id": key, "n": n, "sv": sv.astype(np.int64)}
+        )
+
+    summed = bucketed_sum(
+        top.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="query_id",
+        value_cols=("n", "sv"),
+        n_buckets=n_buckets,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        sv = tbl.column("sv").to_numpy(zero_copy_only=False)
+        # int64→float64 conversion is round-to-nearest (same as SQL's
+        # CAST), then ONE IEEE division per query row — vectorized
+        pred = sv.astype(np.float64) / n.astype(np.float64)
+        return pa.table(
+            {
+                "query_id": tbl.column("query_id"),
+                "n_nb": pa.array(n, pa.int64()),
+                "sum_v": pa.array(sv, pa.int64()),
+                "pred": pa.array(pred, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

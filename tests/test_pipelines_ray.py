@@ -5586,3 +5586,55 @@ def test_type_colocation_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_knn_regress_matches_bruteforce(ray_session):
+    # neighbor-mean prediction vs the O(nq*nb) reference with the
+    # (dist2, idx) tie order and a data side smaller than k;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.knn import knn_regress
+
+    rng = np.random.default_rng(119)
+    nb, nq, k = 40, 25, 7
+    centers = rng.random((nb, 2))
+    half = rng.random((nb, 2)) * 0.01
+    qs = rng.random((nq, 2))
+    meas = rng.integers(0, 1000, nb).astype(np.int64)
+
+    def measure(idx):
+        return meas[idx]
+
+    boxes = pa.table(
+        {
+            "idx": np.arange(nb, dtype=np.int64),
+            "xmin": centers[:, 0] - half[:, 0],
+            "ymin": centers[:, 1] - half[:, 1],
+            "xmax": centers[:, 0] + half[:, 0],
+            "ymax": centers[:, 1] + half[:, 1],
+        }
+    )
+    pts = pa.table(
+        {
+            "query_id": np.arange(nq, dtype=np.int64),
+            "px": qs[:, 0],
+            "py": qs[:, 1],
+        }
+    )
+    for kk in (k, nb + 5):  # second case: data side smaller than k
+        want = {}
+        for q in range(nq):
+            d2 = ((centers[:, 0] - qs[q, 0]) ** 2 + (centers[:, 1] - qs[q, 1]) ** 2)
+            order = sorted(range(nb), key=lambda i: (d2[i], i))[:kk]
+            s = int(meas[order].sum())
+            want[q] = (len(order), s, float(s) / float(len(order)))
+        prev = None
+        for blocks in (1, 4):
+            db = ray.data.from_arrow(boxes).repartition(blocks)
+            dp = ray.data.from_arrow(pts).repartition(blocks)
+            rows = knn_regress(db, dp, k=kk, measure=measure).take_all()
+            got = {r["query_id"]: (r["n_nb"], r["sum_v"], r["pred"]) for r in rows}
+            assert got == want
+            if prev is not None:
+                assert got == prev
+            prev = got
