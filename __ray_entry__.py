@@ -115,6 +115,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sj.self_join(tables.boxes_dataset(sf, "part", "p_partkey"), res=RES)
         return ds.rename_columns({"query_id": "idx_a", "idx": "idx_b"})
 
+    def q_iou_join(sf):
+        # detection-dedup primitive: overlapping part-box pairs with
+        # IoU >= 0.05; exact pair set + ONE shared IoU expression tree
+        pairs = sj.iou_join(
+            tables.boxes_dataset(sf, "part", "p_partkey"), threshold=0.05, res=RES
+        )
+        return pairs
+
     def q_point_query(sf):
         return sj.point_query(
             tables.boxes_dataset(sf), tables.points_dataset(sf), res=RES
@@ -2331,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_shuffle": q_spatial_join_shuffle,
         "knn_ring": q_knn_ring,
         "self_join": q_self_join,
+        "iou_join": q_iou_join,
         "point_query": q_point_query,
         "knn": q_knn,
         "knn_3d": q_knn_3d,
@@ -2580,6 +2589,14 @@ def oracle_sql() -> dict[str, str]:
     intersects = (
         "q.xmin <= b.xmax AND b.xmin <= q.xmax AND "
         "q.ymin <= b.ymax AND b.ymin <= q.ymax"
+    )
+
+    from python_prtree_ray.pipelines.spatial_join import (
+        iou_join_sql as _iou_join_sql,
+    )
+
+    _iou_join_sql_entry = _iou_join_sql(
+        derive.boxes_sql("part", "p_partkey", "idx"), 0.05
     )
 
     spatial_join_sql = f"""
@@ -3369,6 +3386,7 @@ WHERE {intersects}
         "self_join": self_join_sql,
         "point_query": point_query_sql,
         "knn": knn_sql,
+        "iou_join": _iou_join_sql_entry,
         "knn_regress": f"""
 WITH t AS ({knn_sql}),
 v AS (SELECT query_id, {derive.point_measure_sql("idx")} AS v FROM t)

@@ -450,3 +450,79 @@ def aggregate_match_csv(pairs: Dataset, n_buckets: int = 256) -> Dataset:
         bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
     return keyed.groupby("bucket").map_groups(to_csv, batch_format="pyarrow")
+
+
+def iou_join(
+    boxes: Dataset,
+    threshold: float,
+    res: int = 5,
+    coords=None,
+) -> Dataset:
+    """Overlap-similarity self-join — every box pair with
+    intersection-over-union ≥ ``threshold`` (the detection-dedup / NMS
+    candidate primitive): ``(idx_a, idx_b, iou)`` with idx_a < idx_b.
+
+    Exactness: rides :func:`self_join` for the exact overlapping pair
+    set, then recomputes both geometries FROM THEIR KEYS (``coords``,
+    default the derive channels — no geometry columns shuffle with the
+    pairs) and evaluates ONE shared IoU expression tree
+    (min/max/products, one division) bitwise-identical to the SQL
+    twin, so the ≥ τ filter keeps exactly the same pairs.
+
+    Scale shape: the pair set is the salted cell-bucket self-join; the
+    IoU pass is stateless per-batch arithmetic on (idx_a, idx_b) rows.
+    """
+    import numpy as np
+
+    from ..functions import derive
+
+    if coords is None:
+        coords = derive.derive_boxes
+    t = float(threshold)
+
+    pairs = self_join(boxes, res=res).rename_columns(
+        {"query_id": "idx_a", "idx": "idx_b"}
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        ia = tbl.column("idx_a").to_numpy(zero_copy_only=False)
+        ib = tbl.column("idx_b").to_numpy(zero_copy_only=False)
+        a = coords(ia)
+        b = coords(ib)
+        iw = np.minimum(a["xmax"], b["xmax"]) - np.maximum(a["xmin"], b["xmin"])
+        ih = np.minimum(a["ymax"], b["ymax"]) - np.maximum(a["ymin"], b["ymin"])
+        inter = iw * ih
+        area_a = (a["xmax"] - a["xmin"]) * (a["ymax"] - a["ymin"])
+        area_b = (b["xmax"] - b["xmin"]) * (b["ymax"] - b["ymin"])
+        iou = inter / (area_a + area_b - inter)
+        keep = iou >= t
+        return pa.table(
+            {
+                "idx_a": ia[keep],
+                "idx_b": ib[keep],
+                "iou": iou[keep],
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def iou_join_sql(boxes_cte: str, threshold: float) -> str:
+    """DuckDB twin of :func:`iou_join` — overlap join + the identical
+    LEAST/GREATEST IoU expression tree."""
+    iou = (
+        "(LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))"
+        " * (LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin))"
+    )
+    return f"""
+WITH b0 AS ({boxes_cte}),
+pr AS (SELECT a.idx AS idx_a, b.idx AS idx_b,
+              {iou} / ((a.xmax - a.xmin) * (a.ymax - a.ymin)
+                       + (b.xmax - b.xmin) * (b.ymax - b.ymin)
+                       - {iou}) AS iou
+       FROM b0 a, b0 b
+       WHERE a.idx < b.idx
+         AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+         AND a.ymin <= b.ymax AND b.ymin <= a.ymax)
+SELECT idx_a, idx_b, iou FROM pr WHERE iou >= {threshold!r}
+"""

@@ -5638,3 +5638,54 @@ def test_knn_regress_matches_bruteforce(ray_session):
             if prev is not None:
                 assert got == prev
             prev = got
+
+
+def test_iou_join_matches_bruteforce(ray_session):
+    # IoU pairs vs the O(n^2) reference with identical expression
+    # shapes; threshold boundary exercised; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.spatial_join import iou_join
+
+    rng = np.random.default_rng(120)
+    n = 120
+    c = rng.random((n, 2)) * 0.3  # dense -> plenty of overlaps
+    h = rng.random((n, 2)) * 0.05 + 0.01
+    xmin, ymin = c[:, 0] - h[:, 0], c[:, 1] - h[:, 1]
+    xmax, ymax = c[:, 0] + h[:, 0], c[:, 1] + h[:, 1]
+
+    def coords(ids):
+        return {
+            "xmin": xmin[ids], "ymin": ymin[ids],
+            "xmax": xmax[ids], "ymax": ymax[ids],
+        }
+
+    t_thr = 0.1
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if xmin[i] <= xmax[j] and xmin[j] <= xmax[i] and ymin[i] <= ymax[j] and ymin[j] <= ymax[i]:
+                iw = min(xmax[i], xmax[j]) - max(xmin[i], xmin[j])
+                ih = min(ymax[i], ymax[j]) - max(ymin[i], ymin[j])
+                inter = iw * ih
+                aa = (xmax[i] - xmin[i]) * (ymax[i] - ymin[i])
+                ab = (xmax[j] - xmin[j]) * (ymax[j] - ymin[j])
+                iou = inter / (aa + ab - inter)
+                if iou >= t_thr:
+                    want[(i, j)] = iou
+    assert len(want) > 20
+
+    boxes = pa.table(
+        {
+            "idx": np.arange(n, dtype=np.int64),
+            "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax,
+        }
+    )
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(boxes).repartition(blocks)
+        rows = iou_join(ds, threshold=t_thr, coords=coords).take_all()
+        got = {(r["idx_a"], r["idx_b"]): r["iou"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
