@@ -335,6 +335,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_gini(pts, res=TILE_RES)
 
+    def q_tile_focal_mean(sf):
+        # 3x3 focal mean of the event-density raster: exact counts +
+        # ONE neighborhood-offer shuffle, one division per tile
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.tile_focal_mean(pts, res=TILE_RES)
+
+    def q_lorenz_curve(sf):
+        # Lorenz curve of spatial concentration at decile boundaries
+        # (the curve behind tile_gini): tile-sized driver sort, exact
+        # prefix sums, two divisions per row
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.lorenz_curve(pts, res=TILE_RES)
+
     def q_tile_majority(sf):
         # zonal mode: dominant event_type per tile, (n DESC, cls ASC)
         # tie order; per-batch (cell, class) partials, one bucket fold
@@ -2478,6 +2511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_cases": q_contour_cases,
         "tile_majority": q_tile_majority,
         "type_colocation": q_type_colocation,
+        "tile_focal_mean": q_tile_focal_mean,
+        "lorenz_curve": q_lorenz_curve,
         "flow_direction": q_flow_direction,
         "cross_k": q_cross_k,
         "semivariogram": q_semivariogram,
@@ -2563,6 +2598,8 @@ def oracle_sql() -> dict[str, str]:
         contour_cases_sql as _contour_cases_sql,
         tile_majority_sql as _tile_majority_sql,
         type_colocation_sql as _type_colocation_sql,
+        tile_focal_mean_sql as _tile_focal_mean_sql,
+        lorenz_curve_sql as _lorenz_curve_sql,
         flow_direction_sql as _flow_direction_sql,
         cross_k_sql as _cross_k_sql,
         semivariogram_sql as _semivariogram_sql,
@@ -4032,6 +4069,12 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "contour_cases": _contour_cases_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES, 3
+        ),
+        "tile_focal_mean": _tile_focal_mean_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "lorenz_curve": _lorenz_curve_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "type_colocation": _type_colocation_sql(
             "SELECT e.event_type AS cls, q.px, q.py FROM events e JOIN ("

@@ -178,7 +178,7 @@ QUERY_SUBSET = (
     "span_windows tile_geohash tile_users spatial_join_shuffle knn_ring "
     "span_tiles skyline tile_buffer home_cells radius_gyration "
     "jump_histogram tile_gini std_ellipse flow_direction cross_k "
-    "semivariogram nn_histogram bigram_lift track_diameter contour_cases segment_tiles span_transitions char_trigrams turn_histogram emb_covariance tile_majority ripley_curve type_colocation knn_regress iou_join"
+    "semivariogram nn_histogram bigram_lift track_diameter contour_cases segment_tiles span_transitions char_trigrams turn_histogram emb_covariance tile_majority ripley_curve type_colocation knn_regress iou_join tile_focal_mean lorenz_curve"
 ).split()
 
 

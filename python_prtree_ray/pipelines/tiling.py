@@ -3724,3 +3724,254 @@ SELECT b.type_a, b.type_b, sa.n AS n_a, sb.n AS n_b, b.n_both,
        / CAST(CAST(sa.n AS HUGEINT) * sb.n AS DOUBLE) AS lift
 FROM b JOIN s sa ON sa.cls = b.type_a JOIN s sb ON sb.cls = b.type_b, tot
 """
+
+
+def tile_focal_mean(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """3×3 focal (moving-window) mean of the point-density raster —
+    the raster smoothing primitive: for every OCCUPIED tile,
+    ``(cell, x, focal_sum, n_window, focal_mean)`` where focal_sum
+    sums the counts of the in-grid 3×3 neighborhood (unoccupied
+    neighbors contribute 0), n_window counts the in-grid positions
+    (9 interior, fewer at edges), and ``focal_mean = focal_sum /
+    n_window``. Exact ints + ONE division per tile → bitwise SQL twin.
+
+    Scale shape: exact occupied-tile counts (ONE bucketed fold); each
+    occupied tile offers its count to its ≤9-cell neighborhood
+    (itself included) — ONE (cell, count, is_self) int shuffle; the
+    per-bucket fold sums offers per receiver and keeps receivers that
+    got a SELF offer (= occupied). Output is tile-sized.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+    from .merge import bucketed_sum
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"tile_focal_mean: res must be in [0, 15], got {res}")
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    d = np.arange(-1, 2, dtype=np.int64)
+    ddx, ddy = np.meshgrid(d, d, indexing="ij")
+    ddx, ddy = ddx.ravel(), ddy.ravel()
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+        x = tbl.column("x").to_numpy(zero_copy_only=False)
+        ix, iy = cell // g, cell % g
+        nx = ix[:, None] + ddx[None, :]
+        ny = iy[:, None] + ddy[None, :]
+        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+        row = np.repeat(np.arange(cell.size, dtype=np.int64), ok.sum(axis=1))
+        rcell = (nx * g + ny)[ok]
+        is_self = np.broadcast_to((ddx == 0) & (ddy == 0), ok.shape)[ok]
+        return pa.table(
+            {
+                "bucket": bucket_of(rcell, n_buckets),
+                "cell": rcell,
+                "x": x[row],
+                "own": is_self.astype(np.int8),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "focal_sum": pa.array([], pa.int64()),
+                    "n_window": pa.array([], pa.int64()),
+                    "focal_mean": pa.array([], pa.float64()),
+                }
+            )
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        c_s, x_s, o_s = cell[order], x[order], own[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        fsum = np.add.reduceat(x_s, starts)
+        has_self = np.add.reduceat(o_s.astype(np.int64), starts) > 0
+        self_x = np.add.reduceat(x_s * o_s, starts)
+        c_u = c_s[starts]
+        keep = has_self
+        c_u, fsum, self_x = c_u[keep], fsum[keep], self_x[keep]
+        ix, iy = c_u // g, c_u % g
+        nwin = (
+            (np.minimum(ix + 1, g - 1) - np.maximum(ix - 1, 0) + 1)
+            * (np.minimum(iy + 1, g - 1) - np.maximum(iy - 1, 0) + 1)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cell": c_u,
+                "x": self_x,
+                "focal_sum": fsum,
+                "n_window": nwin,
+                "focal_mean": fsum.astype(np.float64) / nwin.astype(np.float64),
+            }
+        )
+
+    return (
+        counts.map_batches(offers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def tile_focal_mean_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_focal_mean` — 9-offset LEFT JOIN,
+    in-grid window size, one division."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    dirs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+d(dx, dy) AS (VALUES {dirs}),
+n AS (SELECT c.cell, c.x AS x0,
+             (c.cell // {g}) + d.dx AS nx, (c.cell % {g}) + d.dy AS ny
+      FROM c CROSS JOIN d
+      WHERE (c.cell // {g}) + d.dx BETWEEN 0 AND {g - 1}
+        AND (c.cell % {g}) + d.dy BETWEEN 0 AND {g - 1}),
+f AS (SELECT n.cell, ANY_VALUE(n.x0) AS x,
+             CAST(SUM(COALESCE(cn.x, 0)) AS BIGINT) AS focal_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_window
+      FROM n LEFT JOIN c cn ON cn.cell = n.nx * {g} + n.ny
+      GROUP BY n.cell)
+SELECT cell, x, focal_sum, n_window,
+       CAST(focal_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS focal_mean
+FROM f
+"""
+
+
+def lorenz_curve(points: Dataset, res: int, n_deciles: int = 10) -> Dataset:
+    """Lorenz curve of spatial concentration — the curve behind
+    :func:`tile_gini`: cumulative point share vs cumulative
+    occupied-tile share at decile boundaries of the ascending tile-
+    density order. One row per decile with a distinct rank boundary:
+    ``(decile, n_tiles_cum, n_points_cum, tiles_share, points_share)``
+    at rank ``⌊n·(d+1)/n_deciles⌋`` (deciles whose boundary rounds to
+    0 are skipped, matching the INNER-JOIN SQL twin).
+
+    Exactness: the prefix sum of the r smallest densities is a
+    multiset quantity — tie order cannot change it — so the exact-int
+    cumulative at each boundary and its TWO share divisions are
+    bitwise-equal to SQL.
+
+    Scale shape: same as :func:`tile_gini` — points collapse to
+    occupied-tile counts, ONE fold, and the driver sorts the
+    TILE-sized multiset (rank statistics need a global sort of tiles,
+    never points).
+    """
+    import numpy as np
+
+    from .merge import bucketed_sum
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"lorenz_curve: res must be in [0, 15], got {res}")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+    counts = bucketed_sum(
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        ),
+        key_col="cell",
+        value_cols=("x",),
+    )
+
+    import ray
+
+    xs = []
+    for ref in counts.to_arrow_refs():
+        t = ref if isinstance(ref, pa.Table) else ray.get(ref)
+        if t.num_rows:
+            xs.append(t.column("x").to_numpy(zero_copy_only=False))
+    empty = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "n_tiles_cum": pa.array([], pa.int64()),
+            "n_points_cum": pa.array([], pa.int64()),
+            "tiles_share": pa.array([], pa.float64()),
+            "points_share": pa.array([], pa.float64()),
+        }
+    )
+    if not xs:
+        return ray.data.from_arrow(empty)
+    x = np.sort(np.concatenate(xs))
+    n = x.size
+    s = int(x.sum())
+    cum = np.cumsum(x)
+    rows = []
+    for dd in range(n_deciles):
+        b = (n * (dd + 1)) // n_deciles
+        if b < 1:
+            continue
+        rows.append(
+            (
+                dd,
+                int(b),
+                int(cum[b - 1]),
+                float(b) / float(n),
+                float(int(cum[b - 1])) / float(s),
+            )
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "decile": pa.array([r[0] for r in rows], pa.int64()),
+                "n_tiles_cum": pa.array([r[1] for r in rows], pa.int64()),
+                "n_points_cum": pa.array([r[2] for r in rows], pa.int64()),
+                "tiles_share": pa.array([r[3] for r in rows], pa.float64()),
+                "points_share": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def lorenz_curve_sql(points_cte: str, res: int, n_deciles: int = 10) -> str:
+    """DuckDB twin of :func:`lorenz_curve` — ROW_NUMBER ascending by
+    density, rn-framed prefix sum (tie-order-proof: ties are equal
+    values), INNER JOIN on decile boundaries."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM c),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM c),
+r2 AS (SELECT rn, SUM(x) OVER (ORDER BY rn) AS cum FROM r),
+d AS (SELECT unnest(generate_series(0, {n_deciles - 1})) AS decile)
+SELECT d.decile,
+       CAST(r2.rn AS BIGINT) AS n_tiles_cum,
+       CAST(r2.cum AS BIGINT) AS n_points_cum,
+       CAST(r2.rn AS DOUBLE) / CAST(m.n AS DOUBLE) AS tiles_share,
+       CAST(r2.cum AS DOUBLE) / CAST(m.s AS DOUBLE) AS points_share
+FROM d JOIN m ON TRUE
+JOIN r2 ON r2.rn = (m.n * (d.decile + 1)) // {n_deciles}
+"""

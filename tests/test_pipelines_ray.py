@@ -5689,3 +5689,82 @@ def test_iou_join_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_tile_focal_mean_matches_bruteforce(ray_session):
+    # 3x3 focal mean vs a dense-grid reference incl. edge windows;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_focal_mean
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(121)
+    res = 3
+    g = 1 << res
+    pts = rng.random((500, 2)) ** 2
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    grid = np.zeros((g, g), np.int64)
+    for c in cells:
+        grid[c // g, c % g] += 1
+    want = {}
+    for ix in range(g):
+        for iy in range(g):
+            if grid[ix, iy] == 0:
+                continue
+            xs = range(max(ix - 1, 0), min(ix + 1, g - 1) + 1)
+            ys = range(max(iy - 1, 0), min(iy + 1, g - 1) + 1)
+            fs = int(sum(grid[a, b] for a in xs for b in ys))
+            nw = len(xs) * len(ys)
+            want[ix * g + iy] = (int(grid[ix, iy]), fs, nw, fs / nw)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_focal_mean(ds, res=res).take_all()
+        got = {
+            r["cell"]: (r["x"], r["focal_sum"], r["n_window"], r["focal_mean"])
+            for r in rows
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+    assert any(v[2] < 9 for v in want.values())  # edge windows covered
+
+
+def test_lorenz_curve_matches_bruteforce(ray_session):
+    # decile prefix shares vs a sorted reference, incl. the n<10
+    # duplicate-boundary case; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import lorenz_curve
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(122)
+    for res, npts in ((3, 1000), (1, 60)):  # res 1 -> 4 tiles < 10 deciles
+        g = 1 << res
+        pts = rng.random((npts, 2)) ** 2
+        cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+        _, x = np.unique(cells, return_counts=True)
+        x = np.sort(x)
+        n, s = x.size, int(x.sum())
+        cum = np.cumsum(x)
+        want = []
+        for d in range(10):
+            b = (n * (d + 1)) // 10
+            if b < 1:
+                continue
+            want.append(
+                {"decile": d, "n_tiles_cum": int(b), "n_points_cum": int(cum[b - 1]),
+                 "tiles_share": float(b) / float(n),
+                 "points_share": float(int(cum[b - 1])) / float(s)}
+            )
+        t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+        prev = None
+        for blocks in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(blocks)
+            got = lorenz_curve(ds, res=res).take_all()
+            assert got == want
+            if prev is not None:
+                assert got == prev
+            prev = got
