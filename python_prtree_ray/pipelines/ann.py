@@ -568,11 +568,14 @@ def emb_covariance(vectors: Dataset, col: str = "embedding", scale_bits: int = 2
             nn = int(t.column("n")[r].as_py())
             if nn == 0:
                 continue
-            v = np.frombuffer(t.column("sv")[r].as_py(), np.int64)
-            p = np.frombuffer(t.column("sp")[r].as_py(), np.int64)
+            # accumulate in arbitrary-precision ints: block partials are
+            # int64-safe, but the corpus total (2^45 per row) is not at
+            # 10^9+ rows
+            v = np.frombuffer(t.column("sv")[r].as_py(), np.int64).astype(object)
+            p = np.frombuffer(t.column("sp")[r].as_py(), np.int64).astype(object)
             n += nn
-            sv = v.copy() if sv is None else sv + v
-            sp = p.copy() if sp is None else sp + p
+            sv = v if sv is None else sv + v
+            sp = p if sp is None else sp + p
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
