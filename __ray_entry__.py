@@ -45,6 +45,35 @@ SPAN_BUDGET = 16  # span_windows token budget per context window
 SPAN_MEDIA_TOK = 8  # span_windows fixed token cost of a media span
 KNOX_R = 0.02  # Knox spatial radius (unit square)
 KNOX_TAU_US = 21_600_000_000  # Knox temporal radius: 6h
+VOR_K = 5  # Voronoi / BFS seed-site count (smallest supplier keys)
+BFS_HOPS = 6  # grid_bfs isochrone horizon
+
+
+def _seed_sites(sf: str, k: int, res: int):
+    """The VOR_K deterministic seed sites: grid indices of the derived
+    points of the k smallest supplier keys (dim-table metadata read)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf}/supplier.parquet", columns=["s_suppkey"])
+    keys = np.sort(sup.column("s_suppkey").to_numpy(zero_copy_only=False))[
+        :k
+    ].astype(np.int64)
+    p = derive.derive_points(keys)
+    return keys, derive.tile_index(p["px"], res), derive.tile_index(p["py"], res)
+
+
+def _seeds_cte(k: int, res: int) -> str:
+    """SQL twin of :func:`_seed_sites` — (seed, sx, sy) grid indices."""
+    return (
+        "SELECT query_id AS seed, "
+        + derive.tile_index_sql("px", res)
+        + " AS sx, "
+        + derive.tile_index_sql("py", res)
+        + " AS sy FROM ("
+        + derive.points_sql("supplier", "s_suppkey", "query_id")
+        + ") WHERE query_id IN "
+        + f"(SELECT s_suppkey FROM supplier ORDER BY s_suppkey LIMIT {k})"
+    )
 
 
 # ------------------------------------------------------------------ entry
@@ -387,6 +416,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_majority(pts, res=TILE_RES)
+
+    def q_tile_simpson(sf):
+        # zonal class-mixing: Simpson diversity of event types per tile
+        # (log-free entropy analog) — exact int num/den, ONE division
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {"px": p["px"], "py": p["py"], "cls": tbl.column("event_type")}
+            )
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.tile_simpson(pts, res=TILE_RES)
+
+    def q_voronoi_assign(sf):
+        # discrete Voronoi / Thiessen rasterization: occupied tiles ->
+        # nearest of VOR_K seed sites by exact int grid distance
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        sid, sx, sy = _seed_sites(sf, VOR_K, TILE_RES)
+        return tiling.voronoi_assign(pts, sid, sx, sy, res=TILE_RES)
+
+    def q_grid_bfs(sf):
+        # multi-source BFS isochrone over the occupied-tile graph:
+        # exact hop distance from VOR_K seed tiles, <= BFS_HOPS steps
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        _, sx, sy = _seed_sites(sf, VOR_K, TILE_RES)
+        return tiling.grid_bfs(pts, sx, sy, res=TILE_RES, max_hops=BFS_HOPS)
 
     def q_type_colocation(sf):
         # cross-type tile co-location lift: exact distinct-tile counts
@@ -2510,6 +2593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "std_ellipse": q_std_ellipse,
         "contour_cases": q_contour_cases,
         "tile_majority": q_tile_majority,
+        "tile_simpson": q_tile_simpson,
+        "voronoi_assign": q_voronoi_assign,
+        "grid_bfs": q_grid_bfs,
         "type_colocation": q_type_colocation,
         "tile_focal_mean": q_tile_focal_mean,
         "lorenz_curve": q_lorenz_curve,
@@ -2597,6 +2683,9 @@ def oracle_sql() -> dict[str, str]:
         std_ellipse_sql as _std_ellipse_sql,
         contour_cases_sql as _contour_cases_sql,
         tile_majority_sql as _tile_majority_sql,
+        tile_simpson_sql as _tile_simpson_sql,
+        voronoi_assign_sql as _voronoi_assign_sql,
+        grid_bfs_sql as _grid_bfs_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -4087,6 +4176,23 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             + derive.points_sql("events", "event_id", "event_id")
             + ") q ON e.event_id = q.event_id",
             TILE_RES,
+        ),
+        "tile_simpson": _tile_simpson_sql(
+            "SELECT e.event_type AS cls, q.px, q.py FROM events e JOIN ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ") q ON e.event_id = q.event_id",
+            TILE_RES,
+        ),
+        "voronoi_assign": _voronoi_assign_sql(
+            derive.points_sql("events", "event_id", "event_id"),
+            _seeds_cte(VOR_K, TILE_RES),
+            TILE_RES,
+        ),
+        "grid_bfs": _grid_bfs_sql(
+            derive.points_sql("events", "event_id", "event_id"),
+            _seeds_cte(VOR_K, TILE_RES),
+            TILE_RES,
+            BFS_HOPS,
         ),
         "flow_direction": _flow_direction_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES

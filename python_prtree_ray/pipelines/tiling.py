@@ -3975,3 +3975,348 @@ SELECT d.decile,
 FROM d JOIN m ON TRUE
 JOIN r2 ON r2.rn = (m.n * (d.decile + 1)) // {n_deciles}
 """
+
+
+def tile_simpson(
+    points: Dataset, res: int, class_col: str = "cls", n_buckets: int = 256
+) -> Dataset:
+    """Simpson diversity index per occupied tile — the zonal
+    class-mixing statistic (land-use mixing / event-type diversity per
+    cell): ``(cell, n, n_types, simpson)`` for tiles with at least two
+    points, where ``simpson = 1 − Σᵢ nᵢ(nᵢ−1) / (N(N−1))`` over the
+    per-class counts nᵢ (the probability two points drawn without
+    replacement differ in class). Unlike Shannon entropy this needs no
+    logarithm: numerator and denominator are exact integers and the
+    result is ONE double division — bitwise-equal to the SQL twin.
+
+    Scale shape: identical to :func:`tile_majority` — per-batch
+    (cell, class) partial counts via lexsort+reduceat, ONE cell-bucket
+    shuffle of metadata-sized partials, per-bucket exact fold. Output
+    is tile-sized.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.buckets import bucket_of
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        cell = cellmod.cell_of_points(px, py, res)
+        enc = pc.dictionary_encode(tbl.column(class_col)).combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((code, cell))
+        c_s, k_s = cell[order], code[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        )
+        n = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": bucket_of(c_s[starts], n_buckets),
+                "cell": c_s[starts],
+                "cls": enc.dictionary.take(pa.array(k_s[starts])),
+                "n": n,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "simpson": pa.array([], pa.float64()),
+            }
+        )
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return empty
+        cls = group.column("cls").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        # exact per-(cell, cls) totals across batch partials
+        order = np.lexsort((cls, cell))
+        c_s, k_s, n_s = cell[order], cls[order], n[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        )
+        tot = np.add.reduceat(n_s, starts)
+        c_u = c_s[starts]
+        # per-cell fold of the class totals
+        cstarts = np.flatnonzero(np.r_[True, c_u[1:] != c_u[:-1]])
+        N = np.add.reduceat(tot, cstarts)
+        n_types = np.diff(np.r_[cstarts, c_u.size]).astype(np.int64)
+        num = np.add.reduceat(tot * (tot - 1), cstarts)
+        keep = N >= 2
+        if not keep.any():
+            return empty
+        N, n_types, num = N[keep], n_types[keep], num[keep]
+        simpson = 1.0 - num.astype(np.float64) / (N * (N - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "cell": c_u[cstarts][keep],
+                "n": N,
+                "n_types": n_types,
+                "simpson": simpson,
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def tile_simpson_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_simpson` — exact integer numerator /
+    denominator, the identical single double division."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, cls, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p0 GROUP BY 1, 2),
+t AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS num
+      FROM c GROUP BY cell)
+SELECT cell, n, n_types,
+       CAST(1 AS DOUBLE) - CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         AS simpson
+FROM t WHERE n >= 2
+"""
+
+
+def voronoi_assign(
+    points: Dataset,
+    seed_ids: "np.ndarray",
+    seed_ix: "np.ndarray",
+    seed_iy: "np.ndarray",
+    res: int,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Discrete Voronoi / Thiessen rasterization: every OCCUPIED tile
+    assigned to its nearest seed site by exact integer squared grid
+    distance, ties broken by the smallest seed id — the
+    nearest-facility partition of a demand raster: ``(cell, n, seed,
+    d2)``.
+
+    Scale shape: per-batch distinct-cell counts, ONE cell-bucket
+    shuffle of tile-sized partials; the K seed sites are a metadata
+    broadcast closed over by the fold (K·T integer distance matrix per
+    bucket, never per point). Exact ints end to end → bitwise SQL twin
+    (ROW_NUMBER over (d2, seed)).
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    order = np.argsort(seed_ids, kind="stable")
+    sid = np.asarray(seed_ids, np.int64)[order]
+    sx = np.asarray(seed_ix, np.int64)[order]
+    sy = np.asarray(seed_iy, np.int64)[order]
+    if sid.size == 0:
+        raise ValueError("voronoi_assign needs at least one seed")
+    if np.unique(sid).size != sid.size:
+        raise ValueError("voronoi_assign seed ids must be unique")
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table(
+            {
+                "bucket": bucket_of(c, n_buckets),
+                "cell": c,
+                "n": n.astype(np.int64),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "seed": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.int64()),
+                }
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        c_s, n_s = cell[order], n[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        c_u = c_s[starts]
+        tot = np.add.reduceat(n_s, starts)
+        ix = c_u // g
+        iy = c_u % g
+        # (T, K) exact integer distance matrix; argmin returns the FIRST
+        # minimum, and seeds are sorted by id -> tie goes to smallest id
+        d2 = (ix[:, None] - sx[None, :]) ** 2 + (iy[:, None] - sy[None, :]) ** 2
+        win = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "cell": c_u,
+                "n": tot,
+                "seed": sid[win],
+                "d2": d2[np.arange(c_u.size), win],
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def voronoi_assign_sql(points_cte: str, seeds_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`voronoi_assign` — occupied-tile counts ×
+    seed sites, ROW_NUMBER argmin with the identical (d2, seed) order.
+    ``seeds_cte`` must yield (seed BIGINT, sx BIGINT, sy BIGINT)."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    g = 1 << res
+    return f"""
+WITH p0 AS ({points_cte}),
+t AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p0 GROUP BY 1),
+s AS ({seeds_cte}),
+a AS (SELECT t.cell, t.n, s.seed,
+             (t.cell // {g} - s.sx) * (t.cell // {g} - s.sx)
+           + (t.cell % {g} - s.sy) * (t.cell % {g} - s.sy) AS d2
+      FROM t CROSS JOIN s),
+r AS (SELECT cell, n, seed, d2,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, seed) AS rn
+      FROM a)
+SELECT cell, n, seed, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn = 1
+"""
+
+
+def grid_bfs(
+    points: Dataset,
+    seed_ix: "np.ndarray",
+    seed_iy: "np.ndarray",
+    res: int,
+    max_hops: int = 6,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Multi-source BFS hop distance over the occupied-tile graph — the
+    isochrone / service-area raster op: ``(cell, dist)`` for every tile
+    reachable from a seed tile within ``max_hops`` 4-connected steps,
+    where the graph's nodes are the occupied tiles plus the seed tiles
+    and ``dist`` is the exact shortest hop count.
+
+    Scale shape: occupancy is aggregated distributedly (per-batch
+    distinct cells, ONE cell-bucket dedup fold); the BFS itself runs on
+    the aggregated raster, which is tile-sized metadata (≤4^res cells —
+    the same compact-raster final fold as :func:`raster_regions`), as a
+    vectorized frontier dilation, never per point. The SQL twin is a
+    recursive CTE over the identical node set — exact integer
+    distances both sides.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    g = 1 << res
+    sx = np.asarray(seed_ix, np.int64)
+    sy = np.asarray(seed_iy, np.int64)
+    if sx.size == 0:
+        raise ValueError("grid_bfs needs at least one seed tile")
+    if ((sx < 0) | (sx >= g) | (sy < 0) | (sy >= g)).any():
+        raise ValueError("grid_bfs seed tiles out of grid range")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c = np.unique(cellmod.cell_of_points(px, py, res))
+        return pa.table({"bucket": bucket_of(c, n_buckets), "cell": c})
+
+    def dedup(group: pa.Table) -> pa.Table:
+        c = np.unique(group.column("cell").to_numpy(zero_copy_only=False))
+        return pa.table({"k": np.zeros(c.size, np.int64), "cell": c})
+
+    def bfs(group: pa.Table) -> pa.Table:
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        occ = np.zeros((g, g), bool)
+        occ[c // g, c % g] = True
+        occ[sx, sy] = True  # seed tiles are nodes even when unoccupied
+        dist = np.full((g, g), -1, np.int64)
+        dist[sx, sy] = 0
+        frontier = np.zeros((g, g), bool)
+        frontier[sx, sy] = True
+        for h in range(1, max_hops + 1):
+            nb = np.zeros_like(frontier)
+            nb[1:, :] |= frontier[:-1, :]
+            nb[:-1, :] |= frontier[1:, :]
+            nb[:, 1:] |= frontier[:, :-1]
+            nb[:, :-1] |= frontier[:, 1:]
+            newf = nb & occ & (dist < 0)
+            if not newf.any():
+                break
+            dist[newf] = h
+            frontier = newf
+        vx, vy = np.nonzero(dist >= 0)
+        cell = vx.astype(np.int64) * g + vy.astype(np.int64)
+        order = np.argsort(cell, kind="stable")
+        return pa.table({"cell": cell[order], "dist": dist[vx, vy][order]})
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(dedup, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(bfs, batch_format="pyarrow")
+        .select_columns(["cell", "dist"])
+    )
+
+
+def grid_bfs_sql(points_cte: str, seeds_cte: str, res: int, max_hops: int = 6) -> str:
+    """DuckDB twin of :func:`grid_bfs` — recursive-CTE BFS with
+    distinct-row semantics + MIN(dist) fold. ``seeds_cte`` must yield
+    (sx BIGINT, sy BIGINT) grid indices."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    g = 1 << res
+    return f"""
+WITH RECURSIVE p0 AS ({points_cte}),
+occ AS (SELECT DISTINCT {cell} AS cell FROM p0),
+sd AS ({seeds_cte}),
+seedcells AS (SELECT DISTINCT sx * {g} + sy AS cell FROM sd),
+nodes AS (SELECT cell FROM occ UNION SELECT cell FROM seedcells),
+n2 AS (SELECT cell, cell // {g} AS ix, cell % {g} AS iy FROM nodes),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst FROM n2 a JOIN n2 b
+    ON a.ix = b.ix AND b.iy = a.iy + 1
+  UNION ALL SELECT a.cell, b.cell FROM n2 a JOIN n2 b
+    ON a.ix = b.ix AND b.iy = a.iy - 1
+  UNION ALL SELECT a.cell, b.cell FROM n2 a JOIN n2 b
+    ON a.iy = b.iy AND b.ix = a.ix + 1
+  UNION ALL SELECT a.cell, b.cell FROM n2 a JOIN n2 b
+    ON a.iy = b.iy AND b.ix = a.ix - 1
+),
+bfs AS (
+  SELECT cell, 0 AS dist FROM seedcells
+  UNION
+  SELECT e.dst AS cell, b.dist + 1 AS dist
+  FROM bfs b JOIN edges e ON e.src = b.cell
+  WHERE b.dist < {max_hops}
+)
+SELECT cell, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY cell
+"""

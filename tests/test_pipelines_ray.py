@@ -5768,3 +5768,129 @@ def test_lorenz_curve_matches_bruteforce(ray_session):
             if prev is not None:
                 assert got == prev
             prev = got
+
+
+def test_tile_simpson_matches_bruteforce(ray_session):
+    # Simpson diversity per tile vs a Counter reference; single-point
+    # tiles dropped; partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.tiling import tile_simpson
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(211)
+    res = 2
+    n = 700
+    pts = rng.random((n, 2))
+    classes = np.array(["ad", "news", "spam", "wiki"])[rng.integers(0, 4, n)]
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    by_cell = {}
+    for c, k in zip(cells, classes):
+        by_cell.setdefault(int(c), Counter())[k] += 1
+    want = {}
+    for c, cnt in by_cell.items():
+        N = sum(cnt.values())
+        if N < 2:
+            continue
+        num = sum(v * (v - 1) for v in cnt.values())
+        want[c] = (N, len(cnt), 1.0 - float(num) / float(N * (N - 1)))
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1], "cls": classes})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_simpson(ds, res=res).take_all()
+        got = {r["cell"]: (r["n"], r["n_types"], r["simpson"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_voronoi_assign_matches_bruteforce(ray_session):
+    # nearest-seed tile assignment vs an O(T*K) reference with a FORCED
+    # equidistant tie (winner = smallest seed id); partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import voronoi_assign
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(212)
+    res = 3
+    g = 1 << res
+    n = 900
+    pts = rng.random((n, 2))
+    # seeds at (1,1) and (5,1): tile column ix=3 is exactly equidistant
+    sid = np.array([40, 7], np.int64)  # deliberately unsorted ids
+    sx = np.array([1, 5], np.int64)
+    sy = np.array([1, 1], np.int64)
+
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    want = {}
+    for c in np.unique(cells):
+        ix, iy = int(c) // g, int(c) % g
+        best = min(
+            ((int((ix - x) ** 2 + (iy - y) ** 2), int(i)) for i, x, y in zip(sid, sx, sy)),
+        )
+        want[int(c)] = (int((cells == c).sum()), best[1], best[0])
+    # the tie column must be populated for the tie-break to be exercised
+    assert any(int(c) // g == 3 for c in want)
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = voronoi_assign(ds, sid, sx, sy, res=res).take_all()
+        got = {r["cell"]: (r["n"], r["seed"], r["d2"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_grid_bfs_matches_bruteforce(ray_session):
+    # multi-source BFS over occupied tiles vs a deque reference:
+    # exact hop distances, max_hops cutoff, unreachable cells absent,
+    # seed tiles are graph nodes even when unoccupied
+    ray = ray_session
+    from collections import deque
+    from python_prtree_ray.pipelines.tiling import grid_bfs
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(213)
+    res = 4
+    g = 1 << res
+    n = 260  # sparse: ~every other tile occupied -> real holes
+    pts = rng.random((n, 2))
+    sx = np.array([0, 9], np.int64)
+    sy = np.array([0, 12], np.int64)
+    hops = 4
+
+    cells = set(int(c) for c in cell_of_points(pts[:, 0], pts[:, 1], res))
+    nodes = cells | {int(x) * g + int(y) for x, y in zip(sx, sy)}
+    dist = {int(x) * g + int(y): 0 for x, y in zip(sx, sy)}
+    q = deque(dist)
+    while q:
+        c = q.popleft()
+        if dist[c] >= hops:
+            continue
+        ix, iy = c // g, c % g
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            jx, jy = ix + dx, iy + dy
+            if 0 <= jx < g and 0 <= jy < g:
+                nc = jx * g + jy
+                if nc in nodes and nc not in dist:
+                    dist[nc] = dist[c] + 1
+                    q.append(nc)
+    assert max(dist.values()) == hops  # cutoff exercised
+    assert len(dist) < len(nodes)  # some cells unreachable
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = grid_bfs(ds, sx, sy, res=res, max_hops=hops).take_all()
+        got = {r["cell"]: r["dist"] for r in rows}
+        assert got == dist
+        if prev is not None:
+            assert got == prev
+        prev = got
