@@ -2204,6 +2204,189 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q_q3_revenue(sf), k=100, id_col="l_orderkey", value_col="revenue_cents"
         )
 
+    def q_local_supplier_volume(sf):
+        # TPC-H Q5-shaped multiway join: revenue by nation where the
+        # supplier and the ordering customer share a nation. Three dim
+        # tables broadcast via ray.put (zero shuffle); ONE co-partitioned
+        # big-big join on orderkey; integer-cents revenue partials fold
+        # map-side so only nation-sized rows reach the final sum.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        supp = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        o2 = broadcast_lookup(
+            orders, cust, on="o_custkey", small_on="c_custkey",
+            carry_cols=("c_nationkey",),
+        ).select_columns(["o_orderkey", "c_nationkey"])
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": tbl.column("l_orderkey"),
+                    "l_suppkey": tbl.column("l_suppkey"),
+                    "cents": cents,
+                }
+            )
+
+        li2 = broadcast_lookup(
+            li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            supp, on="l_suppkey", small_on="s_suppkey",
+            carry_cols=("s_nationkey",),
+        ).select_columns(["l_orderkey", "s_nationkey", "cents"])
+
+        joined = hash_equi_join(
+            li2, o2,
+            on="l_orderkey", right_on="o_orderkey",
+            left_cols=("s_nationkey", "cents"),
+            right_cols=("c_nationkey",),
+        )
+
+        def agg(tbl: pa.Table) -> pa.Table:
+            sn = tbl.column("s_nationkey").to_numpy(zero_copy_only=False)
+            cn = tbl.column("c_nationkey").to_numpy(zero_copy_only=False)
+            cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+            keep = sn == cn
+            nk = sn[keep].astype(np.int64)
+            c = cents[keep]
+            order = np.argsort(nk, kind="stable")
+            nk_s, c_s = nk[order], c[order]
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            return pa.table(
+                {
+                    "n_nationkey": nk_s[starts],
+                    "revenue_cents": np.add.reduceat(c_s, starts)
+                    if nk_s.size
+                    else np.zeros(0, np.int64),
+                }
+            )
+
+        summed = bucketed_sum(
+            joined.map_batches(
+                agg, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="n_nationkey",
+            value_cols=("revenue_cents",),
+        )
+        return broadcast_lookup(
+            summed, nat, on="n_nationkey", small_on="n_nationkey",
+            carry_cols=("n_name",),
+        ).select_columns(["n_name", "revenue_cents"])
+
+    def q_part_best_supplier(sf):
+        # per-part cheapest offer (TPC-H Q2-flavored argmin join): the
+        # (supplier, cents) lineitem minimizing (cents, suppkey) per
+        # part — map-side k=1 prune, ONE key-bucket shuffle
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import grouped_topk
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_partkey": tbl.column("l_partkey"),
+                    "l_suppkey": tbl.column("l_suppkey"),
+                    "cents": np.floor(ep * 100.0).astype(np.int64),
+                }
+            )
+
+        best = grouped_topk(
+            li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            k=1,
+            key_col="l_partkey",
+            id_col="l_suppkey",
+            value_col="cents",
+            descending=False,
+        )
+        return best.select_columns(["l_partkey", "l_suppkey", "cents"])
+
+    def q_ship_delay_quantiles(sf):
+        # exact R-7 quantiles of the order→ship latency in whole days,
+        # grouped by order priority class: ONE co-partitioned big-big
+        # join (int64 payloads only — the priority string is recoded to
+        # its leading digit before the shuffle), then the distinct-value
+        # histogram quantile fold
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.quantiles import int_quantiles
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+
+        def oprep(tbl: pa.Table) -> pa.Table:
+            prio = pc.cast(
+                pc.utf8_slice_codeunits(tbl.column("o_orderpriority"), 0, 1),
+                pa.int64(),
+            )
+            od = pc.cast(tbl.column("o_orderdate"), pa.int64())
+            return pa.table(
+                {"o_orderkey": tbl.column("o_orderkey"), "prio": prio, "od_us": od}
+            )
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+
+        def lprep(tbl: pa.Table) -> pa.Table:
+            sd = pc.cast(tbl.column("l_shipdate"), pa.int64())
+            return pa.table(
+                {"l_orderkey": tbl.column("l_orderkey"), "ship_us": sd}
+            )
+
+        joined = hash_equi_join(
+            li.map_batches(lprep, batch_format="pyarrow", zero_copy_batch=True),
+            orders.map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True),
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols=("ship_us",),
+            right_cols=("prio", "od_us"),
+        )
+
+        def delay(tbl: pa.Table) -> pa.Table:
+            ship = tbl.column("ship_us").to_numpy(zero_copy_only=False)
+            od = tbl.column("od_us").to_numpy(zero_copy_only=False)
+            days = (ship - od) // 86_400_000_000
+            return pa.table({"prio": tbl.column("prio"), "days": days})
+
+        return int_quantiles(
+            joined.map_batches(delay, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="prio",
+            int_col="days",
+        )
+
     def q_label_centroids(sf):
         # distributed per-label embedding centroid (quantized integer
         # component sums in long format — order-independent reduction)
@@ -2543,6 +2726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": q_orders_with_returns,
         "orders_no_returns": q_orders_no_returns,
         "q3_revenue": q_q3_revenue,
+        "local_supplier_volume": q_local_supplier_volume,
+        "part_best_supplier": q_part_best_supplier,
+        "ship_delay_quantiles": q_ship_delay_quantiles,
         "label_centroids": q_label_centroids,
         "top_revenue": q_top_revenue,
         "corpus_curation": q_corpus_curation,
@@ -3716,6 +3902,33 @@ WHERE d.doc_id NOT IN
             "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE c_nationkey = s_nationkey "
+            "GROUP BY n_name"
+        ),
+        "part_best_supplier": (
+            "WITH l AS (SELECT l_partkey, l_suppkey, "
+            "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "r AS (SELECT l_partkey, l_suppkey, cents, ROW_NUMBER() OVER "
+            "(PARTITION BY l_partkey ORDER BY cents, l_suppkey) AS rn FROM l) "
+            "SELECT l_partkey, l_suppkey, cents FROM r WHERE rn = 1"
+        ),
+        "ship_delay_quantiles": (
+            "WITH d AS (SELECT "
+            "CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio, "
+            "(epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 "
+            "AS days FROM lineitem JOIN orders ON l_orderkey = o_orderkey) "
+            "SELECT prio, quantile_cont(days, 0.5) AS p50, "
+            "quantile_cont(days, 0.9) AS p90, "
+            "quantile_cont(days, 0.99) AS p99 FROM d GROUP BY prio"
         ),
         "corpus_curation": corpus_curation_sql,
         "doc_tfidf_top": (
