@@ -47,6 +47,7 @@ KNOX_R = 0.02  # Knox spatial radius (unit square)
 KNOX_TAU_US = 21_600_000_000  # Knox temporal radius: 6h
 VOR_K = 5  # Voronoi / BFS seed-site count (smallest supplier keys)
 BFS_HOPS = 6  # grid_bfs isochrone horizon
+MOTIF_RES = 3  # tile-motif grid (8x8): coarse so trigrams actually repeat
 
 
 def _seed_sites(sf: str, k: int, res: int):
@@ -997,6 +998,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_tile_motifs(sf):
+        # trajectory sequence mining: global top-k consecutive tile
+        # trigrams (route motifs) — triple fold + pruned global top-k
+        from python_prtree_ray.pipelines.movement import tile_motifs
+
+        return tile_motifs(_event_tracks(sf, MOTIF_RES), res=MOTIF_RES, k=50)
 
     def q_trajectory_length(sf):
         # per-user L1 path length over time-ordered georeferenced events
@@ -2758,6 +2766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": q_segment_crossings,
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
+        "tile_motifs": q_tile_motifs,
         "colocation_pairs": q_colocation,
         "stay_points": q_stay_points,
         "resample_track": q_resample_track,
@@ -2834,6 +2843,7 @@ def oracle_sql() -> dict[str, str]:
         snap_to_segments_sql as _snap_to_segments_sql,
         segment_tiles_sql as _segment_tiles_sql,
         turn_histogram_sql as _turn_histogram_sql,
+        tile_motifs_sql as _tile_motifs_sql,
         speed_outliers_sql as _speed_outliers_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
@@ -4283,6 +4293,9 @@ pr AS (SELECT a.u AS user_a, b.u AS user_b
 SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
+        "tile_motifs": _tile_motifs_sql(
+            derive.points_sql("events", "event_id", "event_id"), MOTIF_RES, 50
+        ),
         "od_matrix": f"""
 WITH q AS ({derive.points_sql("events", "event_id", "event_id")}),
 p AS (

@@ -1886,3 +1886,113 @@ c AS (SELECT u,
 SELECT u AS user_id, turn, CAST(COUNT(*) AS BIGINT) AS n_turns
 FROM c GROUP BY u, turn
 """
+
+
+def tile_motifs(
+    tracks: Dataset,
+    res: int,
+    k: int = 50,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Global top-k trajectory MOTIFS — the most frequent consecutive
+    tile trigrams across all entity tracks (the sequence-mining
+    primitive behind route popularity / next-tile models):
+    ``(from_cell, mid_cell, to_cell, n, rank)`` ranked by
+    ``(n DESC, trigram ASC)``.
+
+    Scale shape: the shared trajectory TRIPLE fold (ONE entity-bucket
+    shuffle of fixed-width ints); each bucket collapses its triples to
+    distinct packed trigram keys (6·res bits — res ≤ 10 guards int64);
+    ONE metadata-sized key-bucket sum; map-side-pruned global top-k
+    (never a global sort).
+    """
+    tune_context()
+    from .merge import bucketed_sum, global_topk
+
+    if not 0 <= res <= 10:
+        raise ValueError(f"tile_motifs: res must be in [0, 10], got {res}")
+    g = np.int64(1 << res)
+    g2 = g * g
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        key = group.column("_mv_key").to_numpy(zero_copy_only=False)
+        if key.size < 3:
+            return empty
+        ts = (
+            group.column("_mv_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("_mv_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s = key[order]
+        same2 = k_s[2:] == k_s[:-2]
+        if not same2.any():
+            return empty
+        x = group.column(x_col).to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        y = group.column(y_col).to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        cell = x * g + y
+        tri = (
+            cell[:-2][same2] * (g2 * g2)
+            + cell[1:-1][same2] * g2
+            + cell[2:][same2]
+        )
+        ks, n = np.unique(tri, return_counts=True)
+        return pa.table({"key": ks, "n": n.astype(np.int64)})
+
+    keyed = _bucketed(tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets)
+    folded = keyed.groupby("_mv_bucket").map_groups(fold, batch_format="pyarrow")
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+    top = global_topk(summed, k, id_col="key", value_col="n")
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "from_cell": key // (g2 * g2),
+                "mid_cell": (key // g2) % g2,
+                "to_cell": key % g2,
+                "n": tbl.column("n"),
+                "rank": tbl.column("rank"),
+            }
+        )
+
+    return top.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tile_motifs_sql(points_cte: str, res: int, k: int = 50) -> str:
+    """DuckDB twin of :func:`tile_motifs` — double-LAG trigram counts,
+    ROW_NUMBER with the identical (n DESC, packed-trigram ASC) order."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    g = 1 << res
+    g2 = g * g
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} * {g} + {gy} AS cell
+        FROM events e JOIN q ON e.event_id = q.event_id),
+tr AS (SELECT u, LAG(cell, 2) OVER w AS c1, LAG(cell, 1) OVER w AS c2,
+              cell AS c3
+       FROM pts WINDOW w AS (PARTITION BY u ORDER BY ts, seq)),
+c AS (SELECT c1, c2, c3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE c1 IS NOT NULL GROUP BY 1, 2, 3),
+r AS (SELECT c1, c2, c3, n, ROW_NUMBER() OVER
+        (ORDER BY n DESC, c1 * {g2}::BIGINT * {g2} + c2 * {g2} + c3) AS rank
+      FROM c)
+SELECT c1 AS from_cell, c2 AS mid_cell, c3 AS to_cell, n,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

@@ -5894,3 +5894,48 @@ def test_grid_bfs_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_tile_motifs_matches_bruteforce(ray_session):
+    # global top-k consecutive-tile trigrams vs a Counter reference
+    # with the (n DESC, packed trigram ASC) tie order; triples never
+    # cross entities; partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.movement import tile_motifs
+
+    rng = np.random.default_rng(214)
+    res, k = 2, 12
+    g = 1 << res
+    n = 600
+    users = rng.integers(0, 15, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype("datetime64[us]")
+    seq = np.arange(n, dtype=np.int64)
+    gx = rng.integers(0, g, n).astype(np.int64)
+    gy = rng.integers(0, g, n).astype(np.int64)
+
+    cnt = Counter()
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((seq[m], ts[m].astype(np.int64)))
+        cells = (gx[m] * g + gy[m])[order]
+        for a, b, c in zip(cells[:-2], cells[1:-1], cells[2:]):
+            cnt[(int(a), int(b), int(c))] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [
+        {"from_cell": t[0], "mid_cell": t[1], "to_cell": t[2], "n": n_,
+         "rank": i + 1}
+        for i, (t, n_) in enumerate(ranked)
+    ]
+    assert want[0]["n"] > 1  # motifs actually repeat at this density
+
+    t = pa.table({"user_id": users, "ts": ts, "event_id": seq,
+                  "gx": gx, "gy": gy})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = tile_motifs(ds, res=res, k=k).take_all()
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
