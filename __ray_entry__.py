@@ -999,6 +999,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
 
+    def q_record_events(sf):
+        # per-user record-breaking events (running max, segmented
+        # doubling scan — no per-entity Python); record-sized output
+        from python_prtree_ray.pipelines.windows import record_events
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        return record_events(ev)
+
+    def q_cohort_retention(sf):
+        # first-active-week cohort x week-offset retention triangle:
+        # exact distinct-user counts via the one-bucket-per-user fold
+        from python_prtree_ray.pipelines.windows import cohort_retention
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+        return cohort_retention(ev)
+
     def q_tile_motifs(sf):
         # trajectory sequence mining: global top-k consecutive tile
         # trigrams (route motifs) — triple fold + pruned global top-k
@@ -2767,6 +2790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
         "tile_motifs": q_tile_motifs,
+        "record_events": q_record_events,
+        "cohort_retention": q_cohort_retention,
         "colocation_pairs": q_colocation,
         "stay_points": q_stay_points,
         "resample_track": q_resample_track,
@@ -2845,6 +2870,10 @@ def oracle_sql() -> dict[str, str]:
         turn_histogram_sql as _turn_histogram_sql,
         tile_motifs_sql as _tile_motifs_sql,
         speed_outliers_sql as _speed_outliers_sql,
+    )
+    from python_prtree_ray.pipelines.windows import (
+        record_events_sql as _record_events_sql,
+        cohort_retention_sql as _cohort_retention_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
         trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
@@ -4293,6 +4322,8 @@ pr AS (SELECT a.u AS user_a, b.u AS user_b
 SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
+        "record_events": _record_events_sql("events"),
+        "cohort_retention": _cohort_retention_sql("events"),
         "tile_motifs": _tile_motifs_sql(
             derive.points_sql("events", "event_id", "event_id"), MOTIF_RES, 50
         ),

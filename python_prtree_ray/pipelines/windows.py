@@ -710,3 +710,211 @@ def event_dedup_window(
         lambda g: first_per_group(g.drop_columns(["wb"]), emit_bucket=False),
         batch_format="pyarrow",
     ).select_columns([uid_col, type_col, "window_start", id_col])
+
+
+def record_events(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Record-breaking events per entity — every event whose value
+    strictly exceeds ALL of the entity's earlier events in (ts, seq)
+    order (the running-max / new-personal-best stream op):
+    ``(user_id, event_id, value_cents)``. The first event of an entity
+    is always a record. Values compare as exact floor-cents ints.
+
+    Scale shape: ONE entity-bucket shuffle of fixed-width ints; the
+    per-bucket fold computes the grouped prefix max with a segmented
+    Hillis-Steele doubling scan (O(n log n) vectorized, no per-row or
+    per-entity Python), then keeps the strict improvements. Output is
+    record-sized (≈ harmonic-number rows per entity).
+    """
+    tune_context()
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(
+            pc.floor(pc.multiply(tbl.column(value_col), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(k, n_buckets),
+                "k": k,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col),
+                "cents": cents,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    seq_col: pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, k))
+        k_s, seq_s, v_s = k[order], seq[order], v[order]
+        # segmented inclusive prefix max (Hillis-Steele doubling): after
+        # step d, res[i] = max(v[j..i]) over the last 2^d rows of i's
+        # segment — segments are contiguous, so one distance-d key
+        # equality check masks the whole window
+        res = v_s.copy()
+        d = 1
+        n = res.size
+        while d < n:
+            valid = k_s[d:] == k_s[:-d]
+            np.maximum(
+                res[d:], np.where(valid, res[:-d], np.iinfo(np.int64).min), out=res[d:]
+            )
+            d *= 2
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        rec = first | (v_s > np.r_[np.iinfo(np.int64).min, res[:-1]])
+        return pa.table(
+            {
+                key_col: k_s[rec],
+                seq_col: seq_s[rec],
+                "value_cents": v_s[rec],
+            }
+        )
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def record_events_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`record_events` — running MAX window with a
+    1-preceding frame, identical (ts, seq) order and strict compare."""
+    return f"""
+WITH c AS (SELECT user_id, event_id, ts,
+                  CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+           FROM {table}),
+r AS (SELECT user_id, event_id, cents,
+             MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM c)
+SELECT user_id, event_id, cents AS value_cents
+FROM r WHERE prevmax IS NULL OR cents > prevmax
+"""
+
+
+WEEK_US = 604_800_000_000  # 7 * 86400e6
+
+
+def cohort_retention(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Cohort retention matrix — users grouped by their FIRST active
+    epoch week, counted in every later week they return:
+    ``(cohort_week, week_offset, n_users)`` where ``n_users`` is the
+    exact distinct-user count of that cohort active ``week_offset``
+    weeks after its start (offset 0 row = cohort size). The classic
+    product-analytics retention triangle.
+
+    Scale shape: each entity's rows land in ONE user bucket, so the
+    per-bucket fold sees every event of its users: dedup to (user,
+    week), take the per-user min week as the cohort, emit packed
+    (cohort, offset) partial counts — distinct-user exactness without a
+    global distinct. ONE metadata-sized key-bucket sum. Raw events
+    never shuffle twice; weeks are exact epoch-µs integer divisions.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    OFF_BITS = 20  # offsets < 2^20 weeks (~20k years) — packing guard
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        if (ts < 0).any():
+            raise ValueError("cohort_retention: pre-epoch timestamps unsupported")
+        week = ts // WEEK_US
+        # batch-local (user, week) dedup — shrinks the shuffle to the
+        # active-user-week grid
+        order = np.lexsort((week, k))
+        k_s, w_s = k[order], week[order]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        return pa.table(
+            {
+                "bucket": bucket_of(k_s[keep], n_buckets),
+                "k": k_s[keep],
+                "week": w_s[keep],
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+            )
+        week = group.column("week").to_numpy(zero_copy_only=False)
+        order = np.lexsort((week, k))
+        k_s, w_s = k[order], week[order]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        k_u, w_u = k_s[keep], w_s[keep]
+        starts = np.flatnonzero(np.r_[True, k_u[1:] != k_u[:-1]])
+        sizes = np.diff(np.r_[starts, k_u.size])
+        cohort = np.repeat(w_u[starts], sizes)  # per-user min week
+        off = w_u - cohort
+        key, n = np.unique(cohort * (1 << OFF_BITS) + off, return_counts=True)
+        return pa.table({"key": key, "n_users": n.astype(np.int64)})
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    folded = keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n_users",))
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_week": key >> 20,
+                "week_offset": key & ((1 << 20) - 1),
+                "n_users": tbl.column("n_users"),
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cohort_retention_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`cohort_retention` — distinct user-weeks,
+    per-user MIN week cohort, identical integer week arithmetic."""
+    return f"""
+WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week
+           FROM {table}),
+f AS (SELECT user_id, MIN(week) AS cohort FROM w GROUP BY user_id)
+SELECT f.cohort AS cohort_week, w.week - f.cohort AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w JOIN f ON w.user_id = f.user_id
+GROUP BY 1, 2
+"""

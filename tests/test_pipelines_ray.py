@@ -5939,3 +5939,78 @@ def test_tile_motifs_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_record_events_matches_bruteforce(ray_session):
+    # per-user running-max record stream vs a per-row reference; ties
+    # are NOT records (strict >); duplicate values + long segments
+    # exercise the segmented doubling scan; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import record_events
+
+    rng = np.random.default_rng(215)
+    n = 800
+    users = rng.integers(0, 7, n).astype(np.int64)  # long segments
+    ts = rng.integers(0, 10**8, n).astype("datetime64[us]")
+    seq = np.arange(n, dtype=np.int64)
+    value = rng.integers(0, 20, n) / 4.0  # heavy ties
+
+    want = set()
+    for u in np.unique(users):
+        m = np.flatnonzero(users == u)
+        order = m[np.lexsort((seq[m], ts[m].astype(np.int64)))]
+        best = None
+        for i in order:
+            c = int(np.floor(value[i] * 100.0))
+            if best is None or c > best:
+                want.add((int(u), int(seq[i]), c))
+                best = c
+
+    t = pa.table({"user_id": users, "ts": ts, "event_id": seq, "value": value})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = record_events(ds).take_all()
+        got = {(r["user_id"], r["event_id"], r["value_cents"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_cohort_retention_matches_bruteforce(ray_session):
+    # retention triangle vs a set-based reference: distinct-user counts
+    # per (first week, offset); offset-0 equals cohort size
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.windows import cohort_retention, WEEK_US
+
+    rng = np.random.default_rng(216)
+    n = 900
+    users = rng.integers(0, 40, n).astype(np.int64)
+    ts = (rng.integers(0, 12, n) * WEEK_US + rng.integers(0, WEEK_US, n)).astype(
+        "datetime64[us]"
+    )
+
+    weeks = ts.astype(np.int64) // WEEK_US
+    uw = {(int(u), int(w)) for u, w in zip(users, weeks)}
+    first = {}
+    for u, w in sorted(uw):
+        first.setdefault(u, w)
+    cnt = Counter((first[u], w - first[u]) for u, w in uw)
+    want = {k: v for k, v in cnt.items()}
+    cohort_sizes = Counter(first.values())
+    for (c, off), v in want.items():
+        if off == 0:
+            assert v == cohort_sizes[c]
+
+    t = pa.table({"user_id": users, "ts": ts})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = cohort_retention(ds).take_all()
+        got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
