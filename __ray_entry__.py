@@ -2418,6 +2418,143 @@ def queries() -> dict[str, Callable[[str], Any]]:
             int_col="days",
         )
 
+    def q_returns_revenue_share(sf):
+        # conditional-aggregate ratio per nation: returned-lineitem
+        # revenue share — (total, returned) int-cents partials fold
+        # map-side; supplier dim broadcast; ONE nation-sized sum
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        supp = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        )
+        li2 = broadcast_lookup(
+            li, supp, on="l_suppkey", small_on="s_suppkey",
+            carry_cols=("s_nationkey",),
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+            ret = pc.equal(tbl.column("l_returnflag"), "R").to_numpy(
+                zero_copy_only=False
+            )
+            nk = tbl.column("s_nationkey").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            order = np.argsort(nk, kind="stable")
+            nk_s, c_s, r_s = nk[order], cents[order], ret[order]
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            return pa.table(
+                {
+                    "n_nationkey": nk_s[starts],
+                    "revenue_cents": np.add.reduceat(c_s, starts),
+                    "returned_cents": np.add.reduceat(
+                        np.where(r_s, c_s, 0), starts
+                    ),
+                }
+            )
+
+        summed = bucketed_sum(
+            li2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="n_nationkey",
+            value_cols=("revenue_cents", "returned_cents"),
+        )
+        named = broadcast_lookup(
+            summed, nat, on="n_nationkey", small_on="n_nationkey",
+            carry_cols=("n_name",),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            tot = tbl.column("revenue_cents").to_numpy(zero_copy_only=False)
+            ret = tbl.column("returned_cents").to_numpy(zero_copy_only=False)
+            share = ret.astype(np.float64) / tot.astype(np.float64)
+            return pa.table(
+                {
+                    "n_name": tbl.column("n_name"),
+                    "revenue_cents": tot,
+                    "returned_cents": ret,
+                    "returned_share": share,
+                }
+            )
+
+        return named.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_cust_order_histogram(sf):
+        # two-level aggregate: per-customer order counts, then the
+        # distribution of those counts — both levels pre-combined
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            k, n = np.unique(
+                tbl.column("o_custkey").to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table({"o_custkey": k, "n_orders": n.astype(np.int64)})
+
+        per_cust = bucketed_sum(
+            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="o_custkey",
+            value_cols=("n_orders",),
+        )
+
+        def hist_partial(tbl: pa.Table) -> pa.Table:
+            k, n = np.unique(
+                tbl.column("n_orders").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"n_orders": k, "n_customers": n.astype(np.int64)})
+
+        return bucketed_sum(
+            per_cust.map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="n_orders",
+            value_cols=("n_customers",),
+        )
+
+    def q_lexical_diversity(sf):
+        # per-doc type-token + Simpson repetition profile: zero shuffle,
+        # exact dictionary-encoded token equality
+        import ray
+        from python_prtree_ray.pipelines.text import lexical_diversity
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return lexical_diversity(docs)
+
+    def q_interarrival_hist(sf):
+        # burstiness profile: log2-binned same-user event gaps (µs);
+        # pair fold + tiny sum, <=64 rows at any scale
+        import ray
+        from python_prtree_ray.pipelines.movement import interarrival_hist
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        return interarrival_hist(ev)
+
     def q_label_centroids(sf):
         # distributed per-label embedding centroid (quantized integer
         # component sums in long format — order-independent reduction)
@@ -2758,6 +2895,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_returns": q_orders_no_returns,
         "q3_revenue": q_q3_revenue,
         "local_supplier_volume": q_local_supplier_volume,
+        "returns_revenue_share": q_returns_revenue_share,
+        "cust_order_histogram": q_cust_order_histogram,
+        "lexical_diversity": q_lexical_diversity,
+        "interarrival_hist": q_interarrival_hist,
         "part_best_supplier": q_part_best_supplier,
         "ship_delay_quantiles": q_ship_delay_quantiles,
         "label_centroids": q_label_centroids,
@@ -2870,6 +3011,10 @@ def oracle_sql() -> dict[str, str]:
         turn_histogram_sql as _turn_histogram_sql,
         tile_motifs_sql as _tile_motifs_sql,
         speed_outliers_sql as _speed_outliers_sql,
+        interarrival_hist_sql as _interarrival_hist_sql,
+    )
+    from python_prtree_ray.pipelines.text import (
+        lexical_diversity_sql as _lexical_diversity_sql,
     )
     from python_prtree_ray.pipelines.windows import (
         record_events_sql as _record_events_sql,
@@ -3942,6 +4087,26 @@ WHERE d.doc_id NOT IN
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
         ),
+        "returns_revenue_share": (
+            "WITH l AS (SELECT s_nationkey, "
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"
+            " AS cents, l_returnflag = 'R' AS ret "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey), "
+            "t AS (SELECT s_nationkey, CAST(SUM(cents) AS BIGINT) AS "
+            "revenue_cents, CAST(SUM(CASE WHEN ret THEN cents ELSE 0 END) "
+            "AS BIGINT) AS returned_cents FROM l GROUP BY s_nationkey) "
+            "SELECT n_name, revenue_cents, returned_cents, "
+            "CAST(returned_cents AS DOUBLE) / CAST(revenue_cents AS DOUBLE) "
+            "AS returned_share FROM t JOIN nation ON n_nationkey = s_nationkey"
+        ),
+        "cust_order_histogram": (
+            "WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM c GROUP BY n_orders"
+        ),
+        "lexical_diversity": _lexical_diversity_sql("documents"),
+        "interarrival_hist": _interarrival_hist_sql("events"),
         "local_supplier_volume": (
             "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
             "(1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "

@@ -1996,3 +1996,59 @@ SELECT c1 AS from_cell, c2 AS mid_cell, c3 AS to_cell, n,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
+
+
+def interarrival_hist(
+    tracks: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Inter-arrival-time distribution — histogram of the µs gaps
+    between consecutive same-entity events in log₂ lags:
+    ``(bin, n_gaps)`` with ``bin = ⌊log₂ dt_us⌋`` and ``bin = -1`` for
+    zero gaps (same-timestamp bursts). The temporal companion of
+    :func:`jump_histogram` (burstiness / session-cadence profiling);
+    same exactness trick: the bin is the float exponent of the exact
+    int64 gap (``np.frexp``), the SQL twin a power-of-two CASE ladder.
+
+    Scale shape: the shared trajectory pair fold — ONE entity-bucket
+    shuffle of (key, ts, seq) only, per-group bin counts, one tiny
+    bucketed sum; ≤64 output rows at any size.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    def emit(cols, dt):
+        if dt is None:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "n_gaps": pa.array([], pa.int64())}
+            )
+        bins = np.where(
+            dt > 0, np.frexp(dt.astype(np.float64))[1] - 1, np.int64(-1)
+        ).astype(np.int64)
+        key, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv, minlength=key.size).astype(np.int64)
+        return pa.table({"bin": key, "n_gaps": n})
+
+    keyed = _bucketed(tracks, key_col, ts_col, seq_col, (), n_buckets)
+    parts = _fold_pairs(keyed, (), emit)
+    return bucketed_sum(parts, key_col="bin", value_cols=("n_gaps",))
+
+
+def interarrival_hist_sql(table: str = "events", max_bin: int = 44) -> str:
+    """DuckDB twin of :func:`interarrival_hist` — LAG gap in µs,
+    generated power-of-two CASE ladder (dt < 2^45 ≈ 1100 years)."""
+    ladder = " ".join(
+        f"WHEN dt < {1 << (k + 1)} THEN {k}" for k in range(max_bin + 1)
+    )
+    return f"""
+WITH mv AS (SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) AS dt
+            FROM {table}),
+d AS (SELECT dt FROM mv WHERE dt IS NOT NULL),
+b AS (SELECT CASE WHEN dt = 0 THEN -1 {ladder} END AS bin FROM d)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY bin
+"""

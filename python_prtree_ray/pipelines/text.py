@@ -1063,3 +1063,96 @@ c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY gram),
 r AS (SELECT gram, n, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rank FROM c)
 SELECT gram, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}
 """
+
+
+def lexical_diversity(docs: Dataset) -> Dataset:
+    """Per-document lexical-diversity profile — the repetition /
+    template-spam signal of a curation pipeline: ``(doc_id, n_tokens,
+    n_distinct, simpson)`` over the lowercase alpha-run tokens, where
+    ``simpson = 1 − Σ c(c−1) / (n(n−1))`` across the per-word counts c
+    (the probability two tokens drawn without replacement differ).
+    Docs with fewer than two tokens drop. Exact: token equality is
+    Arrow ``dictionary_encode`` (real string compare, no hash
+    collisions); numerator and denominator are exact ints; ONE double
+    division — bitwise-equal to the SQL twin.
+
+    Scale shape: zero shuffle — each doc's statistic is local to its
+    row, so one ``map_batches`` pass computes everything via flatten +
+    lexsort + reduceat (no per-doc Python, tokens never leave the
+    task)."""
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "simpson": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        text = tbl.column("text")
+        toks_list = pc.split_pattern_regex(
+            pc.replace_substring_regex(pc.utf8_lower(text), "[^a-z]+", " "), " "
+        ).combine_chunks()
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), lens)
+        flat = pc.list_flatten(toks_list)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        if parent.size == 0:
+            return empty
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-(doc, word) counts
+        order = np.lexsort((code, parent))
+        p_s, c_s = parent[order], code[order]
+        starts = np.flatnonzero(
+            np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        )
+        c = np.diff(np.r_[starts, p_s.size]).astype(np.int64)
+        p_u = p_s[starts]
+        # per-doc fold
+        dstarts = np.flatnonzero(np.r_[True, p_u[1:] != p_u[:-1]])
+        n_tok = np.add.reduceat(c, dstarts)
+        n_dis = np.diff(np.r_[dstarts, p_u.size]).astype(np.int64)
+        num = np.add.reduceat(c * (c - 1), dstarts)
+        rows = p_u[dstarts]
+        keep2 = n_tok >= 2
+        if not keep2.any():
+            return empty
+        n_tok, n_dis, num, rows = n_tok[keep2], n_dis[keep2], num[keep2], rows[keep2]
+        simpson = 1.0 - num.astype(np.float64) / (
+            n_tok * (n_tok - 1)
+        ).astype(np.float64)
+        doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "n_tokens": n_tok,
+                "n_distinct": n_dis,
+                "simpson": simpson,
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lexical_diversity_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`lexical_diversity` — unnest + two GROUP
+    BYs, identical single double division."""
+    return f"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+             AS word FROM {table}),
+c AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM w GROUP BY doc_id, word),
+t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS num
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(1 AS DOUBLE) - CAST(num AS DOUBLE)
+         / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson
+FROM t WHERE n_tokens >= 2
+"""

@@ -6014,3 +6014,79 @@ def test_cohort_retention_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_lexical_diversity_matches_bruteforce(ray_session):
+    # per-doc token counts / distinct / Simpson vs a Counter reference;
+    # sub-2-token docs drop; punctuation splits; partition-invariant
+    ray = ray_session
+    import re
+    from collections import Counter
+    from python_prtree_ray.pipelines.text import lexical_diversity
+
+    texts = [
+        "The cat sat. The cat SAT!",
+        "one",                      # 1 token -> dropped
+        "",                         # 0 tokens -> dropped
+        "a b c d e",
+        "spam spam spam spam",
+        "Mixed42case and MIXED42CASE tokens split on digits",
+    ]
+    ids = np.arange(len(texts), dtype=np.int64)
+    want = {}
+    for i, s in zip(ids, texts):
+        toks = re.findall("[a-z]+", s.lower())
+        n = len(toks)
+        if n < 2:
+            continue
+        cnt = Counter(toks)
+        num = sum(v * (v - 1) for v in cnt.values())
+        want[int(i)] = (n, len(cnt), 1.0 - float(num) / float(n * (n - 1)))
+
+    t = pa.table({"doc_id": ids, "text": texts})
+    prev = None
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = lexical_diversity(ds).take_all()
+        got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["simpson"])
+               for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_interarrival_hist_matches_bruteforce(ray_session):
+    # log2-binned same-user gaps vs a reference with zero gaps (bin -1)
+    # forced; gaps never cross users; partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.movement import interarrival_hist
+
+    rng = np.random.default_rng(217)
+    n = 500
+    users = rng.integers(0, 9, n).astype(np.int64)
+    ts_i = rng.integers(0, 10**7, n)
+    u0 = np.flatnonzero(users == 0)[:3]
+    ts_i[u0] = ts_i[u0[0]]  # same-user duplicate stamps -> zero gaps
+    seq = np.arange(n, dtype=np.int64)
+
+    cnt = Counter()
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((seq[m], ts_i[m]))
+        dt = np.diff(ts_i[m][order])
+        for d in dt:
+            cnt[-1 if d == 0 else int(np.frexp(float(d))[1] - 1)] += 1
+    assert cnt.get(-1, 0) > 0  # zero-gap path exercised
+
+    t = pa.table({"user_id": users, "ts": ts_i.astype("datetime64[us]"),
+                  "event_id": seq})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {r["bin"]: r["n_gaps"] for r in interarrival_hist(ds).take_all()}
+        assert got == dict(cnt)
+        if prev is not None:
+            assert got == prev
+        prev = got
