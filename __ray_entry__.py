@@ -2555,6 +2555,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return interarrival_hist(ev)
 
+    def q_above_avg_orders(sf):
+        # correlated-aggregate filter: orders strictly above their
+        # customer's mean order value — exact integer cross-multiply
+        # (v·n > sum, no division); aggregate + re-join share ONE shuffle
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.agg import above_group_mean
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+
+        def prep(tbl):
+            tp = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey"),
+                    "o_custkey": tbl.column("o_custkey"),
+                    "cents": np.floor(tp * 100.0).astype(np.int64),
+                }
+            )
+
+        return above_group_mean(
+            orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="o_custkey",
+            id_col="o_orderkey",
+            cents_col="cents",
+        )
+
+    def q_emb_dim_quantiles(sf):
+        # per-dimension distribution monitor: exact R-7 quantiles on
+        # the 2^10 scaled-int grid; vectors never shuffle
+        import ray
+        from python_prtree_ray.pipelines.ann import emb_dim_quantiles
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        return emb_dim_quantiles(emb)
+
     def q_label_centroids(sf):
         # distributed per-label embedding centroid (quantized integer
         # component sums in long format — order-independent reduction)
@@ -2896,6 +2937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue": q_q3_revenue,
         "local_supplier_volume": q_local_supplier_volume,
         "returns_revenue_share": q_returns_revenue_share,
+        "above_avg_orders": q_above_avg_orders,
+        "emb_dim_quantiles": q_emb_dim_quantiles,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
         "interarrival_hist": q_interarrival_hist,
@@ -3029,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.ann import (
         emb_covariance_sql as _emb_covariance_sql,
+        emb_dim_quantiles_sql as _emb_dim_quantiles_sql,
     )
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
@@ -4087,6 +4131,15 @@ WHERE d.doc_id NOT IN
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
         ),
+        "above_avg_orders": (
+            "WITH o AS (SELECT o_orderkey, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders), "
+            "c AS (SELECT o_custkey AS k, CAST(SUM(cents) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1) "
+            "SELECT o_orderkey, o_custkey, cents FROM o JOIN c "
+            "ON o_custkey = c.k WHERE cents * c.n > c.s"
+        ),
+        "emb_dim_quantiles": _emb_dim_quantiles_sql("embeddings"),
         "returns_revenue_share": (
             "WITH l AS (SELECT s_nationkey, "
             "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"

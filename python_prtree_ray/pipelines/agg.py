@@ -366,3 +366,64 @@ WHERE NOT EXISTS (
     AND (b.px < a.px OR b.py < a.py)
 )
 """
+
+
+def above_group_mean(
+    ds: Dataset,
+    key_col: str,
+    id_col: str,
+    cents_col: str,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Rows strictly above their GROUP's mean — the correlated-
+    aggregate filter (``WHERE v > AVG(v) OVER (PARTITION BY key)``):
+    ``(id, key, cents)``. Exact with NO division: ``v > sum/n`` is
+    evaluated as the integer cross-multiplication ``v·n > sum``.
+
+    Scale shape: ONE key-bucket shuffle; each group lands whole in one
+    bucket, so the fold computes per-group (sum, n) via reduceat and
+    filters in the same pass — the aggregate and the re-join never pay
+    a second shuffle. All int64 (``|cents|·n`` must fit — callers with
+    billion-row groups should pre-scale).
+    """
+    tune_context()
+    from ..functions.buckets import bucket_of
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": bucket_of(k, n_buckets),
+                key_col: k,
+                id_col: tbl.column(id_col),
+                cents_col: tbl.column(cents_col),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    cents_col: pa.array([], pa.int64()),
+                }
+            )
+        v = group.column(cents_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s, v_s, i_s = k[order], v[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        sizes = np.diff(np.r_[starts, k_s.size])
+        s = np.repeat(np.add.reduceat(v_s, starts), sizes)
+        n = np.repeat(sizes.astype(np.int64), sizes)
+        keep = v_s * n > s
+        return pa.table(
+            {id_col: i_s[keep], key_col: k_s[keep], cents_col: v_s[keep]}
+        )
+
+    keyed = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")

@@ -626,3 +626,57 @@ SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
        / CAST(g.n * g.n AS DOUBLE) AS cov
 FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, g
 """
+
+
+def emb_dim_quantiles(
+    vectors: Dataset, col: str = "embedding", scale_bits: int = 10
+) -> Dataset:
+    """Per-DIMENSION quantiles of the embedding corpus — the feature-
+    distribution drift monitor: ``(dim, p50, p90, p99)`` over the
+    FLOOR-scaled components (power-of-two grid ``2^scale_bits``, exact
+    — same trick as :func:`emb_covariance`). Quantiles are exact R-7 on
+    the scaled-int grid via the distinct-value histogram fold.
+
+    Scale shape: the long (dim, value) expansion fuses into the
+    quantile partial (one map stage — the expansion never
+    materializes); the shuffle ships distinct (dim, grid-value) pair
+    counts, bounded by d·grid, never by corpus rows; embeddings never
+    reshuffle.
+    """
+    tune_context()
+    from .quantiles import int_quantiles
+
+    S = float(1 << scale_bits)
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        E = _emb_matrix(tbl, col)
+        if E.shape[0] == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "q": pa.array([], pa.int64())}
+            )
+        q = np.floor(E * S).astype(np.int64)
+        dim = np.tile(np.arange(E.shape[1], dtype=np.int64), E.shape[0])
+        return pa.table({"dim": dim, "q": q.ravel()})
+
+    return int_quantiles(
+        vectors.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="dim",
+        int_col="q",
+    )
+
+
+def emb_dim_quantiles_sql(
+    table: str = "embeddings", col: str = "embedding", scale_bits: int = 10
+) -> str:
+    """DuckDB twin of :func:`emb_dim_quantiles` — lockstep unnest,
+    identical FLOOR scaling, quantile_cont (R-7)."""
+    S = float(1 << scale_bits)
+    return f"""
+WITH u AS (SELECT CAST(generate_subscripts({col}, 1) - 1 AS BIGINT) AS dim,
+                  CAST(FLOOR(CAST(unnest({col}) AS DOUBLE) * {S!r}) AS BIGINT)
+                    AS q
+           FROM {table})
+SELECT dim, quantile_cont(q, 0.5) AS p50, quantile_cont(q, 0.9) AS p90,
+       quantile_cont(q, 0.99) AS p99
+FROM u GROUP BY dim
+"""

@@ -6090,3 +6090,73 @@ def test_interarrival_hist_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_above_group_mean_matches_bruteforce(ray_session):
+    # strict above-mean filter vs per-group reference; a group whose
+    # members are all equal yields NO rows (strict >); partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.agg import above_group_mean
+
+    rng = np.random.default_rng(218)
+    n = 600
+    keys = rng.integers(0, 30, n).astype(np.int64)
+    vals = rng.integers(-50, 50, n).astype(np.int64)
+    vals[keys == 3] = 7  # an all-equal group -> zero rows from it
+    ids = np.arange(n, dtype=np.int64)
+
+    want = set()
+    for g in np.unique(keys):
+        m = keys == g
+        s, c = vals[m].sum(), m.sum()
+        for i, v in zip(ids[m], vals[m]):
+            if v * c > s:
+                want.add((int(i), int(g), int(v)))
+    assert not any(g == 3 for _, g, _ in want)
+
+    t = pa.table({"k": keys, "id": ids, "cents": vals})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = above_group_mean(
+            ds, key_col="k", id_col="id", cents_col="cents"
+        ).take_all()
+        got = {(r["id"], r["k"], r["cents"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_emb_dim_quantiles_matches_bruteforce(ray_session):
+    # per-dimension R-7 quantiles of the scaled grid vs numpy
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import emb_dim_quantiles
+
+    rng = np.random.default_rng(219)
+    n, d = 400, 6
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    Q = np.floor(E.astype(np.float64) * 1024.0).astype(np.int64)
+
+    def r7(x, q):  # the engine/DuckDB expression: (1-f)*lo + f*hi
+        s = np.sort(x)
+        h = (len(s) - 1) * q
+        lo = int(np.floor(h))
+        f = h - lo
+        return (1.0 - f) * float(s[lo]) + f * float(s[min(lo + 1, len(s) - 1)])
+
+    want = {
+        dim: tuple(r7(Q[:, dim], q) for q in (0.5, 0.9, 0.99))
+        for dim in range(d)
+    }
+
+    t = pa.table({"embedding": pa.array(list(E), pa.list_(pa.float32()))})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = emb_dim_quantiles(ds).take_all()
+        got = {r["dim"]: (r["p50"], r["p90"], r["p99"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
