@@ -2555,6 +2555,152 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return interarrival_hist(ev)
 
+    def q_value_percentile(sf):
+        # broadcast-CDF enrichment: every event annotated with its exact
+        # global percent_rank — the distinct-cents histogram (grid-sized
+        # metadata) is aggregated once, ray.put once, and each batch
+        # resolves via searchsorted; raw rows never shuffle
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "value"]
+        )
+
+        def hist_partial(tbl: pa.Table) -> pa.Table:
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            c, n = np.unique(np.floor(v * 100.0).astype(np.int64), return_counts=True)
+            return pa.table({"cents": c, "n": n.astype(np.int64)})
+
+        hist = bucketed_sum(
+            ev.map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="cents",
+            value_cols=("n",),
+        ).take_all()  # distinct-cents grid: metadata-sized by construction
+        vals = np.array([r["cents"] for r in hist], np.int64)
+        cnts = np.array([r["n"] for r in hist], np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        smaller = np.r_[np.int64(0), np.cumsum(cnts)[:-1]]
+        n_total = int(cnts.sum())
+        ref = ray.put((vals, smaller, n_total))
+
+        def rank(tbl: pa.Table) -> pa.Table:
+            v, sm, nt = ray.get(ref)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            pos = np.searchsorted(v, cents)
+            pct = sm[pos].astype(np.float64) / np.float64(nt - 1)
+            return pa.table(
+                {"event_id": tbl.column("event_id"), "cents": cents, "pct": pct}
+            )
+
+        return ev.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_activity_heatmap(sf):
+        # day-of-week x hour-of-day seasonality matrix: exact integer
+        # epoch arithmetic both sides (no locale-dependent date parts)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["ts"])
+        DAY = 86_400_000_000
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            dow = (us // DAY + 4) % 7  # 1970-01-01 was a Thursday
+            hour = (us % DAY) // 3_600_000_000
+            key, n = np.unique(dow * 24 + hour, return_counts=True)
+            return pa.table({"key": key, "n_events": n.astype(np.int64)})
+
+        summed = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="key",
+            value_cols=("n_events",),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "dow": key // 24,
+                    "hour": key % 24,
+                    "n_events": tbl.column("n_events"),
+                }
+            )
+
+        return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_incremental_agg(sf):
+        # incremental-view maintenance: per-user (n_events, value_cents)
+        # maintained from a CHECKPOINTED partial-aggregate parquet plus a
+        # delta stream — base rows are never rescanned on the update
+        # path; partial sums are associative, so checkpoint ∪ delta
+        # partials re-folded equals the full recompute (the SQL oracle
+        # scans everything — equality proves the incremental plan)
+        import os
+        import shutil
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "value"]
+        )
+
+        def split_partial(keep_delta: bool):
+            def partial(tbl: pa.Table) -> pa.Table:
+                eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+                m = (eid % 5 == 0) == keep_delta
+                u = tbl.column("user_id").to_numpy(zero_copy_only=False)[m]
+                cents = np.floor(
+                    tbl.column("value").to_numpy(zero_copy_only=False)[m] * 100.0
+                ).astype(np.int64)
+                order = np.argsort(u, kind="stable")
+                u_s, c_s = u[order], cents[order]
+                starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+                return pa.table(
+                    {
+                        "user_id": u_s[starts],
+                        "n_events": np.diff(np.r_[starts, u_s.size]).astype(
+                            np.int64
+                        ),
+                        "value_cents": np.add.reduceat(c_s, starts)
+                        if u_s.size
+                        else np.zeros(0, np.int64),
+                    }
+                )
+
+            return partial
+
+        base_dir = f"/tmp/graft_incr_agg_{os.path.basename(sf.rstrip('/'))}"
+        shutil.rmtree(base_dir, ignore_errors=True)
+        base_agg = bucketed_sum(
+            ev.map_batches(
+                split_partial(False), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="user_id",
+            value_cols=("n_events", "value_cents"),
+        )
+        base_agg.write_parquet(base_dir)  # the maintained view's checkpoint
+
+        delta = ev.map_batches(
+            split_partial(True), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return bucketed_sum(
+            ray.data.read_parquet(base_dir).union(delta),
+            key_col="user_id",
+            value_cols=("n_events", "value_cents"),
+        )
+
     def q_above_avg_orders(sf):
         # correlated-aggregate filter: orders strictly above their
         # customer's mean order value — exact integer cross-multiply
@@ -2938,6 +3084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": q_local_supplier_volume,
         "returns_revenue_share": q_returns_revenue_share,
         "above_avg_orders": q_above_avg_orders,
+        "value_percentile": q_value_percentile,
+        "activity_heatmap": q_activity_heatmap,
+        "incremental_agg": q_incremental_agg,
         "emb_dim_quantiles": q_emb_dim_quantiles,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
@@ -4130,6 +4279,23 @@ WHERE d.doc_id NOT IN
             "(SELECT o_orderkey FROM orders WHERE o_custkey IN "
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
+        ),
+        "value_percentile": (
+            "WITH c AS (SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT)"
+            " AS cents FROM events) "
+            "SELECT event_id, cents, "
+            "PERCENT_RANK() OVER (ORDER BY cents) AS pct FROM c"
+        ),
+        "activity_heatmap": (
+            "WITH t AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour FROM events) "
+            "SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM t GROUP BY dow, hour"
+        ),
+        "incremental_agg": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events GROUP BY user_id"
         ),
         "above_avg_orders": (
             "WITH o AS (SELECT o_orderkey, o_custkey, "
