@@ -48,6 +48,7 @@ KNOX_TAU_US = 21_600_000_000  # Knox temporal radius: 6h
 VOR_K = 5  # Voronoi / BFS seed-site count (smallest supplier keys)
 BFS_HOPS = 6  # grid_bfs isochrone horizon
 MOTIF_RES = 3  # tile-motif grid (8x8): coarse so trigrams actually repeat
+DWELL_RES = 2  # dwell-run grid (4x4): coarse so same-tile runs form
 
 
 def _seed_sites(sf: str, k: int, res: int):
@@ -1021,6 +1022,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/events.parquet", columns=["user_id", "ts"]
         )
         return cohort_retention(ev)
+
+    def q_max_dwell_run(sf):
+        # gaps-and-islands: longest same-tile streak per user (exact
+        # run-length fold vs the double-ROW_NUMBER SQL islands trick)
+        from python_prtree_ray.pipelines.movement import max_dwell_run
+
+        return max_dwell_run(_event_tracks(sf, DWELL_RES), res=DWELL_RES)
+
+    def q_od_asymmetry(sf):
+        # directional flow imbalance per unordered tile pair: forward /
+        # reverse counts + net, metadata-sized pair partials
+        from python_prtree_ray.pipelines.movement import od_asymmetry
+
+        return od_asymmetry(_event_tracks(sf, MOTIF_RES), res=MOTIF_RES)
 
     def q_tile_motifs(sf):
         # trajectory sequence mining: global top-k consecutive tile
@@ -3123,6 +3138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
         "tile_motifs": q_tile_motifs,
+        "max_dwell_run": q_max_dwell_run,
+        "od_asymmetry": q_od_asymmetry,
         "record_events": q_record_events,
         "cohort_retention": q_cohort_retention,
         "colocation_pairs": q_colocation,
@@ -3204,6 +3221,8 @@ def oracle_sql() -> dict[str, str]:
         tile_motifs_sql as _tile_motifs_sql,
         speed_outliers_sql as _speed_outliers_sql,
         interarrival_hist_sql as _interarrival_hist_sql,
+        max_dwell_run_sql as _max_dwell_run_sql,
+        od_asymmetry_sql as _od_asymmetry_sql,
     )
     from python_prtree_ray.pipelines.text import (
         lexical_diversity_sql as _lexical_diversity_sql,
@@ -4708,6 +4727,12 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
         "record_events": _record_events_sql("events"),
         "cohort_retention": _cohort_retention_sql("events"),
+        "max_dwell_run": _max_dwell_run_sql(
+            derive.points_sql("events", "event_id", "event_id"), DWELL_RES
+        ),
+        "od_asymmetry": _od_asymmetry_sql(
+            derive.points_sql("events", "event_id", "event_id"), MOTIF_RES
+        ),
         "tile_motifs": _tile_motifs_sql(
             derive.points_sql("events", "event_id", "event_id"), MOTIF_RES, 50
         ),

@@ -2052,3 +2052,197 @@ b AS (SELECT CASE WHEN dt = 0 THEN -1 {ladder} END AS bin FROM d)
 SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_gaps
 FROM b GROUP BY bin
 """
+
+
+def max_dwell_run(
+    tracks: Dataset,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Longest consecutive same-tile RUN per entity — the
+    gaps-and-islands statistic (max uninterrupted dwell streak):
+    ``(user_id, max_run)`` over the (ts, seq)-ordered event stream.
+    Exact integers; the SQL twin is the classic double-ROW_NUMBER
+    islands trick.
+
+    Scale shape: ONE entity-bucket shuffle (fixed-width ints); the
+    per-bucket fold finds run boundaries with one vectorized
+    change-mask + reduceat — no per-entity Python.
+    """
+    tune_context()
+
+    g = np.int64(1 << res)
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "max_run": pa.array([], pa.int64()),
+            }
+        )
+        key = group.column("_mv_key").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return empty
+        ts = (
+            group.column("_mv_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("_mv_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s = key[order]
+        x = group.column(x_col).to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        y = group.column(y_col).to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        cell = x * g + y
+        # run starts: entity change OR tile change
+        rstart = np.flatnonzero(
+            np.r_[True, (k_s[1:] != k_s[:-1]) | (cell[1:] != cell[:-1])]
+        )
+        rlen = np.diff(np.r_[rstart, k_s.size]).astype(np.int64)
+        rkey = k_s[rstart]
+        # per-entity max run (runs of one entity are contiguous)
+        ustart = np.flatnonzero(np.r_[True, rkey[1:] != rkey[:-1]])
+        return pa.table(
+            {
+                key_col: rkey[ustart],
+                "max_run": np.maximum.reduceat(rlen, ustart),
+            }
+        )
+
+    keyed = _bucketed(tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets)
+    return keyed.groupby("_mv_bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def max_dwell_run_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`max_dwell_run` — double-ROW_NUMBER
+    gaps-and-islands over the identical tile stream."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    g = 1 << res
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} * {g} + {gy} AS cell
+        FROM events e JOIN q ON e.event_id = q.event_id),
+r AS (SELECT u, cell,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, seq)
+           - ROW_NUMBER() OVER (PARTITION BY u, cell ORDER BY ts, seq) AS grp
+      FROM pts),
+runs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS len
+         FROM r GROUP BY u, cell, grp)
+SELECT u AS user_id, CAST(MAX(len) AS BIGINT) AS max_run
+FROM runs GROUP BY u
+"""
+
+
+def od_asymmetry(
+    tracks: Dataset,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x_col: str = "gx",
+    y_col: str = "gy",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Directional flow imbalance between tile pairs — for every
+    unordered pair with traffic, the forward / reverse move counts and
+    the net flow (commute directionality, one-way corridors):
+    ``(cell_a, cell_b, n_ab, n_ba, net)`` with ``cell_a < cell_b`` and
+    ``net = n_ab − n_ba``. Self-loops are excluded (no direction).
+
+    Scale shape: the shared trajectory pair fold; each batch collapses
+    its moves to distinct unordered-pair partial rows (packed key —
+    ``res ≤ 15`` guards the 4·res-bit int64 pack, as in
+    :func:`od_matrix`); ONE metadata-sized key-bucket sum.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    if not 0 <= res <= 15:
+        raise ValueError(f"od_asymmetry: res must be in [0, 15], got {res}")
+    g = np.int64(1 << res)
+    g2 = g * g
+
+    def emit(cols, dt):
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "n_ab": pa.array([], pa.int64()),
+                "n_ba": pa.array([], pa.int64()),
+            }
+        )
+        if cols is None:
+            return empty
+        fx, tx = cols[x_col]
+        fy, ty = cols[y_col]
+        frm = fx.astype(np.int64) * g + fy.astype(np.int64)
+        to = tx.astype(np.int64) * g + ty.astype(np.int64)
+        m = frm != to
+        frm, to = frm[m], to[m]
+        if frm.size == 0:
+            return empty
+        a = np.minimum(frm, to)
+        b = np.maximum(frm, to)
+        fwd = frm < to
+        key, inv = np.unique(a * g2 + b, return_inverse=True)
+        n_ab = np.bincount(inv, weights=fwd, minlength=key.size).astype(np.int64)
+        n_ba = np.bincount(inv, weights=~fwd, minlength=key.size).astype(np.int64)
+        return pa.table({"key": key, "n_ab": n_ab, "n_ba": n_ba})
+
+    keyed = _bucketed(tracks, key_col, ts_col, seq_col, (x_col, y_col), n_buckets)
+    folded = _fold_pairs(keyed, (x_col, y_col), emit)
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n_ab", "n_ba"))
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        n_ab = tbl.column("n_ab").to_numpy(zero_copy_only=False)
+        n_ba = tbl.column("n_ba").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell_a": key // g2,
+                "cell_b": key % g2,
+                "n_ab": n_ab,
+                "n_ba": n_ba,
+                "net": n_ab - n_ba,
+            }
+        )
+
+    return summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def od_asymmetry_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`od_asymmetry` — LAG moves, LEAST/GREATEST
+    unordered pair, conditional sums."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("q.px", res)
+    gy = derive.tile_index_sql("q.py", res)
+    g = 1 << res
+    return f"""
+WITH q AS ({points_cte}),
+pts AS (SELECT e.user_id AS u, e.ts AS ts, e.event_id AS seq,
+               {gx} * {g} + {gy} AS cell
+        FROM events e JOIN q ON e.event_id = q.event_id),
+mv AS (SELECT u, LAG(cell) OVER (PARTITION BY u ORDER BY ts, seq) AS f,
+              cell AS t
+       FROM pts),
+m2 AS (SELECT LEAST(f, t) AS a, GREATEST(f, t) AS b,
+              CASE WHEN f < t THEN 1 ELSE 0 END AS fw,
+              CASE WHEN f > t THEN 1 ELSE 0 END AS rv
+       FROM mv WHERE f IS NOT NULL AND f <> t)
+SELECT a AS cell_a, b AS cell_b,
+       CAST(SUM(fw) AS BIGINT) AS n_ab,
+       CAST(SUM(rv) AS BIGINT) AS n_ba,
+       CAST(SUM(fw) - SUM(rv) AS BIGINT) AS net
+FROM m2 GROUP BY a, b
+"""

@@ -6160,3 +6160,86 @@ def test_emb_dim_quantiles_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_max_dwell_run_matches_bruteforce(ray_session):
+    # longest same-tile streak per user vs a scan reference; coarse grid
+    # forces multi-event runs; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.movement import max_dwell_run
+
+    rng = np.random.default_rng(220)
+    res = 1  # 2x2 grid -> long runs
+    n = 500
+    users = rng.integers(0, 12, n).astype(np.int64)
+    ts = rng.integers(0, 10**8, n).astype("datetime64[us]")
+    seq = np.arange(n, dtype=np.int64)
+    gx = rng.integers(0, 2, n).astype(np.int64)
+    gy = rng.integers(0, 2, n).astype(np.int64)
+
+    want = {}
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((seq[m], ts[m].astype(np.int64)))
+        cells = (gx[m] * 2 + gy[m])[order]
+        best = cur = 1
+        for i in range(1, cells.size):
+            cur = cur + 1 if cells[i] == cells[i - 1] else 1
+            best = max(best, cur)
+        want[int(u)] = best
+    assert max(want.values()) >= 3  # real runs exercised
+
+    t = pa.table({"user_id": users, "ts": ts, "event_id": seq,
+                  "gx": gx, "gy": gy})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {r["user_id"]: r["max_run"]
+               for r in max_dwell_run(ds, res=res).take_all()}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_od_asymmetry_matches_bruteforce(ray_session):
+    # forward/reverse/net per unordered tile pair vs a dict reference;
+    # self-loops excluded; partition-invariant
+    ray = ray_session
+    from collections import defaultdict
+    from python_prtree_ray.pipelines.movement import od_asymmetry
+
+    rng = np.random.default_rng(221)
+    res = 1
+    g = 1 << res
+    n = 400
+    users = rng.integers(0, 8, n).astype(np.int64)
+    ts = rng.integers(0, 10**8, n).astype("datetime64[us]")
+    seq = np.arange(n, dtype=np.int64)
+    gx = rng.integers(0, g, n).astype(np.int64)
+    gy = rng.integers(0, g, n).astype(np.int64)
+
+    want = defaultdict(lambda: [0, 0])
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((seq[m], ts[m].astype(np.int64)))
+        cells = (gx[m] * g + gy[m])[order]
+        for f, t_ in zip(cells[:-1], cells[1:]):
+            if f == t_:
+                continue
+            a, b = (int(f), int(t_)) if f < t_ else (int(t_), int(f))
+            want[(a, b)][0 if f < t_ else 1] += 1
+    want = {k: (v[0], v[1], v[0] - v[1]) for k, v in want.items()}
+
+    t = pa.table({"user_id": users, "ts": ts, "event_id": seq,
+                  "gx": gx, "gy": gy})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = od_asymmetry(ds, res=res).take_all()
+        got = {(r["cell_a"], r["cell_b"]): (r["n_ab"], r["n_ba"], r["net"])
+               for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
