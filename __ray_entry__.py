@@ -2716,6 +2716,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_cols=("n_events", "value_cents"),
         )
 
+    def q_weekday_skew_users(sf):
+        # HAVING-threshold cohort: users whose weekend share is strictly
+        # below 1/5 — exact integer cross-multiplication (5·wknd < total),
+        # (weekday, weekend) count partials, one sum, filter
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+        DAY = 86_400_000_000
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            dow = (us // DAY + 4) % 7  # 0=Sun .. 6=Sat
+            wknd = (dow == 0) | (dow == 6)
+            order = np.argsort(u, kind="stable")
+            u_s, w_s = u[order], wknd[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            n = np.diff(np.r_[starts, u_s.size]).astype(np.int64)
+            n_wk = np.add.reduceat(w_s.astype(np.int64), starts)
+            return pa.table(
+                {
+                    "user_id": u_s[starts],
+                    "n_weekday": n - n_wk,
+                    "n_weekend": n_wk,
+                }
+            )
+
+        summed = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="user_id",
+            value_cols=("n_weekday", "n_weekend"),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            wd = tbl.column("n_weekday").to_numpy(zero_copy_only=False)
+            we = tbl.column("n_weekend").to_numpy(zero_copy_only=False)
+            keep = we * 5 < wd + we  # weekend share < 1/5, no division
+            return tbl.filter(pa.array(keep))
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_vocab_hapax(sf):
+        # hapax-legomena ratio of the corpus vocabulary (OOV-rate
+        # estimator): exact word counts, ONE division, single row
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.text import vocab_topk
+
+        # reuse the vocabulary-count machinery's partial path: count
+        # every word exactly, then fold hapax/total in one tiny pass
+        from python_prtree_ray.pipelines.text import word_counts
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["text"]
+        )
+        counts = word_counts(docs)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "k": np.zeros(1, np.int64),
+                    "n_vocab": np.array([n.size], np.int64),
+                    "n_hapax": np.array([(n == 1).sum()], np.int64),
+                }
+            )
+
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        summed = bucketed_sum(
+            counts.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="k",
+            value_cols=("n_vocab", "n_hapax"),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            nv = tbl.column("n_vocab").to_numpy(zero_copy_only=False)
+            nh = tbl.column("n_hapax").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_vocab": nv,
+                    "n_hapax": nh,
+                    "hapax_ratio": nh.astype(np.float64) / nv.astype(np.float64),
+                }
+            )
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_emb_norm_outliers(sf):
+        # two-phase quantile gate on the embedding-norm grid: exact p99
+        # threshold (R-7 on scaled ints, broadcast as one double) ->
+        # stateless filter; vectors never shuffle
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.ann import emb_norm_outliers
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return emb_norm_outliers(emb)
+
     def q_above_avg_orders(sf):
         # correlated-aggregate filter: orders strictly above their
         # customer's mean order value — exact integer cross-multiply
@@ -3100,6 +3214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returns_revenue_share": q_returns_revenue_share,
         "above_avg_orders": q_above_avg_orders,
         "value_percentile": q_value_percentile,
+        "weekday_skew_users": q_weekday_skew_users,
+        "vocab_hapax": q_vocab_hapax,
+        "emb_norm_outliers": q_emb_norm_outliers,
         "activity_heatmap": q_activity_heatmap,
         "incremental_agg": q_incremental_agg,
         "emb_dim_quantiles": q_emb_dim_quantiles,
@@ -3241,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.ann import (
         emb_covariance_sql as _emb_covariance_sql,
         emb_dim_quantiles_sql as _emb_dim_quantiles_sql,
+        emb_norm_outliers_sql as _emb_norm_outliers_sql,
     )
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
@@ -4299,6 +4417,26 @@ WHERE d.doc_id NOT IN
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey"
         ),
+        "weekday_skew_users": (
+            "WITH t AS (SELECT user_id, (epoch_us(ts) // 86400000000 + 4) % 7"
+            " AS dow FROM events) "
+            "SELECT user_id, CAST(SUM(CASE WHEN dow NOT IN (0, 6) THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_weekday, "
+            "CAST(SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_weekend FROM t GROUP BY user_id "
+            "HAVING SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) * 5 "
+            "< COUNT(*)"
+        ),
+        "vocab_hapax": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text),"
+            " '[a-z]+')) AS word FROM documents),"
+            " c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE) AS hapax_ratio FROM c"
+        ),
+        "emb_norm_outliers": _emb_norm_outliers_sql("embeddings"),
         "value_percentile": (
             "WITH c AS (SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT)"
             " AS cents FROM events) "

@@ -680,3 +680,85 @@ SELECT dim, quantile_cont(q, 0.5) AS p50, quantile_cont(q, 0.9) AS p90,
        quantile_cont(q, 0.99) AS p99
 FROM u GROUP BY dim
 """
+
+
+def emb_norm_outliers(
+    vectors: Dataset,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    q: float = 0.99,
+    scale_bits: int = 5,
+) -> Dataset:
+    """Embedding-norm outliers — vectors whose COARSE-grid squared norm
+    lies strictly above the corpus's exact R-7 ``q``-quantile (the
+    norm-blowup / corrupt-vector screen of an embedding pipeline):
+    ``(vec_id, norm2q)`` with ``norm2q = Σ ⌊e·2^scale_bits⌋²``.
+
+    The deliberately coarse grid (2^5 per unit) BOUNDS the norm value
+    domain, so the threshold pass is a histogram whose size depends on
+    the grid — not the corpus; quantile exactness is then
+    driver-trivial (same `_interp_quantiles` double as DuckDB
+    quantile_cont). Two streaming passes; vectors never shuffle.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+    from .quantiles import _interp_quantiles
+
+    S = float(1 << scale_bits)
+
+    def norms(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "norm2q": pa.array([], pa.int64())}
+            )
+        E = _emb_matrix(tbl, col)
+        qv = np.floor(E * S).astype(np.int64)
+        return pa.table(
+            {id_col: tbl.column(id_col), "norm2q": (qv * qv).sum(axis=1)}
+        )
+
+    nds = vectors.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist_partial(tbl: pa.Table) -> pa.Table:
+        v, n = np.unique(
+            tbl.column("norm2q").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"norm2q": v, "n": n.astype(np.int64)})
+
+    hist = bucketed_sum(
+        nds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="norm2q",
+        value_cols=("n",),
+    ).take_all()  # grid-bounded metadata at any corpus size
+    vals = np.array([r["norm2q"] for r in hist], np.int64)
+    cnts = np.array([r["n"] for r in hist], np.int64)
+    order = np.argsort(vals)
+    thr = _interp_quantiles(vals[order], cnts[order], [q])[0]
+
+    def gate(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.greater(tbl.column("norm2q"), pa.scalar(thr)))
+
+    return nds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def emb_norm_outliers_sql(
+    table: str = "embeddings",
+    col: str = "embedding",
+    q: float = 0.99,
+    scale_bits: int = 5,
+) -> str:
+    """DuckDB twin of :func:`emb_norm_outliers` — identical coarse
+    grid, quantile_cont threshold, strict compare."""
+    S = float(1 << scale_bits)
+    return f"""
+WITH u AS (SELECT vec_id,
+                  CAST(FLOOR(CAST(unnest({col}) AS DOUBLE) * {S!r}) AS BIGINT)
+                    AS qv
+           FROM {table}),
+n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS norm2q
+      FROM u GROUP BY vec_id),
+t AS (SELECT quantile_cont(norm2q, {q!r}) AS thr FROM n)
+SELECT vec_id, norm2q FROM n, t WHERE norm2q > t.thr
+"""

@@ -1156,3 +1156,67 @@ SELECT doc_id, n_tokens, n_distinct,
          / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson
 FROM t WHERE n_tokens >= 2
 """
+
+
+def word_counts(docs: Dataset, n_buckets: int = 512) -> Dataset:
+    """Exact global word-frequency table ``(word, n)`` — the unpruned
+    vocabulary beneath :func:`vocab_topk` (reusable for hapax / Zipf /
+    coverage statistics).
+
+    Scale shape: identical to the top-k path minus the prune —
+    per-batch Arrow ``value_counts`` partials (vocabulary-sized, never
+    token-sized), ONE word-hash bucket shuffle, per-bucket int64
+    hash-group reduceat sum; words compare as strings only for the
+    final gather."""
+
+    def count_stage(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.replace_substring_regex(pc.utf8_lower(text), "[^a-z]+", " "),
+                " ",
+            )
+        )
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "wb": np.empty(0, np.int64),
+                    "h": np.empty(0, np.int64),
+                    "word": pa.array([], pa.string()),
+                    "n": np.empty(0, np.int64),
+                }
+            )
+        vc = pc.value_counts(toks)
+        words, n = vc.field("values"), vc.field("counts")
+        h = hash_str_array(words)
+        return pa.table(
+            {
+                "wb": h % np.int64(n_buckets),
+                "h": h,
+                "word": words,
+                "n": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": np.empty(0, np.int64)}
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        tot = np.add.reduceat(n[order], starts)
+        words = group.column("word").take(pa.array(order[starts]))
+        return pa.table({"word": words, "n": tot})
+
+    partials = docs.map_batches(
+        count_stage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    return partials.groupby("wb").map_groups(bucket_sum, batch_format="pyarrow")

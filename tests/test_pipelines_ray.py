@@ -6243,3 +6243,61 @@ def test_od_asymmetry_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_emb_norm_outliers_matches_bruteforce(ray_session):
+    # strict > R-7 p99 gate on coarse-grid squared norms vs numpy;
+    # planted blowup vectors must all surface; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import emb_norm_outliers
+
+    rng = np.random.default_rng(222)
+    n, d = 300, 8
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    # distinct planted blowups: p99 at n=300 interpolates INSIDE this
+    # group (rank 296.01), so exactly the top 3 must surface
+    for j, mag in zip(range(0, n, 97), (4.0, 6.0, 8.0, 10.0)):
+        E[j] = mag
+    Q = np.floor(E.astype(np.float64) * 32.0).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    s = np.sort(n2)
+    h = (n - 1) * 0.99
+    lo = int(np.floor(h))
+    thr = (1.0 - (h - lo)) * float(s[lo]) + (h - lo) * float(s[min(lo + 1, n - 1)])
+    want = {(int(i), int(v)) for i, v in enumerate(n2) if v > thr}
+    assert {i for i, _ in want} == {97, 194, 291}
+
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(E), pa.list_(pa.float32())),
+        }
+    )
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = emb_norm_outliers(ds).take_all()
+        got = {(r["vec_id"], r["norm2q"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_word_counts_matches_bruteforce(ray_session):
+    # exact global vocabulary counts vs a Counter reference
+    ray = ray_session
+    import re
+    from collections import Counter
+    from python_prtree_ray.pipelines.text import word_counts
+
+    texts = ["The cat sat", "the DOG sat; the dog ran!", "42 cats", ""]
+    cnt = Counter()
+    for s in texts:
+        cnt.update(re.findall("[a-z]+", s.lower()))
+
+    t = pa.table({"text": texts})
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {r["word"]: r["n"] for r in word_counts(ds).take_all()}
+        assert got == dict(cnt)
