@@ -473,6 +473,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, sx, sy = _seed_sites(sf, VOR_K, TILE_RES)
         return tiling.grid_bfs(pts, sx, sy, res=TILE_RES, max_hops=BFS_HOPS)
 
+    def q_voronoi_cost(sf):
+        # k-median assignment cost per facility: fold of the Voronoi
+        # rasterization — (seed, n_tiles, n_points, cost=Σ n·d2), all
+        # exact ints (the objective a facility-location loop would track)
+        import pyarrow as pa
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        assigned = q_voronoi_assign(sf)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            s = tbl.column("seed").to_numpy(zero_copy_only=False)
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            d2 = tbl.column("d2").to_numpy(zero_copy_only=False)
+            order = np.argsort(s, kind="stable")
+            s_s, n_s, c_s = s[order], n[order], (n * d2)[order]
+            starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+            return pa.table(
+                {
+                    "seed": s_s[starts],
+                    "n_tiles": np.diff(np.r_[starts, s_s.size]).astype(np.int64),
+                    "n_points": np.add.reduceat(n_s, starts)
+                    if s_s.size
+                    else np.zeros(0, np.int64),
+                    "cost": np.add.reduceat(c_s, starts)
+                    if s_s.size
+                    else np.zeros(0, np.int64),
+                }
+            )
+
+        return bucketed_sum(
+            assigned.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="seed",
+            value_cols=("n_tiles", "n_points", "cost"),
+        )
+
+    def q_weekly_active(sf):
+        # WAU curve: exact distinct users per epoch week via the
+        # one-bucket-per-user dedup fold + one tiny week sum
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.windows import WEEK_US
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            week = us // WEEK_US
+            order = np.lexsort((week, u))
+            u_s, w_s = u[order], week[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(u_s[keep], 256),
+                    "u": u_s[keep],
+                    "week": w_s[keep],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {
+                        "week": pa.array([], pa.int64()),
+                        "n_users": pa.array([], pa.int64()),
+                    }
+                )
+            w = group.column("week").to_numpy(zero_copy_only=False)
+            order = np.lexsort((w, u))
+            u_s, w_s = u[order], w[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]
+            wk, n = np.unique(w_s[keep], return_counts=True)
+            return pa.table({"week": wk, "n_users": n.astype(np.int64)})
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return bucketed_sum(folded, key_col="week", value_cols=("n_users",))
+
     def q_type_colocation(sf):
         # cross-type tile co-location lift: exact distinct-tile counts
         # per type/pair, one division; C^2-bounded metadata folds
@@ -3282,6 +3375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_majority": q_tile_majority,
         "tile_simpson": q_tile_simpson,
         "voronoi_assign": q_voronoi_assign,
+        "voronoi_cost": q_voronoi_cost,
+        "weekly_active": q_weekly_active,
         "grid_bfs": q_grid_bfs,
         "type_colocation": q_type_colocation,
         "tile_focal_mean": q_tile_focal_mean,
@@ -4991,6 +5086,23 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"),
             _seeds_cte(VOR_K, TILE_RES),
             TILE_RES,
+        ),
+        "voronoi_cost": (
+            "WITH v AS ("
+            + _voronoi_assign_sql(
+                derive.points_sql("events", "event_id", "event_id"),
+                _seeds_cte(VOR_K, TILE_RES),
+                TILE_RES,
+            )
+            + ") SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_tiles, "
+            "CAST(SUM(n) AS BIGINT) AS n_points, "
+            "CAST(SUM(n * d2) AS BIGINT) AS cost FROM v GROUP BY seed"
+        ),
+        "weekly_active": (
+            "WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // "
+            "604800000000 AS week FROM events) "
+            "SELECT week, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM w GROUP BY week"
         ),
         "grid_bfs": _grid_bfs_sql(
             derive.points_sql("events", "event_id", "event_id"),
