@@ -2268,6 +2268,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             how="anti",
         )
 
+    def q_orders_semi_bloom(sf):
+        # the BLOOM-GATED physical plan for the same semi join driven
+        # through the driver oracle: right keys fold to a 1-Mbit filter,
+        # left rows drop map-side BEFORE the shuffle, exact semi join
+        # verifies survivors — identical rows to orders_with_returns
+        import ray
+        from python_prtree_ray.pipelines.join import bloom_semi_join
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        ).filter(expr="l_returnflag == 'R'").select_columns(["l_orderkey"])
+        return bloom_semi_join(
+            od, li,
+            on="o_orderkey", right_on="l_orderkey",
+            left_cols=("o_custkey",),
+        )
+
     def q_q3_revenue(sf):
         # TPC-H Q3-shaped composite: broadcast dim filter (customer →
         # orders, zero shuffle) + map-side revenue combine + ONE groupby
@@ -3301,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cust_left": q_orders_cust_left,
         "orders_cust_outer": q_orders_cust_outer,
         "orders_with_returns": q_orders_with_returns,
+        "orders_semi_bloom": q_orders_semi_bloom,
         "orders_no_returns": q_orders_no_returns,
         "q3_revenue": q_q3_revenue,
         "local_supplier_volume": q_local_supplier_volume,
@@ -4502,6 +4523,10 @@ WHERE d.doc_id NOT IN
         ),
         "orders_no_returns": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey NOT IN "
+            "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
+        ),
+        "orders_semi_bloom": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey IN "
             "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
         ),
         "q3_revenue": (

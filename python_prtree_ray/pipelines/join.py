@@ -293,3 +293,101 @@ def sum_semi_join(
         return pa.table(out)
 
     return tagged.groupby("__jb").map_groups(reduce_bucket, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ bloom semi
+
+_BLOOM_MIX1 = np.int64(-7046029254386353131)  # splitmix64 odd constants
+_BLOOM_MIX2 = np.int64(-4417276706812531889)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: pos_i = (h1 + i·h2) % m.
+    Wrapping int64 multiplies (numpy wraps like the C hash it mimics)."""
+    with np.errstate(over="ignore"):
+        h1 = keys * _BLOOM_MIX1
+        h1 ^= h1 >> np.int64(33)
+        h2 = keys * _BLOOM_MIX2
+        h2 ^= h2 >> np.int64(29)
+        h2 |= np.int64(1)  # odd step, full cycle
+        i = np.arange(k_hashes, dtype=np.int64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.int64(m_bits)
+    return np.abs(pos)
+
+
+def bloom_semi_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    left_cols: tuple[str, ...] = (),
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    n_buckets: int = N_BUCKETS,
+) -> Dataset:
+    """Bloom-gated big-big SEMI join — EXACTLY the rows of
+    ``hash_equi_join(..., how="semi")``, via a different physical plan:
+
+    1. ONE streaming pass over the right side folds every key into an
+       ``m_bits``-bit Bloom filter (per-block bitmaps OR-reduced on the
+       driver — the filter, not the keys, is the only driver state);
+    2. the filter is ``ray.put`` once and every left batch drops its
+       definite non-matches map-side BEFORE the shuffle;
+    3. the surviving left rows run the exact co-partitioned semi join
+       (Bloom false positives are eliminated here — the gate only
+       prunes, never decides).
+
+    This is the 100-TB plan when the right key set is too large to
+    broadcast exactly: the all-to-all then ships only the (selectivity
+    + ε) fraction of the left side. Default 1 Mbit ≈ 128 KB of driver /
+    broadcast state.
+    """
+    tune_context()
+    right_on = right_on or on
+    n_bytes = (m_bits + 7) // 8
+
+    def right_bits(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(n_bytes, np.uint8)
+        if k.size:
+            pos = _bloom_positions(np.unique(k), m_bits, k_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    import ray
+
+    bloom = np.zeros(n_bytes, np.uint8)
+    parts = right.select_columns([right_on]).map_batches(
+        right_bits,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for r in range(t.num_rows):
+            bloom |= np.frombuffer(t.column("bits")[r].as_py(), np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def gate(tbl: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        k = tbl.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size == 0:
+            return tbl
+        pos = _bloom_positions(k, m_bits, k_hashes)
+        hit = np.ones(k.size, bool)
+        for i in range(k_hashes):
+            p = pos[:, i]
+            hit &= (b[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        return tbl.filter(pa.array(hit))
+
+    survivors = left.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_equi_join(
+        survivors,
+        right,
+        on=on,
+        right_on=right_on,
+        left_cols=left_cols,
+        how="semi",
+        n_buckets=n_buckets,
+    )

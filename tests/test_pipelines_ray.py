@@ -6301,3 +6301,58 @@ def test_word_counts_matches_bruteforce(ray_session):
         ds = ray.data.from_arrow(t).repartition(blocks)
         got = {r["word"]: r["n"] for r in word_counts(ds).take_all()}
         assert got == dict(cnt)
+
+
+def test_bloom_semi_join_exact_and_prunes(ray_session):
+    # bloom-gated plan == exact semi join rows on adversarial keys
+    # (negative, huge, zero); the gate itself passes every true match
+    # and actually prunes most non-matches at a 1-in-16 selectivity
+    ray = ray_session
+    from python_prtree_ray.pipelines.join import (
+        bloom_semi_join,
+        hash_equi_join,
+        _bloom_positions,
+    )
+
+    rng = np.random.default_rng(223)
+    n = 4000
+    left_keys = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, n - 3).astype(np.int64),
+            np.array([0, -1, 2**62], np.int64),
+        ]
+    )
+    right_keys = np.concatenate(
+        [left_keys[:: 16], np.array([0], np.int64)]
+    )  # ~1/16 of left matches
+    lt = pa.table(
+        {"k": left_keys, "payload": np.arange(left_keys.size, dtype=np.int64)}
+    )
+    rt = pa.table({"rk": right_keys})
+
+    lds = ray.data.from_arrow(lt).repartition(5)
+    rds = ray.data.from_arrow(rt).repartition(3)
+    got = bloom_semi_join(
+        lds, rds, on="k", right_on="rk", left_cols=("payload",)
+    ).take_all()
+    want = hash_equi_join(
+        ray.data.from_arrow(lt).repartition(5),
+        ray.data.from_arrow(rt).repartition(3),
+        on="k", right_on="rk", left_cols=("payload",), how="semi",
+    ).take_all()
+    key = lambda r: (r["k"], r["payload"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+    # the filter never misses a member and prunes well below 50%
+    m_bits, k_hashes = 1 << 20, 4
+    bits = np.zeros((1 << 20) // 8, np.uint8)
+    pos = _bloom_positions(np.unique(right_keys), m_bits, k_hashes).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    lp = _bloom_positions(left_keys, m_bits, k_hashes)
+    hit = np.ones(left_keys.size, bool)
+    for i in range(k_hashes):
+        p = lp[:, i]
+        hit &= (bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+    member = np.isin(left_keys, right_keys)
+    assert hit[member].all()
+    assert hit.mean() < 0.5
