@@ -727,6 +727,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_distinct_users(pts, res=TILE_RES)
 
+    def q_tile_rank_corr(sf):
+        # Spearman rank agreement between tile density and visitor
+        # diversity (deterministic tie order); tile-sized final fold
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "px": p["px"],
+                    "py": p["py"],
+                }
+            )
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.tile_rank_corr(pts, res=TILE_RES)
+
     def q_tile_geohash(sf):
         # base32 geohash interop tokens (x-first bit interleave, 5 bits
         # per char): pure int64 bit math + fixed-width string gather
@@ -2943,6 +2967,159 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return emb_norm_outliers(emb)
 
+    def q_type_dow_chi2(sf):
+        # chi-square independence screen (event_type x day-of-week):
+        # per-cell observed/expected/contribution rows — integer margins,
+        # per-cell divisions in a FIXED order (no float sum emitted, so
+        # nothing order-dependent); zero-observed cells omitted both sides
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "ts"]
+        )
+        DAY = 86_400_000_000
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(tbl.column("event_type")).combine_chunks()
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            dow = (us // DAY + 4) % 7
+            order = np.lexsort((dow, code))
+            c_s, d_s = code[order], dow[order]
+            starts = np.flatnonzero(
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            )
+            return pa.table(
+                {
+                    "k": np.zeros(starts.size, np.int64),
+                    "cls": enc.dictionary.take(pa.array(c_s[starts])),
+                    "dow": d_s[starts],
+                    "n": np.diff(np.r_[starts, c_s.size]).astype(np.int64),
+                }
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            cls = group.column("cls").to_numpy(zero_copy_only=False)
+            if cls.size == 0:
+                return pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "dow": pa.array([], pa.int64()),
+                        "observed": pa.array([], pa.int64()),
+                        "expected": pa.array([], pa.float64()),
+                        "contrib": pa.array([], pa.float64()),
+                    }
+                )
+            dow = group.column("dow").to_numpy(zero_copy_only=False)
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            order = np.lexsort((dow, cls))
+            c_s, d_s, n_s = cls[order], dow[order], n[order]
+            starts = np.flatnonzero(
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            )
+            o = np.add.reduceat(n_s, starts)
+            cu, du = c_s[starts], d_s[starts]
+            N = np.int64(o.sum())
+            # margins via per-key sums over the metadata-sized matrix
+            cls_keys, cls_inv = np.unique(cu, return_inverse=True)
+            r = np.bincount(cls_inv, weights=o).astype(np.int64)[cls_inv]
+            dow_keys, dow_inv = np.unique(du, return_inverse=True)
+            cmarg = np.bincount(dow_inv, weights=o).astype(np.int64)[dow_inv]
+            diff = (o * N - r * cmarg).astype(np.float64)
+            contrib = (
+                diff * diff / np.float64(N) / r.astype(np.float64)
+                / cmarg.astype(np.float64)
+            )
+            expected = (r * cmarg).astype(np.float64) / np.float64(N)
+            return pa.table(
+                {
+                    "event_type": pa.array(cu, pa.string()),
+                    "dow": du,
+                    "observed": o,
+                    "expected": expected,
+                    "contrib": contrib,
+                }
+            )
+
+        return (
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(final, batch_format="pyarrow")
+            .select_columns(["event_type", "dow", "observed", "expected", "contrib"])
+        )
+
+    def q_monthly_revenue(sf):
+        # month-over-month revenue deltas: calendar-month truncation
+        # (datetime64[M] == date_trunc), int-cents sums, single tiny
+        # LAG fold over the month-sized series
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            ts = (
+                tbl.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False)
+            )
+            mo = ts.astype("datetime64[M]").astype("datetime64[us]").astype(np.int64)
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(mo, kind="stable")
+            m_s, c_s = mo[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, m_s[1:] != m_s[:-1]])
+            return pa.table(
+                {
+                    "month_us": m_s[starts],
+                    "revenue_cents": np.add.reduceat(c_s, starts),
+                }
+            )
+
+        summed = bucketed_sum(
+            orders.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="month_us",
+            value_cols=("revenue_cents",),
+        )
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def lag(group: pa.Table) -> pa.Table:
+            m = group.column("month_us").to_numpy(zero_copy_only=False)
+            v = group.column("revenue_cents").to_numpy(zero_copy_only=False)
+            order = np.argsort(m, kind="stable")
+            m_s, v_s = m[order], v[order]
+            return pa.table(
+                {
+                    "month": pa.array(
+                        m_s[1:].astype("datetime64[us]"), pa.timestamp("us")
+                    ),
+                    "revenue_cents": v_s[1:],
+                    "prev_cents": v_s[:-1],
+                    "delta_cents": v_s[1:] - v_s[:-1],
+                }
+            )
+
+        return (
+            summed.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(lag, batch_format="pyarrow")
+            .select_columns(["month", "revenue_cents", "prev_cents", "delta_cents"])
+        )
+
     def q_above_avg_orders(sf):
         # correlated-aggregate filter: orders strictly above their
         # customer's mean order value — exact integer cross-multiply
@@ -3397,6 +3574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_simpson": q_tile_simpson,
         "voronoi_assign": q_voronoi_assign,
         "voronoi_cost": q_voronoi_cost,
+        "tile_rank_corr": q_tile_rank_corr,
+        "type_dow_chi2": q_type_dow_chi2,
+        "monthly_revenue": q_monthly_revenue,
         "weekly_active": q_weekly_active,
         "grid_bfs": q_grid_bfs,
         "type_colocation": q_type_colocation,
@@ -3502,6 +3682,7 @@ def oracle_sql() -> dict[str, str]:
         tile_simpson_sql as _tile_simpson_sql,
         voronoi_assign_sql as _voronoi_assign_sql,
         grid_bfs_sql as _grid_bfs_sql,
+        tile_rank_corr_sql as _tile_rank_corr_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -5111,6 +5292,38 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             derive.points_sql("events", "event_id", "event_id"),
             _seeds_cte(VOR_K, TILE_RES),
             TILE_RES,
+        ),
+        "tile_rank_corr": _tile_rank_corr_sql(
+            "SELECT e.user_id AS user_id, q.px, q.py FROM events e JOIN ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ") q ON e.event_id = q.event_id",
+            TILE_RES,
+        ),
+        "type_dow_chi2": (
+            "WITH t AS (SELECT event_type, (epoch_us(ts) // 86400000000 + 4)"
+            " % 7 AS dow FROM events), "
+            "o AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM t GROUP BY 1, 2), "
+            "r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r FROM o "
+            "GROUP BY 1), "
+            "c AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY 1), "
+            "g AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM o) "
+            "SELECT o.event_type, o.dow, o.n AS observed, "
+            "CAST(r.r * c.c AS DOUBLE) / CAST(g.N AS DOUBLE) AS expected, "
+            "CAST(o.n * g.N - r.r * c.c AS DOUBLE) * "
+            "CAST(o.n * g.N - r.r * c.c AS DOUBLE) / CAST(g.N AS DOUBLE) "
+            "/ CAST(r.r AS DOUBLE) / CAST(c.c AS DOUBLE) AS contrib "
+            "FROM o JOIN r USING (event_type) JOIN c USING (dow), g"
+        ),
+        "monthly_revenue": (
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS revenue_cents FROM orders GROUP BY 1), "
+            "l AS (SELECT month, revenue_cents, "
+            "LAG(revenue_cents) OVER (ORDER BY month) AS prev_cents FROM m) "
+            "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
+            "prev_cents, revenue_cents - prev_cents AS delta_cents "
+            "FROM l WHERE prev_cents IS NOT NULL"
         ),
         "voronoi_cost": (
             "WITH v AS ("

@@ -4320,3 +4320,141 @@ bfs AS (
 )
 SELECT cell, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY cell
 """
+
+
+def tile_rank_corr(
+    points: Dataset, res: int, user_col: str = "user_id", n_buckets: int = 256
+) -> Dataset:
+    """Spearman-style rank agreement between two per-tile signals —
+    point DENSITY vs distinct-VISITOR diversity (do crowded tiles also
+    draw diverse crowds?): one row ``(n_tiles, sum_d2, rho)`` with
+    ``rho = 1 − 6·Σd² / (n(n²−1))`` over deterministic ranks
+    (ROW_NUMBER ordered by (metric, cell) — tie-broken by cell, so the
+    statistic is exact and reproducible; classic Spearman up to the
+    deterministic tie rule). All integer until the single final
+    division.
+
+    Scale shape: per-batch (cell, user, n) partials (pair-deduped,
+    multiplicity carried), ONE cell-bucket fold to the tile table
+    (≤4^res rows), then ONE single-group rank pass over tile-sized
+    metadata — the same compact final fold as :func:`grid_bfs`.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        u = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = cellmod.cell_of_points(px, py, res)
+        order = np.lexsort((u, cell))
+        c_s, u_s = cell[order], u[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        )
+        n = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": bucket_of(c_s[starts], n_buckets),
+                "cell": c_s[starts],
+                "u": u_s[starts],
+                "n": n,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, cell))
+        c_s, u_s, n_s = cell[order], u[order], n[order]
+        pair_starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        )
+        pair_n = np.add.reduceat(n_s, pair_starts)
+        pc_ = c_s[pair_starts]
+        cstarts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+        return pa.table(
+            {
+                "k": np.zeros(cstarts.size, np.int64),
+                "cell": pc_[cstarts],
+                "n_points": np.add.reduceat(pair_n, cstarts),
+                "n_users": np.diff(np.r_[cstarts, pc_.size]).astype(np.int64),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_tiles": pa.array([], pa.int64()),
+                "sum_d2": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.float64()),
+            }
+        )
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        n = cell.size
+        if n < 2:
+            return empty
+        npnt = group.column("n_points").to_numpy(zero_copy_only=False)
+        nusr = group.column("n_users").to_numpy(zero_copy_only=False)
+        rp = np.empty(n, np.int64)
+        rp[np.lexsort((cell, npnt))] = np.arange(1, n + 1)
+        ru = np.empty(n, np.int64)
+        ru[np.lexsort((cell, nusr))] = np.arange(1, n + 1)
+        d = rp - ru
+        sd2 = int((d * d).sum())
+        rho = 1.0 - np.float64(6 * sd2) / np.float64(n * (n * n - 1))
+        return pa.table(
+            {
+                "n_tiles": pa.array([n], pa.int64()),
+                "sum_d2": pa.array([sd2], pa.int64()),
+                "rho": pa.array([rho], pa.float64()),
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["n_tiles", "sum_d2", "rho"])
+    )
+
+
+def tile_rank_corr_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_rank_corr` — ROW_NUMBER ranks with
+    the identical (metric, cell) tie order, one final division."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+t AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM p0 GROUP BY 1),
+r AS (SELECT cell,
+             ROW_NUMBER() OVER (ORDER BY n_points, cell) AS rp,
+             ROW_NUMBER() OVER (ORDER BY n_users, cell) AS ru
+      FROM t),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rp - ru) * (rp - ru)) AS BIGINT) AS sd2
+      FROM r)
+SELECT n AS n_tiles, sd2 AS sum_d2,
+       CAST(1 AS DOUBLE) - CAST(6 * sd2 AS DOUBLE)
+         / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+FROM s WHERE n >= 2
+"""

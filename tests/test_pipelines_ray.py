@@ -6356,3 +6356,49 @@ def test_bloom_semi_join_exact_and_prunes(ray_session):
     member = np.isin(left_keys, right_keys)
     assert hit[member].all()
     assert hit.mean() < 0.5
+
+
+def test_tile_rank_corr_matches_bruteforce(ray_session):
+    # Spearman over (density, distinct users) tile signals vs a python
+    # reference with the identical (metric, cell) tie order
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_rank_corr
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(224)
+    res = 2
+    n = 900
+    pts = rng.random((n, 2))
+    users = rng.integers(0, 25, n).astype(np.int64)
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+
+    agg = {}
+    for c, u in zip(cells, users):
+        d = agg.setdefault(int(c), [0, set()])
+        d[0] += 1
+        d[1].add(int(u))
+    tiles = sorted(agg)
+    npnt = [agg[c][0] for c in tiles]
+    nusr = [len(agg[c][1]) for c in tiles]
+    by_p = sorted(range(len(tiles)), key=lambda i: (npnt[i], tiles[i]))
+    by_u = sorted(range(len(tiles)), key=lambda i: (nusr[i], tiles[i]))
+    rp, ru = {}, {}
+    for rank, i in enumerate(by_p, 1):
+        rp[i] = rank
+    for rank, i in enumerate(by_u, 1):
+        ru[i] = rank
+    m = len(tiles)
+    sd2 = sum((rp[i] - ru[i]) ** 2 for i in range(m))
+    rho = 1.0 - np.float64(6 * sd2) / np.float64(m * (m * m - 1))
+
+    t = pa.table({"user_id": users, "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_rank_corr(ds, res=res).take_all()
+        assert len(rows) == 1
+        got = (rows[0]["n_tiles"], rows[0]["sum_d2"], rows[0]["rho"])
+        assert got == (m, sd2, float(rho))
+        if prev is not None:
+            assert got == prev
+        prev = got
