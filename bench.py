@@ -178,7 +178,15 @@ QUERY_SUBSET = (
     "span_windows tile_geohash tile_users spatial_join_shuffle knn_ring "
     "span_tiles skyline tile_buffer home_cells radius_gyration "
     "jump_histogram tile_gini std_ellipse flow_direction cross_k "
-    "semivariogram nn_histogram bigram_lift track_diameter contour_cases segment_tiles span_transitions char_trigrams turn_histogram emb_covariance tile_majority ripley_curve type_colocation knn_regress iou_join tile_focal_mean lorenz_curve"
+    "semivariogram nn_histogram bigram_lift track_diameter contour_cases segment_tiles span_transitions char_trigrams turn_histogram emb_covariance tile_majority ripley_curve type_colocation knn_regress iou_join tile_focal_mean lorenz_curve "
+    "tile_simpson voronoi_assign grid_bfs tile_motifs record_events "
+    "cohort_retention local_supplier_volume part_best_supplier "
+    "ship_delay_quantiles returns_revenue_share cust_order_histogram "
+    "lexical_diversity interarrival_hist above_avg_orders emb_dim_quantiles "
+    "value_percentile activity_heatmap incremental_agg max_dwell_run "
+    "od_asymmetry weekday_skew_users vocab_hapax emb_norm_outliers "
+    "voronoi_cost weekly_active orders_semi_bloom tile_rank_corr "
+    "type_dow_chi2 monthly_revenue"
 ).split()
 
 
