@@ -2685,6 +2685,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_cols=("n_customers",),
         )
 
+    def q_typo_pairs(sf):
+        # fuzzy vocabulary join: every word pair at edit distance
+        # exactly 1 via deletion-neighborhood blocking + exact verify
+        import ray
+        from python_prtree_ray.pipelines.text import typo_pairs
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["text"]
+        )
+        return typo_pairs(docs)
+
     def q_lexical_diversity(sf):
         # per-doc type-token + Simpson repetition profile: zero shuffle,
         # exact dictionary-encoded token equality
@@ -3513,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_quantiles": q_emb_dim_quantiles,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
+        "typo_pairs": q_typo_pairs,
         "interarrival_hist": q_interarrival_hist,
         "part_best_supplier": q_part_best_supplier,
         "ship_delay_quantiles": q_ship_delay_quantiles,
@@ -3639,6 +3651,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.text import (
         lexical_diversity_sql as _lexical_diversity_sql,
+        typo_pairs_sql as _typo_pairs_sql,
     )
     from python_prtree_ray.pipelines.windows import (
         record_events_sql as _record_events_sql,
@@ -4783,6 +4796,7 @@ WHERE d.doc_id NOT IN
             "FROM c GROUP BY n_orders"
         ),
         "lexical_diversity": _lexical_diversity_sql("documents"),
+        "typo_pairs": _typo_pairs_sql("documents"),
         "interarrival_hist": _interarrival_hist_sql("events"),
         "local_supplier_volume": (
             "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "

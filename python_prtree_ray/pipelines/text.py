@@ -1220,3 +1220,168 @@ def word_counts(docs: Dataset, n_buckets: int = 512) -> Dataset:
         batch_size=COMBINE_BATCH,
     )
     return partials.groupby("wb").map_groups(bucket_sum, batch_format="pyarrow")
+
+
+def _del_neighborhood(w: str, d: int) -> set:
+    """All strings reachable from ``w`` by deleting up to ``d`` chars
+    (the SymSpell blocking neighborhood)."""
+    out = {w}
+    frontier = {w}
+    for _ in range(d):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    """Exact Levenshtein distance (words are short; per-candidate-pair
+    calls are vocabulary-bounded, never token- or row-bounded)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def typo_pairs(docs: Dataset, max_dist: int = 2, n_buckets: int = 512) -> Dataset:
+    """Fuzzy vocabulary join — every UNORDERED pair of corpus words
+    within Levenshtein distance ``max_dist`` (the typo/variant-merging
+    primitive of vocabulary curation): ``(word_a, word_b, dist)`` with
+    ``word_a < word_b`` and ``1 <= dist <= max_dist``.
+
+    Candidate generation is SymSpell deletion-neighborhood blocking:
+    each word keys on every string reachable by deleting up to
+    ``max_dist`` chars; any pair within distance ``max_dist`` shares at
+    least one key, so no all-pairs sweep happens. Candidates are then
+    verified with the EXACT distance (false candidates drop), and each
+    pair emits only from its lexicographically-smallest shared key
+    (owner dedup — exact output without a global distinct).
+
+    Scale shape: words dedup map-side first (vocabulary-sized, never
+    token-sized); deletion keys hash-shuffle vocabulary x O(len^d)
+    rows; per-bucket verify touches only same-key candidates. The
+    per-candidate loops are bounded by the vocabulary, not the corpus.
+    """
+
+    def norm_words(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.replace_substring_regex(pc.utf8_lower(text), "[^a-z]+", " "),
+                " ",
+            )
+        )
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        return pa.table({"word": pc.unique(toks)})
+
+    def word_bucket(tbl: pa.Table) -> pa.Table:
+        h = hash_str_array(tbl.column("word").combine_chunks())
+        return tbl.append_column("wb", pa.array(h % np.int64(n_buckets)))
+
+    def word_dedup(group: pa.Table) -> pa.Table:
+        w = np.unique(group.column("word").to_numpy(zero_copy_only=False))
+        return pa.table({"word": pa.array(w, pa.string())})
+
+    def keys_stage(tbl: pa.Table) -> pa.Table:
+        words = tbl.column("word").to_numpy(zero_copy_only=False)
+        out_k: list = []
+        out_w: list = []
+        for w in words:  # vocabulary-sized loop
+            for k in _del_neighborhood(w, max_dist):
+                out_k.append(k)
+                out_w.append(w)
+        h = hash_str_array(pa.array(out_k, pa.string()))
+        return pa.table(
+            {
+                "kb": h % np.int64(n_buckets),
+                "key": pa.array(out_k, pa.string()),
+                "word": pa.array(out_w, pa.string()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word_a": pa.array([], pa.string()),
+                "word_b": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return empty
+        words = group.column("word").to_numpy(zero_copy_only=False)
+        order = np.lexsort((words, keys))
+        k_s, w_s = keys[order], words[order]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        k_s, w_s = k_s[keep], w_s[keep]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        sizes = np.diff(np.r_[starts, k_s.size])
+        out = {}
+        for s0, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            key = k_s[s0]
+            blk = w_s[s0 : s0 + sz]
+            for i in range(sz):
+                for j in range(i + 1, sz):
+                    x, y = blk[i], blk[j]
+                    if (x, y) in out:
+                        continue
+                    # owner dedup: emit only from the smallest shared key
+                    shared = _del_neighborhood(x, max_dist) & _del_neighborhood(
+                        y, max_dist
+                    )
+                    if key != min(shared):
+                        continue
+                    d = _lev(x, y)
+                    if 1 <= d <= max_dist:
+                        out[(x, y)] = d
+        if not out:
+            return empty
+        pairs = sorted(out)
+        return pa.table(
+            {
+                "word_a": pa.array([p[0] for p in pairs], pa.string()),
+                "word_b": pa.array([p[1] for p in pairs], pa.string()),
+                "dist": pa.array([out[p] for p in pairs], pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(
+            norm_words,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .map_batches(word_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wb")
+        .map_groups(word_dedup, batch_format="pyarrow")
+    )
+    keyed = vocab.map_batches(
+        keys_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return keyed.groupby("kb").map_groups(verify, batch_format="pyarrow")
+
+
+def typo_pairs_sql(table: str = "documents", max_dist: int = 2) -> str:
+    """DuckDB twin of :func:`typo_pairs` — vocabulary self-join with
+    ``levenshtein <= max_dist`` (the blocking is the engine's physical
+    plan; the oracle states the logical result)."""
+    return f"""
+WITH w AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+             AS word FROM {table})
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+FROM w a JOIN w b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) BETWEEN 1 AND {max_dist}
+"""

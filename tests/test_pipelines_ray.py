@@ -6402,3 +6402,43 @@ def test_tile_rank_corr_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_typo_pairs_matches_bruteforce(ray_session):
+    # SymSpell blocking + exact verify vs a full O(V^2) Levenshtein
+    # reference: substitutions, insertions, deletions, transposition
+    # (=2), and far pairs all present; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.text import typo_pairs, _lev
+
+    texts = [
+        "color colour colr kolor",          # del=1, ins=1, sub=1 chains
+        "data date gate dart",              # subs at distance 1-2
+        "spark sprak",                      # transposition = distance 2
+        "table cable fable stable",
+        "zzzzzz completely different word",
+    ]
+    words = set()
+    import re
+    for s in texts:
+        words |= set(re.findall("[a-z]+", s.lower()))
+    want = {}
+    for a in words:
+        for b in words:
+            if a < b:
+                d = _lev(a, b)
+                if 1 <= d <= 2:
+                    want[(a, b)] = d
+    assert any(d == 1 for d in want.values())
+    assert any(d == 2 for d in want.values())
+
+    t = pa.table({"text": texts})
+    prev = None
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = typo_pairs(ds).take_all()
+        got = {(r["word_a"], r["word_b"]): r["dist"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
