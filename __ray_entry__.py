@@ -1117,6 +1117,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
 
+    def q_session_type_pairs(sf):
+        # market-basket over sessions: unordered type pairs co-occurring
+        # in a 30-min-gap user session, exact session-distinct counts
+        from python_prtree_ray.pipelines.windows import session_type_pairs
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        return session_type_pairs(ev)
+
     def q_record_events(sf):
         # per-user record-breaking events (running max, segmented
         # doubling scan — no per-entity Python); record-sized output
@@ -3561,6 +3573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_dwell_run": q_max_dwell_run,
         "od_asymmetry": q_od_asymmetry,
         "record_events": q_record_events,
+        "session_type_pairs": q_session_type_pairs,
         "cohort_retention": q_cohort_retention,
         "colocation_pairs": q_colocation,
         "stay_points": q_stay_points,
@@ -3656,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.windows import (
         record_events_sql as _record_events_sql,
         cohort_retention_sql as _cohort_retention_sql,
+        session_type_pairs_sql as _session_type_pairs_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
         trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
@@ -5179,6 +5193,7 @@ SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
         "record_events": _record_events_sql("events"),
+        "session_type_pairs": _session_type_pairs_sql("events"),
         "cohort_retention": _cohort_retention_sql("events"),
         "max_dwell_run": _max_dwell_run_sql(
             derive.points_sql("events", "event_id", "event_id"), DWELL_RES

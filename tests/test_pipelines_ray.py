@@ -6442,3 +6442,49 @@ def test_typo_pairs_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_session_type_pairs_matches_bruteforce(ray_session):
+    # session pair counts vs a set reference: gap splitting, within-
+    # session type dedup, a<b ordering; partition-invariant
+    ray = ray_session
+    from collections import Counter
+    from python_prtree_ray.pipelines.windows import session_type_pairs
+
+    rng = np.random.default_rng(225)
+    n = 700
+    gap = 1_800_000_000
+    users = rng.integers(0, 10, n).astype(np.int64)
+    ts_i = np.sort(rng.integers(0, 50 * gap, n))  # global sort, per-user gaps vary
+    seq = np.arange(n, dtype=np.int64)
+    types = np.array(["view", "click", "buy", "share"])[rng.integers(0, 4, n)]
+
+    cnt = Counter()
+    for u in np.unique(users):
+        m = np.flatnonzero(users == u)
+        order = m[np.lexsort((seq[m], ts_i[m]))]
+        sess = []
+        last = None
+        for i in order:
+            if last is None or ts_i[i] - last > gap:
+                sess.append(set())
+            sess[-1].add(str(types[i]))
+            last = ts_i[i]
+        for s in sess:
+            for a in s:
+                for b in s:
+                    if a < b:
+                        cnt[(a, b)] += 1
+    assert cnt  # pairs exist
+
+    t = pa.table({"user_id": users, "ts": ts_i.astype("datetime64[us]"),
+                  "event_id": seq, "event_type": types})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = session_type_pairs(ds).take_all()
+        got = {(r["type_a"], r["type_b"]): r["n_sessions"] for r in rows}
+        assert got == dict(cnt)
+        if prev is not None:
+            assert got == prev
+        prev = got
