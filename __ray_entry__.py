@@ -1129,6 +1129,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return session_type_pairs(ev)
 
+    def q_value_peaks(sf):
+        # local-maximum screen: events equal to their entity's ±1h
+        # window max — segmented sparse-table range max, RANGE-frame twin
+        from python_prtree_ray.pipelines.windows import value_peaks
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        return value_peaks(ev)
+
+    def q_user_gini(sf):
+        # value-concentration Gini over per-user spend: exact rank-
+        # weighted integer form (tile_gini's formula over user sums;
+        # user-sized driver sort — the rank-statistic bound)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "value"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(u, kind="stable")
+            u_s, c_s = u[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            return pa.table(
+                {
+                    "user_id": u_s[starts],
+                    "x": np.add.reduceat(c_s, starts)
+                    if u_s.size
+                    else np.zeros(0, np.int64),
+                }
+            )
+
+        sums = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="user_id",
+            value_cols=("x",),
+        )
+        xs = []
+        for ref in sums.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                xs.append(t.column("x").to_numpy(zero_copy_only=False))
+        if not xs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "n_users": pa.array([0], pa.int64()),
+                        "total_cents": pa.array([0], pa.int64()),
+                        "gini": pa.nulls(1, pa.float64()),
+                    }
+                )
+            )
+        x = np.sort(np.concatenate(xs)).astype(object)
+        n = x.size
+        s = int(x.sum())
+        coef = 2 * np.arange(n, dtype=object) - n + 1
+        num = int((coef * x).sum())
+        den = n * s
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_users": pa.array([n], pa.int64()),
+                    "total_cents": pa.array([s], pa.int64()),
+                    "gini": pa.array(
+                        [float(num) / float(den) if den else None], pa.float64()
+                    ),
+                }
+            )
+        )
+
     def q_record_events(sf):
         # per-user record-breaking events (running max, segmented
         # doubling scan — no per-entity Python); record-sized output
@@ -3574,6 +3653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_asymmetry": q_od_asymmetry,
         "record_events": q_record_events,
         "session_type_pairs": q_session_type_pairs,
+        "value_peaks": q_value_peaks,
+        "user_gini": q_user_gini,
         "cohort_retention": q_cohort_retention,
         "colocation_pairs": q_colocation,
         "stay_points": q_stay_points,
@@ -3670,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         record_events_sql as _record_events_sql,
         cohort_retention_sql as _cohort_retention_sql,
         session_type_pairs_sql as _session_type_pairs_sql,
+        value_peaks_sql as _value_peaks_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
         trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
@@ -5194,6 +5276,20 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
         "record_events": _record_events_sql("events"),
         "session_type_pairs": _session_type_pairs_sql("events"),
+        "value_peaks": _value_peaks_sql("events"),
+        "user_gini": (
+            "WITH c AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100.0)"
+            " AS BIGINT)) AS BIGINT) AS x FROM events GROUP BY user_id), "
+            "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS s FROM c), "
+            "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM c), "
+            "g AS (SELECT CAST(COALESCE(SUM((2 * CAST(rn - 1 AS HUGEINT) - "
+            "(SELECT n FROM m) + 1) * x), 0) AS HUGEINT) AS num FROM r) "
+            "SELECT CAST(m.n AS BIGINT) AS n_users, "
+            "CAST(m.s AS BIGINT) AS total_cents, "
+            "CASE WHEN m.n * m.s > 0 THEN CAST(g.num AS DOUBLE) / "
+            "CAST(m.n * m.s AS DOUBLE) ELSE NULL END AS gini FROM m, g"
+        ),
         "cohort_retention": _cohort_retention_sql("events"),
         "max_dwell_run": _max_dwell_run_sql(
             derive.points_sql("events", "event_id", "event_id"), DWELL_RES

@@ -1073,3 +1073,126 @@ FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
                  AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def value_peaks(
+    events: Dataset,
+    window_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Local-maximum (peak) detection per entity — every event whose
+    floor-cents value equals the MAX over the entity's events within
+    ``±window_us`` of its timestamp (the RANGE-frame peak screen of a
+    monitoring pipeline): ``(user_id, event_id, value_cents)``. Plateau
+    peers all qualify, matching the SQL RANGE frame exactly.
+
+    Scale shape: ONE entity-bucket shuffle; the per-bucket fold builds
+    a sparse table (O(n log n) ints) over the segment-safe key axis
+    ``seg·2^46 + (ts − seg_min)`` — the 2^46 gap exceeds any in-segment
+    span, so one global ``searchsorted`` yields window bounds that can
+    never cross an entity boundary — then answers every range-max query
+    vectorized. No per-row or per-entity Python.
+    """
+    tune_context()
+
+    SEG_SHIFT = 46  # in-segment span must fit 2^45 µs (~1.1 years)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(
+            pc.floor(pc.multiply(tbl.column(value_col), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(k, n_buckets),
+                "k": k,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col),
+                "cents": cents,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                seq_col: pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        n = k.size
+        if n == 0:
+            return empty
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False)
+        v = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, k))
+        k_s, t_s, seq_s, v_s = k[order], ts[order], seq[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        seg_id = np.repeat(np.arange(starts.size, dtype=np.int64), sizes)
+        if starts.size >= (1 << (63 - SEG_SHIFT)):
+            raise ValueError("value_peaks: too many entities per bucket")
+        tnorm = t_s - np.repeat(t_s[starts], sizes)
+        if (tnorm >= (1 << (SEG_SHIFT - 1))).any():
+            raise ValueError(
+                "value_peaks: per-entity time span exceeds 2^45 µs"
+            )
+        key = seg_id * (np.int64(1) << SEG_SHIFT) + tnorm
+        lo = np.searchsorted(key, key - window_us, side="left")
+        hi = np.searchsorted(key, key + window_us, side="right")
+        # sparse table: st[j][i] = max(v_s[i : i + 2^j])
+        st = [v_s]
+        j = 1
+        while (1 << j) <= n:
+            prev = st[-1]
+            half = 1 << (j - 1)
+            st.append(np.maximum(prev[: n - (1 << j) + 1], prev[half : n - half + 1]))
+            j += 1
+        L = hi - lo
+        p = (np.frexp(L.astype(np.float64))[1] - 1).astype(np.int64)
+        wmax = np.empty(n, np.int64)
+        for level in np.unique(p):
+            m = p == level
+            tbl_l = st[int(level)]
+            a = tbl_l[lo[m]]
+            b = tbl_l[hi[m] - (1 << int(level))]
+            wmax[m] = np.maximum(a, b)
+        rec = v_s == wmax
+        return pa.table(
+            {key_col: k_s[rec], seq_col: seq_s[rec], "value_cents": v_s[rec]}
+        )
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def value_peaks_sql(table: str = "events", window_us: int = 3_600_000_000) -> str:
+    """DuckDB twin of :func:`value_peaks` — RANGE frame over epoch µs,
+    equality against the window max."""
+    return f"""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+           FROM {table}),
+w AS (SELECT user_id, event_id, cents,
+             MAX(cents) OVER (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN {window_us} PRECEDING
+                 AND {window_us} FOLLOWING) AS wmax
+      FROM c)
+SELECT user_id, event_id, cents AS value_cents
+FROM w WHERE cents = wmax
+"""

@@ -6488,3 +6488,39 @@ def test_session_type_pairs_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_value_peaks_matches_bruteforce(ray_session):
+    # sparse-table windowed max vs an O(n^2) reference: plateau peers
+    # all emit, windows never cross users, duplicate timestamps count
+    # as peers; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import value_peaks
+
+    rng = np.random.default_rng(226)
+    n = 600
+    W = 1000
+    users = rng.integers(0, 8, n).astype(np.int64)
+    ts_i = rng.integers(0, 20_000, n).astype(np.int64)
+    ts_i[::37] = ts_i[(np.arange(n)[::37])] // 37 * 37  # force duplicates
+    seq = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 40, n) / 4.0  # heavy value ties -> plateaus
+
+    want = set()
+    cents = np.floor(vals * 100.0).astype(np.int64)
+    for i in range(n):
+        m = (users == users[i]) & (np.abs(ts_i - ts_i[i]) <= W)
+        if cents[i] == cents[m].max():
+            want.add((int(users[i]), int(seq[i]), int(cents[i])))
+
+    t = pa.table({"user_id": users, "ts": ts_i.astype("datetime64[us]"),
+                  "event_id": seq, "value": vals})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = value_peaks(ds, window_us=W).take_all()
+        got = {(r["user_id"], r["event_id"], r["value_cents"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
