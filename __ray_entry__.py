@@ -3252,6 +3252,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cents_col="cents",
         )
 
+    def q_label_cohesion(sf):
+        # exact intra-label pairwise-dot sums via |Σq|² − Σ|q|² — no
+        # pair enumeration, vectors never shuffle
+        import ray
+        from python_prtree_ray.pipelines.ann import label_cohesion
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding", "label"]
+        )
+        return label_cohesion(emb)
+
     def q_emb_dim_quantiles(sf):
         # per-dimension distribution monitor: exact R-7 quantiles on
         # the 2^10 scaled-int grid; vectors never shuffle
@@ -3613,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_heatmap": q_activity_heatmap,
         "incremental_agg": q_incremental_agg,
         "emb_dim_quantiles": q_emb_dim_quantiles,
+        "label_cohesion": q_label_cohesion,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
         "typo_pairs": q_typo_pairs,
@@ -3764,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         emb_covariance_sql as _emb_covariance_sql,
         emb_dim_quantiles_sql as _emb_dim_quantiles_sql,
         emb_norm_outliers_sql as _emb_norm_outliers_sql,
+        label_cohesion_sql as _label_cohesion_sql,
     )
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
@@ -4847,6 +4860,7 @@ WHERE d.doc_id NOT IN
             "/ CAST(COUNT(*) AS DOUBLE) AS hapax_ratio FROM c"
         ),
         "emb_norm_outliers": _emb_norm_outliers_sql("embeddings"),
+        "label_cohesion": _label_cohesion_sql("embeddings"),
         "value_percentile": (
             "WITH c AS (SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT)"
             " AS cents FROM events) "

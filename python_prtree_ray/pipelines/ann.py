@@ -762,3 +762,127 @@ n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS norm2q
 t AS (SELECT quantile_cont(norm2q, {q!r}) AS thr FROM n)
 SELECT vec_id, norm2q FROM n, t WHERE norm2q > t.thr
 """
+
+
+def label_cohesion(
+    vectors: Dataset,
+    col: str = "embedding",
+    label_col: str = "label",
+    scale_bits: int = 20,
+) -> Dataset:
+    """Intra-label cohesion of the embedding corpus — the exact SUM of
+    pairwise dot products within each label WITHOUT enumerating pairs,
+    via the moment identity ``Σ_{i≠j} qᵢ·qⱼ = |Σq|² − Σ|qᵢ|²`` on the
+    scaled-int grid: ``(label, n_vecs, pair_dot_sum, mean_pair_dot)``
+    (clustering-quality / label-noise screen). Integer arithmetic end
+    to end; the two emitted doubles are single roundings of exact ints,
+    identical to the HUGEINT SQL twin by construction.
+
+    Scale shape: per-batch per-label (n, Σq vector, Σ|q|²) moment
+    partials — O(labels·d) ints per batch, vectors never shuffle; the
+    driver folds one row per (block, label) in arbitrary precision
+    (int64-safe partials need ``batch_size ≤ 4096`` at d=64: row
+    Σ|q|² ≈ 2⁵⁰). Output is label-sized.
+    """
+    tune_context()
+    S = float(1 << scale_bits)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sv": pa.array([], pa.binary()),
+                "ssq": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        E = _emb_matrix(tbl, col)
+        q = np.floor(E * S).astype(np.int64)
+        lab = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        l_s = lab[order]
+        q_s = q[order]
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]])
+        sv = np.add.reduceat(q_s, starts, axis=0)
+        ssq = np.add.reduceat((q_s * q_s).sum(axis=1), starts)
+        return pa.table(
+            {
+                "label": l_s[starts],
+                "n": np.diff(np.r_[starts, l_s.size]).astype(np.int64),
+                "sv": pa.array([row.tobytes() for row in sv], pa.binary()),
+                "ssq": ssq,
+            }
+        )
+
+    parts = vectors.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,  # keeps the per-batch Σ|q|² partial inside int64
+    )
+
+    acc: dict[int, list] = {}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for r in range(t.num_rows):
+            lab = int(t.column("label")[r].as_py())
+            sv = np.frombuffer(t.column("sv")[r].as_py(), np.int64).astype(object)
+            row = acc.setdefault(lab, [0, None, 0])
+            row[0] += int(t.column("n")[r].as_py())
+            row[1] = sv if row[1] is None else row[1] + sv
+            row[2] += int(t.column("ssq")[r].as_py())
+    labels = sorted(acc)
+    out_n, out_sum, out_mean = [], [], []
+    keep_labels = []
+    for lab in labels:
+        n, sv, ssq = acc[lab]
+        if n < 2:
+            continue
+        s2 = int((sv * sv).sum())
+        num = s2 - ssq
+        keep_labels.append(lab)
+        out_n.append(n)
+        out_sum.append(float(num))
+        out_mean.append(float(num) / float(n * (n - 1)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(keep_labels, pa.int64()),
+                "n_vecs": pa.array(out_n, pa.int64()),
+                "pair_dot_sum": pa.array(out_sum, pa.float64()),
+                "mean_pair_dot": pa.array(out_mean, pa.float64()),
+            }
+        )
+    )
+
+
+def label_cohesion_sql(
+    table: str = "embeddings",
+    col: str = "embedding",
+    label_col: str = "label",
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB twin of :func:`label_cohesion` — HUGEINT moment identity,
+    identical single roundings to DOUBLE."""
+    S = float(1 << scale_bits)
+    return f"""
+WITH u AS (SELECT {label_col} AS label, vec_id,
+                  CAST(FLOOR(CAST(unnest({col}) AS DOUBLE) * {S!r}) AS BIGINT)
+                    AS q,
+                  generate_subscripts({col}, 1) AS d
+           FROM {table}),
+s AS (SELECT label, d, CAST(SUM(q) AS HUGEINT) AS sd FROM u GROUP BY label, d),
+t AS (SELECT label, CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ssq
+      FROM u GROUP BY label),
+n AS (SELECT {label_col} AS label, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM {table} GROUP BY 1),
+ip AS (SELECT label, CAST(SUM(sd * sd) AS HUGEINT) AS s2 FROM s GROUP BY label)
+SELECT CAST(n.label AS BIGINT) AS label, CAST(n.n AS BIGINT) AS n_vecs,
+       CAST(ip.s2 - t.ssq AS DOUBLE) AS pair_dot_sum,
+       CAST(ip.s2 - t.ssq AS DOUBLE) / CAST(n.n * (n.n - 1) AS DOUBLE)
+         AS mean_pair_dot
+FROM n JOIN t ON t.label = n.label JOIN ip ON ip.label = n.label
+WHERE n.n >= 2
+"""

@@ -6524,3 +6524,45 @@ def test_value_peaks_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_label_cohesion_matches_bruteforce(ray_session):
+    # moment-identity pair-dot sums vs explicit O(n^2) enumeration;
+    # singleton labels drop; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import label_cohesion
+
+    rng = np.random.default_rng(227)
+    n, d = 150, 5
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    labels[0] = 9  # singleton label -> dropped
+
+    Q = np.floor(E.astype(np.float64) * float(1 << 20)).astype(object)
+    want = {}
+    for lab in np.unique(labels):
+        m = labels == lab
+        k = int(m.sum())
+        if k < 2:
+            continue
+        G = Q[m] @ Q[m].T
+        tot = int(G.sum() - np.trace(G))
+        want[int(lab)] = (k, float(tot), float(tot) / float(k * (k - 1)))
+
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(E), pa.list_(pa.float32())),
+            "label": labels,
+        }
+    )
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = label_cohesion(ds).take_all()
+        got = {r["label"]: (r["n_vecs"], r["pair_dot_sum"], r["mean_pair_dot"])
+               for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
