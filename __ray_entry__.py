@@ -3222,6 +3222,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["month", "revenue_cents", "prev_cents", "delta_cents"])
         )
 
+    def q_value_ks(sf):
+        # two-sample Kolmogorov–Smirnov distance between weekday and
+        # weekend value distributions: exact integer numerator
+        # max|c_w·n_e − c_e·n_w| over the distinct-cents grid
+        # (grid-bounded metadata), ONE double division
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["ts", "value"]
+        )
+        DAY = 86_400_000_000
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            dow = (us // DAY + 4) % 7
+            wknd = (dow == 0) | (dow == 6)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(cents, kind="stable")
+            c_s, w_s = cents[order], wknd[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            nw = np.add.reduceat(w_s.astype(np.int64), starts)
+            nt = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
+            return pa.table(
+                {"cents": c_s[starts], "n_wknd": nw, "n_wday": nt - nw}
+            )
+
+        hist = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cents",
+            value_cols=("n_wknd", "n_wday"),
+        ).take_all()  # distinct-cents grid: metadata-sized
+        vals = np.array([r["cents"] for r in hist], np.int64)
+        nw = np.array([r["n_wknd"] for r in hist], np.int64)
+        nd = np.array([r["n_wday"] for r in hist], np.int64)
+        order = np.argsort(vals)
+        cw = np.cumsum(nw[order]).astype(object)
+        cd = np.cumsum(nd[order]).astype(object)
+        tw, td = int(nw.sum()), int(nd.sum())
+        d_num = int(max(abs(cw * td - cd * tw))) if vals.size else 0
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_weekend": pa.array([tw], pa.int64()),
+                    "n_weekday": pa.array([td], pa.int64()),
+                    "d_num": pa.array([d_num], pa.int64()),
+                    "ks": pa.array(
+                        [float(d_num) / float(tw * td) if tw and td else None],
+                        pa.float64(),
+                    ),
+                }
+            )
+        )
+
+    def q_label_separation(sf):
+        # between-label separation: exact cross-pair dot sums via
+        # sum-vector dot products — the silhouette companion matrix
+        import ray
+        from python_prtree_ray.pipelines.ann import label_separation
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding", "label"]
+        )
+        return label_separation(emb)
+
     def q_above_avg_orders(sf):
         # correlated-aggregate filter: orders strictly above their
         # customer's mean order value — exact integer cross-multiply
@@ -3625,6 +3696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": q_incremental_agg,
         "emb_dim_quantiles": q_emb_dim_quantiles,
         "label_cohesion": q_label_cohesion,
+        "label_separation": q_label_separation,
+        "value_ks": q_value_ks,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
         "typo_pairs": q_typo_pairs,
@@ -3777,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         emb_dim_quantiles_sql as _emb_dim_quantiles_sql,
         emb_norm_outliers_sql as _emb_norm_outliers_sql,
         label_cohesion_sql as _label_cohesion_sql,
+        label_separation_sql as _label_separation_sql,
     )
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
@@ -4861,6 +4935,27 @@ WHERE d.doc_id NOT IN
         ),
         "emb_norm_outliers": _emb_norm_outliers_sql("embeddings"),
         "label_cohesion": _label_cohesion_sql("embeddings"),
+        "label_separation": _label_separation_sql("embeddings"),
+        "value_ks": (
+            "WITH e AS (SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents, "
+            "(epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6) AS wknd "
+            "FROM events), "
+            "h AS (SELECT cents, "
+            "CAST(SUM(CASE WHEN wknd THEN 1 ELSE 0 END) AS HUGEINT) AS nw, "
+            "CAST(SUM(CASE WHEN wknd THEN 0 ELSE 1 END) AS HUGEINT) AS nd "
+            "FROM e GROUP BY cents), "
+            "cum AS (SELECT SUM(nw) OVER (ORDER BY cents) AS cw, "
+            "SUM(nd) OVER (ORDER BY cents) AS cd FROM h), "
+            "tot AS (SELECT CAST(SUM(nw) AS HUGEINT) AS tw, "
+            "CAST(SUM(nd) AS HUGEINT) AS td FROM h) "
+            "SELECT CAST(tot.tw AS BIGINT) AS n_weekend, "
+            "CAST(tot.td AS BIGINT) AS n_weekday, "
+            "CAST(MAX(ABS(cum.cw * tot.td - cum.cd * tot.tw)) AS BIGINT) "
+            "AS d_num, "
+            "CAST(MAX(ABS(cum.cw * tot.td - cum.cd * tot.tw)) AS DOUBLE) "
+            "/ CAST(tot.tw * tot.td AS DOUBLE) AS ks "
+            "FROM cum, tot GROUP BY tot.tw, tot.td"
+        ),
         "value_percentile": (
             "WITH c AS (SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT)"
             " AS cents FROM events) "

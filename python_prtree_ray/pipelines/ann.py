@@ -886,3 +886,112 @@ SELECT CAST(n.label AS BIGINT) AS label, CAST(n.n AS BIGINT) AS n_vecs,
 FROM n JOIN t ON t.label = n.label JOIN ip ON ip.label = n.label
 WHERE n.n >= 2
 """
+
+
+def label_separation(
+    vectors: Dataset,
+    col: str = "embedding",
+    label_col: str = "label",
+    scale_bits: int = 20,
+) -> Dataset:
+    """Between-label separation — the companion of
+    :func:`label_cohesion`: for every unordered label pair, the exact
+    SUM of cross-pair dot products via ``Σ_{i∈a, j∈b} qᵢ·qⱼ = S_a·S_b``
+    (sum-vector dot — no pair enumeration): ``(label_a, label_b,
+    cross_dot_sum, mean_cross_dot)``. Together with cohesion this is
+    the silhouette-style label-quality matrix.
+
+    Scale shape: identical moment partials to cohesion (O(labels·d)
+    ints per batch); the label-pair expansion happens on the driver
+    over label-sized metadata.
+    """
+    tune_context()
+    S = float(1 << scale_bits)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sv": pa.array([], pa.binary()),
+                }
+            )
+        E = _emb_matrix(tbl, col)
+        q = np.floor(E * S).astype(np.int64)
+        lab = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        l_s = lab[order]
+        q_s = q[order]
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]])
+        sv = np.add.reduceat(q_s, starts, axis=0)
+        return pa.table(
+            {
+                "label": l_s[starts],
+                "n": np.diff(np.r_[starts, l_s.size]).astype(np.int64),
+                "sv": pa.array([row.tobytes() for row in sv], pa.binary()),
+            }
+        )
+
+    parts = vectors.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    acc: dict[int, list] = {}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for r in range(t.num_rows):
+            lab = int(t.column("label")[r].as_py())
+            sv = np.frombuffer(t.column("sv")[r].as_py(), np.int64).astype(object)
+            row = acc.setdefault(lab, [0, None])
+            row[0] += int(t.column("n")[r].as_py())
+            row[1] = sv if row[1] is None else row[1] + sv
+    labels = sorted(acc)
+    la, lb, cs, mc = [], [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            na, sa = acc[a]
+            nb, sb = acc[b]
+            dot = int((sa * sb).sum())
+            la.append(a)
+            lb.append(b)
+            cs.append(float(dot))
+            mc.append(float(dot) / float(na * nb))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array(la, pa.int64()),
+                "label_b": pa.array(lb, pa.int64()),
+                "cross_dot_sum": pa.array(cs, pa.float64()),
+                "mean_cross_dot": pa.array(mc, pa.float64()),
+            }
+        )
+    )
+
+
+def label_separation_sql(
+    table: str = "embeddings",
+    col: str = "embedding",
+    label_col: str = "label",
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB twin of :func:`label_separation` — per-label HUGEINT
+    component sums, pairwise sum-vector dots."""
+    S = float(1 << scale_bits)
+    return f"""
+WITH u AS (SELECT {label_col} AS label,
+                  CAST(FLOOR(CAST(unnest({col}) AS DOUBLE) * {S!r}) AS BIGINT)
+                    AS q,
+                  generate_subscripts({col}, 1) AS d
+           FROM {table}),
+s AS (SELECT label, d, CAST(SUM(q) AS HUGEINT) AS sd FROM u GROUP BY label, d),
+n AS (SELECT {label_col} AS label, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM {table} GROUP BY 1),
+x AS (SELECT a.label AS la, b.label AS lb,
+             CAST(SUM(a.sd * b.sd) AS HUGEINT) AS dot
+      FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
+      GROUP BY a.label, b.label)
+SELECT CAST(x.la AS BIGINT) AS label_a, CAST(x.lb AS BIGINT) AS label_b,
+       CAST(x.dot AS DOUBLE) AS cross_dot_sum,
+       CAST(x.dot AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS mean_cross_dot
+FROM x JOIN n na ON na.label = x.la JOIN n nb ON nb.label = x.lb
+"""

@@ -6566,3 +6566,44 @@ def test_label_cohesion_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_label_separation_matches_bruteforce(ray_session):
+    # cross-pair dot sums via sum-vector identity vs explicit pairs
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import label_separation
+
+    rng = np.random.default_rng(228)
+    n, d = 120, 4
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+
+    Q = np.floor(E.astype(np.float64) * float(1 << 20)).astype(object)
+    want = {}
+    for a in np.unique(labels):
+        for b in np.unique(labels):
+            if a < b:
+                ma, mb = labels == a, labels == b
+                tot = int((Q[ma] @ Q[mb].T).sum())
+                want[(int(a), int(b))] = (
+                    float(tot),
+                    float(tot) / float(ma.sum() * mb.sum()),
+                )
+
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(E), pa.list_(pa.float32())),
+            "label": labels,
+        }
+    )
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = label_separation(ds).take_all()
+        got = {(r["label_a"], r["label_b"]):
+               (r["cross_dot_sum"], r["mean_cross_dot"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
