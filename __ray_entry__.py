@@ -3222,6 +3222,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["month", "revenue_cents", "prev_cents", "delta_cents"])
         )
 
+    def q_convert_delay_quantiles(sf):
+        # funnel latency: exact quantiles of (first purchase − first
+        # view) per user, users with both events; one user-bucket fold
+        # then the distinct-value histogram quantile machinery
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.quantiles import int_quantiles
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                tbl.column("event_type"),
+                value_set=pa.array(["view", "purchase"]),
+            )
+            t = tbl.filter(keep)
+            u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            us = pc.cast(
+                t.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            is_p = pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False
+            )
+            # batch-local min per (user, kind)
+            kind = is_p.astype(np.int64)
+            order = np.lexsort((us, kind, u))
+            u_s, k_s, t_s = u[order], kind[order], us[order]
+            first = np.r_[True, (u_s[1:] != u_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(u_s[first], 256),
+                    "u": u_s[first],
+                    "kind": k_s[first],
+                    "t": t_s[first],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "delay_s": pa.array([], pa.int64())}
+                )
+            kind = group.column("kind").to_numpy(zero_copy_only=False)
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            order = np.lexsort((t, kind, u))
+            u_s, k_s, t_s = u[order], kind[order], t[order]
+            first = np.r_[True, (u_s[1:] != u_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            u_f, k_f, t_f = u_s[first], k_s[first], t_s[first]
+            # users with BOTH kinds appear as consecutive (view, purchase)
+            both = (u_f[:-1] == u_f[1:]) & (k_f[:-1] == 0) & (k_f[1:] == 1)
+            # keep µs: a seconds division would FLOOR in numpy but
+            # TRUNCATE in DuckDB on the negative delays
+            delay = t_f[1:][both] - t_f[:-1][both]
+            return pa.table(
+                {
+                    "k": np.zeros(delay.size, np.int64),
+                    "delay_us": delay,
+                }
+            )
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return int_quantiles(folded, key_col="k", int_col="delay_us")
+
+    def q_activity_autocorr(sf):
+        # lag-24h autocorrelation of the hourly event-count series
+        # (zeros filled over the full hour span): exact integer moments,
+        # one double expression — SQRT is correctly rounded IEEE, so
+        # num / SQRT(vx·vy) matches the SQL twin bitwise
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["ts"])
+        HOUR = 3_600_000_000
+        LAG = 24
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            h, n = np.unique(us // HOUR, return_counts=True)
+            return pa.table({"hour": h, "n": n.astype(np.int64)})
+
+        hist = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="hour",
+            value_cols=("n",),
+        ).take_all()  # hour-span-sized metadata
+        hours = np.array([r["hour"] for r in hist], np.int64)
+        cnts = np.array([r["n"] for r in hist], np.int64)
+        lo, hi = int(hours.min()), int(hours.max())
+        series = np.zeros(hi - lo + 1, np.int64)
+        series[hours - lo] = cnts
+        x = series[:-LAG].astype(object)
+        y = series[LAG:].astype(object)
+        n = x.shape[0]
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = (
+            float(num) / np.sqrt(np.float64(float(vx)) * np.float64(float(vy)))
+            if vx > 0 and vy > 0
+            else None
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_pairs": pa.array([n], pa.int64()),
+                    "num": pa.array([float(num)], pa.float64()),
+                    "var_x": pa.array([float(vx)], pa.float64()),
+                    "var_y": pa.array([float(vy)], pa.float64()),
+                    "r": pa.array([r], pa.float64()),
+                }
+            )
+        )
+
     def q_value_ks(sf):
         # two-sample Kolmogorov–Smirnov distance between weekday and
         # weekend value distributions: exact integer numerator
@@ -3698,6 +3828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_cohesion": q_label_cohesion,
         "label_separation": q_label_separation,
         "value_ks": q_value_ks,
+        "convert_delay_quantiles": q_convert_delay_quantiles,
+        "activity_autocorr": q_activity_autocorr,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
         "typo_pairs": q_typo_pairs,
@@ -4936,6 +5068,40 @@ WHERE d.doc_id NOT IN
         "emb_norm_outliers": _emb_norm_outliers_sql("embeddings"),
         "label_cohesion": _label_cohesion_sql("embeddings"),
         "label_separation": _label_separation_sql("embeddings"),
+        "convert_delay_quantiles": (
+            "WITH f AS (SELECT user_id, "
+            "MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)"
+            " AS tp FROM events GROUP BY user_id), "
+            "d AS (SELECT CAST(0 AS BIGINT) AS k, tp - tv AS delay_us FROM f "
+            "WHERE tv IS NOT NULL AND tp IS NOT NULL) "
+            "SELECT k, quantile_cont(delay_us, 0.5) AS p50, "
+            "quantile_cont(delay_us, 0.9) AS p90, "
+            "quantile_cont(delay_us, 0.99) AS p99 FROM d GROUP BY k"
+        ),
+        "activity_autocorr": (
+            "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h), "
+            "g AS (SELECT unnest(generate_series(b.lo, b.hi)) AS hour FROM b), "
+            "s AS (SELECT g.hour, CAST(COALESCE(h.n, 0) AS HUGEINT) AS n "
+            "FROM g LEFT JOIN h ON h.hour = g.hour), "
+            "p AS (SELECT s.n AS x, s2.n AS y FROM s JOIN s s2 "
+            "ON s2.hour = s.hour + 24), "
+            "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+            "CAST(SUM(x * y) AS HUGEINT) AS sxy, "
+            "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
+            "CAST(SUM(y * y) AS HUGEINT) AS syy FROM p) "
+            "SELECT CAST(n AS BIGINT) AS n_pairs, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) AS num, "
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS var_x, "
+            "CAST(n * syy - sy * sy AS DOUBLE) AS var_y, "
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE)) ELSE NULL END AS r FROM m"
+        ),
         "value_ks": (
             "WITH e AS (SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents, "
             "(epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6) AS wknd "
