@@ -566,6 +566,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_sum(folded, key_col="week", value_cols=("n_users",))
 
+    def q_gravity_access(sf):
+        # gravity accessibility surface: per occupied tile, summed
+        # floored inverse-distance attraction of the VOR_K facilities
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        sid, sx, sy = _seed_sites(sf, VOR_K, TILE_RES)
+        return tiling.gravity_access(pts, sid, sx, sy, res=TILE_RES)
+
     def q_type_colocation(sf):
         # cross-type tile co-location lift: exact distinct-tile counts
         # per type/pair, one division; C^2-bounded metadata folds
@@ -3603,6 +3620,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
         return connected_components(pairs, id_a="doc_a", id_b="doc_b")
 
+    def q_cluster_size_hist(sf):
+        # dup-cluster size distribution: CC labels → per-cluster size →
+        # histogram of sizes (two pre-combined levels)
+        import pyarrow as pa
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        clusters = q_dup_clusters(sf)
+
+        def per_cluster(tbl: pa.Table) -> pa.Table:
+            c, n = np.unique(
+                tbl.column("cluster_id").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"cluster_id": c, "size": n.astype(np.int64)})
+
+        sizes = bucketed_sum(
+            clusters.map_batches(
+                per_cluster, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="cluster_id",
+            value_cols=("size",),
+        )
+
+        def hist(tbl: pa.Table) -> pa.Table:
+            s, n = np.unique(
+                tbl.column("size").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"size": s, "n_clusters": n.astype(np.int64)})
+
+        return bucketed_sum(
+            sizes.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="size",
+            value_cols=("n_clusters",),
+        )
+
     def q_dedup_survivors(sf):
         # end of the dedup pipeline: docs surviving cluster dedup (anti
         # join against non-canonical near-dup cluster members)
@@ -3898,6 +3951,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_assign": q_voronoi_assign,
         "voronoi_cost": q_voronoi_cost,
         "tile_rank_corr": q_tile_rank_corr,
+        "gravity_access": q_gravity_access,
+        "cluster_size_hist": q_cluster_size_hist,
         "type_dow_chi2": q_type_dow_chi2,
         "monthly_revenue": q_monthly_revenue,
         "weekly_active": q_weekly_active,
@@ -4011,6 +4066,7 @@ def oracle_sql() -> dict[str, str]:
         voronoi_assign_sql as _voronoi_assign_sql,
         grid_bfs_sql as _grid_bfs_sql,
         tile_rank_corr_sql as _tile_rank_corr_sql,
+        gravity_access_sql as _gravity_access_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -4999,6 +5055,12 @@ FROM d WHERE from_kind IS NOT NULL GROUP BY from_kind, kind
         "interval_join": interval_join_sql,
         "doc_cap_per_lang": doc_cap_per_lang_sql,
         "dup_clusters": dup_clusters_sql,
+        "cluster_size_hist": (
+            "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM ("
+            "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM ("
+            + dup_clusters_sql
+            + ") GROUP BY cluster_id) GROUP BY size"
+        ),
         "dedup_survivors": f"""
 WITH cc AS ({dup_clusters_sql})
 SELECT d.doc_id, d.lang FROM documents d
@@ -5724,6 +5786,11 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "gravity_access": _gravity_access_sql(
+            derive.points_sql("events", "event_id", "event_id"),
+            _seeds_cte(VOR_K, TILE_RES),
+            TILE_RES,
         ),
         "voronoi_cost": (
             "WITH v AS ("

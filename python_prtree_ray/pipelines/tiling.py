@@ -4458,3 +4458,99 @@ SELECT n AS n_tiles, sd2 AS sum_d2,
          / CAST(n * (n * n - 1) AS DOUBLE) AS rho
 FROM s WHERE n >= 2
 """
+
+
+def gravity_access(
+    points: Dataset,
+    seed_ids: "np.ndarray",
+    seed_ix: "np.ndarray",
+    seed_iy: "np.ndarray",
+    res: int,
+    scale: int = 1_000_000,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Gravity accessibility surface — for every OCCUPIED tile, the
+    summed inverse-distance attraction of the K seed facilities:
+    ``(cell, n, access)`` with ``access = Σₖ ⌊scale / (1 + d²ₖ)⌋``
+    (integer grid distance d²). Flooring each term BEFORE the sum
+    makes the statistic an exact integer — a raw float Σ 1/(1+d²)
+    would be shuffle-order-dependent; this one is invariant and
+    bitwise-equal to the SQL twin.
+
+    Scale shape: identical to :func:`voronoi_assign` — per-batch
+    distinct-cell counts, ONE cell-bucket fold, K·T integer distance
+    matrix per bucket with the seeds a metadata closure.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    sx = np.asarray(seed_ix, np.int64)
+    sy = np.asarray(seed_iy, np.int64)
+    if sx.size == 0:
+        raise ValueError("gravity_access needs at least one seed")
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table(
+            {"bucket": bucket_of(c, n_buckets), "cell": c, "n": n.astype(np.int64)}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "access": pa.array([], pa.int64()),
+                }
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        c_s, n_s = cell[order], n[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        c_u = c_s[starts]
+        tot = np.add.reduceat(n_s, starts)
+        ix = c_u // g
+        iy = c_u % g
+        d2 = (ix[:, None] - sx[None, :]) ** 2 + (iy[:, None] - sy[None, :]) ** 2
+        access = np.floor(np.float64(scale) / (1.0 + d2)).astype(np.int64).sum(axis=1)
+        return pa.table({"cell": c_u, "n": tot, "access": access})
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def gravity_access_sql(
+    points_cte: str, seeds_cte: str, res: int, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`gravity_access` — per-term FLOOR before
+    the integer sum, identical double division."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    g = 1 << res
+    return f"""
+WITH p0 AS ({points_cte}),
+t AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p0 GROUP BY 1),
+s AS ({seeds_cte}),
+a AS (SELECT t.cell, t.n,
+             (t.cell // {g} - s.sx) * (t.cell // {g} - s.sx)
+           + (t.cell % {g} - s.sy) * (t.cell % {g} - s.sy) AS d2
+      FROM t CROSS JOIN s)
+SELECT cell, n,
+       CAST(SUM(CAST(FLOOR({float(scale)!r} / (1 + d2)) AS BIGINT))
+         AS BIGINT) AS access
+FROM a GROUP BY cell, n
+"""
