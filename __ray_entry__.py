@@ -3239,6 +3239,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["month", "revenue_cents", "prev_cents", "delta_cents"])
         )
 
+    def q_rolling_wau(sf):
+        # exact 7-day rolling distinct users: per-user coverage-interval
+        # expansion (a sliding COUNT DISTINCT has no per-day partial)
+        from python_prtree_ray.pipelines.windows import rolling_wau
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+        return rolling_wau(ev)
+
     def q_convert_delay_quantiles(sf):
         # funnel latency: exact quantiles of (first purchase − first
         # view) per user, users with both events; one user-bucket fold
@@ -3439,6 +3450,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/embeddings.parquet", columns=["embedding", "label"]
         )
         return label_separation(emb)
+
+    def q_nation_share(sf):
+        # share-of-parent rollup: each nation's order revenue as a
+        # fraction of its region's total — nation-sized metadata fold,
+        # exact int sums, one division per row
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+        )
+        reg = pq.read_table(
+            f"{sf}/region.parquet", columns=["r_regionkey", "r_name"]
+        )
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        o2 = broadcast_lookup(
+            orders, cust, on="o_custkey", small_on="c_custkey",
+            carry_cols=("c_nationkey",),
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            nk = tbl.column("c_nationkey").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(nk, kind="stable")
+            nk_s, c_s = nk[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            return pa.table(
+                {
+                    "n_nationkey": nk_s[starts],
+                    "revenue_cents": np.add.reduceat(c_s, starts),
+                }
+            )
+
+        summed = bucketed_sum(
+            o2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="n_nationkey",
+            value_cols=("revenue_cents",),
+        )
+        nmap = {
+            int(k): (str(n), int(r))
+            for k, n, r in zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_name").to_pylist(),
+                nat.column("n_regionkey").to_pylist(),
+            )
+        }
+        rmap = {
+            int(k): str(n)
+            for k, n in zip(
+                reg.column("r_regionkey").to_pylist(),
+                reg.column("r_name").to_pylist(),
+            )
+        }
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def finish(group: pa.Table) -> pa.Table:
+            nk = group.column("n_nationkey").to_numpy(zero_copy_only=False)
+            rev = group.column("revenue_cents").to_numpy(zero_copy_only=False)
+            rkey = np.array([nmap[int(x)][1] for x in nk], np.int64)
+            rtot = {}
+            for r, v in zip(rkey, rev):
+                rtot[int(r)] = rtot.get(int(r), 0) + int(v)
+            region_cents = np.array([rtot[int(r)] for r in rkey], np.int64)
+            return pa.table(
+                {
+                    "r_name": pa.array([rmap[int(r)] for r in rkey], pa.string()),
+                    "n_name": pa.array(
+                        [nmap[int(x)][0] for x in nk], pa.string()
+                    ),
+                    "revenue_cents": rev,
+                    "region_cents": region_cents,
+                    "share": rev.astype(np.float64)
+                    / region_cents.astype(np.float64),
+                }
+            )
+
+        return (
+            summed.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(finish, batch_format="pyarrow")
+            .select_columns(
+                ["r_name", "n_name", "revenue_cents", "region_cents", "share"]
+            )
+        )
 
     def q_above_avg_orders(sf):
         # correlated-aggregate filter: orders strictly above their
@@ -3883,6 +3994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks": q_value_ks,
         "convert_delay_quantiles": q_convert_delay_quantiles,
         "activity_autocorr": q_activity_autocorr,
+        "rolling_wau": q_rolling_wau,
+        "nation_share": q_nation_share,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
         "typo_pairs": q_typo_pairs,
@@ -4024,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
         cohort_retention_sql as _cohort_retention_sql,
         session_type_pairs_sql as _session_type_pairs_sql,
         value_peaks_sql as _value_peaks_sql,
+        rolling_wau_sql as _rolling_wau_sql,
     )
     from python_prtree_ray.pipelines.trajectory import (
         trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
@@ -5614,6 +5728,22 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "record_events": _record_events_sql("events"),
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
+        "rolling_wau": _rolling_wau_sql("events"),
+        "nation_share": (
+            "WITH t AS (SELECT c_nationkey, CAST(SUM(CAST(FLOOR("
+            "o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey), "
+            "r AS (SELECT n_regionkey, CAST(SUM(revenue_cents) AS BIGINT)"
+            " AS region_cents FROM t JOIN nation ON n_nationkey = c_nationkey"
+            " GROUP BY n_regionkey) "
+            "SELECT r_name, n_name, t.revenue_cents, r.region_cents, "
+            "CAST(t.revenue_cents AS DOUBLE) / CAST(r.region_cents AS DOUBLE)"
+            " AS share "
+            "FROM t JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN r ON r.n_regionkey = nation.n_regionkey "
+            "JOIN region ON r_regionkey = nation.n_regionkey"
+        ),
         "user_gini": (
             "WITH c AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100.0)"
             " AS BIGINT)) AS BIGINT) AS x FROM events GROUP BY user_id), "

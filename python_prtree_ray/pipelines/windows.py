@@ -1196,3 +1196,102 @@ w AS (SELECT user_id, event_id, cents,
 SELECT user_id, event_id, cents AS value_cents
 FROM w WHERE cents = wmax
 """
+
+
+DAY_US = 86_400_000_000
+
+
+def rolling_wau(
+    events: Dataset,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Rolling window-distinct users — for every epoch day, the EXACT
+    count of users active within the trailing ``window_days`` window
+    (the rolling-WAU product metric; days with zero coverage are
+    absent): ``(day, wau)``.
+
+    A sliding COUNT(DISTINCT) does not decompose into per-day partials;
+    the exact distributed plan instead expands, PER USER, the set of
+    window-anchor days the user contributes to — the union of
+    ``[active_day, active_day + w − 1]`` intervals (merged in one
+    vectorized pass; a user contributes ≤1 to each anchor day by
+    construction, so plain integer sums finish the job). ONE
+    entity-bucket shuffle; partials are (day, count) rows bounded by
+    the covered-day span, not events.
+    """
+    tune_context()
+    from .merge import bucketed_sum
+
+    w = int(window_days)
+    if w < 1:
+        raise ValueError("rolling_wau: window_days must be >= 1")
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = us // DAY_US
+        order = np.lexsort((day, k))
+        k_s, d_s = k[order], day[order]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        return pa.table(
+            {
+                "bucket": bucket_of(k_s[keep], n_buckets),
+                "k": k_s[keep],
+                "day": d_s[keep],
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "wau": pa.array([], pa.int64())}
+            )
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, k))
+        k_s, d_s = k[order], day[order]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        k_u, d_u = k_s[keep], d_s[keep]
+        # merge [d, d+w-1] intervals per user: a new covered RUN starts
+        # at a user change or a gap > w-1 days
+        new_run = np.r_[True, (k_u[1:] != k_u[:-1]) | (d_u[1:] - d_u[:-1] > w - 1)]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        run_start = d_u[starts]
+        # run end = last active day in run + w - 1
+        run_end = np.maximum.reduceat(d_u, starts) + w - 1
+        lens = (run_end - run_start + 1).astype(np.int64)
+        total = int(lens.sum())
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        covered = np.repeat(run_start, lens) + (np.arange(total) - offs)
+        dd, n = np.unique(covered, return_counts=True)
+        return pa.table({"day": dd, "wau": n.astype(np.int64)})
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    folded = keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+    return bucketed_sum(folded, key_col="day", value_cols=("wau",))
+
+
+def rolling_wau_sql(table: str = "events", window_days: int = 7) -> str:
+    """DuckDB twin of :func:`rolling_wau` — day grid × active days,
+    trailing-window band join, COUNT(DISTINCT)."""
+    return f"""
+WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+           FROM {table}),
+b AS (SELECT MIN(day) AS lo, MAX(day) + {window_days - 1} AS hi FROM a),
+g AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b)
+SELECT g.day AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM g JOIN a ON a.day BETWEEN g.day - {window_days - 1} AND g.day
+GROUP BY g.day
+"""

@@ -6607,3 +6607,35 @@ def test_label_separation_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_rolling_wau_matches_bruteforce(ray_session):
+    # exact trailing-window distinct users vs a set reference; sparse
+    # activity forces run merges AND gaps; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.windows import rolling_wau, DAY_US
+
+    rng = np.random.default_rng(229)
+    n = 500
+    w = 7
+    users = rng.integers(0, 20, n).astype(np.int64)
+    days = rng.choice(np.r_[0:10, 25:30, 60:61], n)  # clustered + isolated
+    ts = (days * DAY_US + rng.integers(0, DAY_US, n)).astype("datetime64[us]")
+
+    want = {}
+    active = {(int(u), int(d)) for u, d in zip(users, days)}
+    all_days = range(int(days.min()), int(days.max()) + w)
+    for d in all_days:
+        c = len({u for (u, ad) in active if d - (w - 1) <= ad <= d})
+        if c:
+            want[d] = c
+
+    t = pa.table({"user_id": users, "ts": ts})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {r["day"]: r["wau"] for r in rolling_wau(ds, window_days=w).take_all()}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
