@@ -3250,6 +3250,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rolling_wau(ev)
 
+    def q_daily_new_returning(sf):
+        # per-day acquisition split: users on their FIRST-ever active
+        # day vs returning — one-bucket-per-user fold (first day + all
+        # active days), tiny day-keyed sum
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.windows import DAY_US
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            day = us // DAY_US
+            order = np.lexsort((day, u))
+            u_s, d_s = u[order], day[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(u_s[keep], 256),
+                    "u": u_s[keep],
+                    "day": d_s[keep],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {
+                        "day": pa.array([], pa.int64()),
+                        "n_new": pa.array([], pa.int64()),
+                        "n_returning": pa.array([], pa.int64()),
+                    }
+                )
+            day = group.column("day").to_numpy(zero_copy_only=False)
+            order = np.lexsort((day, u))
+            u_s, d_s = u[order], day[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            u_u, d_u = u_s[keep], d_s[keep]
+            is_first = np.r_[True, u_u[1:] != u_u[:-1]]
+            dd, inv = np.unique(d_u, return_inverse=True)
+            n_new = np.bincount(inv, weights=is_first, minlength=dd.size).astype(
+                np.int64
+            )
+            n_tot = np.bincount(inv, minlength=dd.size).astype(np.int64)
+            return pa.table(
+                {"day": dd, "n_new": n_new, "n_returning": n_tot - n_new}
+            )
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return bucketed_sum(
+            folded, key_col="day", value_cols=("n_new", "n_returning")
+        )
+
+    def q_value_mad(sf):
+        # robust stats: exact median + median absolute deviation on the
+        # doubled grid (R-7 median of ints has fraction ∈ {0, ½}, so 2m
+        # is an exact int and |2c − 2m| stays integral) — ONE distributed
+        # histogram pass, grid-sized driver fold
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.quantiles import _interp_quantiles
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            c, n = np.unique(
+                np.floor(
+                    tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table({"cents": c, "n": n.astype(np.int64)})
+
+        hist = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cents",
+            value_cols=("n",),
+        ).take_all()  # distinct-cents grid: metadata-sized
+        vals = np.array([r["cents"] for r in hist], np.int64)
+        cnts = np.array([r["n"] for r in hist], np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        n_total = int(cnts.sum())
+        med = _interp_quantiles(vals, cnts, [0.5])[0]
+        m2 = int(round(2 * med))  # exact: fraction is 0 or 1/2
+        dev = np.abs(2 * vals - m2)
+        dorder = np.argsort(dev)
+        dv, dn = dev[dorder], cnts[dorder]
+        # merge duplicate deviations (values symmetric around m)
+        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+        dv_u = dv[starts]
+        dn_u = np.add.reduceat(dn, starts)
+        mad2 = _interp_quantiles(dv_u, dn_u, [0.5])[0]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n": pa.array([n_total], pa.int64()),
+                    "median": pa.array([med], pa.float64()),
+                    "mad": pa.array([mad2 / 2.0], pa.float64()),
+                }
+            )
+        )
+
     def q_convert_delay_quantiles(sf):
         # funnel latency: exact quantiles of (first purchase − first
         # view) per user, users with both events; one user-bucket fold
@@ -3996,6 +4115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_autocorr": q_activity_autocorr,
         "rolling_wau": q_rolling_wau,
         "nation_share": q_nation_share,
+        "daily_new_returning": q_daily_new_returning,
+        "value_mad": q_value_mad,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
         "typo_pairs": q_typo_pairs,
@@ -5729,6 +5850,28 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
+        "daily_new_returning": (
+            "WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000"
+            " AS day FROM events), "
+            "f AS (SELECT user_id, MIN(day) AS fd FROM a GROUP BY user_id) "
+            "SELECT a.day, CAST(SUM(CASE WHEN a.day = f.fd THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_new, "
+            "CAST(SUM(CASE WHEN a.day = f.fd THEN 0 ELSE 1 END) AS BIGINT)"
+            " AS n_returning "
+            "FROM a JOIN f ON a.user_id = f.user_id GROUP BY a.day"
+        ),
+        "value_mad": (
+            "WITH c AS (SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents"
+            " FROM events), "
+            "m AS (SELECT quantile_cont(cents, 0.5) AS med, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM c), "
+            "m2 AS (SELECT CAST(ROUND(2 * med) AS BIGINT) AS m2v, med, n "
+            "FROM m), "
+            "d AS (SELECT ABS(2 * cents - m2.m2v) AS dev FROM c, m2) "
+            "SELECT m2.n AS n, m2.med AS median, "
+            "quantile_cont(d.dev, 0.5) / 2.0 AS mad "
+            "FROM d, m2 GROUP BY m2.n, m2.med"
+        ),
         "nation_share": (
             "WITH t AS (SELECT c_nationkey, CAST(SUM(CAST(FLOOR("
             "o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "
