@@ -566,6 +566,170 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_sum(folded, key_col="week", value_cols=("n_users",))
 
+    def q_tile_density_rank(sf):
+        # rank enrichment at tile level: each occupied tile's exact
+        # percent_rank by density — tile-sized histogram broadcast,
+        # (count of strictly denser-below)/(T−1), one division per tile
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            from python_prtree_ray.functions.cells import cell_of_points
+
+            c, n = np.unique(
+                cell_of_points(
+                    tbl.column("px").to_numpy(zero_copy_only=False),
+                    tbl.column("py").to_numpy(zero_copy_only=False),
+                    TILE_RES,
+                ),
+                return_counts=True,
+            )
+            return pa.table({"cell": c, "n": n.astype(np.int64)})
+
+        tiles = bucketed_sum(
+            pts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("n",),
+        )
+        # density histogram (tile-sized metadata) -> cum smaller counts
+        hist = {}
+        for ref in tiles.to_arrow_refs():
+            t = ray.get(ref)
+            for v, c in zip(
+                t.column("n").to_pylist(), [1] * t.num_rows
+            ):
+                hist[v] = hist.get(v, 0) + c
+        vals = np.array(sorted(hist), np.int64)
+        cnts = np.array([hist[int(v)] for v in vals], np.int64)
+        smaller = np.r_[np.int64(0), np.cumsum(cnts)[:-1]]
+        T = int(cnts.sum())
+        ref_h = ray.put((vals, smaller, T))
+
+        def rank(tbl: pa.Table) -> pa.Table:
+            v, sm, tt = ray.get(ref_h)
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(v, n)
+            pct = sm[pos].astype(np.float64) / np.float64(tt - 1)
+            return pa.table(
+                {"cell": tbl.column("cell"), "n": tbl.column("n"), "pct": pct}
+            )
+
+        return tiles.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_order_size_corr(sf):
+        # Pearson correlation between order size (lineitem count) and
+        # order value: ONE co-partitioned join, exact integer moments
+        # folded in arbitrary precision, the num/√(vx·vy) double
+        # expression shared with the SQL twin (IEEE sqrt is correctly
+        # rounded — bitwise equal by construction)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey"]
+        )
+
+        def cnt_partial(tbl: pa.Table) -> pa.Table:
+            k, n = np.unique(
+                tbl.column("l_orderkey").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"l_orderkey": k, "n_items": n.astype(np.int64)})
+
+        per_order = bucketed_sum(
+            li.map_batches(
+                cnt_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="l_orderkey",
+            value_cols=("n_items",),
+        )
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+
+        def oprep(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey"),
+                    "cents": np.floor(
+                        tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                    ).astype(np.int64),
+                }
+            )
+
+        joined = hash_equi_join(
+            per_order,
+            orders.map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True),
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols=("n_items",),
+            right_cols=("cents",),
+        )
+
+        def moments(tbl: pa.Table) -> pa.Table:
+            x = tbl.column("n_items").to_numpy(zero_copy_only=False)
+            y = tbl.column("cents").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n": pa.array([np.int64(x.size)], pa.int64()),
+                    "sx": pa.array([x.sum()], pa.int64()),
+                    "sy": pa.array([y.sum()], pa.int64()),
+                    "sxy": pa.array([(x * y).sum()], pa.int64()),
+                    "sxx": pa.array([(x * x).sum()], pa.int64()),
+                    "syy": pa.array([(y * y).sum()], pa.int64()),
+                }
+            )
+
+        # batch_size bounds the per-batch Σy² partial inside int64
+        # (cents² ≈ 2.5e15 per row); totals fold in Python bigints below
+        parts = joined.map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+        )
+        n = 0
+        sx = sy = sxy = sxx = syy = 0
+        for ref_ in parts.to_arrow_refs():
+            t = ray.get(ref_)
+            for r in range(t.num_rows):
+                n += int(t.column("n")[r].as_py())
+                sx += int(t.column("sx")[r].as_py())
+                sy += int(t.column("sy")[r].as_py())
+                sxy += int(t.column("sxy")[r].as_py())
+                sxx += int(t.column("sxx")[r].as_py())
+                syy += int(t.column("syy")[r].as_py())
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = (
+            float(num)
+            / np.sqrt(np.float64(float(vx)) * np.float64(float(vy)))
+            if vx > 0 and vy > 0
+            else None
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_orders": pa.array([n], pa.int64()),
+                    "num": pa.array([float(num)], pa.float64()),
+                    "var_x": pa.array([float(vx)], pa.float64()),
+                    "var_y": pa.array([float(vy)], pa.float64()),
+                    "r": pa.array([r], pa.float64()),
+                }
+            )
+        )
+
     def q_gravity_access(sf):
         # gravity accessibility surface: per occupied tile, summed
         # floored inverse-distance attraction of the VOR_K facilities
@@ -4186,6 +4350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_cost": q_voronoi_cost,
         "tile_rank_corr": q_tile_rank_corr,
         "gravity_access": q_gravity_access,
+        "tile_density_rank": q_tile_density_rank,
+        "order_size_corr": q_order_size_corr,
         "cluster_size_hist": q_cluster_size_hist,
         "type_dow_chi2": q_type_dow_chi2,
         "monthly_revenue": q_monthly_revenue,
@@ -6059,6 +6225,34 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "tile_density_rank": (
+            "WITH p0 AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), t AS (SELECT "
+            + derive.tile_cell_sql("px", "py", TILE_RES)
+            + " AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM p0 GROUP BY 1) "
+            "SELECT cell, n, PERCENT_RANK() OVER (ORDER BY n) AS pct FROM t"
+        ),
+        "order_size_corr": (
+            "WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS HUGEINT) AS x "
+            "FROM lineitem GROUP BY l_orderkey), "
+            "j AS (SELECT c.x AS x, CAST(CAST(FLOOR(o_totalprice * 100.0) "
+            "AS BIGINT) AS HUGEINT) AS y FROM c JOIN orders "
+            "ON o_orderkey = l_orderkey), "
+            "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+            "CAST(SUM(x * y) AS HUGEINT) AS sxy, "
+            "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
+            "CAST(SUM(y * y) AS HUGEINT) AS syy FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n_orders, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) AS num, "
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS var_x, "
+            "CAST(n * syy - sy * sy AS DOUBLE) AS var_y, "
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE)) ELSE NULL END AS r FROM m"
         ),
         "gravity_access": _gravity_access_sql(
             derive.points_sql("events", "event_id", "event_id"),
