@@ -3414,6 +3414,181 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rolling_wau(ev)
 
+    def q_event_age_hist(sf):
+        # user-anchored enrichment: every event binned by log2(days
+        # since the user's FIRST signup event); events and their anchor
+        # co-locate in ONE user bucket, so no join ships raw rows
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.windows import DAY_US
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            is_signup = pc.equal(tbl.column("event_type"), "signup").to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "bucket": bucket_of(u, 256),
+                    "u": u,
+                    "t": us,
+                    "sgn": is_signup,
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return empty
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            sgn = group.column("sgn").to_numpy(zero_copy_only=False)
+            # per-user min signup ts
+            order = np.argsort(u, kind="stable")
+            u_s, t_s, g_s = u[order], t[order], sgn[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            sizes = np.diff(np.r_[starts, u_s.size])
+            t_anchor = np.where(g_s, t_s, np.iinfo(np.int64).max)
+            anchor = np.repeat(
+                np.minimum.reduceat(t_anchor, starts), sizes
+            )
+            has = anchor != np.iinfo(np.int64).max
+            age_days = (t_s[has] - anchor[has]) // DAY_US
+            pos = age_days >= 0  # pre-signup events excluded both sides
+            d = age_days[pos]
+            bins = np.where(
+                d > 0, np.frexp(d.astype(np.float64))[1] - 1, np.int64(-1)
+            ).astype(np.int64)
+            bb, n = np.unique(bins, return_counts=True)
+            return pa.table({"bin": bb, "n": n.astype(np.int64)})
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return bucketed_sum(folded, key_col="bin", value_cols=("n",))
+
+    def q_robust_outliers(sf):
+        # robust z-score outlier counts per type: |c − m| > K·MAD with
+        # every quantity on the exact quadrupled grid (2m and 2·mad2 are
+        # exact ints) — integer comparisons only, no float threshold
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.quantiles import _interp_quantiles
+
+        K = 5
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "value"]
+        )
+
+        def hist_partial(tbl: pa.Table) -> pa.Table:
+            c, n = np.unique(
+                np.floor(
+                    tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table({"cents": c, "n": n.astype(np.int64)})
+
+        hist = bucketed_sum(
+            ev.map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="cents",
+            value_cols=("n",),
+        ).take_all()
+        vals = np.array([r["cents"] for r in hist], np.int64)
+        cnts = np.array([r["n"] for r in hist], np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        med = _interp_quantiles(vals, cnts, [0.5])[0]
+        m2 = int(round(2 * med))
+        dev = np.abs(2 * vals - m2)
+        dorder = np.argsort(dev)
+        dv, dn = dev[dorder], cnts[dorder]
+        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+        mad2x = _interp_quantiles(dv[starts], np.add.reduceat(dn, starts), [0.5])[0]
+        mad4 = int(round(2 * mad2x))  # 2·(2·MAD): exact int
+        thr = ray.put((m2, mad4))
+
+        def per_type(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m2v, mad4v = ray.get(thr)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            out = 2 * np.abs(2 * cents - m2v) > K * mad4v
+            enc = pc.dictionary_encode(tbl.column("event_type")).combine_chunks()
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kk, inv = np.unique(code, return_inverse=True)
+            n = np.bincount(inv, minlength=kk.size).astype(np.int64)
+            n_out = np.bincount(inv, weights=out, minlength=kk.size).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "event_type": enc.dictionary.take(pa.array(kk)),
+                    "n": n,
+                    "n_outliers": n_out,
+                }
+            )
+
+        parts = ev.map_batches(
+            per_type, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            et = group.column("event_type").to_numpy(zero_copy_only=False)
+            if et.size == 0:
+                return pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "n_outliers": pa.array([], pa.int64()),
+                    }
+                )
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            no = group.column("n_outliers").to_numpy(zero_copy_only=False)
+            order = np.argsort(et, kind="stable")
+            e_s, n_s, o_s = et[order], n[order], no[order]
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            return pa.table(
+                {
+                    "event_type": pa.array(e_s[starts], pa.string()),
+                    "n": np.add.reduceat(n_s, starts),
+                    "n_outliers": np.add.reduceat(o_s, starts),
+                }
+            )
+
+        return (
+            parts.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(final, batch_format="pyarrow")
+            .select_columns(["event_type", "n", "n_outliers"])
+        )
+
     def q_daily_new_returning(sf):
         # per-day acquisition split: users on their FIRST-ever active
         # day vs returning — one-bucket-per-user fold (first day + all
@@ -4280,6 +4455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_wau": q_rolling_wau,
         "nation_share": q_nation_share,
         "daily_new_returning": q_daily_new_returning,
+        "event_age_hist": q_event_age_hist,
+        "robust_outliers": q_robust_outliers,
         "value_mad": q_value_mad,
         "cust_order_histogram": q_cust_order_histogram,
         "lexical_diversity": q_lexical_diversity,
@@ -6016,6 +6193,33 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
+        "event_age_hist": (
+            "WITH f AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup'"
+            " THEN epoch_us(ts) END) AS t0 FROM events GROUP BY user_id), "
+            "a AS (SELECT (epoch_us(e.ts) - f.t0) // 86400000000 AS d "
+            "FROM events e JOIN f ON e.user_id = f.user_id "
+            "WHERE f.t0 IS NOT NULL AND epoch_us(e.ts) >= f.t0), "
+            "b AS (SELECT CASE WHEN d = 0 THEN -1 "
+            + " ".join(
+                f"WHEN d < {1 << (k + 1)} THEN {k}" for k in range(15)
+            )
+            + " END AS bin FROM a) "
+            "SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM b GROUP BY bin"
+        ),
+        "robust_outliers": (
+            "WITH c AS (SELECT event_type, CAST(FLOOR(value * 100.0) AS"
+            " BIGINT) AS cents FROM events), "
+            "m AS (SELECT quantile_cont(cents, 0.5) AS med FROM c), "
+            "m2 AS (SELECT CAST(ROUND(2 * med) AS BIGINT) AS m2v FROM m), "
+            "d AS (SELECT ABS(2 * cents - m2.m2v) AS dev FROM c, m2), "
+            "md AS (SELECT CAST(ROUND(2 * quantile_cont(dev, 0.5)) AS BIGINT)"
+            " AS mad4 FROM d) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CASE WHEN 2 * ABS(2 * cents - m2.m2v) > 5 * md.mad4 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM c, m2, md GROUP BY event_type"
+        ),
         "daily_new_returning": (
             "WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000"
             " AS day FROM events), "
