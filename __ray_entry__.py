@@ -932,6 +932,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_rank_corr(pts, res=TILE_RES)
 
+    def q_tile_turnover(sf):
+        # per-tile visitor churn: early/late visitor-set Jaccard at the
+        # stream midpoint — distinct (cell, user, half-bit) fold
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": tbl.column("ts"),
+                    "px": p["px"],
+                    "py": p["py"],
+                }
+            )
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.tile_turnover(pts, res=TILE_QRES)
+
+    def q_reorder_gap_quantiles(sf):
+        # repeat-purchase cadence: exact R-7 quantiles of per-customer
+        # consecutive-order gaps in days (dates are midnight-aligned, so
+        # the day division is exact) — the shared pair fold + histogram
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.movement import _bucketed, _fold_pairs
+        from python_prtree_ray.pipelines.quantiles import int_quantiles
+        from python_prtree_ray.pipelines.windows import DAY_US
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+        )
+
+        def emit(cols, dt):
+            if dt is None:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "days": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"k": np.zeros(dt.size, np.int64), "days": dt // DAY_US}
+            )
+
+        keyed = _bucketed(
+            orders, "o_custkey", "o_orderdate", "o_orderkey", (), 256
+        )
+        gaps = _fold_pairs(keyed, (), emit)
+        return int_quantiles(gaps, key_col="k", int_col="days")
+
     def q_tile_geohash(sf):
         # base32 geohash interop tokens (x-first bit interleave, 5 bits
         # per char): pure int64 bit math + fixed-width string gather
@@ -4528,6 +4582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_rank_corr": q_tile_rank_corr,
         "gravity_access": q_gravity_access,
         "tile_density_rank": q_tile_density_rank,
+        "tile_turnover": q_tile_turnover,
+        "reorder_gap_quantiles": q_reorder_gap_quantiles,
         "order_size_corr": q_order_size_corr,
         "cluster_size_hist": q_cluster_size_hist,
         "type_dow_chi2": q_type_dow_chi2,
@@ -4645,6 +4701,7 @@ def oracle_sql() -> dict[str, str]:
         grid_bfs_sql as _grid_bfs_sql,
         tile_rank_corr_sql as _tile_rank_corr_sql,
         gravity_access_sql as _gravity_access_sql,
+        tile_turnover_sql as _tile_turnover_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -6429,6 +6486,23 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "tile_turnover": _tile_turnover_sql(
+            "SELECT e.user_id AS user_id, e.ts AS ts, q.px, q.py "
+            "FROM events e JOIN ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ") q ON e.event_id = q.event_id",
+            TILE_QRES,
+        ),
+        "reorder_gap_quantiles": (
+            "WITH g AS (SELECT CAST(0 AS BIGINT) AS k, "
+            "(epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))"
+            " // 86400000000 AS days FROM orders) "
+            "SELECT k, quantile_cont(days, 0.5) AS p50, "
+            "quantile_cont(days, 0.9) AS p90, "
+            "quantile_cont(days, 0.99) AS p99 "
+            "FROM g WHERE days IS NOT NULL GROUP BY k"
         ),
         "tile_density_rank": (
             "WITH p0 AS ("

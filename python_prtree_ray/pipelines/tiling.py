@@ -4554,3 +4554,159 @@ SELECT cell, n,
          AS BIGINT) AS access
 FROM a GROUP BY cell, n
 """
+
+
+def tile_turnover(
+    points: Dataset,
+    res: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Visitor TURNOVER per tile — Jaccard overlap between the tile's
+    early-half and late-half visitor sets (the churn/renewal signal of
+    a footfall pipeline): ``(cell, n_early_users, n_late_users, n_both,
+    n_union, jaccard)`` split at the stream's (MIN+MAX)/2 µs midpoint
+    (the :func:`..movement.cell_trend` convention). Exact distinct-set
+    integers + ONE division per tile.
+
+    Scale shape: pass 1 is a two-scalar metadata fold (global ts
+    min/max); pass 2 collapses each batch to distinct (cell, user)
+    rows carrying a 2-bit early/late presence mask, ONE cell-bucket OR
+    fold, per-cell popcounts. Shuffle is bounded by distinct
+    (cell, user) pairs, never events.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.buckets import bucket_of
+
+    def ts_us(tbl: pa.Table) -> "np.ndarray":
+        return (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        t = ts_us(tbl)
+        if t.size == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(t.min())], pa.int64()),
+                "hi": pa.array([int(t.max())], pa.int64()),
+            }
+        )
+
+    lo = hi = None
+    for ref in points.map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        blo = pc.min(t.column("lo")).as_py()
+        bhi = pc.max(t.column("hi")).as_py()
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+    empty = pa.table(
+        {
+            "cell": pa.array([], pa.int64()),
+            "n_early_users": pa.array([], pa.int64()),
+            "n_late_users": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if lo is None:
+        return ray.data.from_arrow(empty)
+    mid = (lo + hi) // 2  # epoch µs positive: floor == truncation
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        u = tbl.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = cellmod.cell_of_points(px, py, res)
+        mask = np.where(ts_us(tbl) > mid, np.int64(2), np.int64(1))
+        order = np.lexsort((u, cell))
+        c_s, u_s, m_s = cell[order], u[order], mask[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        )
+        m_or = np.bitwise_or.reduceat(m_s, starts)
+        return pa.table(
+            {
+                "bucket": bucket_of(c_s[starts], n_buckets),
+                "cell": c_s[starts],
+                "u": u_s[starts],
+                "m": m_or,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return empty
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        m = group.column("m").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, cell))
+        c_s, u_s, m_s = cell[order], u[order], m[order]
+        starts = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        )
+        m_or = np.bitwise_or.reduceat(m_s, starts)
+        pc_ = c_s[starts]
+        cstarts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+        early = np.add.reduceat((m_or & 1).astype(np.int64), cstarts)
+        late = np.add.reduceat(((m_or >> 1) & 1).astype(np.int64), cstarts)
+        both = np.add.reduceat((m_or == 3).astype(np.int64), cstarts)
+        union = np.diff(np.r_[cstarts, pc_.size]).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pc_[cstarts],
+                "n_early_users": early,
+                "n_late_users": late,
+                "n_both": both,
+                "n_union": union,
+                "jaccard": both.astype(np.float64) / union.astype(np.float64),
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def tile_turnover_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_turnover` — same midpoint, MAX-CASE
+    presence bits, popcount sums, ONE division. ``points_cte`` must
+    yield (user_id, ts, px, py)."""
+    cell = derive.tile_cell_sql("px", "py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM p0),
+d AS (SELECT {cell} AS cell, user_id,
+             MAX(CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END) AS e,
+             MAX(CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END) AS l
+      FROM p0, b GROUP BY 1, 2)
+SELECT cell, CAST(SUM(e) AS BIGINT) AS n_early_users,
+       CAST(SUM(l) AS BIGINT) AS n_late_users,
+       CAST(SUM(e * l) AS BIGINT) AS n_both,
+       CAST(COUNT(*) AS BIGINT) AS n_union,
+       CAST(SUM(e * l) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard
+FROM d GROUP BY cell
+"""

@@ -6639,3 +6639,46 @@ def test_rolling_wau_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_tile_turnover_matches_bruteforce(ray_session):
+    # early/late visitor Jaccard per tile vs a set reference at the
+    # (min+max)//2 midpoint; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import tile_turnover
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(230)
+    res = 1
+    n = 400
+    pts = rng.random((n, 2))
+    users = rng.integers(0, 15, n).astype(np.int64)
+    ts_i = rng.integers(0, 10**9, n).astype(np.int64)
+
+    mid = (int(ts_i.min()) + int(ts_i.max())) // 2
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    early, late = {}, {}
+    for c, u, t_ in zip(cells, users, ts_i):
+        (late if t_ > mid else early).setdefault(int(c), set()).add(int(u))
+    want = {}
+    for c in set(early) | set(late):
+        e = early.get(c, set())
+        l = late.get(c, set())
+        union = e | l
+        both = e & l
+        want[c] = (len(e), len(l), len(both), len(union),
+                   len(both) / len(union))
+
+    t = pa.table({"user_id": users, "ts": ts_i.astype("datetime64[us]"),
+                  "px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = tile_turnover(ds, res=res).take_all()
+        got = {r["cell"]: (r["n_early_users"], r["n_late_users"],
+                           r["n_both"], r["n_union"], r["jaccard"])
+               for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
