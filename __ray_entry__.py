@@ -3643,6 +3643,139 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["event_type", "n", "n_outliers"])
         )
 
+    def q_active_span_quantiles(sf):
+        # user lifetime distribution: exact quantiles of (last − first
+        # active day) per user; one user-bucket fold, tiny histogram
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.quantiles import int_quantiles
+        from python_prtree_ray.pipelines.windows import DAY_US
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            day = us // DAY_US
+            order = np.argsort(u, kind="stable")
+            u_s, d_s = u[order], day[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            return pa.table(
+                {
+                    "bucket": bucket_of(u_s[starts], 256),
+                    "u": u_s[starts],
+                    "lo": np.minimum.reduceat(d_s, starts),
+                    "hi": np.maximum.reduceat(d_s, starts),
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "span_days": pa.array([], pa.int64())}
+                )
+            lo = group.column("lo").to_numpy(zero_copy_only=False)
+            hi = group.column("hi").to_numpy(zero_copy_only=False)
+            order = np.argsort(u, kind="stable")
+            u_s = u[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            span = np.maximum.reduceat(hi[order], starts) - np.minimum.reduceat(
+                lo[order], starts
+            )
+            return pa.table(
+                {"k": np.zeros(span.size, np.int64), "span_days": span}
+            )
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return int_quantiles(folded, key_col="k", int_col="span_days")
+
+    def q_class_adjacency(sf):
+        # spatial-Markov class adjacency: density-quartile class per
+        # occupied tile (int > double threshold compares), rook-neighbor
+        # unordered class-pair counts over the compact raster
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.quantiles import _interp_quantiles
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+        g = 1 << TILE_RES
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            from python_prtree_ray.functions.cells import cell_of_points
+
+            c, n = np.unique(
+                cell_of_points(
+                    tbl.column("px").to_numpy(zero_copy_only=False),
+                    tbl.column("py").to_numpy(zero_copy_only=False),
+                    TILE_RES,
+                ),
+                return_counts=True,
+            )
+            return pa.table({"cell": c, "n": n.astype(np.int64)})
+
+        tiles = bucketed_sum(
+            pts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("n",),
+        ).take_all()  # occupied-tile metadata
+        cells = np.array([r["cell"] for r in tiles], np.int64)
+        counts = np.array([r["n"] for r in tiles], np.int64)
+        order = np.argsort(counts)
+        vals, inv_c = np.unique(counts[order], return_counts=True)
+        t1, t2, t3 = _interp_quantiles(vals, inv_c, [0.25, 0.5, 0.75])
+        cls = (
+            (counts > t1).astype(np.int64)
+            + (counts > t2).astype(np.int64)
+            + (counts > t3).astype(np.int64)
+        )
+        grid = np.full((g, g), -1, np.int64)
+        grid[cells // g, cells % g] = cls
+        # rook pairs counted once: east and north neighbors
+        pa_l, pb_l = [], []
+        east_a, east_b = grid[:-1, :], grid[1:, :]
+        m = (east_a >= 0) & (east_b >= 0)
+        pa_l.append(east_a[m])
+        pb_l.append(east_b[m])
+        north_a, north_b = grid[:, :-1], grid[:, 1:]
+        m = (north_a >= 0) & (north_b >= 0)
+        pa_l.append(north_a[m])
+        pb_l.append(north_b[m])
+        a = np.concatenate(pa_l)
+        b = np.concatenate(pb_l)
+        lo_c = np.minimum(a, b)
+        hi_c = np.maximum(a, b)
+        key, n = np.unique(lo_c * 4 + hi_c, return_counts=True)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "class_a": key // 4,
+                    "class_b": key % 4,
+                    "n_pairs": n.astype(np.int64),
+                }
+            )
+        )
+
     def q_daily_new_returning(sf):
         # per-day acquisition split: users on their FIRST-ever active
         # day vs returning — one-bucket-per-user fold (first day + all
@@ -4510,6 +4643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share": q_nation_share,
         "daily_new_returning": q_daily_new_returning,
         "event_age_hist": q_event_age_hist,
+        "active_span_quantiles": q_active_span_quantiles,
+        "class_adjacency": q_class_adjacency,
         "robust_outliers": q_robust_outliers,
         "value_mad": q_value_mad,
         "cust_order_histogram": q_cust_order_histogram,
@@ -6250,6 +6385,36 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
+        "active_span_quantiles": (
+            "WITH s AS (SELECT CAST(0 AS BIGINT) AS k, "
+            "MAX(epoch_us(ts) // 86400000000) - "
+            "MIN(epoch_us(ts) // 86400000000) AS span_days "
+            "FROM events GROUP BY user_id) "
+            "SELECT k, quantile_cont(span_days, 0.5) AS p50, "
+            "quantile_cont(span_days, 0.9) AS p90, "
+            "quantile_cont(span_days, 0.99) AS p99 FROM s GROUP BY k"
+        ),
+        "class_adjacency": (
+            "WITH p0 AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), t AS (SELECT "
+            + derive.tile_cell_sql("px", "py", TILE_RES)
+            + " AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM p0 GROUP BY 1), "
+            "m AS (SELECT quantile_cont(n, 0.25) AS t1, "
+            "quantile_cont(n, 0.5) AS t2, quantile_cont(n, 0.75) AS t3 "
+            "FROM t), "
+            f"c AS (SELECT cell // {1 << TILE_RES} AS ix, "
+            f"cell % {1 << TILE_RES} AS iy, "
+            "(CASE WHEN n > m.t1 THEN 1 ELSE 0 END + "
+            "CASE WHEN n > m.t2 THEN 1 ELSE 0 END + "
+            "CASE WHEN n > m.t3 THEN 1 ELSE 0 END) AS cls FROM t, m), "
+            "e AS (SELECT a.cls AS ca, b.cls AS cb FROM c a JOIN c b ON "
+            "(b.ix = a.ix + 1 AND b.iy = a.iy) OR "
+            "(b.ix = a.ix AND b.iy = a.iy + 1)) "
+            "SELECT CAST(LEAST(ca, cb) AS BIGINT) AS class_a, "
+            "CAST(GREATEST(ca, cb) AS BIGINT) AS class_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM e GROUP BY 1, 2"
+        ),
         "event_age_hist": (
             "WITH f AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup'"
             " THEN epoch_us(ts) END) AS t0 FROM events GROUP BY user_id), "
