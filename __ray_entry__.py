@@ -3776,6 +3776,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_pareto_users(sf):
+        # 80/20 concentration: the SMALLEST top-spender set covering
+        # ≥80% of total value — exact via 5·cum ≥ 4·total cross-multiply
+        # (no float threshold); user-sized driver sort (rank statistic)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "value"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(u, kind="stable")
+            u_s, c_s = u[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            return pa.table(
+                {
+                    "user_id": u_s[starts],
+                    "x": np.add.reduceat(c_s, starts)
+                    if u_s.size
+                    else np.zeros(0, np.int64),
+                }
+            )
+
+        sums = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="user_id",
+            value_cols=("x",),
+        )
+        xs = []
+        for ref in sums.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                xs.append(t.column("x").to_numpy(zero_copy_only=False))
+        x = np.sort(np.concatenate(xs))[::-1].astype(object)
+        n = x.size
+        total = int(x.sum())
+        cum = np.cumsum(x)
+        k80 = int(np.argmax(5 * cum >= 4 * total)) + 1  # first rank covering 80%
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_users": pa.array([n], pa.int64()),
+                    "total_cents": pa.array([total], pa.int64()),
+                    "k80": pa.array([k80], pa.int64()),
+                    "share": pa.array(
+                        [float(k80) / float(n) if n else None], pa.float64()
+                    ),
+                }
+            )
+        )
+
+    def q_tile_net_flow(sf):
+        # per-tile flow balance: inbound minus outbound moves from the
+        # OD transition stream (net attractor/source signal)
+        import pyarrow as pa
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        od = q_od_matrix(sf)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            frm = tbl.column("from_cell").to_numpy(zero_copy_only=False)
+            to = tbl.column("to_cell").to_numpy(zero_copy_only=False)
+            n = tbl.column("n_moves").to_numpy(zero_copy_only=False)
+            keep = frm != to  # self-loops carry no net flow
+            cells = np.concatenate([to[keep], frm[keep]])
+            n_in = np.concatenate([n[keep], np.zeros(keep.sum(), np.int64)])
+            n_out = np.concatenate([np.zeros(keep.sum(), np.int64), n[keep]])
+            order = np.argsort(cells, kind="stable")
+            c_s = cells[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            return pa.table(
+                {
+                    "cell": c_s[starts],
+                    "n_in": np.add.reduceat(n_in[order], starts),
+                    "n_out": np.add.reduceat(n_out[order], starts),
+                }
+            )
+
+        summed = bucketed_sum(
+            od.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("n_in", "n_out"),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            i = tbl.column("n_in").to_numpy(zero_copy_only=False)
+            o = tbl.column("n_out").to_numpy(zero_copy_only=False)
+            return tbl.append_column("net", pa.array(i - o, pa.int64()))
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_daily_new_returning(sf):
         # per-day acquisition split: users on their FIRST-ever active
         # day vs returning — one-bucket-per-user fold (first day + all
@@ -4644,6 +4743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_new_returning": q_daily_new_returning,
         "event_age_hist": q_event_age_hist,
         "active_span_quantiles": q_active_span_quantiles,
+        "pareto_users": q_pareto_users,
+        "tile_net_flow": q_tile_net_flow,
         "class_adjacency": q_class_adjacency,
         "robust_outliers": q_robust_outliers,
         "value_mad": q_value_mad,
@@ -6385,6 +6486,39 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
+        "pareto_users": (
+            "WITH c AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100.0)"
+            " AS BIGINT)) AS BIGINT) AS x FROM events GROUP BY user_id), "
+            "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, user_id)"
+            " AS rn FROM c), "
+            "s AS (SELECT rn, SUM(x) OVER (ORDER BY rn) AS cum FROM r), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS total FROM c) "
+            "SELECT tot.n AS n_users, tot.total AS total_cents, "
+            "CAST(MIN(s.rn) AS BIGINT) AS k80, "
+            "CAST(MIN(s.rn) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share "
+            "FROM s, tot WHERE 5 * s.cum >= 4 * tot.total "
+            "GROUP BY tot.n, tot.total"
+        ),
+        "tile_net_flow": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), pts AS (SELECT e.user_id AS u, e.ts AS ts, "
+            "e.event_id AS seq, "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_RES)
+            + " AS cell FROM events e JOIN q ON e.event_id = q.event_id), "
+            "mv AS (SELECT LAG(cell) OVER (PARTITION BY u ORDER BY ts, seq)"
+            " AS f, cell AS t FROM pts), "
+            "m2 AS (SELECT f, t FROM mv WHERE f IS NOT NULL AND f <> t), "
+            "i AS (SELECT t AS cell, CAST(COUNT(*) AS BIGINT) AS n_in "
+            "FROM m2 GROUP BY t), "
+            "o AS (SELECT f AS cell, CAST(COUNT(*) AS BIGINT) AS n_out "
+            "FROM m2 GROUP BY f) "
+            "SELECT COALESCE(i.cell, o.cell) AS cell, "
+            "COALESCE(i.n_in, 0) AS n_in, COALESCE(o.n_out, 0) AS n_out, "
+            "COALESCE(i.n_in, 0) - COALESCE(o.n_out, 0) AS net "
+            "FROM i FULL OUTER JOIN o ON i.cell = o.cell"
+        ),
         "active_span_quantiles": (
             "WITH s AS (SELECT CAST(0 AS BIGINT) AS k, "
             "MAX(epoch_us(ts) // 86400000000) - "
