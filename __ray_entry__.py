@@ -1042,6 +1042,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.raster_regions(pts, res=TILE_RES, min_count=RASTER_MIN)
 
+    def q_region_count_curve(sf):
+        # percolation profile: region count vs density threshold over
+        # the squared-coordinate raster (the raster_regions surface)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"] * p["px"], "py": p["py"] * p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.region_count_curve(pts, res=TILE_RES, thresholds=(8, 16, 32))
+
+    def q_type_centroids(sf):
+        # per-type spatial centroid on the fine integer grid: exact
+        # (n, Σix, Σiy) moments, two divisions per type
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            ix = derive.tile_index(p["px"], TRACK_RES)
+            iy = derive.tile_index(p["py"], TRACK_RES)
+            enc = pc.dictionary_encode(tbl.column("event_type")).combine_chunks()
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(code, kind="stable")
+            c_s = code[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            return pa.table(
+                {
+                    "event_type": enc.dictionary.take(pa.array(c_s[starts])),
+                    "n": np.diff(np.r_[starts, c_s.size]).astype(np.int64),
+                    "six": np.add.reduceat(ix[order], starts),
+                    "siy": np.add.reduceat(iy[order], starts),
+                }
+            )
+
+        parts = ev.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            et = group.column("event_type").to_numpy(zero_copy_only=False)
+            if et.size == 0:
+                return pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "mean_ix": pa.array([], pa.float64()),
+                        "mean_iy": pa.array([], pa.float64()),
+                    }
+                )
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            six = group.column("six").to_numpy(zero_copy_only=False)
+            siy = group.column("siy").to_numpy(zero_copy_only=False)
+            order = np.argsort(et, kind="stable")
+            e_s = et[order]
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            nn = np.add.reduceat(n[order], starts)
+            sx = np.add.reduceat(six[order], starts)
+            sy = np.add.reduceat(siy[order], starts)
+            return pa.table(
+                {
+                    "event_type": pa.array(e_s[starts], pa.string()),
+                    "n": nn,
+                    "mean_ix": sx.astype(np.float64) / nn.astype(np.float64),
+                    "mean_iy": sy.astype(np.float64) / nn.astype(np.float64),
+                }
+            )
+
+        return (
+            parts.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(final, batch_format="pyarrow")
+            .select_columns(["event_type", "n", "mean_ix", "mean_iy"])
+        )
+
     def q_clark_evans(sf):
         # Clark-Evans NN-distance CSR index (squared-distance variant):
         # exact scaled-int distance sum over the nn_pairs kNN path, one
@@ -4744,6 +4836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_age_hist": q_event_age_hist,
         "active_span_quantiles": q_active_span_quantiles,
         "pareto_users": q_pareto_users,
+        "region_count_curve": q_region_count_curve,
+        "type_centroids": q_type_centroids,
         "tile_net_flow": q_tile_net_flow,
         "class_adjacency": q_class_adjacency,
         "robust_outliers": q_robust_outliers,
@@ -4938,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         tile_rank_corr_sql as _tile_rank_corr_sql,
         gravity_access_sql as _gravity_access_sql,
         tile_turnover_sql as _tile_turnover_sql,
+        region_count_curve_sql as _region_count_curve_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -6486,6 +6581,26 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
+        "region_count_curve": _region_count_curve_sql(
+            "SELECT px * px AS px, py * py AS py FROM ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ")",
+            TILE_RES,
+            (8, 16, 32),
+        ),
+        "type_centroids": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), pts AS (SELECT e.event_type AS event_type, "
+            + derive.tile_index_sql("q.px", TRACK_RES)
+            + " AS ix, "
+            + derive.tile_index_sql("q.py", TRACK_RES)
+            + " AS iy FROM events e JOIN q ON e.event_id = q.event_id) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(ix) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ix, "
+            "CAST(SUM(iy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_iy "
+            "FROM pts GROUP BY event_type"
+        ),
         "pareto_users": (
             "WITH c AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100.0)"
             " AS BIGINT)) AS BIGINT) AS x FROM events GROUP BY user_id), "

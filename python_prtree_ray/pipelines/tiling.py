@@ -4710,3 +4710,153 @@ SELECT cell, CAST(SUM(e) AS BIGINT) AS n_early_users,
        CAST(SUM(e * l) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard
 FROM d GROUP BY cell
 """
+
+
+def region_count_curve(
+    points: Dataset,
+    res: int,
+    thresholds: tuple[int, ...] = (8, 16, 32),
+    n_buckets: int = 256,
+) -> Dataset:
+    """Percolation curve of the density raster — how many queen-
+    connected regions survive as the activity threshold rises:
+    ``(threshold, n_regions, n_tiles)`` per threshold (the region-
+    fragmentation profile behind :func:`raster_regions`'s single cut).
+
+    Scale shape: occupancy aggregates distributedly (ONE cell-bucket
+    fold); the labeling runs per threshold on the compact raster
+    (≤4^res cells — the :func:`grid_bfs` final-fold bound) as a
+    vectorized min-label propagation, never per point.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, res), return_counts=True)
+        return pa.table(
+            {"bucket": bucket_of(c, n_buckets), "cell": c, "n": n.astype(np.int64)}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        c_s, n_s = cell[order], n[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        return pa.table(
+            {
+                "k": np.zeros(starts.size, np.int64),
+                "cell": c_s[starts],
+                "n": np.add.reduceat(n_s, starts),
+            }
+        )
+
+    def _count_regions(occ: "np.ndarray") -> int:
+        # queen-connectivity CC count via vectorized min-label sweeps
+        BIG = np.iinfo(np.int64).max
+        lab = np.where(occ, np.arange(occ.size, dtype=np.int64).reshape(occ.shape), BIG)
+        while True:
+            best = lab.copy()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    sh = np.full_like(lab, BIG)
+                    sx0, sx1 = max(dx, 0), occ.shape[0] + min(dx, 0)
+                    sy0, sy1 = max(dy, 0), occ.shape[1] + min(dy, 0)
+                    sh[sx0:sx1, sy0:sy1] = lab[
+                        sx0 - dx : sx1 - dx, sy0 - dy : sy1 - dy
+                    ]
+                    np.minimum(best, sh, out=best)
+            best = np.where(occ, best, BIG)
+            if (best == lab).all():
+                break
+            lab = best
+        return int(np.unique(lab[occ]).size)
+
+    def curve(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        out_t, out_r, out_c = [], [], []
+        for t in thresholds:
+            m = n >= t
+            occ = np.zeros((g, g), bool)
+            occ[cell[m] // g, cell[m] % g] = True
+            out_t.append(int(t))
+            out_r.append(_count_regions(occ) if m.any() else 0)
+            out_c.append(int(m.sum()))
+        return pa.table(
+            {
+                "threshold": pa.array(out_t, pa.int64()),
+                "n_regions": pa.array(out_r, pa.int64()),
+                "n_tiles": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(curve, batch_format="pyarrow")
+        .select_columns(["threshold", "n_regions", "n_tiles"])
+    )
+
+
+def region_count_curve_sql(
+    points_cte: str, res: int, thresholds: tuple[int, ...] = (8, 16, 32)
+) -> str:
+    """DuckDB twin of :func:`region_count_curve` — one recursive label
+    closure per threshold (the :func:`raster_regions_sql` pattern),
+    UNION ALL of the counts."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    parts = []
+    ctes = [
+        f"p0 AS ({points_cte})",
+        f"c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x "
+        "FROM p0 GROUP BY 1)",
+    ]
+    for t in thresholds:
+        ctes.append(f"a{t} AS (SELECT cell FROM c WHERE x >= {t})")
+        ctes.append(
+            f"e{t} AS (SELECT a1.cell AS src, a2.cell AS dst FROM a{t} a1 "
+            f"JOIN a{t} a2 ON ABS(a1.cell // {g} - a2.cell // {g}) <= 1 "
+            f"AND ABS(a1.cell % {g} - a2.cell % {g}) <= 1 "
+            "AND a1.cell <> a2.cell)"
+        )
+        ctes.append(
+            f"lab{t} AS (SELECT cell, cell AS lbl FROM a{t} "
+            f"UNION SELECT e{t}.dst AS cell, lab{t}.lbl "
+            f"FROM lab{t} JOIN e{t} ON e{t}.src = lab{t}.cell)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cell, MIN(lbl) AS region FROM lab{t} "
+            "GROUP BY cell)"
+        )
+        parts.append(
+            f"SELECT CAST({t} AS BIGINT) AS threshold, "
+            f"CAST(COUNT(DISTINCT region) AS BIGINT) AS n_regions, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_tiles FROM m{t}"
+        )
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+    )

@@ -6682,3 +6682,63 @@ def test_tile_turnover_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_region_count_curve_matches_bruteforce(ray_session):
+    # queen-CC counts per threshold vs a flood-fill reference with
+    # crafted multi-region layouts; partition-invariant
+    ray = ray_session
+    from collections import deque
+    from python_prtree_ray.pipelines.tiling import region_count_curve
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(231)
+    res = 3
+    g = 1 << res
+    # three dense blobs + scattered noise
+    blobs = [(0.1, 0.1), (0.8, 0.2), (0.5, 0.9)]
+    pts = np.concatenate(
+        [np.clip(rng.normal(c, 0.05, size=(120, 2)), 0, 0.999) for c in blobs]
+        + [rng.random((60, 2))]
+    )
+    thresholds = (2, 6, 12)
+
+    cells = cell_of_points(pts[:, 0], pts[:, 1], res)
+    cnt = {}
+    for c in cells:
+        cnt[int(c)] = cnt.get(int(c), 0) + 1
+    want = {}
+    for t in thresholds:
+        occ = {c for c, n in cnt.items() if n >= t}
+        seen, regions = set(), 0
+        for c in occ:
+            if c in seen:
+                continue
+            regions += 1
+            q = deque([c])
+            seen.add(c)
+            while q:
+                cur = q.popleft()
+                ix, iy = cur // g, cur % g
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nb = (ix + dx) * g + (iy + dy)
+                        if (
+                            0 <= ix + dx < g and 0 <= iy + dy < g
+                            and nb in occ and nb not in seen
+                        ):
+                            seen.add(nb)
+                            q.append(nb)
+        want[t] = (regions, len(occ))
+    assert want[thresholds[0]][0] >= 2  # multiple regions exercised
+
+    t_ = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t_).repartition(blocks)
+        rows = region_count_curve(ds, res=res, thresholds=thresholds).take_all()
+        got = {r["threshold"]: (r["n_regions"], r["n_tiles"]) for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
