@@ -3967,6 +3967,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
             finish, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def q_activity_decile_purchase(sf):
+        # rank-cohort conversion: users ranked by total activity into
+        # exact integer deciles ((rn−1)·10 // n — no NTILE ambiguity),
+        # purchase share per decile; user-sized driver rank
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "event_type"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            is_p = pc.equal(tbl.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False
+            )
+            order = np.argsort(u, kind="stable")
+            u_s, p_s = u[order], is_p[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            return pa.table(
+                {
+                    "user_id": u_s[starts],
+                    "n_events": np.diff(np.r_[starts, u_s.size]).astype(np.int64),
+                    "n_purchases": np.add.reduceat(
+                        p_s.astype(np.int64), starts
+                    ),
+                }
+            )
+
+        sums = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="user_id",
+            value_cols=("n_events", "n_purchases"),
+        ).take_all()  # user-sized metadata (the rank-statistic bound)
+        uid = np.array([r["user_id"] for r in sums], np.int64)
+        ne = np.array([r["n_events"] for r in sums], np.int64)
+        npu = np.array([r["n_purchases"] for r in sums], np.int64)
+        order = np.lexsort((uid, ne))
+        ne, npu = ne[order], npu[order]
+        n = ne.size
+        decile = (np.arange(n, dtype=np.int64) * 10) // n  # (rn-1)*10 // n
+        dd, inv = np.unique(decile, return_inverse=True)
+        n_users = np.bincount(inv, minlength=dd.size).astype(np.int64)
+        n_ev = np.bincount(inv, weights=ne, minlength=dd.size).astype(np.int64)
+        n_pu = np.bincount(inv, weights=npu, minlength=dd.size).astype(np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "decile": dd,
+                    "n_users": n_users,
+                    "n_events": n_ev,
+                    "n_purchases": n_pu,
+                    "purchase_share": n_pu.astype(np.float64)
+                    / n_ev.astype(np.float64),
+                }
+            )
+        )
+
+    def q_recency_hist(sf):
+        # recency cohorts: users by days since their LAST activity
+        # relative to the stream end — per-user max fold, day histogram
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.windows import DAY_US
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            day = us // DAY_US
+            order = np.argsort(u, kind="stable")
+            u_s, d_s = u[order], day[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            return pa.table(
+                {
+                    "user_id": u_s[starts],
+                    "last_day": np.maximum.reduceat(d_s, starts),
+                }
+            )
+
+        lasts = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="user_id",
+            value_cols=("last_day",),
+            reduce="max",
+        ).take_all()  # user-sized metadata
+        ld = np.array([r["last_day"] for r in lasts], np.int64)
+        end = int(ld.max())
+        rec = end - ld
+        rr, n = np.unique(rec, return_counts=True)
+        return ray.data.from_arrow(
+            pa.table(
+                {"recency_days": rr, "n_users": n.astype(np.int64)}
+            )
+        )
+
     def q_daily_new_returning(sf):
         # per-day acquisition split: users on their FIRST-ever active
         # day vs returning — one-bucket-per-user fold (first day + all
@@ -4837,6 +4942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_span_quantiles": q_active_span_quantiles,
         "pareto_users": q_pareto_users,
         "region_count_curve": q_region_count_curve,
+        "activity_decile_purchase": q_activity_decile_purchase,
+        "recency_hist": q_recency_hist,
         "type_centroids": q_type_centroids,
         "tile_net_flow": q_tile_net_flow,
         "class_adjacency": q_class_adjacency,
@@ -6581,6 +6688,28 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
+        "activity_decile_purchase": (
+            "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ne, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS np FROM events GROUP BY user_id), "
+            "r AS (SELECT ne, np, ROW_NUMBER() OVER (ORDER BY ne, user_id)"
+            " AS rn FROM c), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c) "
+            "SELECT (r.rn - 1) * 10 // t.n AS decile, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(ne) AS BIGINT) AS n_events, "
+            "CAST(SUM(np) AS BIGINT) AS n_purchases, "
+            "CAST(SUM(np) AS DOUBLE) / CAST(SUM(ne) AS DOUBLE) "
+            "AS purchase_share FROM r, t GROUP BY 1"
+        ),
+        "recency_hist": (
+            "WITH l AS (SELECT user_id, MAX(epoch_us(ts) // 86400000000)"
+            " AS last_day FROM events GROUP BY user_id), "
+            "e AS (SELECT MAX(last_day) AS endd FROM l) "
+            "SELECT e.endd - l.last_day AS recency_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM l, e GROUP BY 1"
+        ),
         "region_count_curve": _region_count_curve_sql(
             "SELECT px * px AS px, py * py AS py FROM ("
             + derive.points_sql("events", "event_id", "event_id")
