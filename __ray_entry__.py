@@ -2805,6 +2805,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q_q3_revenue(sf), k=100, id_col="l_orderkey", value_col="revenue_cents"
         )
 
+    def q_co_purchase_parts(sf):
+        # market-basket over orders: unordered part pairs bought in the
+        # same order, pairs appearing in >= 2 orders; ONE order-bucket
+        # fold (offset-sweep pair expansion over the sorted distinct
+        # parts of each order), ONE pair-key sum
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        MIN_ORDERS = 2
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            o = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+            p = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            order = np.lexsort((p, o))
+            o_s, p_s = o[order], p[order]
+            keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(o_s[keep], 256),
+                    "o": o_s[keep],
+                    "p": p_s[keep],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+            o = group.column("o").to_numpy(zero_copy_only=False)
+            if o.size == 0:
+                return empty
+            p = group.column("p").to_numpy(zero_copy_only=False)
+            order = np.lexsort((p, o))
+            o_s, p_s = o[order], p[order]
+            keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])]
+            o_s, p_s = o_s[keep], p_s[keep]
+            pa_l, pb_l = [], []
+            d = 1
+            while d < o_s.size:
+                valid = o_s[d:] == o_s[:-d]
+                if not valid.any():
+                    break
+                pa_l.append(p_s[:-d][valid])  # sorted within order -> a < b
+                pb_l.append(p_s[d:][valid])
+                d += 1
+            if not pa_l:
+                return empty
+            a = np.concatenate(pa_l)
+            b = np.concatenate(pb_l)
+            # parts fit 21 bits at test scale; guard the pack
+            if b.max() >= (1 << 31):
+                raise ValueError("co_purchase_parts: partkey exceeds pack")
+            key, n = np.unique(a * (1 << 31) + b, return_counts=True)
+            return pa.table({"key": key, "n": n.astype(np.int64)})
+
+        keyed = li.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        folded = keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+        summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            keep = n >= MIN_ORDERS
+            return pa.table(
+                {
+                    "part_a": key[keep] >> 31,
+                    "part_b": key[keep] & ((1 << 31) - 1),
+                    "n_orders": n[keep],
+                }
+            )
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_weekly_anomaly(sf):
+        # anomaly z-scores of the weekly revenue series: exact integer
+        # moments over the week-sized series, z = (n·x − S)/√(n·Q − S²)
+        # as ONE shared double expression (correctly-rounded sqrt)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+        from python_prtree_ray.pipelines.windows import WEEK_US
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            us = (
+                tbl.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            week = us // WEEK_US
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(week, kind="stable")
+            w_s, c_s = week[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+            return pa.table(
+                {
+                    "week": w_s[starts],
+                    "revenue_cents": np.add.reduceat(c_s, starts),
+                }
+            )
+
+        rows = bucketed_sum(
+            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="week",
+            value_cols=("revenue_cents",),
+        ).take_all()  # week-sized series
+        weeks = np.array([r["week"] for r in rows], np.int64)
+        x = np.array([r["revenue_cents"] for r in rows], np.int64).astype(object)
+        n = x.size
+        S = int(x.sum())
+        Q = int((x * x).sum())
+        var = n * Q - S * S
+        z = np.array(
+            [
+                float(n * int(v) - S) / np.sqrt(np.float64(float(var)))
+                if var > 0
+                else 0.0
+                for v in x
+            ],
+            np.float64,
+        )
+        order = np.argsort(weeks)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "week": weeks[order],
+                    "revenue_cents": np.array(
+                        [int(v) for v in x], np.int64
+                    )[order],
+                    "z": z[order],
+                }
+            )
+        )
+
     def q_local_supplier_volume(sf):
         # TPC-H Q5-shaped multiway join: revenue by nation where the
         # supplier and the ordering customer share a nation. Three dim
@@ -4921,6 +5071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_returns": q_orders_no_returns,
         "q3_revenue": q_q3_revenue,
         "local_supplier_volume": q_local_supplier_volume,
+        "co_purchase_parts": q_co_purchase_parts,
+        "weekly_anomaly": q_weekly_anomaly,
         "returns_revenue_share": q_returns_revenue_share,
         "above_avg_orders": q_above_avg_orders,
         "value_percentile": q_value_percentile,
@@ -6304,6 +6456,27 @@ WHERE d.doc_id NOT IN
         "lexical_diversity": _lexical_diversity_sql("documents"),
         "typo_pairs": _typo_pairs_sql("documents"),
         "interarrival_hist": _interarrival_hist_sql("events"),
+        "co_purchase_parts": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ),
+        "weekly_anomaly": (
+            "WITH w AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS x FROM orders GROUP BY 1), "
+            "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(x) AS HUGEINT) AS s, "
+            "CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q FROM w) "
+            "SELECT w.week, w.x AS revenue_cents, "
+            "CASE WHEN m.n * m.q - m.s * m.s > 0 THEN "
+            "CAST(m.n * w.x - m.s AS DOUBLE) / "
+            "SQRT(CAST(m.n * m.q - m.s * m.s AS DOUBLE)) ELSE 0.0 END AS z "
+            "FROM w, m"
+        ),
         "local_supplier_volume": (
             "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
             "(1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents "
