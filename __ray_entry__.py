@@ -1853,6 +1853,256 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return text.lang_id(docs)
 
+    def q_lang_confusion(sf):
+        # label-quality confusion matrix: stored lang × predicted lang
+        # counts — the heuristic's evaluation grid; C²-bounded fold
+        import pyarrow as pa
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        pred = text.lang_id(docs, carry_cols=("lang",))
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            a = tbl.column("lang").to_numpy(zero_copy_only=False)
+            b = tbl.column("lang_pred").to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, a))
+            a_s, b_s = a[order], b[order]
+            starts = np.flatnonzero(
+                np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            )
+            return pa.table(
+                {
+                    "k": np.zeros(starts.size, np.int64),
+                    "lang": pa.array(a_s[starts], pa.string()),
+                    "lang_pred": pa.array(b_s[starts], pa.string()),
+                    "n": np.diff(np.r_[starts, a_s.size]).astype(np.int64),
+                }
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            a = group.column("lang").to_numpy(zero_copy_only=False)
+            if a.size == 0:
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "lang_pred": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            b = group.column("lang_pred").to_numpy(zero_copy_only=False)
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, a))
+            a_s, b_s, n_s = a[order], b[order], n[order]
+            starts = np.flatnonzero(
+                np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            )
+            return pa.table(
+                {
+                    "lang": pa.array(a_s[starts], pa.string()),
+                    "lang_pred": pa.array(b_s[starts], pa.string()),
+                    "n": np.add.reduceat(n_s, starts),
+                }
+            )
+
+        return (
+            pred.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(final, batch_format="pyarrow")
+            .select_columns(["lang", "lang_pred", "n"])
+        )
+
+    def q_value_drift(sf):
+        # distribution-shift screen: per type, early-half vs late-half
+        # mean value with the exact cross-multiplied shift numerator
+        # n_e·S_l − n_l·S_e (sign = drift direction, no division until
+        # the two emitted means)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+
+        def ts_us(tbl):
+            return pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+
+        def minmax(tbl: pa.Table) -> pa.Table:
+            t = ts_us(tbl)
+            if t.size == 0:
+                return pa.table(
+                    {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "lo": pa.array([int(t.min())], pa.int64()),
+                    "hi": pa.array([int(t.max())], pa.int64()),
+                }
+            )
+
+        lo = hi = None
+        for ref in ev.map_batches(
+            minmax, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0:
+                continue
+            blo = pc.min(t.column("lo")).as_py()
+            bhi = pc.max(t.column("hi")).as_py()
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+        mid = (lo + hi) // 2
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(tbl.column("event_type")).combine_chunks()
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            late = ts_us(tbl) > mid
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(code, kind="stable")
+            c_s, l_s, v_s = code[order], late[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            n_all = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
+            n_late = np.add.reduceat(l_s.astype(np.int64), starts)
+            s_all = np.add.reduceat(v_s, starts)
+            s_late = np.add.reduceat(np.where(l_s, v_s, 0), starts)
+            return pa.table(
+                {
+                    "event_type": enc.dictionary.take(pa.array(c_s[starts])),
+                    "n_early": n_all - n_late,
+                    "n_late": n_late,
+                    "s_early": s_all - s_late,
+                    "s_late": s_late,
+                }
+            )
+
+        parts = ev.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            et = group.column("event_type").to_numpy(zero_copy_only=False)
+            if et.size == 0:
+                return pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "mean_early": pa.array([], pa.float64()),
+                        "mean_late": pa.array([], pa.float64()),
+                        "shift_num": pa.array([], pa.int64()),
+                    }
+                )
+            cols = {
+                c: group.column(c).to_numpy(zero_copy_only=False)
+                for c in ("n_early", "n_late", "s_early", "s_late")
+            }
+            order = np.argsort(et, kind="stable")
+            e_s = et[order]
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            ne = np.add.reduceat(cols["n_early"][order], starts)
+            nl = np.add.reduceat(cols["n_late"][order], starts)
+            se = np.add.reduceat(cols["s_early"][order], starts)
+            sl = np.add.reduceat(cols["s_late"][order], starts)
+            return pa.table(
+                {
+                    "event_type": pa.array(e_s[starts], pa.string()),
+                    "mean_early": se.astype(np.float64) / ne.astype(np.float64),
+                    "mean_late": sl.astype(np.float64) / nl.astype(np.float64),
+                    "shift_num": ne * sl - nl * se,
+                }
+            )
+
+        return (
+            parts.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(final, batch_format="pyarrow")
+            .select_columns(
+                ["event_type", "mean_early", "mean_late", "shift_num"]
+            )
+        )
+
+    def q_lapsed_customers(sf):
+        # reverse-direction anti join: dimension rows with NO fact match
+        # in the stream's final 365 days — the active-key set folds to
+        # customer-sized metadata, broadcast once, filter the dimension
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        DAY = 86_400_000_000
+        all_orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+
+        def maxdate(tbl: pa.Table) -> pa.Table:
+            us = pc.cast(
+                tbl.column("o_orderdate").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            if us.size == 0:
+                return pa.table({"hi": pa.array([], pa.int64())})
+            return pa.table({"hi": pa.array([int(us.max())], pa.int64())})
+
+        hi = None
+        for ref0 in all_orders.map_batches(
+            maxdate, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs():
+            t = ray.get(ref0)
+            if t.num_rows:
+                v = pc.max(t.column("hi")).as_py()
+                hi = v if hi is None else max(hi, v)
+        cutoff = hi - 365 * DAY
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            us = pc.cast(
+                tbl.column("o_orderdate").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            keep = us >= cutoff
+            k = np.unique(
+                tbl.column("o_custkey").to_numpy(zero_copy_only=False)[keep]
+            )
+            return pa.table({"k": k, "one": np.ones(k.size, np.int64)})
+
+        orders = all_orders
+
+        keys = bucketed_sum(
+            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="k",
+            value_cols=("one",),
+        )
+        have = []
+        for ref in keys.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                have.append(t.column("k").to_numpy(zero_copy_only=False))
+        have_sorted = np.sort(np.concatenate(have)) if have else np.zeros(0, np.int64)
+        ref_k = ray.put(have_sorted)
+
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+
+        def anti(tbl: pa.Table) -> pa.Table:
+            ks = ray.get(ref_k)
+            c = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(ks, c)
+            hit = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == c)
+            return tbl.filter(pa.array(~hit))
+
+        return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
     def q_token_pieces(sf):
         import ray
 
@@ -5072,6 +5322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue": q_q3_revenue,
         "local_supplier_volume": q_local_supplier_volume,
         "co_purchase_parts": q_co_purchase_parts,
+        "lang_confusion": q_lang_confusion,
+        "value_drift": q_value_drift,
+        "lapsed_customers": q_lapsed_customers,
         "weekly_anomaly": q_weekly_anomaly,
         "returns_revenue_share": q_returns_revenue_share,
         "above_avg_orders": q_above_avg_orders,
@@ -6456,6 +6709,35 @@ WHERE d.doc_id NOT IN
         "lexical_diversity": _lexical_diversity_sql("documents"),
         "typo_pairs": _typo_pairs_sql("documents"),
         "interarrival_hist": _interarrival_hist_sql("events"),
+        "lang_confusion": (
+            "WITH p AS ("
+            + lang_id_sql
+            + ") SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM p JOIN documents d ON d.doc_id = p.doc_id "
+            "GROUP BY d.lang, p.lang_pred"
+        ),
+        "value_drift": (
+            "WITH b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2"
+            " AS mid FROM events), "
+            "c AS (SELECT event_type, epoch_us(ts) > b.mid AS late, "
+            "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events, b), "
+            "t AS (SELECT event_type, "
+            "CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS ne, "
+            "CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS nl, "
+            "CAST(SUM(CASE WHEN late THEN 0 ELSE cents END) AS BIGINT) AS se, "
+            "CAST(SUM(CASE WHEN late THEN cents ELSE 0 END) AS BIGINT) AS sl "
+            "FROM c GROUP BY event_type) "
+            "SELECT event_type, "
+            "CAST(se AS DOUBLE) / CAST(ne AS DOUBLE) AS mean_early, "
+            "CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_late, "
+            "ne * sl - nl * se AS shift_num FROM t"
+        ),
+        "lapsed_customers": (
+            "WITH m AS (SELECT MAX(epoch_us(o_orderdate)) AS hi FROM orders) "
+            "SELECT c_custkey, c_name FROM customer, m WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders, m WHERE epoch_us(o_orderdate)"
+            " >= m.hi - 365 * 86400000000)"
+        ),
         "co_purchase_parts": (
             "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
             "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "

@@ -78,9 +78,11 @@ def quality_score(docs: Dataset) -> Dataset:
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def lang_id(docs: Dataset) -> Dataset:
-    """(doc_id, lang_pred): marker-word language heuristic. Deterministic;
-    tie-break = language order en→de→fr→es."""
+def lang_id(docs: Dataset, carry_cols: tuple[str, ...] = ()) -> Dataset:
+    """(doc_id, lang_pred[, carry_cols...]): marker-word language
+    heuristic. Deterministic; tie-break = language order en→de→fr→es.
+    ``carry_cols`` pass extra input columns through unchanged (e.g. a
+    stored label for confusion analysis)."""
 
     def pred(tbl: pa.Table) -> pa.Table:
         text = tbl.column("text")
@@ -93,12 +95,13 @@ def lang_id(docs: Dataset) -> Dataset:
         mat = np.stack(scores, axis=1)
         best = np.argmax(mat, axis=1)  # first max wins = deterministic tiebreak
         langs = np.array(list(_LANG_MARKERS.keys()))
-        return pa.table(
-            {
-                "doc_id": tbl.column("doc_id"),
-                "lang_pred": pa.array(langs[best], type=pa.string()),
-            }
-        )
+        cols = {
+            "doc_id": tbl.column("doc_id"),
+            "lang_pred": pa.array(langs[best], type=pa.string()),
+        }
+        for c in carry_cols:
+            cols[c] = tbl.column(c)
+        return pa.table(cols)
 
     return docs.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
 
