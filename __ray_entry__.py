@@ -1853,6 +1853,164 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return text.lang_id(docs)
 
+    def q_doc_len_rank(sf):
+        # GROUPED percent-rank enrichment: each doc's exact length
+        # percentile WITHIN its language — per-(lang, n_tokens) histogram
+        # (bounded grid) broadcast once, searchsorted per batch
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def lens(tbl: pa.Table) -> pa.Table:
+            toks = pc.cast(
+                pc.list_value_length(
+                    pc.split_pattern_regex(tbl.column("text"), r"\s+")
+                ),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "lang": tbl.column("lang"),
+                    "n_tokens": toks,
+                }
+            )
+
+        sized = docs.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True)
+
+        def hist_partial(tbl: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(tbl.column("lang")).combine_chunks()
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+            order = np.lexsort((n, code))
+            c_s, n_s = code[order], n[order]
+            starts = np.flatnonzero(
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (n_s[1:] != n_s[:-1])]
+            )
+            return pa.table(
+                {
+                    "lang": enc.dictionary.take(pa.array(c_s[starts])),
+                    "n_tokens": n_s[starts],
+                    "cnt": np.diff(np.r_[starts, c_s.size]).astype(np.int64),
+                }
+            )
+
+        # (lang, length) grid is bounded: langs x distinct lengths
+        hist: dict = {}
+        parts = sized.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for ref in parts.to_arrow_refs():
+            t = ray.get(ref)
+            for lg, nt, c in zip(
+                t.column("lang").to_pylist(),
+                t.column("n_tokens").to_pylist(),
+                t.column("cnt").to_pylist(),
+            ):
+                hist[(lg, nt)] = hist.get((lg, nt), 0) + c
+        per_lang = {}
+        for (lg, nt), c in sorted(hist.items()):
+            per_lang.setdefault(lg, [[], []])
+            per_lang[lg][0].append(nt)
+            per_lang[lg][1].append(c)
+        cdf = {}
+        for lg, (vals, cnts) in per_lang.items():
+            v = np.array(vals, np.int64)
+            c = np.array(cnts, np.int64)
+            smaller = np.r_[np.int64(0), np.cumsum(c)[:-1]]
+            cdf[lg] = (v, smaller, int(c.sum()))
+        ref_c = ray.put(cdf)
+
+        def rank(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            table = ray.get(ref_c)
+            out_pct = np.zeros(tbl.num_rows, np.float64)
+            langs = tbl.column("lang").to_numpy(zero_copy_only=False)
+            n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+            for lg in np.unique(langs):
+                v, sm, tot = table[str(lg)]
+                m = langs == lg
+                pos = np.searchsorted(v, n[m])
+                out_pct[m] = (
+                    sm[pos].astype(np.float64) / np.float64(tot - 1)
+                    if tot > 1
+                    else 0.0
+                )
+            return pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "lang": tbl.column("lang"),
+                    "n_tokens": tbl.column("n_tokens"),
+                    "pct": out_pct,
+                }
+            )
+
+        return sized.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_session_duration_quantiles(sf):
+        # session-length distribution: exact R-7 quantiles of per-user
+        # session durations (30-min gap sessionization, µs)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.quantiles import int_quantiles
+
+        GAP = 1_800_000_000
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "bucket": bucket_of(u, 256),
+                    "u": u,
+                    "t": pc.cast(
+                        tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+                    ),
+                    "seq": tbl.column("event_id"),
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {
+                        "k": pa.array([], pa.int64()),
+                        "dur_us": pa.array([], pa.int64()),
+                    }
+                )
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            seq = group.column("seq").to_numpy(zero_copy_only=False)
+            order = np.lexsort((seq, t, u))
+            u_s, t_s = u[order], t[order]
+            new = np.r_[True, (u_s[1:] != u_s[:-1]) | (t_s[1:] - t_s[:-1] > GAP)]
+            starts = np.flatnonzero(new)
+            ends = np.r_[starts[1:], u_s.size] - 1
+            dur = t_s[ends] - t_s[starts]
+            return pa.table(
+                {"k": np.zeros(dur.size, np.int64), "dur_us": dur}
+            )
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return int_quantiles(folded, key_col="k", int_col="dur_us")
+
     def q_lang_confusion(sf):
         # label-quality confusion matrix: stored lang × predicted lang
         # counts — the heuristic's evaluation grid; C²-bounded fold
@@ -5323,6 +5481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": q_local_supplier_volume,
         "co_purchase_parts": q_co_purchase_parts,
         "lang_confusion": q_lang_confusion,
+        "doc_len_rank": q_doc_len_rank,
+        "session_duration_quantiles": q_session_duration_quantiles,
         "value_drift": q_value_drift,
         "lapsed_customers": q_lapsed_customers,
         "weekly_anomaly": q_weekly_anomaly,
@@ -6709,6 +6869,28 @@ WHERE d.doc_id NOT IN
         "lexical_diversity": _lexical_diversity_sql("documents"),
         "typo_pairs": _typo_pairs_sql("documents"),
         "interarrival_hist": _interarrival_hist_sql("events"),
+        "doc_len_rank": (
+            "WITH s AS (SELECT doc_id, lang, CAST(array_length("
+            "regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, lang, n_tokens, "
+            "PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_tokens) AS pct"
+            " FROM s"
+        ),
+        "session_duration_quantiles": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events), "
+            "s AS (SELECT user_id, epoch_us(ts) AS t, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED "
+            "PRECEDING) AS sid FROM o), "
+            "d AS (SELECT CAST(0 AS BIGINT) AS k, MAX(t) - MIN(t) AS dur_us "
+            "FROM s GROUP BY user_id, sid) "
+            "SELECT k, quantile_cont(dur_us, 0.5) AS p50, "
+            "quantile_cont(dur_us, 0.9) AS p90, "
+            "quantile_cont(dur_us, 0.99) AS p99 FROM d GROUP BY k"
+        ),
         "lang_confusion": (
             "WITH p AS ("
             + lang_id_sql
