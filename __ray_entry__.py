@@ -986,6 +986,134 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gaps = _fold_pairs(keyed, (), emit)
         return int_quantiles(gaps, key_col="k", int_col="days")
 
+    def q_tile_peak_hour(sf):
+        # dominant hour-of-day per tile ((n DESC, hour ASC) argmax):
+        # packed (cell·24+hour) count partials, ONE sum, k=1 top-k
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum, grouped_topk
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "ts"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            cell = cell_of_points(p["px"], p["py"], TILE_QRES)
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            hour = (us % 86_400_000_000) // 3_600_000_000
+            key, n = np.unique(cell * 24 + hour, return_counts=True)
+            return pa.table({"key": key, "n": n.astype(np.int64)})
+
+        summed = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="key",
+            value_cols=("n",),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cell": key // 24,
+                    "hour": key % 24,
+                    "n": tbl.column("n"),
+                }
+            )
+
+        return grouped_topk(
+            summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True),
+            k=1,
+            key_col="cell",
+            id_col="hour",
+            value_col="n",
+            descending=True,
+        ).select_columns(["cell", "hour", "n"])
+
+    def q_brand_revenue(sf):
+        # attribute rollup through a broadcast dimension: revenue per
+        # part brand (int cents, brand-sized fold), ranked
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        part = pq.read_table(
+            f"{sf}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        li2 = broadcast_lookup(
+            li, part, on="l_partkey", small_on="p_partkey",
+            carry_cols=("p_brand",),
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+            enc = pc.dictionary_encode(tbl.column("p_brand")).combine_chunks()
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(code, kind="stable")
+            c_s = code[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            return pa.table(
+                {
+                    "k": np.zeros(starts.size, np.int64),
+                    "p_brand": enc.dictionary.take(pa.array(c_s[starts])),
+                    "revenue_cents": np.add.reduceat(cents[order], starts),
+                    "n_items": np.diff(np.r_[starts, c_s.size]).astype(np.int64),
+                }
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            b = group.column("p_brand").to_numpy(zero_copy_only=False)
+            if b.size == 0:
+                return pa.table(
+                    {
+                        "p_brand": pa.array([], pa.string()),
+                        "revenue_cents": pa.array([], pa.int64()),
+                        "n_items": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                    }
+                )
+            rev = group.column("revenue_cents").to_numpy(zero_copy_only=False)
+            n = group.column("n_items").to_numpy(zero_copy_only=False)
+            order = np.argsort(b, kind="stable")
+            b_s, r_s, n_s = b[order], rev[order], n[order]
+            starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+            bb = b_s[starts]
+            rr = np.add.reduceat(r_s, starts)
+            nn = np.add.reduceat(n_s, starts)
+            rankord = np.lexsort((bb, -rr))
+            rank = np.empty(bb.size, np.int64)
+            rank[rankord] = np.arange(1, bb.size + 1)
+            return pa.table(
+                {
+                    "p_brand": pa.array(bb, pa.string()),
+                    "revenue_cents": rr,
+                    "n_items": nn,
+                    "rank": rank,
+                }
+            )
+
+        return (
+            li2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(final, batch_format="pyarrow")
+            .select_columns(["p_brand", "revenue_cents", "n_items", "rank"])
+        )
+
     def q_tile_geohash(sf):
         # base32 geohash interop tokens (x-first bit interleave, 5 bits
         # per char): pure int64 bit math + fixed-width string gather
@@ -5585,6 +5713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gravity_access": q_gravity_access,
         "tile_density_rank": q_tile_density_rank,
         "tile_turnover": q_tile_turnover,
+        "tile_peak_hour": q_tile_peak_hour,
+        "brand_revenue": q_brand_revenue,
         "reorder_gap_quantiles": q_reorder_gap_quantiles,
         "order_size_corr": q_order_size_corr,
         "cluster_size_hist": q_cluster_size_hist,
@@ -7666,6 +7796,28 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "tile_peak_hour": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), c AS (SELECT "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_QRES)
+            + " AS cell, (epoch_us(e.ts) % 86400000000) // 3600000000 AS hour,"
+            " CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events e JOIN q ON e.event_id = q.event_id GROUP BY 1, 2), "
+            "r AS (SELECT cell, hour, n, ROW_NUMBER() OVER (PARTITION BY cell"
+            " ORDER BY n DESC, hour) AS rn FROM c) "
+            "SELECT cell, hour, n FROM r WHERE rn = 1"
+        ),
+        "brand_revenue": (
+            "WITH t AS (SELECT p_brand, CAST(SUM(CAST(FLOOR(l_extendedprice *"
+            " (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS "
+            "revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand) "
+            "SELECT p_brand, revenue_cents, n_items, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, p_brand) "
+            "AS BIGINT) AS \"rank\" FROM t"
         ),
         "tile_turnover": _tile_turnover_sql(
             "SELECT e.user_id AS user_id, e.ts AS ts, q.px, q.py "
