@@ -1700,6 +1700,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return od_asymmetry(_event_tracks(sf, MOTIF_RES), res=MOTIF_RES)
 
+    def q_top_routes(sf):
+        # top-k OD corridors by traffic: pruned global top-k over the
+        # transition matrix, (n DESC, packed pair ASC) order
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import global_topk
+
+        od = q_od_matrix(sf)
+        g2 = np.int64(1 << TILE_RES) ** 2
+
+        def pack(tbl: pa.Table) -> pa.Table:
+            f = tbl.column("from_cell").to_numpy(zero_copy_only=False)
+            t = tbl.column("to_cell").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"key": f * g2 + t, "n_moves": tbl.column("n_moves")}
+            )
+
+        top = global_topk(
+            od.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True),
+            k=50,
+            id_col="key",
+            value_col="n_moves",
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "from_cell": key // g2,
+                    "to_cell": key % g2,
+                    "n_moves": tbl.column("n_moves"),
+                    "rank": tbl.column("rank"),
+                }
+            )
+
+        return top.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q_seed_catchment(sf):
+        # facility catchment: exact event counts within Chebyshev
+        # distance <= 3 tiles of each seed site (occupied-tile fold ×
+        # metadata seeds, integer distances)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        D = 3
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+        g = 1 << TILE_RES
+        sid, sx, sy = _seed_sites(sf, VOR_K, TILE_RES)
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            c, n = np.unique(
+                cell_of_points(p["px"], p["py"], TILE_RES), return_counts=True
+            )
+            return pa.table({"cell": c, "n": n.astype(np.int64)})
+
+        tiles = bucketed_sum(
+            ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("n",),
+        )
+
+        def catch(tbl: pa.Table) -> pa.Table:
+            cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            ix = cell // g
+            iy = cell % g
+            out_s, out_n = [], []
+            for s, x, y in zip(sid, sx, sy):
+                m = (np.abs(ix - x) <= D) & (np.abs(iy - y) <= D)
+                out_s.append(np.int64(s))
+                out_n.append(np.int64(n[m].sum()))
+            return pa.table(
+                {
+                    "seed": np.array(out_s, np.int64),
+                    "n_points": np.array(out_n, np.int64),
+                }
+            )
+
+        partials = tiles.map_batches(
+            catch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        summed = bucketed_sum(partials, key_col="seed", value_cols=("n_points",))
+
+        def nonzero(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # empty catchments drop, matching the SQL inner join
+            return tbl.filter(pc.greater(tbl.column("n_points"), 0))
+
+        return summed.map_batches(
+            nonzero, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_tile_motifs(sf):
         # trajectory sequence mining: global top-k consecutive tile
         # trigrams (route motifs) — triple fold + pruned global top-k
@@ -5678,6 +5775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "od_matrix": q_od_matrix,
         "tile_motifs": q_tile_motifs,
+        "top_routes": q_top_routes,
+        "seed_catchment": q_seed_catchment,
         "max_dwell_run": q_max_dwell_run,
         "od_asymmetry": q_od_asymmetry,
         "record_events": q_record_events,
@@ -7638,6 +7737,38 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
             "CAST(m.n * m.s AS DOUBLE) ELSE NULL END AS gini FROM m, g"
         ),
         "cohort_retention": _cohort_retention_sql("events"),
+        "top_routes": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), pts AS (SELECT e.user_id AS u, e.ts AS ts, "
+            "e.event_id AS seq, "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_RES)
+            + " AS cell FROM events e JOIN q ON e.event_id = q.event_id), "
+            "mv AS (SELECT u, LAG(cell) OVER (PARTITION BY u ORDER BY ts,"
+            " seq) AS f, cell AS t FROM pts), "
+            "c AS (SELECT f AS from_cell, t AS to_cell, "
+            "CAST(COUNT(*) AS BIGINT) AS n_moves FROM mv "
+            "WHERE f IS NOT NULL GROUP BY 1, 2), "
+            f"r AS (SELECT from_cell, to_cell, n_moves, ROW_NUMBER() OVER "
+            f"(ORDER BY n_moves DESC, from_cell * {(1 << TILE_RES) ** 2} + "
+            "to_cell) AS rank FROM c) "
+            "SELECT from_cell, to_cell, n_moves, CAST(rank AS BIGINT) AS "
+            "\"rank\" FROM r WHERE rank <= 50"
+        ),
+        "seed_catchment": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), t AS (SELECT "
+            + derive.tile_index_sql("q.px", TILE_RES)
+            + " AS ix, "
+            + derive.tile_index_sql("q.py", TILE_RES)
+            + " AS iy FROM q), "
+            "s AS ("
+            + _seeds_cte(VOR_K, TILE_RES)
+            + ") SELECT s.seed, CAST(COUNT(*) AS BIGINT) AS n_points "
+            "FROM t JOIN s ON ABS(t.ix - s.sx) <= 3 AND ABS(t.iy - s.sy) <= 3"
+            " GROUP BY s.seed"
+        ),
         "max_dwell_run": _max_dwell_run_sql(
             derive.points_sql("events", "event_id", "event_id"), DWELL_RES
         ),
