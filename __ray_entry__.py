@@ -1700,6 +1700,161 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return od_asymmetry(_event_tracks(sf, MOTIF_RES), res=MOTIF_RES)
 
+    def q_covisit_tile_pairs(sf):
+        # co-visitation between PLACES: tile pairs sharing >= 4 distinct
+        # visitors — per-user distinct-tile fold, offset-sweep pair
+        # expansion (a<b for free), ONE pair-key sum
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        MIN_USERS = 4
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+        g2 = np.int64(1 << STAY_RES) ** 2
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            cell = cell_of_points(p["px"], p["py"], STAY_RES)
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            order = np.lexsort((cell, u))
+            u_s, c_s = u[order], cell[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(u_s[keep], 256),
+                    "u": u_s[keep],
+                    "cell": c_s[keep],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return empty
+            c = group.column("cell").to_numpy(zero_copy_only=False)
+            order = np.lexsort((c, u))
+            u_s, c_s = u[order], c[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            u_s, c_s = u_s[keep], c_s[keep]
+            pa_l, pb_l = [], []
+            d = 1
+            while d < u_s.size:
+                valid = u_s[d:] == u_s[:-d]
+                if not valid.any():
+                    break
+                pa_l.append(c_s[:-d][valid])
+                pb_l.append(c_s[d:][valid])
+                d += 1
+            if not pa_l:
+                return empty
+            a = np.concatenate(pa_l)
+            b = np.concatenate(pb_l)
+            key, n = np.unique(a * g2 + b, return_counts=True)
+            return pa.table({"key": key, "n": n.astype(np.int64)})
+
+        keyed = ev.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        folded = keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+        summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            keep = n >= MIN_USERS
+            return pa.table(
+                {
+                    "cell_a": key[keep] // g2,
+                    "cell_b": key[keep] % g2,
+                    "n_users": n[keep],
+                }
+            )
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_tile_boundary(sf):
+        # morphological boundary extraction: occupied tiles with at
+        # least one empty queen neighbor (in-grid neighborhood) —
+        # occupied-set fold + compact-raster neighbor popcount
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+        g = 1 << TILE_RES
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            # squared coords concentrate mass -> real empty space exists
+            c = np.unique(
+                cell_of_points(p["px"] * p["px"], p["py"] * p["py"], TILE_RES)
+            )
+            return pa.table({"cell": c, "one": np.ones(c.size, np.int64)})
+
+        tiles = bucketed_sum(
+            ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("one",),
+        )
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def boundary(group: pa.Table) -> pa.Table:
+            cell = group.column("cell").to_numpy(zero_copy_only=False)
+            if cell.size == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], pa.int64()),
+                        "n_occ_neighbors": pa.array([], pa.int64()),
+                    }
+                )
+            occ = np.zeros((g, g), bool)
+            occ[cell // g, cell % g] = True
+            cnt = np.zeros((g, g), np.int64)
+            nbr = np.zeros((g, g), np.int64)  # in-grid neighborhood size
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    sx0, sx1 = max(dx, 0), g + min(dx, 0)
+                    sy0, sy1 = max(dy, 0), g + min(dy, 0)
+                    cnt[sx0:sx1, sy0:sy1] += occ[
+                        sx0 - dx : sx1 - dx, sy0 - dy : sy1 - dy
+                    ]
+                    nbr[sx0:sx1, sy0:sy1] += 1
+            ix, iy = cell // g, cell % g
+            is_b = cnt[ix, iy] < nbr[ix, iy]
+            return pa.table(
+                {
+                    "cell": cell[is_b],
+                    "n_occ_neighbors": cnt[ix, iy][is_b],
+                }
+            )
+
+        return (
+            tiles.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(boundary, batch_format="pyarrow")
+            .select_columns(["cell", "n_occ_neighbors"])
+        )
+
     def q_top_routes(sf):
         # top-k OD corridors by traffic: pruned global top-k over the
         # transition matrix, (n DESC, packed pair ASC) order
@@ -5776,6 +5931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": q_od_matrix,
         "tile_motifs": q_tile_motifs,
         "top_routes": q_top_routes,
+        "covisit_tile_pairs": q_covisit_tile_pairs,
+        "tile_boundary": q_tile_boundary,
         "seed_catchment": q_seed_catchment,
         "max_dwell_run": q_max_dwell_run,
         "od_asymmetry": q_od_asymmetry,
@@ -7737,6 +7894,35 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
             "CAST(m.n * m.s AS DOUBLE) ELSE NULL END AS gini FROM m, g"
         ),
         "cohort_retention": _cohort_retention_sql("events"),
+        "covisit_tile_pairs": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), d AS (SELECT DISTINCT e.user_id AS u, "
+            + derive.tile_cell_sql("q.px", "q.py", STAY_RES)
+            + " AS cell FROM events e JOIN q ON e.event_id = q.event_id) "
+            "SELECT a.cell AS cell_a, b.cell AS cell_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM d a JOIN d b ON a.u = b.u AND a.cell < b.cell "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 4"
+        ),
+        "tile_boundary": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), t AS (SELECT DISTINCT "
+            + derive.tile_cell_sql("q.px * q.px", "q.py * q.py", TILE_RES)
+            + " AS cell FROM q), "
+            f"c AS (SELECT cell, cell // {1 << TILE_RES} AS ix, "
+            f"cell % {1 << TILE_RES} AS iy FROM t), "
+            "n AS (SELECT a.cell, a.ix, a.iy, "
+            "CAST(COUNT(b.cell) AS BIGINT) AS occ FROM c a LEFT JOIN c b "
+            "ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1 "
+            "AND a.cell <> b.cell GROUP BY a.cell, a.ix, a.iy) "
+            "SELECT cell, occ AS n_occ_neighbors FROM n WHERE occ < "
+            "((CASE WHEN ix > 0 THEN 1 ELSE 0 END + "
+            f"CASE WHEN ix < {(1 << TILE_RES) - 1} THEN 1 ELSE 0 END + 1) * "
+            "(CASE WHEN iy > 0 THEN 1 ELSE 0 END + "
+            f"CASE WHEN iy < {(1 << TILE_RES) - 1} THEN 1 ELSE 0 END + 1) - 1)"
+        ),
         "top_routes": (
             "WITH q AS ("
             + derive.points_sql("events", "event_id", "event_id")
