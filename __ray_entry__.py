@@ -2074,6 +2074,119 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nn_pairs(tables.points_dataset(sf))
 
+    def q_mutual_nn(sf):
+        # NN-graph symmetry: share of points whose nearest neighbor
+        # points back — ONE co-partitioned self-join of the nn stream
+        # (never collected), single-row exact counts
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.knn import nn_pairs
+
+        nn = nn_pairs(tables.points_dataset(sf))
+        right = nn.map_batches(
+            lambda t: pa.table(
+                {"rq": t.column("query_id"), "rnn": t.column("nn_id")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_equi_join(
+            nn, right,
+            on="nn_id", right_on="rq",
+            left_cols=("query_id",),
+            right_cols=("rnn",),
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+            rnn = tbl.column("rnn").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "k": pa.array([np.int64(0)], pa.int64()),
+                    "n_points": pa.array([np.int64(q.size)], pa.int64()),
+                    "n_mutual": pa.array(
+                        [np.int64((q == rnn).sum())], pa.int64()
+                    ),
+                }
+            )
+
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        summed = bucketed_sum(
+            joined.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="k",
+            value_cols=("n_points", "n_mutual"),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            n = tbl.column("n_points").to_numpy(zero_copy_only=False)
+            m = tbl.column("n_mutual").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_points": n,
+                    "n_mutual": m,
+                    "share": m.astype(np.float64) / n.astype(np.float64),
+                }
+            )
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_tile_top_visitor(sf):
+        # dominant visitor per tile ((n DESC, user ASC) argmax) via
+        # packed (cell, user) counts + k=1 grouped top-k
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum, grouped_topk
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+        g2 = np.int64(1 << TILE_QRES) ** 2
+        USER_BITS = 22  # user ids < 2^22 at any test sf; pack guard below
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            cell = cell_of_points(p["px"], p["py"], TILE_QRES)
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if u.size and u.max() >= (1 << USER_BITS):
+                raise ValueError("tile_top_visitor: user id exceeds pack")
+            key, n = np.unique(cell * (1 << USER_BITS) + u, return_counts=True)
+            return pa.table({"key": key, "n": n.astype(np.int64)})
+
+        summed = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="key",
+            value_cols=("n",),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cell": key >> USER_BITS,
+                    "user_id": key & ((1 << USER_BITS) - 1),
+                    "n": tbl.column("n"),
+                }
+            )
+
+        return grouped_topk(
+            summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True),
+            k=1,
+            key_col="cell",
+            id_col="user_id",
+            value_col="n",
+            descending=True,
+        ).select_columns(["cell", "user_id", "n"])
+
     def q_grouped_moments(sf):
         # per-event-type exact integer moments (n, sum, sum-sq, min,
         # max in cents) — variance/correlation building block
@@ -5932,6 +6045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_motifs": q_tile_motifs,
         "top_routes": q_top_routes,
         "covisit_tile_pairs": q_covisit_tile_pairs,
+        "mutual_nn": q_mutual_nn,
+        "tile_top_visitor": q_tile_top_visitor,
         "tile_boundary": q_tile_boundary,
         "seed_catchment": q_seed_catchment,
         "max_dwell_run": q_max_dwell_run,
@@ -8278,6 +8393,37 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "speed_outliers": _speed_outliers_sql(
             derive.points_sql("events", "event_id", "event_id"), SPEED_KMH_T
+        ),
+        "mutual_nn": f"""
+WITH p AS ({p_cust}),
+d AS (
+  SELECT a.query_id, b.query_id AS nn_id,
+         (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+  FROM p a JOIN p b ON a.query_id <> b.query_id
+),
+r AS (
+  SELECT query_id, nn_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, nn_id) AS rn
+  FROM d
+),
+nn AS (SELECT query_id, nn_id FROM r WHERE rn = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN b.nn_id = a.query_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mutual,
+       CAST(SUM(CASE WHEN b.nn_id = a.query_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS share
+FROM nn a JOIN nn b ON b.query_id = a.nn_id
+""",
+        "tile_top_visitor": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), c AS (SELECT "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_QRES)
+            + " AS cell, e.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events e JOIN q ON e.event_id = q.event_id GROUP BY 1, 2), "
+            "r AS (SELECT cell, user_id, n, ROW_NUMBER() OVER (PARTITION BY "
+            "cell ORDER BY n DESC, user_id) AS rn FROM c) "
+            "SELECT cell, user_id, n FROM r WHERE rn = 1"
         ),
         "nn_pairs": f"""
 WITH p AS ({p_cust}),
