@@ -932,6 +932,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_rank_corr(pts, res=TILE_RES)
 
+    def q_hilbert_locality(sf):
+        # SFC quality metric: exact mean Hilbert-index gap across
+        # rook-adjacent occupied tiles — the statistic behind
+        # hilbert_ranges partitioning
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.hilbert_locality(pts, res=TILE_RES)
+
     def q_tile_turnover(sf):
         # per-tile visitor churn: early/late visitor-set Jaccard at the
         # stream midpoint — distinct (cell, user, half-bit) fold
@@ -6047,6 +6064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covisit_tile_pairs": q_covisit_tile_pairs,
         "mutual_nn": q_mutual_nn,
         "tile_top_visitor": q_tile_top_visitor,
+        "hilbert_locality": q_hilbert_locality,
         "tile_boundary": q_tile_boundary,
         "seed_catchment": q_seed_catchment,
         "max_dwell_run": q_max_dwell_run,
@@ -6206,6 +6224,7 @@ def oracle_sql() -> dict[str, str]:
         gravity_access_sql as _gravity_access_sql,
         tile_turnover_sql as _tile_turnover_sql,
         region_count_curve_sql as _region_count_curve_sql,
+        hilbert_locality_sql as _hilbert_locality_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -8228,6 +8247,9 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "hilbert_locality": _hilbert_locality_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "tile_peak_hour": (
             "WITH q AS ("

@@ -4860,3 +4860,109 @@ def region_count_curve_sql(
     return (
         "WITH RECURSIVE " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
     )
+
+
+def hilbert_locality(
+    points: Dataset, res: int, n_buckets: int = 256
+) -> Dataset:
+    """Space-filling-curve LOCALITY metric — over every rook-adjacent
+    pair of OCCUPIED tiles, the exact sum and mean of the Hilbert-index
+    gap ``|h(a) − h(b)|``: one row ``(n_edges, gap_sum, mean_gap)``.
+    This is the statistic that justifies :func:`hilbert_ranges`
+    partitioning (smaller mean gap ⇒ spatially adjacent data lands in
+    the same partition). Exact integers + ONE division.
+
+    Scale shape: distributed occupancy dedup, then the compact-raster
+    final fold computes Hilbert indices (:func:`hilbert_d`) and the
+    shifted-grid pair sweep — tile-sized, never per point.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    g = 1 << res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c = np.unique(cellmod.cell_of_points(px, py, res))
+        return pa.table({"bucket": bucket_of(c, n_buckets), "cell": c})
+
+    def dedup(group: pa.Table) -> pa.Table:
+        c = np.unique(group.column("cell").to_numpy(zero_copy_only=False))
+        return pa.table({"k": np.zeros(c.size, np.int64), "cell": c})
+
+    def final(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_edges": pa.array([], pa.int64()),
+                "gap_sum": pa.array([], pa.int64()),
+                "mean_gap": pa.array([], pa.float64()),
+            }
+        )
+        cell = np.unique(group.column("cell").to_numpy(zero_copy_only=False))
+        if cell.size == 0:
+            return empty
+        ix = cell // g
+        iy = cell % g
+        h = hilbert_d(ix, iy, res)
+        hg = np.full((g, g), -1, np.int64)
+        hg[ix, iy] = h
+        gaps = []
+        a, b = hg[:-1, :], hg[1:, :]
+        m = (a >= 0) & (b >= 0)
+        gaps.append(np.abs(a[m] - b[m]))
+        a, b = hg[:, :-1], hg[:, 1:]
+        m = (a >= 0) & (b >= 0)
+        gaps.append(np.abs(a[m] - b[m]))
+        allg = np.concatenate(gaps)
+        n = int(allg.size)
+        s = int(allg.sum())
+        if n == 0:
+            return empty
+        return pa.table(
+            {
+                "n_edges": pa.array([n], pa.int64()),
+                "gap_sum": pa.array([s], pa.int64()),
+                "mean_gap": pa.array([float(s) / float(n)], pa.float64()),
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(dedup, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["n_edges", "gap_sum", "mean_gap"])
+    )
+
+
+def hilbert_locality_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`hilbert_locality` — occupied tiles re-fed
+    as tile-center points through the unrolled Hilbert chain
+    (:func:`tile_hilbert_sql`), rook pair join, exact sums."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    inner = tile_hilbert_sql(
+        f"SELECT cell AS query_id, "
+        f"(CAST(cell // {g} AS DOUBLE) + 0.5) / {g} AS px, "
+        f"(CAST(cell % {g} AS DOUBLE) + 0.5) / {g} AS py FROM occ",
+        res,
+    )
+    return f"""
+WITH occ AS (SELECT DISTINCT {cell} AS cell FROM ({points_cte})),
+h AS ({inner}),
+c AS (SELECT cell, hilbert, cell // {g} AS ix, cell % {g} AS iy FROM h),
+e AS (SELECT ABS(a.hilbert - b.hilbert) AS gap FROM c a JOIN c b ON
+      (b.ix = a.ix + 1 AND b.iy = a.iy) OR (b.ix = a.ix AND b.iy = a.iy + 1))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(gap) AS BIGINT) AS gap_sum,
+       CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap
+FROM e
+"""

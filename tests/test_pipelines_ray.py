@@ -6742,3 +6742,42 @@ def test_region_count_curve_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_hilbert_locality_matches_bruteforce(ray_session):
+    # exact adjacent-pair hilbert gaps vs a reference using the same
+    # hilbert_d kernel; sparse occupancy leaves real holes
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import hilbert_locality, hilbert_d
+    from python_prtree_ray.functions.cells import cell_of_points
+
+    rng = np.random.default_rng(232)
+    res = 3
+    g = 1 << res
+    n = 90  # ~half the 64 tiles occupied
+    pts = rng.random((n, 2))
+    cells = np.unique(cell_of_points(pts[:, 0], pts[:, 1], res))
+    occ = set(int(c) for c in cells)
+    h = {int(c): int(hilbert_d(np.array([c // g]), np.array([c % g]), res)[0])
+         for c in cells}
+    gaps = []
+    for c in occ:
+        ix, iy = c // g, c % g
+        for nb in ((ix + 1) * g + iy, ix * g + iy + 1):
+            if (ix + 1 < g and nb == (ix + 1) * g + iy and nb in occ) or (
+                iy + 1 < g and nb == ix * g + iy + 1 and nb in occ
+            ):
+                gaps.append(abs(h[c] - h[nb]))
+    want = (len(gaps), sum(gaps), sum(gaps) / len(gaps))
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = hilbert_locality(ds, res=res).take_all()
+        assert len(rows) == 1
+        got = (rows[0]["n_edges"], rows[0]["gap_sum"], rows[0]["mean_gap"])
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
