@@ -5590,6 +5590,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cents_col="cents",
         )
 
+    def q_emb_top_eigen(sf):
+        # leading principal component via deterministic power iteration
+        # on the exact covariance fold (rows-only: no SQL eigensolver)
+        import ray
+        from python_prtree_ray.pipelines.ann import emb_top_eigen
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        return emb_top_eigen(emb)
+
+    def q_supplier_reach_hist(sf):
+        # two-level DISTINCT aggregate: distinct orders served per
+        # supplier, then the distribution of that reach
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_suppkey", "l_orderkey"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            s = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+            o = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+            order = np.lexsort((o, s))
+            s_s, o_s = s[order], o[order]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(s_s[keep], 256),
+                    "s": s_s[keep],
+                    "o": o_s[keep],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            s = group.column("s").to_numpy(zero_copy_only=False)
+            if s.size == 0:
+                return pa.table(
+                    {
+                        "n_orders": pa.array([], pa.int64()),
+                        "n_suppliers": pa.array([], pa.int64()),
+                    }
+                )
+            o = group.column("o").to_numpy(zero_copy_only=False)
+            order = np.lexsort((o, s))
+            s_s, o_s = s[order], o[order]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])]
+            s_u = s_s[keep]
+            starts = np.flatnonzero(np.r_[True, s_u[1:] != s_u[:-1]])
+            reach = np.diff(np.r_[starts, s_u.size]).astype(np.int64)
+            rr, n = np.unique(reach, return_counts=True)
+            return pa.table(
+                {"n_orders": rr, "n_suppliers": n.astype(np.int64)}
+            )
+
+        folded = (
+            li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return bucketed_sum(
+            folded, key_col="n_orders", value_cols=("n_suppliers",)
+        )
+
     def q_label_cohesion(sf):
         # exact intra-label pairwise-dot sums via |Σq|² − Σ|q|² — no
         # pair enumeration, vectors never shuffle
@@ -6007,6 +6074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_quantiles": q_emb_dim_quantiles,
         "label_cohesion": q_label_cohesion,
         "label_separation": q_label_separation,
+        "emb_top_eigen": q_emb_top_eigen,
+        "supplier_reach_hist": q_supplier_reach_hist,
         "value_ks": q_value_ks,
         "convert_delay_quantiles": q_convert_delay_quantiles,
         "activity_autocorr": q_activity_autocorr,
@@ -7288,6 +7357,13 @@ WHERE d.doc_id NOT IN
         "emb_norm_outliers": _emb_norm_outliers_sql("embeddings"),
         "label_cohesion": _label_cohesion_sql("embeddings"),
         "label_separation": _label_separation_sql("embeddings"),
+        "supplier_reach_hist": (
+            "WITH d AS (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem),"
+            " r AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM d GROUP BY l_suppkey) "
+            "SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_suppliers "
+            "FROM r GROUP BY n_orders"
+        ),
         "convert_delay_quantiles": (
             "WITH f AS (SELECT user_id, "
             "MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv, "

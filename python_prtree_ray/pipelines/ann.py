@@ -995,3 +995,58 @@ SELECT CAST(x.la AS BIGINT) AS label_a, CAST(x.lb AS BIGINT) AS label_b,
        CAST(x.dot AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS mean_cross_dot
 FROM x JOIN n na ON na.label = x.la JOIN n nb ON nb.label = x.lb
 """
+
+
+def emb_top_eigen(
+    vectors: Dataset,
+    col: str = "embedding",
+    scale_bits: int = 20,
+    n_iter: int = 60,
+) -> Dataset:
+    """Top eigenvalue/eigenvector of the embedding covariance — the
+    leading principal component (spectral drift monitor / PCA seed):
+    one row ``(dim, eigenvalue, component)`` per dimension. The
+    covariance comes from the EXACT integer moment fold of
+    :func:`emb_covariance`; the eigenpair is deterministic fixed-point
+    power iteration (fixed all-ones start, ``n_iter`` steps, final
+    Rayleigh quotient) on that d×d metadata matrix — no randomness, so
+    results are bit-stable across runs and parallelism.
+
+    No SQL twin: eigendecomposition is not ANSI-SQL-expressible —
+    correctness is pinned by pytest against ``numpy.linalg.eigh`` on
+    the same matrix (rows-only driver check).
+    """
+    tune_context()
+    cov_rows = emb_covariance(vectors, col=col, scale_bits=scale_bits).take_all()
+    if not cov_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "eigenvalue": pa.array([], pa.float64()),
+                    "component": pa.array([], pa.float64()),
+                }
+            )
+        )
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d), np.float64)
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    v = np.ones(d, np.float64) / np.sqrt(np.float64(d))
+    for _ in range(n_iter):
+        w = C @ v
+        nrm = np.sqrt((w * w).sum())
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    lam = float(v @ (C @ v))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "eigenvalue": pa.array(np.full(d, lam), pa.float64()),
+                "component": pa.array(v, pa.float64()),
+            }
+        )
+    )

@@ -6781,3 +6781,40 @@ def test_hilbert_locality_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_emb_top_eigen_matches_numpy(ray_session):
+    # power iteration on the exact covariance vs numpy.linalg.eigh:
+    # eigenvalue within tolerance, component parallel up to sign;
+    # partition-invariant (bit-identical rows)
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import emb_top_eigen
+
+    rng = np.random.default_rng(233)
+    n, d = 300, 6
+    base = rng.normal(size=(n, 1)) * np.array([[3, 2, 1, 0.5, 0.2, 0.1]])
+    E = (base + 0.3 * rng.normal(size=(n, d))).astype(np.float32)
+
+    t = pa.table({"embedding": pa.array(list(E), pa.list_(pa.float32()))})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = emb_top_eigen(ds).take_all()
+        lam = rows[0]["eigenvalue"]
+        v = np.array([r["component"] for r in sorted(rows, key=lambda r: r["dim"])])
+        got = (lam, tuple(v))
+        if prev is not None:
+            assert got == prev  # bit-stable across parallelism
+        prev = got
+
+    # reference covariance on the same scaled grid
+    Q = np.floor(E.astype(np.float64) * float(1 << 20))
+    m = Q.shape[0]
+    C = (Q.T @ Q) * m - np.outer(Q.sum(0), Q.sum(0))
+    C = C / float(m * m)
+    w, V = np.linalg.eigh(C)
+    lam_ref = w[-1]
+    v_ref = V[:, -1]
+    assert abs(lam - lam_ref) / lam_ref < 1e-9
+    cos = abs(float(v @ v_ref) / np.sqrt(float(v @ v) * float(v_ref @ v_ref)))
+    assert cos > 1.0 - 1e-9
