@@ -932,6 +932,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_rank_corr(pts, res=TILE_RES)
 
+    def q_hotspot_coverage(sf):
+        # hotspot concentration: share of all events inside the top-10
+        # densest tiles — tile counts fold, tiny driver sort, one division
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        K = 10
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            c, n = np.unique(
+                cell_of_points(p["px"], p["py"], TILE_RES), return_counts=True
+            )
+            return pa.table({"cell": c, "n": n.astype(np.int64)})
+
+        tiles = bucketed_sum(
+            ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("n",),
+        ).take_all()  # tile-sized metadata
+        n = np.array([r["n"] for r in tiles], np.int64)
+        cell = np.array([r["cell"] for r in tiles], np.int64)
+        order = np.lexsort((cell, -n))[:K]  # (n DESC, cell ASC) top-K
+        topk = int(n[order].sum())
+        total = int(n.sum())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([K], pa.int64()),
+                    "topk_events": pa.array([topk], pa.int64()),
+                    "total_events": pa.array([total], pa.int64()),
+                    "coverage": pa.array(
+                        [float(topk) / float(total) if total else None],
+                        pa.float64(),
+                    ),
+                }
+            )
+        )
+
+    def q_nation_balance(sf):
+        # dimension-side balance sheet: customers vs suppliers per
+        # nation with the exact cross ratio (metadata-only op)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        cust = pq.read_table(f"{sf}/customer.parquet", columns=["c_nationkey"])
+        supp = pq.read_table(f"{sf}/supplier.parquet", columns=["s_nationkey"])
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        ck, cn = np.unique(
+            cust.column("c_nationkey").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        sk, sn = np.unique(
+            supp.column("s_nationkey").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        cmap = dict(zip(ck.tolist(), cn.tolist()))
+        smap = dict(zip(sk.tolist(), sn.tolist()))
+        keys = sorted(set(cmap) | set(smap))
+        nmap = dict(
+            zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_name").to_pylist(),
+            )
+        )
+        nc = np.array([cmap.get(k, 0) for k in keys], np.int64)
+        ns = np.array([smap.get(k, 0) for k in keys], np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([nmap[k] for k in keys], pa.string()),
+                    "n_customers": nc,
+                    "n_suppliers": ns,
+                    "cust_per_supplier": nc.astype(np.float64)
+                    / ns.astype(np.float64),
+                }
+            )
+        )
+
     def q_hilbert_locality(sf):
         # SFC quality metric: exact mean Hilbert-index gap across
         # rook-adjacent occupied tiles — the statistic behind
@@ -6134,6 +6220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn": q_mutual_nn,
         "tile_top_visitor": q_tile_top_visitor,
         "hilbert_locality": q_hilbert_locality,
+        "hotspot_coverage": q_hotspot_coverage,
+        "nation_balance": q_nation_balance,
         "tile_boundary": q_tile_boundary,
         "seed_catchment": q_seed_catchment,
         "max_dwell_run": q_max_dwell_run,
@@ -8323,6 +8411,35 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "hotspot_coverage": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), t AS (SELECT "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_RES)
+            + " AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1), "
+            "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, cell) AS rn"
+            " FROM t), "
+            "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t) "
+            "SELECT CAST(10 AS BIGINT) AS k, "
+            "CAST(SUM(CASE WHEN rn <= 10 THEN n ELSE 0 END) AS BIGINT) AS "
+            "topk_events, tot.total AS total_events, "
+            "CAST(SUM(CASE WHEN rn <= 10 THEN n ELSE 0 END) AS DOUBLE) / "
+            "CAST(tot.total AS DOUBLE) AS coverage FROM r, tot "
+            "GROUP BY tot.total"
+        ),
+        "nation_balance": (
+            "WITH c AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS"
+            " nc FROM customer GROUP BY 1), "
+            "s AS (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS ns "
+            "FROM supplier GROUP BY 1) "
+            "SELECT n_name, COALESCE(c.nc, 0) AS n_customers, "
+            "COALESCE(s.ns, 0) AS n_suppliers, "
+            "CAST(COALESCE(c.nc, 0) AS DOUBLE) / "
+            "CAST(COALESCE(s.ns, 0) AS DOUBLE) AS cust_per_supplier "
+            "FROM nation LEFT JOIN c ON c.k = n_nationkey "
+            "LEFT JOIN s ON s.k = n_nationkey "
+            "WHERE c.nc IS NOT NULL OR s.ns IS NOT NULL"
         ),
         "hilbert_locality": _hilbert_locality_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
