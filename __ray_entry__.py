@@ -932,6 +932,157 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_rank_corr(pts, res=TILE_RES)
 
+    def q_value_hotspots(sf):
+        # value-WEIGHTED focal raster: per non-empty tile, its event
+        # value sum plus the 3x3 focal value sum (the money-heatmap
+        # variant of hotspot_cells) — exact int cents end to end
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points, neighbor_cells
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "value"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            cell = cell_of_points(p["px"], p["py"], TILE_RES)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            order = np.argsort(cell, kind="stable")
+            c_s = cell[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            c_u = c_s[starts]
+            v = np.add.reduceat(cents[order], starts)
+            row, nb = neighbor_cells(c_u, TILE_RES, ring=1)
+            return pa.table(
+                {
+                    "cell": np.concatenate([c_u, nb]),
+                    "value_cents": np.concatenate(
+                        [v, np.zeros(nb.size, np.int64)]
+                    ),
+                    "focal_cents": np.concatenate(
+                        [np.zeros(c_u.size, np.int64), v[row]]
+                    ),
+                }
+            )
+
+        summed = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("value_cents", "focal_cents"),
+        )
+
+        def nonempty(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return tbl.filter(pc.not_equal(tbl.column("value_cents"), 0))
+
+        return summed.map_batches(
+            nonempty, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_region_monthly_revenue(sf):
+        # hierarchical x temporal rollup: order revenue by (region,
+        # calendar month) — dims broadcast, packed-key partials, int cents
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        )
+        reg = pq.read_table(
+            f"{sf}/region.parquet", columns=["r_regionkey", "r_name"]
+        )
+        nmap = dict(
+            zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_regionkey").to_pylist(),
+            )
+        )
+        # fold nation -> region into the customer broadcast table
+        import pyarrow.compute as _pc
+
+        ck = cust.column("c_custkey")
+        crk = pa.array(
+            [nmap[int(x)] for x in cust.column("c_nationkey").to_pylist()],
+            pa.int64(),
+        )
+        cust2 = pa.table({"c_custkey": ck, "rkey": crk})
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        o2 = broadcast_lookup(
+            orders, cust2, on="o_custkey", small_on="c_custkey",
+            carry_cols=("rkey",),
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            ts = (
+                tbl.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False)
+            )
+            mo = ts.astype("datetime64[M]").astype(np.int64)  # months since epoch
+            rk = tbl.column("rkey").to_numpy(zero_copy_only=False)
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            key = rk * (1 << 20) + mo  # months since epoch < 2^20
+            k_u, inv = np.unique(key, return_inverse=True)
+            return pa.table(
+                {
+                    "key": k_u,
+                    "revenue_cents": np.bincount(
+                        inv, weights=cents, minlength=k_u.size
+                    ).astype(np.int64),
+                }
+            )
+
+        summed = bucketed_sum(
+            o2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="key",
+            value_cols=("revenue_cents",),
+        )
+        rmap = dict(
+            zip(
+                reg.column("r_regionkey").to_pylist(),
+                reg.column("r_name").to_pylist(),
+            )
+        )
+        rref = ray.put(rmap)
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            rm = ray.get(rref)
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            mo = (key & ((1 << 20) - 1)).astype("datetime64[M]")
+            return pa.table(
+                {
+                    "r_name": pa.array(
+                        [rm[int(k)] for k in key >> 20], pa.string()
+                    ),
+                    "month": pa.array(
+                        mo.astype("datetime64[us]"), pa.timestamp("us")
+                    ),
+                    "revenue_cents": tbl.column("revenue_cents"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_hotspot_coverage(sf):
         # hotspot concentration: share of all events inside the top-10
         # densest tiles — tile counts fold, tiny driver sort, one division
@@ -6221,6 +6372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_top_visitor": q_tile_top_visitor,
         "hilbert_locality": q_hilbert_locality,
         "hotspot_coverage": q_hotspot_coverage,
+        "value_hotspots": q_value_hotspots,
+        "region_monthly_revenue": q_region_monthly_revenue,
         "nation_balance": q_nation_balance,
         "tile_boundary": q_tile_boundary,
         "seed_catchment": q_seed_catchment,
@@ -8411,6 +8564,31 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "value_hotspots": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), c AS (SELECT "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_RES)
+            + " AS cell, CAST(SUM(CAST(FLOOR(e.value * 100.0) AS BIGINT)) AS"
+            " BIGINT) AS v "
+            "FROM events e JOIN q ON e.event_id = q.event_id GROUP BY 1), "
+            f"c2 AS (SELECT cell, v, cell // {1 << TILE_RES} AS ix, "
+            f"cell % {1 << TILE_RES} AS iy FROM c), "
+            "f AS (SELECT a.cell, a.v, CAST(SUM(b.v) AS BIGINT) AS focal "
+            "FROM c2 a JOIN c2 b ON ABS(a.ix - b.ix) <= 1 AND "
+            "ABS(a.iy - b.iy) <= 1 GROUP BY a.cell, a.v) "
+            "SELECT cell, v AS value_cents, focal AS focal_cents FROM f "
+            "WHERE v <> 0"
+        ),
+        "region_monthly_revenue": (
+            "SELECT r_name, CAST(date_trunc('month', o_orderdate) AS "
+            "TIMESTAMP) AS month, CAST(SUM(CAST(FLOOR(o_totalprice * 100.0)"
+            " AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "GROUP BY 1, 2"
         ),
         "hotspot_coverage": (
             "WITH q AS ("
