@@ -932,6 +932,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.tile_rank_corr(pts, res=TILE_RES)
 
+    def q_points_diameter(sf):
+        # corpus extent: global farthest pair via map-side hull pruning
+        # (hull-of-union ⊆ union-of-hulls), exact int grid
+        from python_prtree_ray.pipelines.trajectory import points_diameter
+
+        return points_diameter(tables.points_dataset(sf), res=TRACK_RES)
+
+    def q_cents_mod_hist(sf):
+        # pricing-pattern audit: distribution of price cents mod 100
+        # (the .99 / round-number artifact detector); exact ints
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_totalprice"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            m, n = np.unique(cents % 100, return_counts=True)
+            return pa.table({"cents_mod": m, "n": n.astype(np.int64)})
+
+        return bucketed_sum(
+            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cents_mod",
+            value_cols=("n",),
+        )
+
     def q_value_hotspots(sf):
         # value-WEIGHTED focal raster: per non-empty tile, its event
         # value sum plus the 3x3 focal value sum (the money-heatmap
@@ -6373,6 +6404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_locality": q_hilbert_locality,
         "hotspot_coverage": q_hotspot_coverage,
         "value_hotspots": q_value_hotspots,
+        "points_diameter": q_points_diameter,
+        "cents_mod_hist": q_cents_mod_hist,
         "region_monthly_revenue": q_region_monthly_revenue,
         "nation_balance": q_nation_balance,
         "tile_boundary": q_tile_boundary,
@@ -6493,6 +6526,7 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.trajectory import (
         trajectory_hausdorff_sql as _trajectory_hausdorff_sql,
         track_diameter_sql as _track_diameter_sql,
+        points_diameter_sql as _points_diameter_sql,
     )
     from python_prtree_ray.pipelines.curation import (
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
@@ -8564,6 +8598,13 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "SELECT CAST(month AS TIMESTAMP) AS month, revenue_cents, "
             "prev_cents, revenue_cents - prev_cents AS delta_cents "
             "FROM l WHERE prev_cents IS NOT NULL"
+        ),
+        "points_diameter": _points_diameter_sql(p_cust, TRACK_RES),
+        "cents_mod_hist": (
+            "WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)"
+            " % 100 AS cents_mod FROM orders) "
+            "SELECT cents_mod, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM c GROUP BY cents_mod"
         ),
         "value_hotspots": (
             "WITH q AS ("

@@ -1103,3 +1103,100 @@ FROM (SELECT user_id, x, y, ROW_NUMBER() OVER () AS rn FROM pts) a
 JOIN pts b USING (user_id)
 GROUP BY a.user_id
 """
+
+
+def points_diameter(
+    points: Dataset,
+    res: int = 10,
+    x_col: str = "px",
+    y_col: str = "py",
+) -> Dataset:
+    """GLOBAL farthest-pair (diameter) of a point set on the integer
+    grid: one row ``(n_points, diam2)`` — the corpus-extent scalar.
+    Exact int64 (grid < 2^20 keeps products exact).
+
+    Scale shape: hull-of-union ⊆ union-of-hulls, so each batch prunes
+    to its LOCAL convex hull map-side (hull-sized partials, never
+    points); the single-group final hull + h² vertex max runs on the
+    pruned union. The SQL twin is the O(n²) MAX self-join — the oracle
+    baseline, not the scale path.
+    """
+    tune_context()
+    from ..functions import derive
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        gx = derive.tile_index(
+            tbl.column(x_col).to_numpy(zero_copy_only=False), res
+        )
+        gy = derive.tile_index(
+            tbl.column(y_col).to_numpy(zero_copy_only=False), res
+        )
+        n = gx.size
+        if n == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "gx": pa.array([], pa.int64()),
+                    "gy": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = _hull_indices(gx, gy)
+        return pa.table(
+            {
+                "k": np.zeros(idx.size, np.int64),
+                "gx": gx[idx],
+                "gy": gy[idx],
+                "n": np.r_[np.int64(n), np.zeros(idx.size - 1, np.int64)],
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        gx = group.column("gx").to_numpy(zero_copy_only=False)
+        if gx.size == 0:
+            return pa.table(
+                {
+                    "n_points": pa.array([], pa.int64()),
+                    "diam2": pa.array([], pa.int64()),
+                }
+            )
+        gy = group.column("gy").to_numpy(zero_copy_only=False)
+        n_total = int(group.column("n").to_numpy(zero_copy_only=False).sum())
+        idx = _hull_indices(gx, gy)
+        hx, hy = gx[idx], gy[idx]
+        d2 = (hx[:, None] - hx[None, :]) ** 2 + (hy[:, None] - hy[None, :]) ** 2
+        return pa.table(
+            {
+                "n_points": pa.array([n_total], pa.int64()),
+                "diam2": pa.array([int(d2.max())], pa.int64()),
+            }
+        )
+
+    return (
+        points.map_batches(
+            prune,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("k")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["n_points", "diam2"])
+    )
+
+
+def points_diameter_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`points_diameter` — O(n²) MAX self-join
+    (self-pairs included so a singleton set gets 0)."""
+    from ..functions import derive
+
+    gx = derive.tile_index_sql("px", res)
+    gy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p0 AS ({points_cte}),
+g AS (SELECT {gx} AS x, {gy} AS y FROM p0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST((SELECT MAX((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+             FROM g a, g b) AS BIGINT) AS diam2
+FROM g
+"""

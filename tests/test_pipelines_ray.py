@@ -6818,3 +6818,32 @@ def test_emb_top_eigen_matches_numpy(ray_session):
     assert abs(lam - lam_ref) / lam_ref < 1e-9
     cos = abs(float(v @ v_ref) / np.sqrt(float(v @ v) * float(v_ref @ v_ref)))
     assert cos > 1.0 - 1e-9
+
+
+def test_points_diameter_matches_bruteforce(ray_session):
+    # hull-pruned global farthest pair vs the O(n^2) reference;
+    # partition-invariant (per-batch hull prune must not lose endpoints)
+    ray = ray_session
+    from python_prtree_ray.pipelines.trajectory import points_diameter
+    from python_prtree_ray.functions.derive import tile_index
+
+    rng = np.random.default_rng(234)
+    res = 8
+    n = 400
+    pts = rng.random((n, 2))
+    gx = tile_index(pts[:, 0], res)
+    gy = tile_index(pts[:, 1], res)
+    d2 = (gx[:, None] - gx[None, :]) ** 2 + (gy[:, None] - gy[None, :]) ** 2
+    want = (n, int(d2.max()))
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1],
+                  "query_id": np.arange(n, dtype=np.int64)})
+    prev = None
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = points_diameter(ds, res=res).take_all()
+        got = (rows[0]["n_points"], rows[0]["diam2"])
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
