@@ -1200,6 +1200,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_adaptive_quadtree(sf):
+        # capacity-split adaptive binning: every occupied leaf of the
+        # cap=64 quadtree over event points (the adaptive tile_pyramid)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.adaptive_quadtree(pts, max_res=TILE_RES, cap=64)
+
     def q_hilbert_locality(sf):
         # SFC quality metric: exact mean Hilbert-index gap across
         # rook-adjacent occupied tiles — the statistic behind
@@ -6405,6 +6421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_coverage": q_hotspot_coverage,
         "value_hotspots": q_value_hotspots,
         "points_diameter": q_points_diameter,
+        "adaptive_quadtree": q_adaptive_quadtree,
         "cents_mod_hist": q_cents_mod_hist,
         "region_monthly_revenue": q_region_monthly_revenue,
         "nation_balance": q_nation_balance,
@@ -6569,6 +6586,7 @@ def oracle_sql() -> dict[str, str]:
         tile_turnover_sql as _tile_turnover_sql,
         region_count_curve_sql as _region_count_curve_sql,
         hilbert_locality_sql as _hilbert_locality_sql,
+        adaptive_quadtree_sql as _adaptive_quadtree_sql,
         type_colocation_sql as _type_colocation_sql,
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
@@ -8659,6 +8677,9 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "FROM nation LEFT JOIN c ON c.k = n_nationkey "
             "LEFT JOIN s ON s.k = n_nationkey "
             "WHERE c.nc IS NOT NULL OR s.ns IS NOT NULL"
+        ),
+        "adaptive_quadtree": _adaptive_quadtree_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES, 64
         ),
         "hilbert_locality": _hilbert_locality_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES

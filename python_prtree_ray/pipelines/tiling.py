@@ -4966,3 +4966,150 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
        CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap
 FROM e
 """
+
+
+def adaptive_quadtree(
+    points: Dataset,
+    max_res: int,
+    cap: int = 64,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Adaptive quadtree binning — the capacity-split partitioning a
+    spatial index would build: starting from the root cell, any node
+    holding more than ``cap`` points splits into its four children,
+    down to ``max_res``; one row ``(level, cell, n)`` per OCCUPIED
+    leaf. Leaves jointly cover every point exactly once (the adaptive
+    analog of the fixed-level :func:`tile_pyramid`).
+
+    Scale shape: ONE distributed fold to finest-level cell counts
+    (tile-sized metadata); the split decisions walk the count pyramid
+    top-down on the driver — O(4^max_res) ints, never points. The SQL
+    twin chains one CTE per level carrying the all-ancestors-over-cap
+    flag.
+    """
+    import numpy as np
+
+    from ..functions.buckets import bucket_of
+
+    g = 1 << max_res
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        c, n = np.unique(cellmod.cell_of_points(px, py, max_res), return_counts=True)
+        return pa.table(
+            {"bucket": bucket_of(c, n_buckets), "cell": c, "n": n.astype(np.int64)}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        c_s, n_s = cell[order], n[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        return pa.table(
+            {
+                "k": np.zeros(starts.size, np.int64),
+                "cell": c_s[starts],
+                "n": np.add.reduceat(n_s, starts),
+            }
+        )
+
+    def split(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "level": pa.array([], pa.int64()),
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        if cell.size == 0:
+            return empty
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        # count pyramid: level max_res down to 0
+        levels = [None] * (max_res + 1)
+        ix = cell // g
+        iy = cell % g
+        levels[max_res] = {(int(x), int(y)): int(v) for x, y, v in zip(ix, iy, n)}
+        for l in range(max_res - 1, -1, -1):
+            agg: dict = {}
+            for (x, y), v in levels[l + 1].items():
+                key = (x // 2, y // 2)
+                agg[key] = agg.get(key, 0) + v
+            levels[l] = agg
+        out_l, out_c, out_n = [], [], []
+        stack = [(0, 0, 0)]
+        while stack:
+            l, x, y = stack.pop()
+            v = levels[l].get((x, y))
+            if v is None:
+                continue
+            if v <= cap or l == max_res:
+                gl = 1 << l
+                out_l.append(l)
+                out_c.append(x * gl + y)
+                out_n.append(v)
+            else:
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        stack.append((l + 1, 2 * x + dx, 2 * y + dy))
+        order = np.lexsort((out_c, out_l))
+        return pa.table(
+            {
+                "level": np.array(out_l, np.int64)[order],
+                "cell": np.array(out_c, np.int64)[order],
+                "n": np.array(out_n, np.int64)[order],
+            }
+        )
+
+    return (
+        points.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=COMBINE_BATCH,
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(split, batch_format="pyarrow")
+        .select_columns(["level", "cell", "n"])
+    )
+
+
+def adaptive_quadtree_sql(points_cte: str, max_res: int, cap: int = 64) -> str:
+    """DuckDB twin of :func:`adaptive_quadtree` — per-level count CTEs
+    chained with the all-ancestors-over-cap flag, UNION ALL of leaves."""
+    ctes = [f"p0 AS ({points_cte})"]
+    for l in range(max_res + 1):
+        ix = derive.tile_index_sql("px", l)
+        iy = derive.tile_index_sql("py", l)
+        ctes.append(
+            f"c{l} AS (SELECT {ix} AS ix, {iy} AS iy, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM p0 GROUP BY 1, 2)"
+        )
+    ctes.append("o0 AS (SELECT ix, iy, n, TRUE AS ok FROM c0)")
+    for l in range(1, max_res + 1):
+        ctes.append(
+            f"o{l} AS (SELECT c.ix, c.iy, c.n, (o.ok AND o.n > {cap}) AS ok "
+            f"FROM c{l} c JOIN o{l - 1} o "
+            "ON o.ix = c.ix // 2 AND o.iy = c.iy // 2)"
+        )
+    parts = []
+    for l in range(max_res + 1):
+        leaf_pred = f"n <= {cap}" if l < max_res else "TRUE"
+        parts.append(
+            f"SELECT CAST({l} AS BIGINT) AS level, "
+            f"CAST(ix * {1 << l} + iy AS BIGINT) AS cell, n "
+            f"FROM o{l} WHERE ok AND ({leaf_pred})"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)

@@ -6847,3 +6847,58 @@ def test_points_diameter_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_adaptive_quadtree_matches_bruteforce(ray_session):
+    # capacity-split leaves vs a recursive reference over a SKEWED
+    # point set (forces mixed-level leaves); leaves partition the
+    # points exactly; partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import adaptive_quadtree
+    from python_prtree_ray.functions.derive import tile_index
+
+    rng = np.random.default_rng(235)
+    max_res, cap = 5, 20
+    pts = np.concatenate(
+        [
+            np.clip(rng.normal((0.1, 0.1), 0.02, size=(300, 2)), 0, 0.999),
+            rng.random((100, 2)),
+        ]
+    )
+
+    def counts_at(l):
+        gx = tile_index(pts[:, 0], l)
+        gy = tile_index(pts[:, 1], l)
+        d = {}
+        for x, y in zip(gx, gy):
+            d[(int(x), int(y))] = d.get((int(x), int(y)), 0) + 1
+        return d
+
+    lv = [counts_at(l) for l in range(max_res + 1)]
+    want = {}
+
+    def rec(l, x, y):
+        v = lv[l].get((x, y))
+        if v is None:
+            return
+        if v <= cap or l == max_res:
+            want[(l, x * (1 << l) + y)] = v
+        else:
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    rec(l + 1, 2 * x + dx, 2 * y + dy)
+
+    rec(0, 0, 0)
+    assert len({l for l, _ in want}) >= 2  # mixed-level leaves
+    assert sum(want.values()) == pts.shape[0]  # exact partition
+
+    t = pa.table({"px": pts[:, 0], "py": pts[:, 1]})
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = adaptive_quadtree(ds, max_res=max_res, cap=cap).take_all()
+        got = {(r["level"], r["cell"]): r["n"] for r in rows}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
