@@ -1605,6 +1605,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return home_cells(_event_tracks(sf, TILE_RES), res=TILE_RES)
 
+    def q_user_top2_cells(sf):
+        # home/work inference: each user's top-2 visited tiles pivoted
+        # to one row — (n DESC, cell ASC) order; users with a second
+        # cell only (both sides drop single-cell users' cell_2 to NULL-
+        # free form by requiring two distinct cells)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum, grouped_topk
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+        g2 = np.int64(1 << TILE_RES) ** 2
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            cell = cell_of_points(p["px"], p["py"], TILE_RES)
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if u.size and u.max() >= (1 << (62 - 2 * TILE_RES)):
+                raise ValueError("user_top2_cells: user id exceeds pack")
+            key, n = np.unique(u * g2 + cell, return_counts=True)
+            return pa.table({"key": key, "n": n.astype(np.int64)})
+
+        summed = bucketed_sum(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="key",
+            value_cols=("n",),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": key // g2,
+                    "cell": key % g2,
+                    "n": tbl.column("n"),
+                }
+            )
+
+        top2 = grouped_topk(
+            summed.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True),
+            k=2,
+            key_col="user_id",
+            id_col="cell",
+            value_col="n",
+            descending=True,
+        )
+
+        def add_k(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "k", pa.array(np.zeros(tbl.num_rows, np.int64))
+            )
+
+        def pivot(group: pa.Table) -> pa.Table:
+            u = group.column("user_id").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "cell_1": pa.array([], pa.int64()),
+                        "n_1": pa.array([], pa.int64()),
+                        "cell_2": pa.array([], pa.int64()),
+                        "n_2": pa.array([], pa.int64()),
+                    }
+                )
+            c = group.column("cell").to_numpy(zero_copy_only=False)
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            r = group.column("rank").to_numpy(zero_copy_only=False)
+            order = np.lexsort((r, u))
+            u_s, c_s, n_s, r_s = u[order], c[order], n[order], r[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            sizes = np.diff(np.r_[starts, u_s.size])
+            two = sizes == 2  # users with two distinct cells
+            s2 = starts[two]
+            return pa.table(
+                {
+                    "user_id": u_s[s2],
+                    "cell_1": c_s[s2],
+                    "n_1": n_s[s2],
+                    "cell_2": c_s[s2 + 1],
+                    "n_2": n_s[s2 + 1],
+                }
+            )
+
+        return (
+            top2.map_batches(add_k, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .map_groups(pivot, batch_format="pyarrow")
+            .select_columns(["user_id", "cell_1", "n_1", "cell_2", "n_2"])
+        )
+
     def q_rog(sf):
         # radius of gyration (Gonzalez et al. mobility spread): exact-
         # int numerator over n², one double division per user
@@ -6422,6 +6517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hotspots": q_value_hotspots,
         "points_diameter": q_points_diameter,
         "adaptive_quadtree": q_adaptive_quadtree,
+        "user_top2_cells": q_user_top2_cells,
         "cents_mod_hist": q_cents_mod_hist,
         "region_monthly_revenue": q_region_monthly_revenue,
         "nation_balance": q_nation_balance,
@@ -8677,6 +8773,20 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "FROM nation LEFT JOIN c ON c.k = n_nationkey "
             "LEFT JOIN s ON s.k = n_nationkey "
             "WHERE c.nc IS NOT NULL OR s.ns IS NOT NULL"
+        ),
+        "user_top2_cells": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), c AS (SELECT e.user_id AS user_id, "
+            + derive.tile_cell_sql("q.px", "q.py", TILE_RES)
+            + " AS cell, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events e JOIN q ON e.event_id = q.event_id GROUP BY 1, 2), "
+            "r AS (SELECT user_id, cell, n, ROW_NUMBER() OVER (PARTITION BY "
+            "user_id ORDER BY n DESC, cell) AS rn FROM c) "
+            "SELECT a.user_id, a.cell AS cell_1, a.n AS n_1, "
+            "b.cell AS cell_2, b.n AS n_2 "
+            "FROM r a JOIN r b ON a.user_id = b.user_id "
+            "AND a.rn = 1 AND b.rn = 2"
         ),
         "adaptive_quadtree": _adaptive_quadtree_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES, 64
