@@ -1598,6 +1598,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
 
+    def q_trend_movers(sf):
+        # biggest movers: top-20 tiles by |late − early| activity swing
+        # — pruned global top-k over the cell_trend stream
+        import pyarrow as pa
+        from python_prtree_ray.pipelines.merge import global_topk
+        from python_prtree_ray.pipelines.movement import cell_trend
+
+        trend = cell_trend(_event_tracks(sf, TILE_RES), res=TILE_RES)
+
+        def absd(tbl: pa.Table) -> pa.Table:
+            d = tbl.column("delta").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cell": tbl.column("cell"),
+                    "abs_delta": np.abs(d),
+                }
+            )
+
+        return global_topk(
+            trend.map_batches(absd, batch_format="pyarrow", zero_copy_batch=True),
+            k=20,
+            id_col="cell",
+            value_col="abs_delta",
+        ).select_columns(["cell", "abs_delta", "rank"])
+
+    def q_type_run_hist(sf):
+        # burst structure: histogram of run LENGTHS of consecutive
+        # same-type events per user (the distributional sibling of
+        # max_dwell_run's per-user max) — islands fold, tiny sum
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "bucket": bucket_of(u, 256),
+                    "u": u,
+                    "t": pc.cast(
+                        tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+                    ),
+                    "seq": tbl.column("event_id"),
+                    "cls": tbl.column("event_type"),
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {
+                        "run_len": pa.array([], pa.int64()),
+                        "n_runs": pa.array([], pa.int64()),
+                    }
+                )
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            seq = group.column("seq").to_numpy(zero_copy_only=False)
+            cls = group.column("cls").to_numpy(zero_copy_only=False)
+            order = np.lexsort((seq, t, u))
+            u_s, c_s = u[order], cls[order]
+            new = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.r_[starts, u_s.size]).astype(np.int64)
+            ll, n = np.unique(lens, return_counts=True)
+            return pa.table({"run_len": ll, "n_runs": n.astype(np.int64)})
+
+        folded = (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        return bucketed_sum(folded, key_col="run_len", value_cols=("n_runs",))
+
     def q_home_cells(sf):
         # home-location inference: per-user most-visited tile with the
         # (count DESC, cell ASC) tie-break; exact ints
@@ -6518,6 +6600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_diameter": q_points_diameter,
         "adaptive_quadtree": q_adaptive_quadtree,
         "user_top2_cells": q_user_top2_cells,
+        "trend_movers": q_trend_movers,
+        "type_run_hist": q_type_run_hist,
         "cents_mod_hist": q_cents_mod_hist,
         "region_monthly_revenue": q_region_monthly_revenue,
         "nation_balance": q_nation_balance,
@@ -8773,6 +8857,29 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "FROM nation LEFT JOIN c ON c.k = n_nationkey "
             "LEFT JOIN s ON s.k = n_nationkey "
             "WHERE c.nc IS NOT NULL OR s.ns IS NOT NULL"
+        ),
+        "trend_movers": (
+            "WITH t AS ("
+            + _cell_trend_sql(
+                derive.points_sql("events", "event_id", "event_id"), TILE_RES
+            )
+            + "), r AS (SELECT cell, ABS(delta) AS abs_delta, "
+            "ROW_NUMBER() OVER (ORDER BY ABS(delta) DESC, cell) AS rank "
+            "FROM t) "
+            "SELECT cell, abs_delta, CAST(rank AS BIGINT) AS \"rank\" "
+            "FROM r WHERE rank <= 20"
+        ),
+        "type_run_hist": (
+            "WITH r AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM r), "
+            "runs AS (SELECT CAST(COUNT(*) AS BIGINT) AS run_len FROM s "
+            "GROUP BY user_id, grp) "
+            "SELECT run_len, CAST(COUNT(*) AS BIGINT) AS n_runs "
+            "FROM runs GROUP BY run_len"
         ),
         "user_top2_cells": (
             "WITH q AS ("
