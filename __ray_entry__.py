@@ -1200,6 +1200,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_tile_occupancy_curve(sf):
+        # multi-resolution occupancy profile: distinct occupied tiles
+        # per level 0..TILE_RES — ONE finest-level dedup fold, parents
+        # derived by shifting on the driver (tile-sized metadata)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+        g = 1 << TILE_RES
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            c = np.unique(cell_of_points(p["px"], p["py"], TILE_RES))
+            return pa.table({"cell": c, "one": np.ones(c.size, np.int64)})
+
+        tiles = bucketed_sum(
+            ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("one",),
+        ).take_all()  # finest-level occupied set: tile-sized metadata
+        cell = np.array([r["cell"] for r in tiles], np.int64)
+        ix, iy = cell // g, cell % g
+        out_l, out_n = [], []
+        for l in range(TILE_RES + 1):
+            sh = TILE_RES - l
+            occ = np.unique((ix >> sh) * (1 << l) + (iy >> sh))
+            out_l.append(l)
+            out_n.append(int(occ.size))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "level": pa.array(out_l, pa.int64()),
+                    "n_occupied": pa.array(out_n, pa.int64()),
+                }
+            )
+        )
+
     def q_adaptive_quadtree(sf):
         # capacity-split adaptive binning: every occupied leaf of the
         # cap=64 quadtree over event points (the adaptive tile_pyramid)
@@ -6599,6 +6639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hotspots": q_value_hotspots,
         "points_diameter": q_points_diameter,
         "adaptive_quadtree": q_adaptive_quadtree,
+        "tile_occupancy_curve": q_tile_occupancy_curve,
         "user_top2_cells": q_user_top2_cells,
         "trend_movers": q_trend_movers,
         "type_run_hist": q_type_run_hist,
@@ -8894,6 +8935,19 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "b.cell AS cell_2, b.n AS n_2 "
             "FROM r a JOIN r b ON a.user_id = b.user_id "
             "AND a.rn = 1 AND b.rn = 2"
+        ),
+        "tile_occupancy_curve": (
+            "WITH p0 AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + ") "
+            + " UNION ALL ".join(
+                "SELECT CAST({l} AS BIGINT) AS level, "
+                "CAST(COUNT(DISTINCT {cell}) AS BIGINT) AS n_occupied "
+                "FROM p0".format(
+                    l=l, cell=derive.tile_cell_sql("px", "py", l)
+                )
+                for l in range(TILE_RES + 1)
+            )
         ),
         "adaptive_quadtree": _adaptive_quadtree_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES, 64
