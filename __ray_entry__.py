@@ -4672,6 +4672,564 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_cols=("n_customers",),
         )
 
+    def q_discount_revenue(sf):
+        # TPC-H Q6 shape: pure filtered aggregate — revenue forgone on
+        # mid-band discounts in a one-year ship window, in exact
+        # cents×basis-point ints (1e-4 dollars) so the distributed sum
+        # is order-independent and oracle-exact. One partial row per
+        # batch leaves the map; the driver folds the metadata-sized
+        # partials in Python bigints (no int64 ceiling at any corpus
+        # size).
+        import pyarrow as pa
+        import ray
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        lo = np.datetime64("1996-01-01", "us")
+        hi = np.datetime64("1997-01-01", "us")
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            sd = tbl.column("l_shipdate").to_numpy(zero_copy_only=False)
+            disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+            qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            bp = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+            keep = (sd >= lo) & (sd < hi) & (bp >= 2) & (bp <= 6) & (qty < 24.0)
+            cents = np.floor(ep[keep] * 100.0).astype(np.int64)
+            return pa.table(
+                {
+                    "revenue_e4": pa.array(
+                        [int(np.sum(cents * bp[keep]))], pa.int64()
+                    ),
+                    "n_items": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        rows = li.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "revenue_e4": pa.array(
+                        [sum(int(r["revenue_e4"]) for r in rows)], pa.int64()
+                    ),
+                    "n_items": pa.array(
+                        [sum(int(r["n_items"]) for r in rows)], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def q_nation_trade_pairs(sf):
+        # TPC-H Q7 shape: bilateral trade volume by (supplier nation,
+        # customer nation, ship year). Both nation attachments are
+        # broadcast dim lookups (supplier and customer never shuffle);
+        # the ONE all-to-all is the co-partitioned lineitem⋈orders hash
+        # join; the (s, c, year) rollup packs into a single int key and
+        # folds map-side, so only ≤ nations²×years partial rows reach
+        # the final tiny exchange.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        sup = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+        if nk.max() >= 32:
+            raise ValueError("nation_trade_pairs: nationkey packing needs < 32")
+        names = dict(zip(nk.tolist(), nat.column("n_name").to_pylist()))
+
+        li = broadcast_lookup(
+            ray.data.read_parquet(
+                f"{sf}/lineitem.parquet",
+                columns=[
+                    "l_orderkey",
+                    "l_suppkey",
+                    "l_shipdate",
+                    "l_extendedprice",
+                    "l_discount",
+                ],
+            ),
+            sup,
+            on="l_suppkey",
+            small_on="s_suppkey",
+            carry_cols=("s_nationkey",),
+        )
+
+        def li_map(tbl: pa.Table) -> pa.Table:
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            bp = np.floor(
+                tbl.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+                + 0.5
+            ).astype(np.int64)
+            cents = np.floor(ep * 100.0).astype(np.int64)
+            sd = tbl.column("l_shipdate").to_numpy(zero_copy_only=False)
+            year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table(
+                {
+                    "l_orderkey": tbl.column("l_orderkey"),
+                    "supp": tbl.column("s_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "year": year,
+                    "rev_e4": cents * (100 - bp),
+                }
+            )
+
+        li2 = li.map_batches(
+            li_map, batch_format="pyarrow", zero_copy_batch=True
+        )
+        orders = broadcast_lookup(
+            ray.data.read_parquet(
+                f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+            ),
+            cust,
+            on="o_custkey",
+            small_on="c_custkey",
+            carry_cols=("c_nationkey",),
+        )
+
+        def ord_map(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey"),
+                    "custn": tbl.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+
+        joined = hash_equi_join(
+            li2,
+            orders.map_batches(
+                ord_map, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols=("supp", "year", "rev_e4"),
+            right_cols=("custn",),
+        )
+
+        def pack_partial(tbl: pa.Table) -> pa.Table:
+            supp = tbl.column("supp").to_numpy(zero_copy_only=False)
+            custn = tbl.column("custn").to_numpy(zero_copy_only=False)
+            year = tbl.column("year").to_numpy(zero_copy_only=False)
+            rev = tbl.column("rev_e4").to_numpy(zero_copy_only=False)
+            keep = supp != custn
+            key = ((supp[keep] * 32 + custn[keep]) * 4096) + year[keep]
+            rev = rev[keep]
+            order = np.argsort(key, kind="stable")
+            ks, rs = key[order], rev[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {"pk": ks[starts], "revenue_e4": np.add.reduceat(rs, starts)}
+            )
+
+        summed = bucketed_sum(
+            joined.map_batches(
+                pack_partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="pk",
+            value_cols=("revenue_e4",),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            pk = tbl.column("pk").to_numpy(zero_copy_only=False)
+            sc = pk // 4096 // 32
+            cc = (pk // 4096) % 32
+            return pa.table(
+                {
+                    "supp_nation": pa.array(
+                        [names[int(s)] for s in sc], pa.string()
+                    ),
+                    "cust_nation": pa.array(
+                        [names[int(c)] for c in cc], pa.string()
+                    ),
+                    "year": pk % 4096,
+                    "revenue_e4": tbl.column("revenue_e4"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_segment_order_dist(sf):
+        # TPC-H Q13 shape: orders-per-customer distribution split by
+        # market segment, INCLUDING zero-order customers — the
+        # left-join histogram. Order counts fold map-side; the zero
+        # bins come from per-segment customer totals minus
+        # customers-seen (both metadata-sized), so neither the customer
+        # table nor the raw orders ever shuffle.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        segs = sorted(set(cust.column("c_mktsegment").to_pylist()))
+        seg_code = {s: i for i, s in enumerate(segs)}
+        seg_col = np.array(
+            [seg_code[s] for s in cust.column("c_mktsegment").to_pylist()],
+            np.int64,
+        )
+        cust = cust.append_column("seg", pa.array(seg_col))
+        seg_totals = np.bincount(seg_col, minlength=len(segs))
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            k, n = np.unique(
+                tbl.column("o_custkey").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"o_custkey": k, "n_orders": n.astype(np.int64)})
+
+        per_cust = bucketed_sum(
+            orders.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="o_custkey",
+            value_cols=("n_orders",),
+        )
+        enriched = broadcast_lookup(
+            per_cust,
+            cust,
+            on="o_custkey",
+            small_on="c_custkey",
+            carry_cols=("seg",),
+        )
+
+        def hist_partial(tbl: pa.Table) -> pa.Table:
+            seg = tbl.column("seg").to_numpy(zero_copy_only=False)
+            n = tbl.column("n_orders").to_numpy(zero_copy_only=False)
+            key = seg * (1 << 32) + n
+            k, c = np.unique(key, return_counts=True)
+            return pa.table({"sk": k, "n_customers": c.astype(np.int64)})
+
+        hist = bucketed_sum(
+            enriched.map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="sk",
+            value_cols=("n_customers",),
+        ).take_all()  # ≤ segments × max-orders-per-customer: metadata
+        sk = np.array([r["sk"] for r in hist], np.int64)
+        nc = np.array([r["n_customers"] for r in hist], np.int64)
+        seg_out = (sk >> 32).tolist()
+        n_out = (sk & ((1 << 32) - 1)).tolist()
+        c_out = nc.tolist()
+        seen = np.bincount((sk >> 32), weights=nc, minlength=len(segs)).astype(
+            np.int64
+        )
+        for i, s in enumerate(segs):
+            zero = int(seg_totals[i] - seen[i])
+            if zero > 0:
+                seg_out.append(i)
+                n_out.append(0)
+                c_out.append(zero)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array(
+                        [segs[i] for i in seg_out], pa.string()
+                    ),
+                    "n_orders": pa.array(n_out, pa.int64()),
+                    "n_customers": pa.array(c_out, pa.int64()),
+                }
+            )
+        )
+
+    def q_small_qty_revenue(sf):
+        # TPC-H Q17 shape: revenue on below-one-fifth-of-average
+        # quantity lineitems for one brand's parts. The per-part
+        # average is an exact integer cross-multiply (5·n·qty < Σqty —
+        # no division), folded in ONE pass over the brand-filtered
+        # stream and broadcast back (one brand's part list is
+        # dim-sized); the second streaming pass filters and sums cents
+        # map-side.
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.lookup import broadcast_lookup
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        part = pq.read_table(
+            f"{sf}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        keys = part.filter(
+            _pc.equal(part.column("p_brand"), "Brand#1")
+        ).select(["p_partkey"])
+
+        def brand_li(cols):
+            return broadcast_lookup(
+                ray.data.read_parquet(f"{sf}/lineitem.parquet", columns=cols),
+                keys,
+                on="l_partkey",
+                small_on="p_partkey",
+            )
+
+        def stat_partial(tbl: pa.Table) -> pa.Table:
+            k = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            q = np.floor(
+                tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            order = np.argsort(k, kind="stable")
+            ks, qs = k[order], q[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "l_partkey": ks[starts],
+                    "n": np.diff(np.r_[starts, ks.size]).astype(np.int64),
+                    "sq": np.add.reduceat(qs, starts),
+                }
+            )
+
+        stats = bucketed_sum(
+            brand_li(["l_partkey", "l_quantity"]).map_batches(
+                stat_partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="l_partkey",
+            value_cols=("n", "sq"),
+        ).take_all()  # one row per brand part: dim-sized
+        sk = np.array([r["l_partkey"] for r in stats], np.int64)
+        sn = np.array([r["n"] for r in stats], np.int64)
+        ssq = np.array([r["sq"] for r in stats], np.int64)
+        order = np.argsort(sk, kind="stable")
+        ref = ray.put((sk[order], sn[order], ssq[order]))
+
+        def below_partial(tbl: pa.Table) -> pa.Table:
+            kk, nn, qq = ray.get(ref)
+            k = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            q = np.floor(
+                tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            cents = np.floor(
+                tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            pos = np.searchsorted(kk, k)  # every key survived the same gate
+            keep = (5 * nn[pos] * q) < qq[pos]
+            ks, cs = k[keep], cents[keep]
+            order = np.argsort(ks, kind="stable")
+            ks, cs = ks[order], cs[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "p_partkey": ks[starts],
+                    "below_cents": np.add.reduceat(cs, starts),
+                    "n_below": np.diff(np.r_[starts, ks.size]).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        return bucketed_sum(
+            brand_li(["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+                below_partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="p_partkey",
+            value_cols=("below_cents", "n_below"),
+        )
+
+    def q_large_orders(sf):
+        # TPC-H Q18 shape: large-volume orders — per-order quantity
+        # fold map-side, threshold filter, then ONE co-partitioned hash
+        # join back to orders for the customer and price columns (the
+        # surviving set is selectivity-bound, so it stays a big-big
+        # join rather than an assumed-broadcastable side).
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            k = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+            q = np.floor(
+                tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            order = np.argsort(k, kind="stable")
+            ks, qs = k[order], q[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "o_orderkey": ks[starts],
+                    "total_qty": np.add.reduceat(qs, starts),
+                }
+            )
+
+        sums = bucketed_sum(
+            li.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="o_orderkey",
+            value_cols=("total_qty",),
+        )
+
+        def thresh(tbl: pa.Table) -> pa.Table:
+            tq = tbl.column("total_qty").to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(tq > 150))
+
+        def ord_map(tbl: pa.Table) -> pa.Table:
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey"),
+                    "o_custkey": tbl.column("o_custkey"),
+                    "price_cents": cents,
+                }
+            )
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).map_batches(ord_map, batch_format="pyarrow", zero_copy_batch=True)
+        return hash_equi_join(
+            sums.map_batches(
+                thresh, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            orders,
+            on="o_orderkey",
+            left_cols=("total_qty",),
+            right_cols=("o_custkey", "price_cents"),
+        )
+
+    def q_promo_revenue(sf):
+        # TPC-H Q14 shape: promotional revenue share by ship month —
+        # the PROMO part-key set broadcasts once via ray.put (parts
+        # never shuffle), each batch folds to ≤ n-months rows of
+        # (promo, total) int partials, and the share stays a pair of
+        # exact ints (no decimal division to mismatch).
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        part = pq.read_table(
+            f"{sf}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        pk = np.sort(
+            part.filter(_pc.equal(part.column("p_type"), "PROMO"))
+            .column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ref = ray.put(pk)
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=[
+                "l_partkey",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            k = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, k)
+            hit = (pos < keys.size) & (
+                keys[np.minimum(pos, keys.size - 1)] == k
+            )
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            bp = np.floor(
+                tbl.column("l_discount").to_numpy(zero_copy_only=False)
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            rev = np.floor(ep * 100.0).astype(np.int64) * (100 - bp)
+            mo = (
+                tbl.column("l_shipdate")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[M]")
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            order = np.argsort(mo, kind="stable")
+            ms, rs, hs = mo[order], rev[order], hit[order]
+            starts = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1]])
+            return pa.table(
+                {
+                    "month_us": ms[starts],
+                    "promo_e4": np.add.reduceat(np.where(hs, rs, 0), starts),
+                    "total_e4": np.add.reduceat(rs, starts),
+                }
+            )
+
+        summed = bucketed_sum(
+            li.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="month_us",
+            value_cols=("promo_e4", "total_e4"),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            m = tbl.column("month_us").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "month": pa.array(
+                        m.astype("datetime64[us]"), pa.timestamp("us")
+                    ),
+                    "promo_e4": tbl.column("promo_e4"),
+                    "total_e4": tbl.column("total_e4"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_typo_pairs(sf):
         # fuzzy vocabulary join: every word pair at edit distance
         # exactly 1 via deletion-neighborhood blocking + exact verify
@@ -6640,6 +7198,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_diameter": q_points_diameter,
         "adaptive_quadtree": q_adaptive_quadtree,
         "tile_occupancy_curve": q_tile_occupancy_curve,
+        "discount_revenue": q_discount_revenue,
+        "nation_trade_pairs": q_nation_trade_pairs,
+        "segment_order_dist": q_segment_order_dist,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "promo_revenue": q_promo_revenue,
         "user_top2_cells": q_user_top2_cells,
         "trend_movers": q_trend_movers,
         "type_run_hist": q_type_run_hist,
@@ -8935,6 +9499,76 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "b.cell AS cell_2, b.n AS n_2 "
             "FROM r a JOIN r b ON a.user_id = b.user_id "
             "AND a.rn = 1 AND b.rn = 2"
+        ),
+        "discount_revenue": (
+            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) "
+            "* CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4, CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) "
+            "BETWEEN 2 AND 6 AND l_quantity < 24.0"
+        ),
+        "nation_trade_pairs": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS year, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))) "
+            "AS BIGINT) AS revenue_e4 "
+            "FROM lineitem "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = supplier.s_nationkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = customer.c_nationkey "
+            "WHERE sn.n_nationkey <> cn.n_nationkey "
+            "GROUP BY 1, 2, 3"
+        ),
+        "segment_order_dist": (
+            "WITH c AS (SELECT c_mktsegment, c_custkey, "
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY 1, 2) "
+            "SELECT c_mktsegment, n_orders, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM c GROUP BY 1, 2"
+        ),
+        "small_qty_revenue": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(FLOOR(l_quantity) AS BIGINT) AS q, "
+            "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents "
+            "FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')), "
+            "s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(q) AS BIGINT) AS sq FROM l GROUP BY 1) "
+            "SELECT l.l_partkey AS p_partkey, "
+            "CAST(SUM(cents) AS BIGINT) AS below_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_below "
+            "FROM l JOIN s ON l.l_partkey = s.l_partkey "
+            "WHERE 5 * n * q < sq GROUP BY 1"
+        ),
+        "large_orders": (
+            "WITH s AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS total_qty FROM lineitem GROUP BY 1) "
+            "SELECT o_orderkey, total_qty, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_cents "
+            "FROM s JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE total_qty > 150"
+        ),
+        "promo_revenue": (
+            "SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) "
+            "AS month, "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) "
+            "ELSE 0 END) AS BIGINT) AS promo_e4, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))) "
+            "AS BIGINT) AS total_e4 "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "GROUP BY 1"
         ),
         "tile_occupancy_curve": (
             "WITH p0 AS ("
