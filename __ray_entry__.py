@@ -5230,6 +5230,215 @@ def queries() -> dict[str, Callable[[str], Any]]:
             decode, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def q_benford_hist(sf):
+        # pricing-pattern audit, Benford flavor: distribution of the
+        # LEADING digit of order totals (in exact cents) — the fraud /
+        # synthetic-data screen companion of cents_mod_hist. The digit
+        # comes from an integer→string slice (no log10, so both sides
+        # are exact on every value)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_totalprice"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            digit = (
+                pc.cast(
+                    pc.utf8_slice_codeunits(
+                        pc.cast(pa.array(cents), pa.string()), 0, 1
+                    ),
+                    pa.int64(),
+                )
+                .to_numpy(zero_copy_only=False)
+            )
+            d, c = np.unique(digit, return_counts=True)
+            return pa.table({"digit": d, "n_orders": c.astype(np.int64)})
+
+        return bucketed_sum(
+            orders.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="digit",
+            value_cols=("n_orders",),
+        )
+
+    def q_user_max_drawdown(sf):
+        # account-balance risk profile: per-user maximum drawdown of the
+        # signed cumulative flow (purchase/signup credit, everything
+        # else debit, exact cents). ONE user-bucket shuffle of
+        # fixed-width ints; the fold is a segmented prefix sum + a
+        # segmented Hillis–Steele prefix max (no per-user Python)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type", "value"],
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+            credit = (et == "purchase") | (et == "signup")
+            return pa.table(
+                {
+                    "bucket": bucket_of(u, 256),
+                    "u": u,
+                    "t": pc.cast(
+                        tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+                    ),
+                    "seq": tbl.column("event_id"),
+                    "d": np.where(credit, cents, -cents),
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            if u.size == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "max_drawdown_cents": pa.array([], pa.int64()),
+                    }
+                )
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            seq = group.column("seq").to_numpy(zero_copy_only=False)
+            d = group.column("d").to_numpy(zero_copy_only=False)
+            order = np.lexsort((seq, t, u))
+            u_s, d_s = u[order], d[order]
+            n = u_s.size
+            cumg = np.cumsum(d_s)
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            lens = np.diff(np.r_[starts, n])
+            base = np.repeat(np.r_[0, cumg[starts[1:] - 1]], lens)
+            cum = cumg - base
+            # segmented inclusive prefix max (Hillis–Steele doubling)
+            run = cum.copy()
+            step = 1
+            lo = np.iinfo(np.int64).min
+            while step < n:
+                valid = u_s[step:] == u_s[:-step]
+                np.maximum(
+                    run[step:],
+                    np.where(valid, run[:-step], lo),
+                    out=run[step:],
+                )
+                step *= 2
+            dd = run - cum
+            return pa.table(
+                {
+                    "user_id": u_s[starts],
+                    "max_drawdown_cents": np.maximum.reduceat(dd, starts),
+                }
+            )
+
+        return (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+
+    def q_gram_novelty(sf):
+        # corpus-ordered novelty: share of each doc's distinct bigrams
+        # first seen (min doc_id) in that doc — incremental-dump
+        # curation diagnostic; text never shuffles
+        import ray
+        from python_prtree_ray.pipelines.curation import gram_novelty
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return gram_novelty(docs, n=2)
+
+    def q_knn_hubness(sf):
+        # NN-graph hubness: in-degree distribution of the 1-NN digraph
+        # over customer points — composition over the existing nn_pairs
+        # stream (never collected): in-degree fold + tiny histogram sum
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.knn import nn_pairs
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        nn = nn_pairs(tables.points_dataset(sf))
+
+        def deg_partial(tbl: pa.Table) -> pa.Table:
+            k, c = np.unique(
+                tbl.column("nn_id").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"nn_id": k, "indegree": c.astype(np.int64)})
+
+        deg = bucketed_sum(
+            nn.map_batches(
+                deg_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="nn_id",
+            value_cols=("indegree",),
+        )
+
+        def hist_partial(tbl: pa.Table) -> pa.Table:
+            k, c = np.unique(
+                tbl.column("indegree").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({"indegree": k, "n_points": c.astype(np.int64)})
+
+        return bucketed_sum(
+            deg.map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="indegree",
+            value_cols=("n_points",),
+        )
+
+    def q_covisit_triangles(sf):
+        # place-graph clustering structure: node/edge/triangle counts of
+        # the co-visitation tile graph — the distributed pair fold is
+        # q_covisit_tile_pairs; the surviving graph is tile-bounded
+        # (≤ 4^res nodes), so the triangle count is a driver-side
+        # adjacency matmul on metadata
+        import pyarrow as pa
+        import ray
+
+        pairs = q_covisit_tile_pairs(sf).take_all()
+        a = np.array([r["cell_a"] for r in pairs], np.int64)
+        b = np.array([r["cell_b"] for r in pairs], np.int64)
+        nodes = np.unique(np.r_[a, b])
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        m = nodes.size
+        adj = np.zeros((m, m), np.int64)
+        adj[ia, ib] = 1
+        adj[ib, ia] = 1
+        tri = int(np.trace(adj @ adj @ adj) // 6)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_nodes": pa.array([m], pa.int64()),
+                    "n_edges": pa.array([int(a.size)], pa.int64()),
+                    "n_triangles": pa.array([tri], pa.int64()),
+                }
+            )
+        )
+
     def q_typo_pairs(sf):
         # fuzzy vocabulary join: every word pair at edit distance
         # exactly 1 via deletion-neighborhood blocking + exact verify
@@ -7199,6 +7408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quadtree": q_adaptive_quadtree,
         "tile_occupancy_curve": q_tile_occupancy_curve,
         "discount_revenue": q_discount_revenue,
+        "benford_hist": q_benford_hist,
+        "user_max_drawdown": q_user_max_drawdown,
+        "gram_novelty": q_gram_novelty,
+        "knn_hubness": q_knn_hubness,
+        "covisit_triangles": q_covisit_triangles,
         "nation_trade_pairs": q_nation_trade_pairs,
         "segment_order_dist": q_segment_order_dist,
         "small_qty_revenue": q_small_qty_revenue,
@@ -7332,6 +7546,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.curation import (
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
+        gram_novelty_sql as _gram_novelty_sql,
     )
     from python_prtree_ray.pipelines.ann import (
         emb_covariance_sql as _emb_covariance_sql,
@@ -9499,6 +9714,63 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "b.cell AS cell_2, b.n AS n_2 "
             "FROM r a JOIN r b ON a.user_id = b.user_id "
             "AND a.rn = 1 AND b.rn = 2"
+        ),
+        "benford_hist": (
+            "SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100.0) "
+            "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1"
+        ),
+        "user_max_drawdown": (
+            "WITH d AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN event_type IN ('purchase', 'signup') "
+            "THEN CAST(FLOOR(value * 100) AS BIGINT) "
+            "ELSE -CAST(FLOOR(value * 100) AS BIGINT) END AS dc "
+            "FROM events), "
+            "p AS (SELECT user_id, ts, event_id, SUM(dc) OVER w AS cum "
+            "FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "m AS (SELECT user_id, MAX(cum) OVER w - cum AS dd FROM p "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)) "
+            "SELECT user_id, CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents "
+            "FROM m GROUP BY user_id"
+        ),
+        "gram_novelty": _gram_novelty_sql(2),
+        "knn_hubness": f"""
+WITH p AS ({p_cust}),
+d AS (
+  SELECT a.query_id, b.query_id AS nn_id,
+         (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+  FROM p a JOIN p b ON a.query_id <> b.query_id
+),
+r AS (
+  SELECT query_id, nn_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, nn_id) AS rn
+  FROM d
+),
+deg AS (
+  SELECT nn_id, CAST(COUNT(*) AS BIGINT) AS indegree
+  FROM r WHERE rn = 1 GROUP BY nn_id
+)
+SELECT indegree, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM deg GROUP BY indegree
+""",
+        "covisit_triangles": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), d AS (SELECT DISTINCT e.user_id AS u, "
+            + derive.tile_cell_sql("q.px", "q.py", STAY_RES)
+            + " AS cell FROM events e JOIN q ON e.event_id = q.event_id), "
+            "e2 AS (SELECT a.cell AS ca, b.cell AS cb "
+            "FROM d a JOIN d b ON a.u = b.u AND a.cell < b.cell "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 4), "
+            "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM "
+            "(SELECT ca AS c FROM e2 UNION SELECT cb FROM e2)), "
+            "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e2), "
+            "tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM e2 xy JOIN e2 xz ON xz.ca = xy.ca AND xz.cb > xy.cb "
+            "JOIN e2 yz ON yz.ca = xy.cb AND yz.cb = xz.cb) "
+            "SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tr"
         ),
         "discount_revenue": (
             "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) "

@@ -188,7 +188,8 @@ QUERY_SUBSET = (
     "voronoi_cost weekly_active orders_semi_bloom tile_rank_corr "
     "type_dow_chi2 monthly_revenue typo_pairs session_type_pairs value_peaks user_gini label_cohesion label_separation value_ks convert_delay_quantiles activity_autocorr gravity_access cluster_size_hist rolling_wau nation_share daily_new_returning value_mad tile_density_rank order_size_corr event_age_hist robust_outliers tile_turnover reorder_gap_quantiles active_span_quantiles class_adjacency pareto_users tile_net_flow region_count_curve type_centroids activity_decile_purchase recency_hist co_purchase_parts weekly_anomaly lang_confusion value_drift lapsed_customers doc_len_rank session_duration_quantiles tile_peak_hour brand_revenue top_routes seed_catchment covisit_tile_pairs tile_boundary mutual_nn tile_top_visitor hilbert_locality emb_top_eigen supplier_reach_hist hotspot_coverage nation_balance value_hotspots region_monthly_revenue points_diameter cents_mod_hist adaptive_quadtree user_top2_cells trend_movers type_run_hist tile_occupancy_curve"
     " discount_revenue nation_trade_pairs segment_order_dist"
-    " small_qty_revenue large_orders promo_revenue"
+    " small_qty_revenue large_orders promo_revenue benford_hist"
+    " user_max_drawdown gram_novelty knn_hubness covisit_triangles"
 ).split()
 
 

@@ -654,3 +654,121 @@ SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g JOIN gd USING (gram) GROUP BY g.doc_id
 """
+
+
+def gram_novelty(docs: Dataset, n: int = 2, n_buckets: int = 512) -> Dataset:
+    """Per-document n-gram novelty — the corpus-ordered "how much of
+    this doc is new text" diagnostic used when curating incremental
+    training dumps: ``(doc_id, n_distinct, n_new)`` where ``n_distinct``
+    is the doc's DISTINCT word n-gram count and ``n_new`` the distinct
+    grams whose FIRST corpus occurrence (minimum doc_id) is this doc.
+    ``n_new / n_distinct`` is the doc's novelty ratio; docs with < n
+    tokens are absent.
+
+    Scale shape: text never shuffles. Pass 1 collapses each batch to
+    distinct ``(gram_hash, doc_id)`` pairs (63-bit rolling word hashes —
+    same machinery as :func:`decontaminate`); ONE gram-bucket groupby
+    finds each gram's minimum doc AND folds both per-doc counters in the
+    same pass (a gram's pairs all land in its bucket, so the min and the
+    distinct-count are exact there); ONE tiny doc-bucket sum finishes.
+    Same collision caveat as :func:`decontaminate`: the SQL twin
+    compares gram STRINGS, this side 63-bit hashes — expected cross-side
+    divergence ~ G²/2⁶³.
+    """
+    from .merge import bucketed_sum
+    from .text import hash_str_array
+    from ..functions.buckets import bucket_of
+
+    _empty_part = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _empty_part
+        doc_row, codes, dic = doc_token_codes(tbl)
+        word_h = hash_str_array(dic)[codes]
+        gd, gh = _gram_hashes(doc_row, word_h, n)
+        if gd.size == 0:
+            return _empty_part
+        order = np.lexsort((gh, gd))
+        gd, gh = gd[order], gh[order]
+        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        gd, gh = gd[first], gh[first]
+        return pa.table(
+            {
+                "bucket": bucket_of(gh, n_buckets),
+                "gh": gh,
+                "doc_id": ids[gd].astype(np.int64),
+            }
+        )
+
+    _empty_doc = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "n_new": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_doc
+        gh = group.column("gh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, gh))
+        gh, doc = gh[order], doc[order]
+        # collapse same-(gram, doc) pairs from different batches
+        keep = np.r_[True, (gh[1:] != gh[:-1]) | (doc[1:] != doc[:-1])]
+        gh, doc = gh[keep], doc[keep]
+        # rows are unique (gram, doc), doc-sorted within gram: the first
+        # row of each gram run carries the gram's minimum doc
+        g_starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        win = doc[g_starts]
+        du, dc = np.unique(doc, return_counts=True)
+        wu, wc = np.unique(win, return_counts=True)
+        nn = np.zeros(du.size, np.int64)
+        nn[np.searchsorted(du, wu)] = wc  # wu ⊆ du: a winner has ≥1 pair
+        return pa.table(
+            {
+                "doc_id": du,
+                "n_distinct": dc.astype(np.int64),
+                "n_new": nn,
+            }
+        )
+
+    pairs = docs.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = pairs.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+    return bucketed_sum(
+        folded, key_col="doc_id", value_cols=("n_distinct", "n_new")
+    )
+
+
+def gram_novelty_sql(n: int = 2) -> str:
+    """DuckDB twin of :func:`gram_novelty` (gram strings instead of
+    hashes; otherwise the same counts)."""
+    joins = " ".join(
+        f"JOIN w t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{j}.w" for j in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+           FROM documents),
+w AS (SELECT doc_id, l[i] AS w, i AS pos FROM t,
+      LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+g AS (SELECT DISTINCT t0.doc_id, {concat} AS gram
+      FROM w t0 {joins}),
+m AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new
+FROM g JOIN m USING (gram) GROUP BY g.doc_id
+"""

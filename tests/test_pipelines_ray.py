@@ -6902,3 +6902,49 @@ def test_adaptive_quadtree_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_gram_novelty_matches_bruteforce(ray_session):
+    # first-corpus-occurrence bigram novelty vs a python reference;
+    # partition-invariant
+    ray = ray_session
+    from python_prtree_ray.pipelines.curation import gram_novelty
+
+    rng = np.random.default_rng(29)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts, n_docs, n = [], 60, 2
+    for i in range(n_docs):
+        toks = [vocab[v] for v in rng.integers(0, len(vocab), rng.integers(2, 14))]
+        texts.append(" ".join(toks))
+    texts[9] = texts[2]  # a full late duplicate: zero novelty
+    texts[0] = "alpha beta gamma delta"  # early doc wins its grams
+    ids = np.arange(n_docs, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "text": texts})
+
+    first_doc = {}
+    doc_grams = {}
+    for i, tx in enumerate(texts):
+        toks = tx.split()
+        gs = {tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        doc_grams[i] = gs
+        for g_ in gs:
+            first_doc[g_] = min(first_doc.get(g_, i), i)
+    want = {
+        int(ids[i]): (len(gs), sum(1 for g_ in gs if first_doc[g_] == i))
+        for i, gs in doc_grams.items()
+        if gs
+    }
+    assert want[9][1] == 0 or texts[9] != texts[2]
+    assert any(v[1] > 0 for v in want.values())
+
+    prev = None
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            r["doc_id"]: (r["n_distinct"], r["n_new"])
+            for r in gram_novelty(ds, n=n).take_all()
+        }
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
