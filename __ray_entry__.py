@@ -7229,6 +7229,323 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = ann.ann_pq_topk(emb, qv, qids, k=ANN_K)
         return res.select_columns(["query_id", "vec_id", "rank"])
 
+    def q_part_supplier_counts(sf):
+        # TPC-H Q16 shape: COUNT(DISTINCT supplier) per surviving part
+        # group. The part dimension filters down to a driver-side group
+        # map (dim-sized, broadcast once via ray.put); lineitem probes it
+        # per batch and emits DEDUPED (group<<32 | suppkey) int keys —
+        # ONE coarse-bucket shuffle of ints carries the distinct set, a
+        # second metadata-sized fold counts per group. Raw fact rows
+        # never shuffle; suppkey < 2^32 is the packing contract.
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        part = ray.data.read_parquet(
+            f"{sf}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        )
+
+        def dim_filter(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sz = tbl.column("p_size").to_numpy(zero_copy_only=False)
+            keep_sz = np.isin(sz, np.array([1, 4, 9, 14, 19, 24, 29, 34]))
+            keep_br = pc.not_equal(
+                tbl.column("p_brand"), "Brand#13"
+            ).to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(keep_sz & keep_br))
+
+        dim_rows = part.map_batches(
+            dim_filter, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        pk = np.array([r["p_partkey"] for r in dim_rows], np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        brands = np.array([r["p_brand"] for r in dim_rows], object)[order]
+        types = np.array([r["p_type"] for r in dim_rows], object)[order]
+        sizes = np.array([r["p_size"] for r in dim_rows], np.int64)[order]
+        # distinct suppliers count per (brand, type, size) GROUP, not per
+        # part row — several partkeys can share one group
+        combo = np.array(
+            [f"{b}\x1f{t}\x1f{s}" for b, t, s in zip(brands, types, sizes)],
+            object,
+        )
+        uniq_combo, part_gid = np.unique(combo, return_inverse=True)
+        first_of_gid = np.zeros(uniq_combo.size, np.int64)
+        seen = np.zeros(uniq_combo.size, bool)
+        for i, g in enumerate(part_gid):
+            if not seen[g]:
+                seen[g] = True
+                first_of_gid[g] = i
+        ref_pk = ray.put((pk, part_gid.astype(np.int64)))
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+
+        def probe(tbl: pa.Table) -> pa.Table:
+            keys, gid_of = ray.get(ref_pk)
+            lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, lp)
+            pos[pos == keys.size] = 0
+            hit = keys[pos] == lp
+            k = np.unique((gid_of[pos[hit]] << 32) | ls[hit])
+            return pa.table({"k": k, "one": np.ones(k.size, np.int64)})
+
+        pairs = bucketed_sum(
+            li.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="k",
+            value_cols=("one",),
+            reduce="min",
+        )
+
+        def to_gid(tbl: pa.Table) -> pa.Table:
+            k = tbl.column("k").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"gid": k >> 32, "n": np.ones(k.size, np.int64)}
+            )
+
+        counts = bucketed_sum(
+            pairs.map_batches(to_gid, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="gid",
+            value_cols=("n",),
+        ).take_all()
+        gid = np.array([r["gid"] for r in counts], np.int64)
+        n = np.array([r["n"] for r in counts], np.int64)
+        rep = first_of_gid[gid]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "p_brand": pa.array(brands[rep], pa.string()),
+                    "p_type": pa.array(types[rep], pa.string()),
+                    "p_size": pa.array(sizes[rep], pa.int64()),
+                    "supplier_cnt": pa.array(n, pa.int64()),
+                }
+            )
+        )
+
+    def q_bracket_revenue(sf):
+        # TPC-H Q19 shape: disjunctive (brand, size-band, quantity-band)
+        # revenue over lineitem × part. The part dim folds to three
+        # sorted partkey arrays (one per bracket) broadcast once; each
+        # lineitem batch evaluates all three brackets vectorized and
+        # emits ONE exact-int partial row (cents × (100-discount_bp)),
+        # driver-folded in Python bigints — order-independent at any
+        # corpus size.
+        import pyarrow as pa
+        import ray
+
+        BRACKETS = (
+            ("Brand#12", 1, 5, 1.0, 11.0),
+            ("Brand#23", 1, 10, 10.0, 20.0),
+            ("Brand#3", 1, 15, 20.0, 30.0),
+        )
+        part = ray.data.read_parquet(
+            f"{sf}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+
+        def dim(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sz = tbl.column("p_size").to_numpy(zero_copy_only=False)
+            out_k, out_b = [], []
+            for bi, (brand, lo, hi, _, _) in enumerate(BRACKETS):
+                m = (
+                    pc.equal(tbl.column("p_brand"), brand).to_numpy(
+                        zero_copy_only=False
+                    )
+                    & (sz >= lo)
+                    & (sz <= hi)
+                )
+                out_k.append(
+                    tbl.column("p_partkey").to_numpy(zero_copy_only=False)[m]
+                )
+                out_b.append(np.full(int(m.sum()), bi, np.int64))
+            return pa.table(
+                {
+                    "pk": np.concatenate(out_k),
+                    "bracket": np.concatenate(out_b),
+                }
+            )
+
+        dim_rows = part.map_batches(
+            dim, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        per_bracket = []
+        for bi in range(len(BRACKETS)):
+            ks = np.sort(
+                np.array(
+                    [r["pk"] for r in dim_rows if r["bracket"] == bi], np.int64
+                )
+            )
+            per_bracket.append(ks)
+        ref_br = ray.put(per_bracket)
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            brs = ray.get(ref_br)
+            lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+            keep = np.zeros(lp.size, bool)
+            for ks, (_, _, _, qlo, qhi) in zip(brs, BRACKETS):
+                if ks.size == 0:
+                    continue
+                pos = np.searchsorted(ks, lp)
+                pos[pos == ks.size] = 0
+                keep |= (ks[pos] == lp) & (qty >= qlo) & (qty <= qhi)
+            cents = np.floor(ep[keep] * 100.0).astype(np.int64)
+            bp = np.floor(disc[keep] * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "revenue_e4": pa.array(
+                        [int(np.sum(cents * (100 - bp)))], pa.int64()
+                    ),
+                    "n_items": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        rows = li.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "revenue_e4": pa.array(
+                        [sum(int(r["revenue_e4"]) for r in rows)], pa.int64()
+                    ),
+                    "n_items": pa.array(
+                        [sum(int(r["n_items"]) for r in rows)], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def q_sales_opportunity(sf):
+        # TPC-H Q22 shape: per-nation count + balance of rich-but-idle
+        # customers (above the positive-balance mean, no URGENT order —
+        # the synthetic orders table covers every custkey, so the
+        # anti-join gates on the urgent subset to stay non-degenerate).
+        # The mean threshold is exact: per-batch int cent partials fold
+        # on the driver, and the filter compares cents*n > total (pure
+        # BIGINT on both sides — no float mean). The never-urgent set
+        # comes from the distinct-o_custkey fold (ONE int-pair shuffle),
+        # broadcast sorted for a vectorized anti-probe of the dim.
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+
+        def pos_partial(tbl: pa.Table) -> pa.Table:
+            bal = tbl.column("c_acctbal").to_numpy(zero_copy_only=False)
+            cents = np.floor(bal[bal > 0.0] * 100.0).astype(np.int64)
+            return pa.table(
+                {
+                    "s": pa.array([int(cents.sum())], pa.int64()),
+                    "n": pa.array([cents.size], pa.int64()),
+                }
+            )
+
+        parts = cust.map_batches(
+            pos_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        total = sum(int(r["s"]) for r in parts)
+        n_pos = sum(int(r["n"]) for r in parts)
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+
+        def distinct_cust(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            urgent = pc.equal(
+                tbl.column("o_orderpriority"), "1-URGENT"
+            ).to_numpy(zero_copy_only=False)
+            k = np.unique(
+                tbl.column("o_custkey").to_numpy(zero_copy_only=False)[urgent]
+            )
+            return pa.table({"k": k, "one": np.ones(k.size, np.int64)})
+
+        keys = bucketed_sum(
+            orders.map_batches(
+                distinct_cust, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="k",
+            value_cols=("one",),
+            reduce="min",
+        )
+        have = []
+        for ref in keys.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                have.append(t.column("k").to_numpy(zero_copy_only=False))
+        have_sorted = (
+            np.sort(np.concatenate(have)) if have else np.zeros(0, np.int64)
+        )
+        ref_have = ray.put(have_sorted)
+
+        def nation_partial(tbl: pa.Table) -> pa.Table:
+            ordered = ray.get(ref_have)
+            ck = tbl.column("c_custkey").to_numpy(zero_copy_only=False)
+            nk = tbl.column("c_nationkey").to_numpy(zero_copy_only=False)
+            bal = tbl.column("c_acctbal").to_numpy(zero_copy_only=False)
+            cents = np.floor(bal * 100.0).astype(np.int64)
+            rich = cents * n_pos > total
+            pos = np.searchsorted(ordered, ck)
+            pos[pos == ordered.size] = 0 if ordered.size else 0
+            never = (
+                ordered[pos] != ck if ordered.size else np.ones(ck.size, bool)
+            )
+            m = rich & never
+            nk_m, cents_m = nk[m].astype(np.int64), cents[m]
+            o = np.argsort(nk_m, kind="stable")
+            nk_s, c_s = nk_m[o], cents_m[o]
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            if nk_s.size == 0:
+                starts = np.zeros(0, np.int64)
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(nk_s[starts], pa.int64()),
+                    "numcust": pa.array(
+                        np.diff(np.r_[starts, nk_s.size]), pa.int64()
+                    ),
+                    "totacctbal_cents": pa.array(
+                        np.add.reduceat(c_s, starts)
+                        if nk_s.size
+                        else np.zeros(0, np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        partials = cust.map_batches(
+            nation_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        )
+        return bucketed_sum(
+            partials,
+            key_col="c_nationkey",
+            value_cols=("numcust", "totacctbal_cents"),
+            n_buckets=32,
+        )
+
     return {
         "spatial_join": q_spatial_join,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -7504,6 +7821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_pairs": q_nn_pairs,
         "grouped_moments": q_grouped_moments,
         "value_histogram": q_value_histogram,
+        "part_supplier_counts": q_part_supplier_counts,
+        "bracket_revenue": q_bracket_revenue,
+        "sales_opportunity": q_sales_opportunity,
     }
 
 
@@ -10089,6 +10409,41 @@ WITH c AS (
 SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
 FROM c GROUP BY event_type, bin
 """,
+        "part_supplier_counts": (
+            "SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_brand <> 'Brand#13' "
+            "AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "bracket_revenue": (
+            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) "
+            "* (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))) "
+            "AS BIGINT) AS revenue_e4, CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 "
+            "AND l.l_quantity BETWEEN 1.0 AND 11.0) "
+            "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 "
+            "AND l.l_quantity BETWEEN 10.0 AND 20.0) "
+            "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 "
+            "AND l.l_quantity BETWEEN 20.0 AND 30.0)"
+        ),
+        "sales_opportunity": (
+            "WITH pos AS (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) "
+            "AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n FROM customer "
+            "WHERE c_acctbal > 0.0), "
+            "have AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS totacctbal_cents "
+            "FROM customer, pos "
+            "WHERE CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) * pos.n > pos.s "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM have) "
+            "GROUP BY 1"
+        ),
         # simhash / minhash_pairs / embedding_neardup / ann_lsh / kmeans:
         # algorithm-defined (hash-seeded / approximate / iterative)
         # outputs with no ANSI-SQL equivalent → rows-only check.
