@@ -7546,6 +7546,137 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_buckets=32,
         )
 
+    def q_user_burstiness(sf):
+        # inter-arrival burstiness B = (σ−μ)/(σ+μ) per user, from EXACT
+        # integer gap moments (whole-second truncation, Σd and Σd² in
+        # int64): ONE user-bucket shuffle of fixed-width ints, segmented
+        # diff/reduceat fold, then B as a single fixed double expression
+        # of the exact ints — bitwise-matching the SQL twin. Per-user
+        # event counts are bounded (product-analytics contract), so the
+        # int64 Σd² headroom (~10⁶ gaps × year²-seconds) always holds.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": bucket_of(u, 256),
+                    "u": u,
+                    "tsec": us // 1_000_000,
+                    "seq": tbl.column("event_id"),
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            empty = pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "burstiness": pa.array([], pa.float64()),
+                }
+            )
+            if u.size == 0:
+                return empty
+            t = group.column("tsec").to_numpy(zero_copy_only=False)
+            seq = group.column("seq").to_numpy(zero_copy_only=False)
+            order = np.lexsort((seq, t, u))
+            u_s, t_s = u[order], t[order]
+            gap_ok = u_s[1:] == u_s[:-1]
+            d = (t_s[1:] - t_s[:-1])[gap_ok]
+            du = u_s[1:][gap_ok]
+            if du.size == 0:
+                return empty
+            starts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+            s1 = np.add.reduceat(d, starts)
+            s2 = np.add.reduceat(d * d, starts)
+            n = np.diff(np.r_[starts, du.size])
+            keep = s1 > 0
+            s1f = s1[keep].astype(np.float64)
+            s2f = s2[keep].astype(np.float64)
+            nf = n[keep].astype(np.float64)
+            sig = np.sqrt(nf * s2f - s1f * s1f)
+            return pa.table(
+                {
+                    "user_id": pa.array(du[starts][keep], pa.int64()),
+                    "n_gaps": pa.array(n[keep], pa.int64()),
+                    "burstiness": pa.array(
+                        (sig - s1f) / (sig + s1f), pa.float64()
+                    ),
+                }
+            )
+
+        return (
+            ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+
+    def q_daily_cusum(sf):
+        # change-point screen: CUSUM of daily event counts against the
+        # all-days mean, kept EXACT by scaling — cusum_scaled_k =
+        # Σ_{i≤k} (nᵢ·K − T) over observed days in day order (K days,
+        # T events) — pure int64, no float mean. Daily counts fold via
+        # batch partials + ONE coarse-bucket shuffle; the day table is
+        # metadata-sized at any corpus size, so the ordered prefix runs
+        # on the driver.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        DAY_US = 86_400_000_000
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["ts"])
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            us = pc.cast(
+                tbl.column("ts").cast(pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            day = us // DAY_US
+            vals, cnt = np.unique(day, return_counts=True)
+            return pa.table(
+                {"day": vals, "n": cnt.astype(np.int64)}
+            )
+
+        daily = bucketed_sum(
+            ev.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="day",
+            value_cols=("n",),
+            n_buckets=64,
+        ).take_all()
+        day = np.array([r["day"] for r in daily], np.int64)
+        n = np.array([r["n"] for r in daily], np.int64)
+        order = np.argsort(day, kind="stable")
+        day, n = day[order], n[order]
+        kk, t = day.size, int(n.sum())
+        cusum = np.cumsum(n * kk - t)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array(day, pa.int64()),
+                    "n": pa.array(n, pa.int64()),
+                    "cusum_scaled": pa.array(cusum, pa.int64()),
+                }
+            )
+        )
+
     return {
         "spatial_join": q_spatial_join,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -7824,6 +7955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_counts": q_part_supplier_counts,
         "bracket_revenue": q_bracket_revenue,
         "sales_opportunity": q_sales_opportunity,
+        "user_burstiness": q_user_burstiness,
+        "daily_cusum": q_daily_cusum,
     }
 
 
@@ -10443,6 +10576,32 @@ FROM c GROUP BY event_type, bin
             "WHERE CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) * pos.n > pos.s "
             "AND c_custkey NOT IN (SELECT o_custkey FROM have) "
             "GROUP BY 1"
+        ),
+        "user_burstiness": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec, "
+            "event_id FROM events), "
+            "d AS (SELECT user_id, tsec - LAG(tsec) OVER ("
+            "PARTITION BY user_id ORDER BY tsec, event_id) AS d FROM s), "
+            "m AS (SELECT user_id, CAST(COUNT(d) AS BIGINT) AS n_gaps, "
+            "CAST(SUM(d) AS BIGINT) AS s1, CAST(SUM(d * d) AS BIGINT) AS s2 "
+            "FROM d WHERE d IS NOT NULL GROUP BY user_id "
+            "HAVING SUM(d) > 0) "
+            "SELECT user_id, n_gaps, "
+            "(SQRT(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE) "
+            "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+            "- CAST(s1 AS DOUBLE)) / "
+            "(SQRT(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE) "
+            "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+            "+ CAST(s1 AS DOUBLE)) AS burstiness "
+            "FROM m"
+        ),
+        "daily_cusum": (
+            "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "k AS (SELECT COUNT(*) AS kk, SUM(n) AS t FROM c) "
+            "SELECT day, n, CAST(SUM(n * k.kk - k.t) OVER ("
+            "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cusum_scaled FROM c, k"
         ),
         # simhash / minhash_pairs / embedding_neardup / ann_lsh / kmeans:
         # algorithm-defined (hash-seeded / approximate / iterative)
