@@ -1998,6 +1998,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return idw_grid(tables.points_dataset(sf))
 
+    def q_kde_grid(sf):
+        # Epanechnikov kernel density at 16x16 grid nodes; polynomial
+        # kernel (no libm divergence) quantized to int64 per pair ->
+        # exact, order-independent distributed sums
+        from python_prtree_ray.pipelines.interpolate import kde_grid
+
+        return kde_grid(tables.points_dataset(sf))
+
+    def q_empty_space_f(sf):
+        # empty-space F statistic: share of probe-grid nodes with a
+        # data point within r, per radius; nearest distance folded as
+        # min over int64-quantized d^2 (floor is monotone -> exact)
+        from python_prtree_ray.pipelines.interpolate import empty_space_f
+
+        return empty_space_f(tables.points_dataset(sf))
+
     def q_haversine_join(sf):
         # great-circle radius join: customers within 400 km of each
         # supplier; small side broadcast once, latitude-band prefilter
@@ -7701,6 +7717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_ranges": q_hilbert_ranges,
         "tile_quantiles": q_tile_quantiles,
         "idw_grid": q_idw_grid,
+        "kde_grid": q_kde_grid,
+        "empty_space_f": q_empty_space_f,
         "haversine_join": q_haversine_join,
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
@@ -8271,9 +8289,15 @@ FROM s GROUP BY cell
 """
 
     from python_prtree_ray.pipelines.geodesic import haversine_join_sql
-    from python_prtree_ray.pipelines.interpolate import idw_grid_sql
+    from python_prtree_ray.pipelines.interpolate import (
+        empty_space_f_sql,
+        idw_grid_sql,
+        kde_grid_sql,
+    )
 
     idw_grid_sql_q = idw_grid_sql(p_cust)
+    kde_grid_sql_q = kde_grid_sql(p_cust)
+    empty_space_f_sql_q = empty_space_f_sql(p_cust)
     haversine_join_sql_q = haversine_join_sql(p_cust, p_supp)
 
     tile_pyramid_sql = "\nUNION ALL\n".join(
@@ -8893,6 +8917,8 @@ FROM v GROUP BY query_id
         "hilbert_ranges": _hilbert_ranges_sql(p_cust, TILE_RES, 8),
         "tile_quantiles": tile_quantiles_sql,
         "idw_grid": idw_grid_sql_q,
+        "kde_grid": kde_grid_sql_q,
+        "empty_space_f": empty_space_f_sql_q,
         "haversine_join": haversine_join_sql_q,
         "tile_pyramid": tile_pyramid_sql,
         "lifecycle_query": lifecycle_sql,

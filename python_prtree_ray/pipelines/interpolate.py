@@ -146,3 +146,228 @@ SELECT node, n, sum_w, sum_wv,
        CAST(sum_wv AS DOUBLE) / CAST(sum_w AS DOUBLE) AS idw
 FROM agg
 """
+
+
+# ------------------------------------------------------------------ KDE
+
+KDE_RADIUS = 0.12
+KDE_SCALE = 1e9  # kernel quantization: floor(k * 1e9) per contribution
+
+
+def kde_grid(
+    points: Dataset,
+    gres: int = GRES,
+    radius: float = KDE_RADIUS,
+) -> Dataset:
+    """Epanechnikov kernel density at every occupied node of a g x g
+    grid: density_q = Σ floor((1 − d²/r²) · 1e9) over points within r.
+
+    The Epanechnikov kernel is POLYNOMIAL (no exp/ln — those diverge in
+    the last ulp between numpy and DuckDB libm), so the per-pair kernel
+    value is bit-identical on both sides; quantizing it to int64 before
+    the distributed sum makes the fold order-independent and exact at
+    any parallelism. Same scale shape as :func:`idw_grid`: per-batch
+    (node, batch) reduceat partials, ONE coarse node-bucket shuffle of
+    int rows; the point set never shuffles.
+
+    Overflow bound: Σ kq per node < n_points_in_radius × 1e9 — exact to
+    ~9e9 points per node.
+    """
+    g = 1 << gres
+    r2 = radius * radius
+    gi = np.arange(g, dtype=np.float64)
+    nx = (gi + 0.5) / float(g)
+    node_x = np.repeat(nx, g)
+    node_y = np.tile(nx, g)
+    node_id = np.arange(g * g, dtype=np.int64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        dx = px[None, :] - node_x[:, None]
+        dy = py[None, :] - node_y[:, None]
+        d2 = dx * dx + dy * dy
+        ni, pi = np.nonzero(d2 <= r2)
+        if ni.size == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "density_q": pa.array([], pa.int64()),
+                }
+            )
+        kq = np.floor((1.0 - d2[ni, pi] / r2) * KDE_SCALE).astype(np.int64)
+        order = np.argsort(ni, kind="stable")
+        ns = ni[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(node_id[ns[starts]]),
+                "n": pa.array(
+                    np.diff(np.r_[starts, ns.shape[0]]).astype(np.int64)
+                ),
+                "density_q": pa.array(np.add.reduceat(kq[order], starts)),
+            }
+        )
+
+    partials = points.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    )
+    summed = bucketed_sum(
+        partials, key_col="node", value_cols=("n", "density_q")
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        dq = tbl.column("density_q").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "kde", pa.array(dq.astype(np.float64) / KDE_SCALE)
+        )
+
+    return summed.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def kde_grid_sql(
+    points_cte: str, gres: int = GRES, radius: float = KDE_RADIUS
+) -> str:
+    """DuckDB twin of :func:`kde_grid` — bit-identical quantization."""
+    g = 1 << gres
+    r2 = radius * radius
+    return f"""
+WITH p AS ({points_cte}),
+     nodes AS (SELECT gi.i * {g} + gj.j AS node,
+                      (CAST(gi.i AS DOUBLE) + 0.5) / {float(g)!r} AS nx,
+                      (CAST(gj.j AS DOUBLE) + 0.5) / {float(g)!r} AS ny
+               FROM range({g}) gi(i), range({g}) gj(j)),
+     pairs AS (SELECT n.node AS node,
+                      ((p.px - n.nx) * (p.px - n.nx)
+                       + (p.py - n.ny) * (p.py - n.ny)) AS d2
+               FROM nodes n, p),
+     hits AS (SELECT node,
+                     CAST(FLOOR((1.0 - d2 / {r2!r}) * {KDE_SCALE!r})
+                          AS BIGINT) AS kq
+              FROM pairs WHERE d2 <= {r2!r}),
+     agg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(kq) AS BIGINT) AS density_q
+             FROM hits GROUP BY node)
+SELECT node, n, density_q,
+       CAST(density_q AS DOUBLE) / {KDE_SCALE!r} AS kde
+FROM agg
+"""
+
+
+# --------------------------------------------------------- F-function
+
+F_SCALE = 1e12  # d² quantization for the nearest-distance fold
+F_RADII = (0.01, 0.02, 0.04, 0.08, 0.16, 0.32)
+
+
+def empty_space_f(
+    points: Dataset,
+    gres: int = GRES,
+    radii: tuple[float, ...] = F_RADII,
+) -> Dataset:
+    """Empty-space (F) function: share of g×g probe-grid nodes whose
+    nearest data point lies within r, for each fixed radius r — the
+    complement of the nearest-neighbour G statistic (probes are *empty
+    space*, not events).
+
+    Exactness: the per-node nearest distance is folded as min over
+    QUANTIZED squared distances dq = floor(d² · 1e12); floor is
+    monotone, so min(floor(x)) == floor(min(x)) and the distributed min
+    is exact and order-independent. The radius test compares dq against
+    the pre-quantized int threshold floor(r² · 1e12) — the identical
+    BIGINT rule on the SQL side. Points never shuffle: each batch emits
+    ≤ g² (node, dq) partial-min rows, ONE coarse node-bucket min-fold,
+    then the g²-row node table reduces to len(radii) rows on the driver.
+    """
+    g = 1 << gres
+    gi = np.arange(g, dtype=np.float64)
+    nx = (gi + 0.5) / float(g)
+    node_x = np.repeat(nx, g)
+    node_y = np.tile(nx, g)
+    node_id = np.arange(g * g, dtype=np.int64)
+    thresholds = [int(np.floor(r * r * F_SCALE)) for r in radii]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        if px.size == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "dq": pa.array([], pa.int64()),
+                }
+            )
+        dx = px[None, :] - node_x[:, None]
+        dy = py[None, :] - node_y[:, None]
+        d2min = (dx * dx + dy * dy).min(axis=1)
+        return pa.table(
+            {
+                "node": pa.array(node_id),
+                "dq": pa.array(np.floor(d2min * F_SCALE).astype(np.int64)),
+            }
+        )
+
+    partials = points.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    )
+    nearest = bucketed_sum(
+        partials, key_col="node", value_cols=("dq",), reduce="min"
+    )
+
+    import ray
+
+    rows = nearest.take_all()
+    dq = np.array([r["dq"] for r in rows], np.int64)
+    n_nodes = np.array(
+        [int((dq <= t).sum()) for t in thresholds], np.int64
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "r_idx": pa.array(
+                    np.arange(len(radii), dtype=np.int64), pa.int64()
+                ),
+                "n_nodes": pa.array(n_nodes, pa.int64()),
+                "f_share": pa.array(
+                    n_nodes.astype(np.float64) / float(g * g), pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def empty_space_f_sql(
+    points_cte: str, gres: int = GRES, radii: tuple[float, ...] = F_RADII
+) -> str:
+    """DuckDB twin of :func:`empty_space_f` — identical BIGINT rule."""
+    g = 1 << gres
+    thresholds = [int(np.floor(r * r * F_SCALE)) for r in radii]
+    thr_rows = ", ".join(f"({i}, {t})" for i, t in enumerate(thresholds))
+    return f"""
+WITH p AS ({points_cte}),
+     nodes AS (SELECT gi.i * {g} + gj.j AS node,
+                      (CAST(gi.i AS DOUBLE) + 0.5) / {float(g)!r} AS nx,
+                      (CAST(gj.j AS DOUBLE) + 0.5) / {float(g)!r} AS ny
+               FROM range({g}) gi(i), range({g}) gj(j)),
+     nearest AS (SELECT n.node,
+                        MIN(CAST(FLOOR(((p.px - n.nx) * (p.px - n.nx)
+                             + (p.py - n.ny) * (p.py - n.ny))
+                            * {F_SCALE!r}) AS BIGINT)) AS dq
+                 FROM nodes n, p GROUP BY n.node),
+     thr(r_idx, t) AS (VALUES {thr_rows})
+SELECT CAST(thr.r_idx AS BIGINT) AS r_idx,
+       CAST(COUNT(*) FILTER (WHERE nearest.dq <= thr.t) AS BIGINT)
+         AS n_nodes,
+       CAST(COUNT(*) FILTER (WHERE nearest.dq <= thr.t) AS DOUBLE)
+         / {float(g * g)!r} AS f_share
+FROM nearest, thr GROUP BY thr.r_idx
+"""

@@ -6948,3 +6948,64 @@ def test_gram_novelty_matches_bruteforce(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_kde_grid_exact_vs_bruteforce(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines import interpolate as ip
+
+    keys = np.arange(1, 3001, dtype=np.int64)
+    ds = ray.data.from_arrow(_point_table(keys)).repartition(11)
+    out = {r["node"]: r for r in ip.kde_grid(ds).take_all()}
+    p = derive.derive_points(keys)
+    g = 1 << ip.GRES
+    r2 = ip.KDE_RADIUS * ip.KDE_RADIUS
+    n_nodes = 0
+    for i in range(g):
+        for j in range(g):
+            nx, ny = (i + 0.5) / g, (j + 0.5) / g
+            dx = p["px"] - nx
+            dy = p["py"] - ny
+            d2 = dx * dx + dy * dy
+            m = d2 <= r2
+            if not m.any():
+                assert i * g + j not in out
+                continue
+            n_nodes += 1
+            kq = np.floor((1.0 - d2[m] / r2) * ip.KDE_SCALE).astype(np.int64)
+            row = out[i * g + j]
+            assert row["n"] == int(m.sum())
+            assert row["density_q"] == int(kq.sum())
+            assert row["kde"] == float(int(kq.sum())) / ip.KDE_SCALE
+    assert n_nodes == len(out)
+
+
+def test_empty_space_f_exact_and_parallelism_invariant(ray_session):
+    ray = ray_session
+    from python_prtree_ray.pipelines import interpolate as ip
+
+    keys = np.arange(1, 1501, dtype=np.int64)
+    p = derive.derive_points(keys)
+    g = 1 << ip.GRES
+    prev = None
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(_point_table(keys)).repartition(parts)
+        rows = sorted(
+            ip.empty_space_f(ds).take_all(), key=lambda r: r["r_idx"]
+        )
+        got = [(r["r_idx"], r["n_nodes"], r["f_share"]) for r in rows]
+        if prev is not None:
+            assert got == prev
+        prev = got
+    # brute force: per-node nearest quantized distance
+    assert prev is not None
+    for ri, radius in enumerate(ip.F_RADII):
+        thr = int(np.floor(radius * radius * ip.F_SCALE))
+        n_in = 0
+        for i in range(g):
+            for j in range(g):
+                nx, ny = (i + 0.5) / g, (j + 0.5) / g
+                d2 = (p["px"] - nx) ** 2 + (p["py"] - ny) ** 2
+                if int(np.floor(d2.min() * ip.F_SCALE)) <= thr:
+                    n_in += 1
+        assert prev[ri] == (ri, n_in, n_in / float(g * g))
