@@ -7562,6 +7562,416 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_buckets=32,
         )
 
+    def q_returned_cust_revenue(sf):
+        # TPC-H Q10 shape: top-20 customers by revenue from RETURNED
+        # items among orders placed in one quarter. lineitem folds
+        # map-side to (orderkey, revenue_e4) int partials, ONE
+        # co-partitioned hash join attaches o_custkey (orders is big
+        # at scale — never broadcast), ONE custkey bucket-sum, then
+        # the map-side-pruned global top-20; only the 20 winning keys
+        # ever touch the customer dim (filtered scan, not a join).
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.merge import (
+            bucketed_sum,
+            global_topk,
+        )
+
+        lo = int(
+            np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+        )
+        hi = int(
+            np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
+        )
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_returnflag",
+            ],
+        )
+
+        def li_partial(tbl: pa.Table) -> pa.Table:
+            m = _pc.equal(tbl.column("l_returnflag"), "R").to_numpy(
+                zero_copy_only=False
+            )
+            ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[
+                m
+            ]
+            bp = np.floor(
+                tbl.column("l_discount").to_numpy(zero_copy_only=False)[m]
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            rev = np.floor(ep * 100.0).astype(np.int64) * (100 - bp)
+            order = np.argsort(ok, kind="stable")
+            ks, rs = ok[order], rev[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "l_orderkey": ks[starts],
+                    "revenue_e4": np.add.reduceat(rs, starts),
+                }
+            )
+
+        rev = li.map_batches(
+            li_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        )
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+
+        def od_window(tbl: pa.Table) -> pa.Table:
+            ts = (
+                tbl.column("o_orderdate")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m = (ts >= lo) & (ts < hi)
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey").to_numpy(
+                        zero_copy_only=False
+                    )[m],
+                    "o_custkey": tbl.column("o_custkey").to_numpy(
+                        zero_copy_only=False
+                    )[m],
+                }
+            )
+
+        odw = od.map_batches(
+            od_window,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        )
+        joined = hash_equi_join(
+            rev,
+            odw,
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols=("revenue_e4",),
+            right_cols=("o_custkey",),
+        )
+        per_cust = bucketed_sum(
+            joined, key_col="o_custkey", value_cols=("revenue_e4",)
+        )
+        top = global_topk(
+            per_cust, 20, id_col="o_custkey", value_col="revenue_e4"
+        ).take_all()
+        win_keys = np.sort(np.array([r["o_custkey"] for r in top], np.int64))
+        ref_win = ray.put(win_keys)
+
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+
+        def pick(tbl: pa.Table) -> pa.Table:
+            keys = ray.get(ref_win)
+            ck = tbl.column("c_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ck)
+            m = (pos < keys.size) & (
+                keys[np.minimum(pos, keys.size - 1)] == ck
+            )
+            return tbl.filter(pa.array(m))
+
+        crows = {
+            r["c_custkey"]: r
+            for r in cust.map_batches(
+                pick, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        }
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        nname = dict(
+            zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_name").to_pylist(),
+            )
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": pa.array(
+                        [r["o_custkey"] for r in top], pa.int64()
+                    ),
+                    "c_name": pa.array(
+                        [crows[r["o_custkey"]]["c_name"] for r in top]
+                    ),
+                    "revenue_e4": pa.array(
+                        [int(r["revenue_e4"]) for r in top], pa.int64()
+                    ),
+                    "acctbal_cents": pa.array(
+                        [
+                            int(
+                                np.floor(
+                                    crows[r["o_custkey"]]["c_acctbal"] * 100.0
+                                )
+                            )
+                            for r in top
+                        ],
+                        pa.int64(),
+                    ),
+                    "n_name": pa.array(
+                        [
+                            nname[crows[r["o_custkey"]]["c_nationkey"]]
+                            for r in top
+                        ]
+                    ),
+                    "rank": pa.array(
+                        [int(r["rank"]) for r in top], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def q_top_supplier_qtr(sf):
+        # TPC-H Q15 shape: the supplier(s) with MAX revenue over one
+        # ship quarter, ties kept. Per-batch (suppkey, revenue_e4)
+        # reduceat partials -> ONE suppkey bucket-sum -> the agg table
+        # is supplier-cardinality (dim-sized metadata), so the max +
+        # equality filter folds on the driver; names decode from the
+        # supplier dim read once.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        lo = int(
+            np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+        )
+        hi = int(
+            np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
+        )
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            ts = (
+                tbl.column("l_shipdate")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m = (ts >= lo) & (ts < hi)
+            sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)[m]
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[
+                m
+            ]
+            bp = np.floor(
+                tbl.column("l_discount").to_numpy(zero_copy_only=False)[m]
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            rev = np.floor(ep * 100.0).astype(np.int64) * (100 - bp)
+            order = np.argsort(sk, kind="stable")
+            ks, rs = sk[order], rev[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "l_suppkey": ks[starts],
+                    "total_revenue_e4": np.add.reduceat(rs, starts),
+                }
+            )
+
+        agg = bucketed_sum(
+            li.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="l_suppkey",
+            value_cols=("total_revenue_e4",),
+        ).take_all()
+        best = max(int(r["total_revenue_e4"]) for r in agg)
+        winners = sorted(
+            (int(r["l_suppkey"]), int(r["total_revenue_e4"]))
+            for r in agg
+            if int(r["total_revenue_e4"]) == best
+        )
+        supp = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        sname = dict(
+            zip(
+                supp.column("s_suppkey").to_pylist(),
+                supp.column("s_name").to_pylist(),
+            )
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([k for k, _ in winners], pa.int64()),
+                    "s_name": pa.array([sname[k] for k, _ in winners]),
+                    "total_revenue_e4": pa.array(
+                        [v for _, v in winners], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def q_nation_profit(sf):
+        # TPC-H Q9 shape (sans partsupp — cost proxies at the part's
+        # retail price): profit by supplier nation x ship year over
+        # parts named '%blue%'. Both dims fold to sorted int arrays
+        # broadcast once via ray.put; each lineitem batch reduces to
+        # <= nations x years rows of exact-int partials (profit_e4 =
+        # cents_ep*(100-bp) - retail_cents*qty*100), ONE tiny
+        # composite-key bucket-sum — lineitem never shuffles.
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        part = pq.read_table(
+            f"{sf}/part.parquet",
+            columns=["p_partkey", "p_name", "p_retailprice"],
+        )
+        m = _pc.match_substring(part.column("p_name"), "blue").to_numpy(
+            zero_copy_only=False
+        )
+        pk = part.column("p_partkey").to_numpy(zero_copy_only=False)[m]
+        rc = np.floor(
+            part.column("p_retailprice").to_numpy(zero_copy_only=False)[m]
+            * 100.0
+        ).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        supp = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sn = supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sorder = np.argsort(sk, kind="stable")
+        ref = ray.put((pk[order], rc[order], sk[sorder], sn[sorder]))
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=[
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            bpk, brc, bsk, bsn = ray.get(ref)
+            lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(bpk, lp)
+            hit = (pos < bpk.size) & (
+                bpk[np.minimum(pos, bpk.size - 1)] == lp
+            )
+            if not hit.any():
+                return pa.table(
+                    {
+                        "key": pa.array([], pa.int64()),
+                        "profit_e4": pa.array([], pa.int64()),
+                        "n_items": pa.array([], pa.int64()),
+                    }
+                )
+            retail = brc[np.minimum(pos, bpk.size - 1)[hit]]
+            ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)[hit]
+            nk = bsn[np.searchsorted(bsk, ls)]
+            qty = (
+                tbl.column("l_quantity")
+                .to_numpy(zero_copy_only=False)[hit]
+                .astype(np.int64)
+            )
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[
+                hit
+            ]
+            bp = np.floor(
+                tbl.column("l_discount").to_numpy(zero_copy_only=False)[hit]
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            profit = (
+                np.floor(ep * 100.0).astype(np.int64) * (100 - bp)
+                - retail * qty * 100
+            )
+            year = (
+                tbl.column("l_shipdate")
+                .to_numpy(zero_copy_only=False)[hit]
+                .astype("datetime64[Y]")
+                .astype(np.int64)
+                + 1970
+            )
+            key = nk * 10000 + year
+            korder = np.argsort(key, kind="stable")
+            ks, ps = key[korder], profit[korder]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {
+                    "key": ks[starts],
+                    "profit_e4": np.add.reduceat(ps, starts),
+                    "n_items": np.diff(
+                        np.r_[starts, ks.shape[0]]
+                    ).astype(np.int64),
+                }
+            )
+
+        summed = bucketed_sum(
+            li.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="key",
+            value_cols=("profit_e4", "n_items"),
+        )
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        nmap = dict(
+            zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_name").to_pylist(),
+            )
+        )
+        ref_n = ray.put(nmap)
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            names = ray.get(ref_n)
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [names[int(k) // 10000] for k in key]
+                    ),
+                    "o_year": pa.array(key % 10000, pa.int64()),
+                    "profit_e4": tbl.column("profit_e4"),
+                    "n_items": tbl.column("n_items"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_user_burstiness(sf):
         # inter-arrival burstiness B = (σ−μ)/(σ+μ) per user, from EXACT
         # integer gap moments (whole-second truncation, Σd and Σd² in
@@ -7972,6 +8382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "part_supplier_counts": q_part_supplier_counts,
         "bracket_revenue": q_bracket_revenue,
+        "returned_cust_revenue": q_returned_cust_revenue,
+        "top_supplier_qtr": q_top_supplier_qtr,
+        "nation_profit": q_nation_profit,
         "sales_opportunity": q_sales_opportunity,
         "user_burstiness": q_user_burstiness,
         "daily_cusum": q_daily_cusum,
@@ -10602,6 +11015,52 @@ FROM c GROUP BY event_type, bin
             "WHERE CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) * pos.n > pos.s "
             "AND c_custkey NOT IN (SELECT o_custkey FROM have) "
             "GROUP BY 1"
+        ),
+        "returned_cust_revenue": (
+            "WITH rev AS (SELECT o.o_custkey, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) "
+            "* (100 - CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT))) "
+            "AS BIGINT) AS revenue_e4 "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1) "
+            "SELECT c.c_custkey, c.c_name, r.revenue_e4, "
+            "CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT) AS acctbal_cents, "
+            "n.n_name, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY r.revenue_e4 DESC, "
+            "c.c_custkey) AS BIGINT) AS rank "
+            "FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "ORDER BY r.revenue_e4 DESC, c.c_custkey LIMIT 20"
+        ),
+        "top_supplier_qtr": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) "
+            "* (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))) "
+            "AS BIGINT) AS total_revenue_e4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, r.total_revenue_e4 "
+            "FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+            "WHERE r.total_revenue_e4 = "
+            "(SELECT MAX(total_revenue_e4) FROM rev)"
+        ),
+        "nation_profit": (
+            "SELECT n.n_name, "
+            "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) "
+            "* (100 - CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT)) "
+            "- CAST(FLOOR(p.p_retailprice * 100.0) AS BIGINT) "
+            "* CAST(l.l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_e4, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "WHERE p.p_name LIKE '%blue%' "
+            "GROUP BY 1, 2"
         ),
         "user_burstiness": (
             "WITH s AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec, "
