@@ -7060,6 +7060,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
         return text.vocab_topk(docs, k=100)
 
+    def q_heavy_hitters(sf):
+        # exact heavy-hitter tokens (share > 1/500) via two-pass
+        # Misra-Gries: capacity-bounded sketch finds a candidate
+        # superset (vocabulary never shuffles), an exact recount of
+        # only the <= capacity candidates verifies — the classic
+        # sketch-then-verify shape for 100-TB streams
+        import ray
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        return text.heavy_hitters(docs, k_inv=500)
+
     def q_char_trigrams(sf):
         # char-trigram top-100 within [a-z]+ word runs: zero-copy
         # UTF-8 buffer byte arithmetic + 26^3 bincount per batch, one
@@ -8248,6 +8259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q_corpus_curation,
         "events_user_topk": q_events_user_topk,
         "vocab_topk": q_vocab_topk,
+        "heavy_hitters": q_heavy_hitters,
         "bigram_lift": q_bigram_lift,
         "char_trigrams": q_char_trigrams,
         "tile_pyramid": q_tile_pyramid,
@@ -8442,6 +8454,7 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.text import (
         bigram_lift_sql as _bigram_lift_sql,
         char_trigrams_sql as _char_trigrams_sql,
+        heavy_hitters_sql as _heavy_hitters_sql,
     )
     from python_prtree_ray.pipelines.interval import (
         interval_union_len_sql as _interval_union_len_sql,
@@ -9783,6 +9796,7 @@ WHERE d.doc_id NOT IN
             " SELECT user_id, event_type, window_start, event_id"
             " FROM r WHERE rn = 1"
         ),
+        "heavy_hitters": _heavy_hitters_sql(500),
         "vocab_topk": (
             "WITH w AS (SELECT unnest(regexp_extract_all(lower(text),"
             " '[a-z]+')) AS word FROM documents),"

@@ -1388,3 +1388,202 @@ SELECT a.word AS word_a, b.word AS word_b,
 FROM w a JOIN w b ON a.word < b.word
 WHERE levenshtein(a.word, b.word) BETWEEN 1 AND {max_dist}
 """
+
+
+def heavy_hitters(
+    docs: Dataset,
+    k_inv: int = 500,
+    capacity: int = 1024,
+    n_buckets: int = 512,
+) -> Dataset:
+    """EXACT corpus heavy-hitter tokens — every word with
+    ``count * k_inv > total_tokens`` — found with a two-pass
+    Misra-Gries sketch so the full vocabulary never shuffles.
+
+    Pass 1 (candidates): each batch counts its tokens exactly
+    (``value_counts``) then prunes to a Misra-Gries summary of
+    ``capacity`` entries by subtracting the (capacity+1)-th largest
+    in-batch count c* from all counts and keeping the positives —
+    (capacity+1)·c* ≤ n_batch, so the per-batch undercount is
+    ≤ n_batch/(capacity+1) and the summed weight obeys
+    weight(t) ≥ count(t) − total/(capacity+1). The weights fold in a
+    word-hash bucket shuffle (vocabulary-sized partials, never
+    tokens), each bucket prunes to its local top-``capacity``, and the
+    global top-``capacity`` by weight is the candidate set. With
+    capacity+1 > k_inv, a true heavy hitter has
+    weight > total·(1/k_inv − 1/(capacity+1)) > 0, and at most
+    k_inv·(capacity+1)/(capacity+1−k_inv) < capacity tokens can
+    exceed that weight — so every true heavy hitter is inside the
+    top-``capacity``. The sketch can only over-select; it never drops.
+
+    Pass 2 (exact verify): the ≤ ``capacity`` candidate words
+    broadcast once; each batch recounts ONLY candidates
+    (``pc.index_in`` + ``bincount`` — exact string equality) plus its
+    token total, one single-group int fold, and the final filter
+    ``n * k_inv > total`` is exact BIGINT on both engine and oracle.
+    Output ``(word, n, rank)``, rank by ``(n DESC, word ASC)``.
+    """
+    if capacity <= k_inv:
+        raise ValueError("capacity must exceed k_inv for the MG guarantee")
+    import ray
+
+    def tokenize(text_col) -> pa.Array:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.replace_substring_regex(
+                    pc.utf8_lower(text_col), "[^a-z]+", " "
+                ),
+                " ",
+            )
+        )
+        return toks.filter(pc.greater(pc.utf8_length(toks), 0))
+
+    def mg_stage(tbl: pa.Table) -> pa.Table:
+        toks = tokenize(tbl.column("text"))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "wb": np.empty(0, np.int64),
+                    "h": np.empty(0, np.int64),
+                    "word": pa.array([], pa.string()),
+                    "weight": np.empty(0, np.int64),
+                }
+            )
+        vc = pc.value_counts(toks)
+        words = vc.field("values")
+        n = pc.cast(vc.field("counts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if n.shape[0] > capacity:
+            cstar = np.partition(n, n.shape[0] - capacity - 1)[
+                n.shape[0] - capacity - 1
+            ]
+            w = n - cstar
+            keep = np.nonzero(w > 0)[0]
+            words = words.take(pa.array(keep))
+            w = w[keep]
+        else:
+            w = n
+        h = hash_str_array(words)
+        return pa.table(
+            {
+                "wb": h % np.int64(n_buckets),
+                "h": h,
+                "word": words,
+                "weight": w,
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "g": np.empty(0, np.int8),
+                    "word": pa.array([], pa.string()),
+                    "weight": np.empty(0, np.int64),
+                }
+            )
+        w = group.column("weight").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        tot = np.add.reduceat(w[order], starts)
+        words = group.column("word").take(
+            pa.array(order[starts])
+        ).to_numpy(zero_copy_only=False)
+        byw = np.argsort(words, kind="stable")
+        top = byw[np.argsort(-tot[byw], kind="stable")][:capacity]
+        return pa.table(
+            {
+                "g": np.zeros(top.shape[0], np.int8),
+                "word": pa.array(words[top], pa.string()),
+                "weight": tot[top],
+            }
+        )
+
+    def final_candidates(group: pa.Table) -> pa.Table:
+        words = group.column("word").to_numpy(zero_copy_only=False)
+        w = group.column("weight").to_numpy(zero_copy_only=False)
+        byw = np.argsort(words, kind="stable")
+        top = byw[np.argsort(-w[byw], kind="stable")][:capacity]
+        return pa.table({"word": pa.array(np.sort(words[top]), pa.string())})
+
+    partials = docs.map_batches(
+        mg_stage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    pruned = partials.groupby("wb").map_groups(
+        bucket_fold, batch_format="pyarrow"
+    )
+    cand_rows = pruned.groupby("g").map_groups(
+        final_candidates, batch_format="pyarrow"
+    ).take_all()
+    cand = pa.array([r["word"] for r in cand_rows], pa.string())
+    ref_cand = ray.put(cand)
+
+    def recount(tbl: pa.Table) -> pa.Table:
+        cands = ray.get(ref_cand)
+        toks = tokenize(tbl.column("text"))
+        total = len(toks)
+        idx = pc.index_in(toks, value_set=cands)
+        hit = idx.drop_null().to_numpy(zero_copy_only=False)
+        counts = np.bincount(hit, minlength=len(cands)).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "g": np.zeros(nz.shape[0] + 1, np.int8),
+                "idx": np.r_[nz.astype(np.int64), -1],
+                "n": np.r_[counts[nz], np.int64(total)],
+            }
+        )
+
+    def final_exact(group: pa.Table) -> pa.Table:
+        cands = ray.get(ref_cand)
+        idx = group.column("idx").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        total = int(n[idx == -1].sum())
+        m = idx >= 0
+        counts = np.bincount(
+            idx[m], weights=n[m], minlength=len(cands)
+        ).astype(np.int64)
+        heavy = np.nonzero(counts * np.int64(k_inv) > total)[0]
+        words = cands.take(pa.array(heavy)).to_numpy(zero_copy_only=False)
+        cnt = counts[heavy]
+        byw = np.argsort(words, kind="stable")
+        order = byw[np.argsort(-cnt[byw], kind="stable")]
+        return pa.table(
+            {
+                "word": pa.array(words[order], pa.string()),
+                "n": cnt[order],
+                "rank": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+            }
+        )
+
+    counted = docs.map_batches(
+        recount,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    return counted.groupby("g").map_groups(
+        final_exact, batch_format="pyarrow"
+    )
+
+
+def heavy_hitters_sql(k_inv: int = 500) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the sketch only finds
+    candidates; the FINAL filter is the same exact BIGINT rule."""
+    return f"""
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+     c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t GROUP BY word)
+SELECT c.word, c.n,
+       CAST(ROW_NUMBER() OVER (ORDER BY c.n DESC, c.word) AS BIGINT) AS rank
+FROM c, tot WHERE c.n * {k_inv} > tot.n
+ORDER BY c.n DESC, c.word
+"""

@@ -7009,3 +7009,47 @@ def test_empty_space_f_exact_and_parallelism_invariant(ray_session):
                 if int(np.floor(d2.min() * ip.F_SCALE)) <= thr:
                     n_in += 1
         assert prev[ri] == (ri, n_in, n_in / float(g * g))
+
+
+def test_heavy_hitters_exact_with_forced_pruning(ray_session):
+    # MG sketch must engage (capacity << vocabulary) yet the final
+    # output is EXACT: every token with count*k_inv > total, no more,
+    # no less — vs a collections.Counter oracle, at two parallelisms
+    ray = ray_session
+    import re
+    from collections import Counter
+
+    from python_prtree_ray.pipelines.text import heavy_hitters
+
+    rng = np.random.default_rng(91)
+    # zipf-ish corpus: a few hot words + a long uniform tail
+    hot = ["alpha", "beta", "gamma"]
+    tail = [f"w{i:04d}" for i in range(400)]
+    texts = []
+    for _ in range(600):
+        k = int(rng.integers(3, 12))
+        ws = [
+            hot[int(rng.integers(3))] if rng.random() < 0.4
+            else tail[int(rng.integers(len(tail)))]
+            for _ in range(k)
+        ]
+        texts.append(" ".join(ws))
+    # tokenizer parity: [a-z]+ runs only (digits split words)
+    cnt = Counter(
+        w for txt in texts for w in re.findall("[a-z]+", txt.lower())
+    )
+    total = sum(cnt.values())
+    k_inv = 50
+    want_set = {(w, n) for w, n in cnt.items() if n * k_inv > total}
+    assert want_set, "test corpus must produce at least one heavy hitter"
+    ranked = sorted(want_set, key=lambda kv: (-kv[1], kv[0]))
+    want = [(w, n, r + 1) for r, (w, n) in enumerate(ranked)]
+    t = pa.table({"text": texts})
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        # capacity=64 << ~403 distinct words -> per-batch MG pruning runs
+        out = heavy_hitters(ds, k_inv=k_inv, capacity=64).take_all()
+        got = sorted(
+            ((r["word"], r["n"], r["rank"]) for r in out), key=lambda x: x[2]
+        )
+        assert got == want
