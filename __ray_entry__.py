@@ -2318,6 +2318,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
             finish, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def q_co_travelers(sf):
+        # co-traveler detection (the covisit dual): user PAIRS
+        # co-present in >= 3 distinct (tile, day) buckets — distinct
+        # (bucket, user) fold, offset-sweep pair expansion inside each
+        # spatiotemporal-bucket group (a<b for free from the sort),
+        # ONE pair-key sum. Pair fanout is per-bucket quadratic by
+        # SEMANTICS (the oracle self-join blows up identically); the
+        # day x 16x16 grid keeps buckets small and unskewed here.
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        MIN_SHARED = 3
+        US_DAY = 86_400_000_000
+        g2 = np.int64(1 << STAY_RES) ** 2
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            cell = cell_of_points(p["px"], p["py"], STAY_RES)
+            day = (
+                tbl.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+                // US_DAY
+            )
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if u.size and int(u.max()) >= (1 << 31):
+                raise ValueError("user_id must fit 31 bits for pair packing")
+            st = day * g2 + cell
+            order = np.lexsort((u, st))
+            s_s, u_s = st[order], u[order]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            return pa.table(
+                {
+                    "bucket": bucket_of(s_s[keep], 256),
+                    "st": s_s[keep],
+                    "u": u_s[keep],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+            st = group.column("st").to_numpy(zero_copy_only=False)
+            if st.size == 0:
+                return empty
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            order = np.lexsort((u, st))
+            s_s, u_s = st[order], u[order]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            s_s, u_s = s_s[keep], u_s[keep]
+            pa_l, pb_l = [], []
+            d = 1
+            while d < s_s.size:
+                valid = s_s[d:] == s_s[:-d]
+                if not valid.any():
+                    break
+                pa_l.append(u_s[:-d][valid])
+                pb_l.append(u_s[d:][valid])
+                d += 1
+            if not pa_l:
+                return empty
+            a = np.concatenate(pa_l)
+            b = np.concatenate(pb_l)
+            key, n = np.unique(a * np.int64(1 << 31) + b, return_counts=True)
+            return pa.table({"key": key, "n": n.astype(np.int64)})
+
+        keyed = ev.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        folded = keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+        summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            n = tbl.column("n").to_numpy(zero_copy_only=False)
+            keep = n >= MIN_SHARED
+            return pa.table(
+                {
+                    "user_a": key[keep] // np.int64(1 << 31),
+                    "user_b": key[keep] % np.int64(1 << 31),
+                    "n_shared": n[keep],
+                }
+            )
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_tile_boundary(sf):
         # morphological boundary extraction: occupied tiles with at
         # least one empty queen neighbor (in-grid neighborhood) —
@@ -8287,6 +8383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_motifs": q_tile_motifs,
         "top_routes": q_top_routes,
         "covisit_tile_pairs": q_covisit_tile_pairs,
+        "co_travelers": q_co_travelers,
         "mutual_nn": q_mutual_nn,
         "tile_top_visitor": q_tile_top_visitor,
         "hilbert_locality": q_hilbert_locality,
@@ -10313,6 +10410,18 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
             "CAST(COUNT(*) AS BIGINT) AS n_users "
             "FROM d a JOIN d b ON a.u = b.u AND a.cell < b.cell "
             "GROUP BY 1, 2 HAVING COUNT(*) >= 4"
+        ),
+        "co_travelers": (
+            "WITH q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), d AS (SELECT DISTINCT e.user_id AS u, "
+            "epoch_us(e.ts) // 86400000000 AS day, "
+            + derive.tile_cell_sql("q.px", "q.py", STAY_RES)
+            + " AS cell FROM events e JOIN q ON e.event_id = q.event_id) "
+            "SELECT a.u AS user_a, b.u AS user_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM d a JOIN d b ON a.day = b.day AND a.cell = b.cell "
+            "AND a.u < b.u GROUP BY 1, 2 HAVING COUNT(*) >= 3"
         ),
         "tile_boundary": (
             "WITH q AS ("
