@@ -819,6 +819,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.flow_direction(pts, res=TILE_RES)
 
+    def q_flow_accumulation(sf):
+        # D8 flow accumulation + watershed assignment: streaming tile
+        # counts + one neighbor-offer shuffle; the flow DAG itself is
+        # parameter-sized, so upstream sums fold on the driver
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.flow_accumulation(pts, res=TILE_RES)
+
+    def q_watershed_sizes(sf):
+        # drainage-basin rollup: occupied tiles + point mass draining
+        # to each D8 sink
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.watershed_sizes(pts, res=TILE_RES)
+
     def q_cross_k(sf):
         # bivariate Ripley's cross-K between customer points (type A)
         # and event points (type B) at r=RADIUS: exact integer
@@ -8459,6 +8492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_focal_mean": q_tile_focal_mean,
         "lorenz_curve": q_lorenz_curve,
         "flow_direction": q_flow_direction,
+        "flow_accumulation": q_flow_accumulation,
+        "watershed_sizes": q_watershed_sizes,
         "cross_k": q_cross_k,
         "semivariogram": q_semivariogram,
         "join_counts": q_join_counts,
@@ -8585,6 +8620,8 @@ def oracle_sql() -> dict[str, str]:
         tile_focal_mean_sql as _tile_focal_mean_sql,
         lorenz_curve_sql as _lorenz_curve_sql,
         flow_direction_sql as _flow_direction_sql,
+        flow_accumulation_sql as _flow_accumulation_sql,
+        watershed_sizes_sql as _watershed_sizes_sql,
         cross_k_sql as _cross_k_sql,
         semivariogram_sql as _semivariogram_sql,
         join_counts_sql as _join_counts_sql,
@@ -10972,6 +11009,12 @@ FROM deg GROUP BY indegree
             BFS_HOPS,
         ),
         "flow_direction": _flow_direction_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "flow_accumulation": _flow_accumulation_sql(
+            derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "watershed_sizes": _watershed_sizes_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
         ),
         "cross_k": _cross_k_sql(

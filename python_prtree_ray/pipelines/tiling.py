@@ -5113,3 +5113,205 @@ def adaptive_quadtree_sql(points_cte: str, max_res: int, cap: int = 64) -> str:
             f"FROM o{l} WHERE ok AND ({leaf_pred})"
         )
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+def flow_accumulation(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """D8 flow ACCUMULATION + watershed assignment over the point-
+    density raster: for every occupied tile, ``acc_n`` = its own count
+    plus every count that drains through it along steepest-descent
+    flow, and ``sink_cell`` = the cell its flow path terminates at.
+    Output ``(cell, x, acc_n, sink_cell)``, one row per occupied tile.
+
+    Flow edges come from :func:`flow_direction` (same conventions:
+    in-grid 8-neighborhood, unoccupied neighbors count 0, strict
+    descent). A tile draining into an UNOCCUPIED in-grid cell
+    terminates there (an all-zero neighborhood can never descend
+    further), so ``sink_cell`` may name an unoccupied tile; it is
+    still a valid grid cell id. Edges strictly decrease the count, so
+    the flow graph is a DAG and a single descending-count sweep
+    accumulates exactly.
+
+    Scale shape: all streaming work is :func:`flow_direction`'s
+    (points collapse to exact tile counts, ONE neighbor-offer
+    shuffle); the flow graph itself is parameter-sized (≤ 4^res rows
+    of metadata), so the upstream sum and sink chase fold on the
+    driver — a raster is a model artifact, never data-sized.
+    """
+    import numpy as np
+    import ray
+
+    g = 1 << res
+    fd = flow_direction(points, res=res, n_buckets=n_buckets).take_all()
+    if not fd:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "acc_n": pa.array([], pa.int64()),
+                    "sink_cell": pa.array([], pa.int64()),
+                }
+            )
+        )
+    cell = np.array([r["cell"] for r in fd], np.int64)
+    x = np.array([r["x"] for r in fd], np.int64)
+    code = np.array([r["flow_dir"] for r in fd], np.int64)
+    o = np.argsort(cell, kind="stable")
+    cell, x, code = cell[o], x[o], code[o]
+    flows = code >= 0
+    nxt_cell = np.full(cell.size, -1, np.int64)
+    nxt_cell[flows] = (
+        cell[flows]
+        + (code[flows] // 3 - 1) * g
+        + (code[flows] % 3 - 1)
+    )
+    # index of the next hop among OCCUPIED cells (-1: terminal edge
+    # into an unoccupied cell, or a sink)
+    pos = np.searchsorted(cell, nxt_cell)
+    occ_next = (
+        flows
+        & (pos < cell.size)
+        & (cell[np.minimum(pos, cell.size - 1)] == nxt_cell)
+    )
+    nxt_idx = np.where(occ_next, np.minimum(pos, cell.size - 1), -1)
+    # descending-count sweep: every edge strictly descends in x, so
+    # when a tile is processed all its upstream mass has arrived
+    # (parameter-sized loop: <= 4^res iterations)
+    acc = x.copy()
+    for i in np.argsort(-x, kind="stable"):
+        j = int(nxt_idx[i])
+        if j >= 0:
+            acc[j] += acc[i]
+    # sink chase by rounds of pointer jumping on the resolved frontier
+    sink = np.full(cell.size, -1, np.int64)
+    terminal = ~flows
+    sink[terminal] = cell[terminal]
+    edge_out = flows & ~occ_next  # drains into an unoccupied cell
+    sink[edge_out] = nxt_cell[edge_out]
+    pending = np.nonzero(sink == -1)[0]
+    while pending.size:
+        ready = sink[nxt_idx[pending]] != -1
+        if not ready.any():  # pragma: no cover - DAG => always progresses
+            raise RuntimeError("flow graph did not converge")
+        sink[pending[ready]] = sink[nxt_idx[pending[ready]]]
+        pending = pending[~ready]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "acc_n": pa.array(acc, pa.int64()),
+                "sink_cell": pa.array(sink, pa.int64()),
+            }
+        )
+    )
+
+
+def watershed_sizes(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
+    """Watershed (drainage-basin) rollup of :func:`flow_accumulation`:
+    one row per sink ``(sink_cell, n_cells, total_n)`` — how many
+    occupied tiles and how much point mass drain to each sink. The
+    input table is parameter-sized, so the rollup is a driver fold."""
+    import numpy as np
+    import ray
+
+    rows = flow_accumulation(points, res=res, n_buckets=n_buckets).take_all()
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "sink_cell": pa.array([], pa.int64()),
+                    "n_cells": pa.array([], pa.int64()),
+                    "total_n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    sink = np.array([r["sink_cell"] for r in rows], np.int64)
+    x = np.array([r["x"] for r in rows], np.int64)
+    o = np.argsort(sink, kind="stable")
+    s_s, x_s = sink[o], x[o]
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "sink_cell": pa.array(s_s[starts], pa.int64()),
+                "n_cells": pa.array(
+                    np.diff(np.r_[starts, s_s.shape[0]]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "total_n": pa.array(
+                    np.add.reduceat(x_s, starts), pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def _flow_edges_cte(points_cte: str, res: int) -> str:
+    """Shared CTE body: occupied-cell counts -> D8 flow dir -> edges."""
+    g = 1 << res
+    cell = derive.tile_cell_sql("px", "py", res)
+    dirs = ", ".join(
+        f"({(dx + 1) * 3 + (dy + 1)}, {dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+p0 AS ({points_cte}),
+c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p0 GROUP BY 1),
+d(code, dx, dy) AS (VALUES {dirs}),
+n AS (SELECT c.cell, d.code, d.dx, d.dy,
+             (c.cell // {g}) + d.dx AS nx, (c.cell % {g}) + d.dy AS ny
+      FROM c CROSS JOIN d),
+f AS (SELECT n.cell, n.code, n.dx, n.dy, COALESCE(cn.x, 0) AS nbx
+      FROM n LEFT JOIN c cn ON cn.cell = n.nx * {g} + n.ny
+      WHERE n.nx BETWEEN 0 AND {g - 1} AND n.ny BETWEEN 0 AND {g - 1}),
+r AS (SELECT cell, code, dx, dy, nbx,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY nbx, code) AS rn
+      FROM f),
+fd AS (SELECT c.cell, c.x,
+              CASE WHEN r.nbx < c.x THEN r.code ELSE -1 END AS code,
+              CASE WHEN r.nbx < c.x
+                   THEN (c.cell + r.dx * {g} + r.dy) ELSE NULL END AS nxt
+       FROM c JOIN r ON r.cell = c.cell AND r.rn = 1),
+e AS (SELECT cell, nxt FROM fd WHERE nxt IS NOT NULL),
+reach(u, v) AS (
+  SELECT cell, cell FROM fd
+  UNION
+  SELECT r2.u, e.nxt FROM reach r2 JOIN e ON e.cell = r2.v
+),
+acc AS (SELECT r3.v AS cell, CAST(SUM(fu.x) AS BIGINT) AS acc_n
+        FROM reach r3 JOIN fd fu ON fu.cell = r3.u GROUP BY 1),
+sink AS (SELECT r4.u AS cell, r4.v AS sink_cell FROM reach r4
+         LEFT JOIN e ON e.cell = r4.v WHERE e.cell IS NULL)
+"""
+
+
+def flow_accumulation_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`flow_accumulation` — the same strict-
+    descent edges, transitive closure via recursive CTE."""
+    return (
+        "WITH RECURSIVE "
+        + _flow_edges_cte(points_cte, res)
+        + """
+SELECT fd.cell, fd.x, acc.acc_n, CAST(sink.sink_cell AS BIGINT) AS sink_cell
+FROM fd JOIN acc ON acc.cell = fd.cell JOIN sink ON sink.cell = fd.cell
+"""
+    )
+
+
+def watershed_sizes_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`watershed_sizes`."""
+    return (
+        "WITH RECURSIVE "
+        + _flow_edges_cte(points_cte, res)
+        + """
+SELECT CAST(sink.sink_cell AS BIGINT) AS sink_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(fd.x) AS BIGINT) AS total_n
+FROM fd JOIN sink ON sink.cell = fd.cell
+GROUP BY 1
+"""
+    )

@@ -7053,3 +7053,54 @@ def test_heavy_hitters_exact_with_forced_pruning(ray_session):
             ((r["word"], r["n"], r["rank"]) for r in out), key=lambda x: x[2]
         )
         assert got == want
+
+
+def test_flow_accumulation_conservation_and_invariance(ray_session):
+    # mass conservation: every basin's total equals the sum of acc at
+    # its sink-adjacent cells; acc >= own count everywhere; results
+    # identical at two parallelisms
+    ray = ray_session
+    from python_prtree_ray.pipelines.tiling import (
+        flow_accumulation,
+        watershed_sizes,
+    )
+
+    keys = np.arange(1, 4001, dtype=np.int64)
+    prev = None
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(_point_table(keys)).repartition(parts)
+        rows = sorted(
+            flow_accumulation(ds, res=4).take_all(), key=lambda r: r["cell"]
+        )
+        got = [
+            (r["cell"], r["x"], r["acc_n"], r["sink_cell"]) for r in rows
+        ]
+        if prev is not None:
+            assert got == prev
+        prev = got
+    assert prev
+    total_mass = sum(x for _, x, _, _ in prev)
+    assert all(acc >= x for _, x, acc, _ in prev)
+    # per-basin mass from the rollup equals summed x of members
+    ds = ray.data.from_arrow(_point_table(keys))
+    basins = {
+        r["sink_cell"]: (r["n_cells"], r["total_n"])
+        for r in watershed_sizes(ds, res=4).take_all()
+    }
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for cell, x, acc, sink in prev:
+        want[sink][0] += 1
+        want[sink][1] += x
+    assert basins == {k: tuple(v) for k, v in want.items()}
+    assert sum(v[1] for v in basins.values()) == total_mass
+    # occupied sinks accumulate their whole basin
+    cells = {c: (x, acc) for c, x, acc, _ in prev}
+    for sink, (_, mass) in basins.items():
+        if sink in cells:
+            # an occupied sink's acc is its basin mass (only if the
+            # sink drains nothing else - which holds when sink==cell)
+            row = [r for r in prev if r[0] == sink][0]
+            if row[3] == sink:  # genuine occupied sink
+                assert row[2] == mass
