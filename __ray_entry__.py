@@ -2447,6 +2447,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             finish, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def q_travel_groups(sf):
+        # travel-group inference: connected components over the
+        # co-traveler pair graph — users linked by >= 3 shared
+        # (tile, day) buckets collapse to groups labeled by min user
+        # id (composition: co_travelers -> min-label propagation CC)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.graph import connected_components
+
+        pairs = q_co_travelers(sf)
+
+        def rename(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": tbl.column("doc_id"),
+                    "group_id": tbl.column("cluster_id"),
+                }
+            )
+
+        renamed = connected_components(
+            pairs, id_a="user_a", id_b="user_b"
+        ).map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+        # 0-row seed keeps the schema visible when the pair graph is
+        # empty (map_batches never runs on a block-less dataset)
+        seed = ray.data.from_arrow(
+            pa.schema(
+                [("user_id", pa.int64()), ("group_id", pa.int64())]
+            ).empty_table()
+        )
+        return seed.union(renamed)
+
     def q_tile_boundary(sf):
         # morphological boundary extraction: occupied tiles with at
         # least one empty queen neighbor (in-grid neighborhood) —
@@ -4042,6 +4073,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "text"]
         )
         return text.normalize_text(docs)
+
+    def q_source_jaccard(sf):
+        # corpus-mixing diagnostic: pairwise vocabulary Jaccard between
+        # sources — distinct (word, source-bitmask) partials, ONE
+        # word-hash shuffle, per-bucket integer matmul into a sources x
+        # sources fold; tokens never shuffle
+        import ray
+        from python_prtree_ray.pipelines import curation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "text"]
+        )
+        return curation.source_jaccard(docs)
 
     def q_doc_repetition(sf):
         # Gopher-style repetition stats: per-doc bigram totals/distinct/
@@ -8400,6 +8444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unmatched": q_events_unmatched,
         "text_normalize": q_text_normalize,
         "doc_repetition": q_doc_repetition,
+        "source_jaccard": q_source_jaccard,
         "decontaminate": q_decontaminate,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "search_topk": q_search_topk,
@@ -8417,6 +8462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_routes": q_top_routes,
         "covisit_tile_pairs": q_covisit_tile_pairs,
         "co_travelers": q_co_travelers,
+        "travel_groups": q_travel_groups,
         "mutual_nn": q_mutual_nn,
         "tile_top_visitor": q_tile_top_visitor,
         "hilbert_locality": q_hilbert_locality,
@@ -8573,6 +8619,7 @@ def oracle_sql() -> dict[str, str]:
         points_diameter_sql as _points_diameter_sql,
     )
     from python_prtree_ray.pipelines.curation import (
+        SOURCE_JACCARD_SQL as _SOURCE_JACCARD_SQL,
         dup_ngram_coverage_sql as _dup_ngram_coverage_sql,
         gram_novelty_sql as _gram_novelty_sql,
     )
@@ -10006,6 +10053,7 @@ FROM events
             " CAST(MAX(c) AS BIGINT) AS top_bigram_count"
             " FROM cnt GROUP BY doc_id"
         ),
+        "source_jaccard": _SOURCE_JACCARD_SQL,
         "decontaminate": (
             "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),"
             " '[a-z]+') AS l FROM documents),"
@@ -10459,6 +10507,23 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
             "CAST(COUNT(*) AS BIGINT) AS n_shared "
             "FROM d a JOIN d b ON a.day = b.day AND a.cell = b.cell "
             "AND a.u < b.u GROUP BY 1, 2 HAVING COUNT(*) >= 3"
+        ),
+        "travel_groups": (
+            "WITH RECURSIVE q AS ("
+            + derive.points_sql("events", "event_id", "event_id")
+            + "), dd AS (SELECT DISTINCT e.user_id AS u, "
+            "epoch_us(e.ts) // 86400000000 AS day, "
+            + derive.tile_cell_sql("q.px", "q.py", STAY_RES)
+            + " AS cell FROM events e JOIN q ON e.event_id = q.event_id), "
+            "pr AS (SELECT a.u AS ua, b.u AS ub FROM dd a JOIN dd b "
+            "ON a.day = b.day AND a.cell = b.cell AND a.u < b.u "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+            "sym AS (SELECT ua AS a, ub AS b FROM pr "
+            "UNION SELECT ub, ua FROM pr), "
+            "nodes AS (SELECT DISTINCT a AS d FROM sym), "
+            "reach(d, n) AS (SELECT d, d FROM nodes "
+            "UNION SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.n) "
+            "SELECT d AS user_id, MIN(n) AS group_id FROM reach GROUP BY d"
         ),
         "tile_boundary": (
             "WITH q AS ("

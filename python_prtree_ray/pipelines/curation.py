@@ -772,3 +772,164 @@ SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
             AS BIGINT) AS n_new
 FROM g JOIN m USING (gram) GROUP BY g.doc_id
 """
+
+
+def source_jaccard(docs: Dataset, n_buckets: int = 512) -> Dataset:
+    """Pairwise VOCABULARY overlap between document sources: for every
+    source pair whose distinct ``[a-z]+`` word sets intersect, one row
+    ``(source_a, source_b, n_inter, n_union, jaccard)`` — the corpus-
+    mixing diagnostic ("how much does source X's vocabulary overlap
+    source Y's") of a multi-source training pipeline.
+
+    Scale shape: sources are metadata (one tiny distinct fold,
+    broadcast as a code dict — raises beyond 63 sources; shard the
+    bitmask to go wider). Each batch collapses to distinct
+    (word, source-bitmask) rows — vocabulary-sized, never token-sized;
+    ONE word-hash bucket shuffle ORs masks per word (idempotent, so
+    cross-batch duplicates are free); each bucket then folds its
+    (words × sources) bit matrix into a sources × sources intersection
+    partial via one integer matmul, and a single tiny fold finishes.
+    ``n_union = |A| + |B| − n_inter`` keeps jaccard ONE float division
+    of exact ints — bitwise-equal to the SQL twin.
+    """
+    import ray
+
+    from .text import hash_str_array
+
+    def src_stage(tbl: pa.Table) -> pa.Table:
+        u = pc.unique(tbl.column("source"))
+        return pa.table({"source": u})
+
+    src_rows = docs.map_batches(
+        src_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    sources = sorted({r["source"] for r in src_rows})
+    if len(sources) > 63:
+        raise ValueError("source_jaccard: >63 sources needs a sharded mask")
+    n_src = len(sources)
+    ref_codes = ray.put(pa.array(sources, pa.string()))
+
+    def mask_stage(tbl: pa.Table) -> pa.Table:
+        src_arr = ray.get(ref_codes)
+        doc_row, codes, dic = doc_token_codes(tbl)
+        if codes.size == 0:
+            return pa.table(
+                {
+                    "wb": np.empty(0, np.int64),
+                    "h": np.empty(0, np.int64),
+                    "word": pa.array([], pa.string()),
+                    "mask": np.empty(0, np.int64),
+                }
+            )
+        sc = (
+            pc.index_in(tbl.column("source"), value_set=src_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bit = np.int64(1) << sc
+        m = bit[doc_row]
+        order = np.argsort(codes, kind="stable")
+        c_s, m_s = codes[order], m[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        masks = np.bitwise_or.reduceat(m_s, starts)
+        words = dic.take(pa.array(c_s[starts]))
+        h = hash_str_array(words)
+        return pa.table(
+            {
+                "wb": h % np.int64(n_buckets),
+                "h": h,
+                "word": words,
+                "mask": masks,
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "g": np.empty(0, np.int8),
+                    "i": np.empty(0, np.int64),
+                    "j": np.empty(0, np.int64),
+                    "n": np.empty(0, np.int64),
+                }
+            )
+        m = group.column("mask").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s, m_s = h[order], m[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        masks = np.bitwise_or.reduceat(m_s, starts)
+        bits = (
+            (masks[:, None] >> np.arange(n_src, dtype=np.int64)[None, :]) & 1
+        ).astype(np.int64)
+        inter = bits.T @ bits  # sources x sources, exact int
+        iu, ju = np.triu_indices(n_src)
+        n = inter[iu, ju]
+        nz = n > 0
+        return pa.table(
+            {
+                "g": np.zeros(int(nz.sum()), np.int8),
+                "i": iu[nz].astype(np.int64),
+                "j": ju[nz].astype(np.int64),
+                "n": n[nz],
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        i = group.column("i").to_numpy(zero_copy_only=False)
+        j = group.column("j").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        key = i * np.int64(n_src) + j
+        order = np.argsort(key, kind="stable")
+        k_s, n_s = key[order], n[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        tot = np.add.reduceat(n_s, starts)
+        ii = (k_s[starts] // n_src).astype(np.int64)
+        jj = (k_s[starts] % n_src).astype(np.int64)
+        size = np.zeros(n_src, np.int64)
+        diag = ii == jj
+        size[ii[diag]] = tot[diag]
+        off = ~diag
+        io, jo, to = ii[off], jj[off], tot[off]
+        keep = to > 0
+        io, jo, to = io[keep], jo[keep], to[keep]
+        union = size[io] + size[jo] - to
+        return pa.table(
+            {
+                "source_a": pa.array([sources[k] for k in io], pa.string()),
+                "source_b": pa.array([sources[k] for k in jo], pa.string()),
+                "n_inter": pa.array(to, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+                "jaccard": pa.array(
+                    to.astype(np.float64) / union.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    partials = docs.map_batches(
+        mask_stage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
+    )
+    pruned = partials.groupby("wb").map_groups(
+        bucket_fold, batch_format="pyarrow"
+    )
+    return pruned.groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+SOURCE_JACCARD_SQL = """
+WITH t AS (SELECT DISTINCT source,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           FROM documents),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+i AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT i.sa AS source_a, i.sb AS source_b, i.inter AS n_inter,
+       sa.n + sb.n - i.inter AS n_union,
+       CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+         AS jaccard
+FROM i JOIN s sa ON sa.source = i.sa JOIN s sb ON sb.source = i.sb
+"""
