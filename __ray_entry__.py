@@ -2047,6 +2047,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return empty_space_f(tables.points_dataset(sf))
 
+    def q_largest_empty_circle(sf):
+        # coverage-gap query: probe-grid node farthest from every data
+        # point (grid-discretized largest empty circle); exact int
+        # min-fold per node, driver argmax over the g^2 metadata table
+        from python_prtree_ray.pipelines.interpolate import (
+            largest_empty_circle,
+        )
+
+        return largest_empty_circle(tables.points_dataset(sf))
+
     def q_haversine_join(sf):
         # great-circle radius join: customers within 400 km of each
         # supplier; small side broadcast once, latitude-band prefilter
@@ -2229,6 +2239,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
         )
+
+    def q_late_events(sf):
+        # watermark diagnostic: per-user late-arrival counts + max
+        # lateness under a hash-jittered arrival order (segmented
+        # doubling prefix-max, ONE user-bucket shuffle)
+        from python_prtree_ray.pipelines.windows import late_events
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        return late_events(ev)
 
     def q_record_events(sf):
         # per-user record-breaking events (running max, segmented
@@ -8156,6 +8178,143 @@ def queries() -> dict[str, Callable[[str], Any]]:
             decode, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def q_priority_fill_rate(sf):
+        # TPC-H Q4 shape: per order-priority, how many orders had ANY
+        # line shipped within 30 days of ordering. lineitem folds
+        # map-side to (orderkey, min_ship) int-min partials, ONE
+        # co-partitioned hash join against orders (priorities recode to
+        # int before the shuffle), then a priority-sized int rollup.
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        US_30D = 30 * 86_400_000_000
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+
+        def li_partial(tbl: pa.Table) -> pa.Table:
+            ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ts = (
+                tbl.column("l_shipdate")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            order = np.lexsort((ts, ok))
+            ks, ss = ok[order], ts[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table({"l_orderkey": ks[starts], "ms": ss[starts]})
+
+        min_ship = bucketed_sum(
+            li.map_batches(
+                li_partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="l_orderkey",
+            value_cols=("ms",),
+            reduce="min",
+        )
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+
+        def prio_stage(tbl: pa.Table) -> pa.Table:
+            u = _pc.unique(tbl.column("o_orderpriority"))
+            return pa.table({"p": u})
+
+        prios = sorted(
+            {
+                r["p"]
+                for r in od.map_batches(
+                    prio_stage, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            }
+        )
+        ref_p = ray.put(pa.array(prios, pa.string()))
+
+        def od_code(tbl: pa.Table) -> pa.Table:
+            parr = ray.get(ref_p)
+            code = (
+                _pc.index_in(tbl.column("o_orderpriority"), value_set=parr)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey"),
+                    "odate": pa.array(
+                        tbl.column("o_orderdate")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "prio": pa.array(code, pa.int64()),
+                }
+            )
+
+        odc = od.map_batches(
+            od_code, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        joined = hash_equi_join(
+            min_ship,
+            odc,
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols=("ms",),
+            right_cols=("odate", "prio"),
+        )
+
+        def rollup(tbl: pa.Table) -> pa.Table:
+            ms = tbl.column("ms").to_numpy(zero_copy_only=False)
+            odate = tbl.column("odate").to_numpy(zero_copy_only=False)
+            prio = tbl.column("prio").to_numpy(zero_copy_only=False)
+            fast = (ms <= odate + US_30D).astype(np.int64)
+            order = np.argsort(prio, kind="stable")
+            ps, fs = prio[order], fast[order]
+            starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+            return pa.table(
+                {
+                    "prio": ps[starts],
+                    "n_orders": np.diff(
+                        np.r_[starts, ps.shape[0]]
+                    ).astype(np.int64),
+                    "n_fast": np.add.reduceat(fs, starts),
+                }
+            )
+
+        summed = bucketed_sum(
+            joined.map_batches(
+                rollup,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="prio",
+            value_cols=("n_orders", "n_fast"),
+        )
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            parr = ray.get(ref_p)
+            code = tbl.column("prio").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderpriority": parr.take(pa.array(code)),
+                    "n_orders": tbl.column("n_orders"),
+                    "n_fast": tbl.column("n_fast"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_user_burstiness(sf):
         # inter-arrival burstiness B = (σ−μ)/(σ+μ) per user, from EXACT
         # integer gap moments (whole-second truncation, Σd and Σd² in
@@ -8313,6 +8472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_grid": q_idw_grid,
         "kde_grid": q_kde_grid,
         "empty_space_f": q_empty_space_f,
+        "largest_empty_circle": q_largest_empty_circle,
         "haversine_join": q_haversine_join,
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
@@ -8493,6 +8653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_dwell_run": q_max_dwell_run,
         "od_asymmetry": q_od_asymmetry,
         "record_events": q_record_events,
+        "late_events": q_late_events,
         "session_type_pairs": q_session_type_pairs,
         "value_peaks": q_value_peaks,
         "user_gini": q_user_gini,
@@ -8575,6 +8736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_cust_revenue": q_returned_cust_revenue,
         "top_supplier_qtr": q_top_supplier_qtr,
         "nation_profit": q_nation_profit,
+        "priority_fill_rate": q_priority_fill_rate,
         "sales_opportunity": q_sales_opportunity,
         "user_burstiness": q_user_burstiness,
         "daily_cusum": q_daily_cusum,
@@ -8608,6 +8770,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from python_prtree_ray.pipelines.windows import (
         record_events_sql as _record_events_sql,
+        late_events_sql as _late_events_sql,
         cohort_retention_sql as _cohort_retention_sql,
         session_type_pairs_sql as _session_type_pairs_sql,
         value_peaks_sql as _value_peaks_sql,
@@ -8900,11 +9063,13 @@ FROM s GROUP BY cell
         empty_space_f_sql,
         idw_grid_sql,
         kde_grid_sql,
+        largest_empty_circle_sql,
     )
 
     idw_grid_sql_q = idw_grid_sql(p_cust)
     kde_grid_sql_q = kde_grid_sql(p_cust)
     empty_space_f_sql_q = empty_space_f_sql(p_cust)
+    largest_empty_circle_sql_q = largest_empty_circle_sql(p_cust)
     haversine_join_sql_q = haversine_join_sql(p_cust, p_supp)
 
     tile_pyramid_sql = "\nUNION ALL\n".join(
@@ -9526,6 +9691,7 @@ FROM v GROUP BY query_id
         "idw_grid": idw_grid_sql_q,
         "kde_grid": kde_grid_sql_q,
         "empty_space_f": empty_space_f_sql_q,
+        "largest_empty_circle": largest_empty_circle_sql_q,
         "haversine_join": haversine_join_sql_q,
         "tile_pyramid": tile_pyramid_sql,
         "lifecycle_query": lifecycle_sql,
@@ -10299,6 +10465,7 @@ SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
         "record_events": _record_events_sql("events"),
+        "late_events": _late_events_sql("events"),
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
@@ -11292,6 +11459,15 @@ FROM c GROUP BY event_type, bin
             "JOIN nation n ON n.n_nationkey = s.s_nationkey "
             "WHERE p.p_name LIKE '%blue%' "
             "GROUP BY 1, 2"
+        ),
+        "priority_fill_rate": (
+            "WITH m AS (SELECT l_orderkey, MIN(epoch_us(l_shipdate)) AS ms "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(COUNT(*) FILTER (WHERE m.ms <= epoch_us(o.o_orderdate) "
+            "+ 2592000000000) AS BIGINT) AS n_fast "
+            "FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey "
+            "GROUP BY 1"
         ),
         "user_burstiness": (
             "WITH s AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec, "

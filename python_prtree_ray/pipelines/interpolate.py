@@ -266,32 +266,17 @@ F_SCALE = 1e12  # d² quantization for the nearest-distance fold
 F_RADII = (0.01, 0.02, 0.04, 0.08, 0.16, 0.32)
 
 
-def empty_space_f(
-    points: Dataset,
-    gres: int = GRES,
-    radii: tuple[float, ...] = F_RADII,
-) -> Dataset:
-    """Empty-space (F) function: share of g×g probe-grid nodes whose
-    nearest data point lies within r, for each fixed radius r — the
-    complement of the nearest-neighbour G statistic (probes are *empty
-    space*, not events).
-
-    Exactness: the per-node nearest distance is folded as min over
-    QUANTIZED squared distances dq = floor(d² · 1e12); floor is
-    monotone, so min(floor(x)) == floor(min(x)) and the distributed min
-    is exact and order-independent. The radius test compares dq against
-    the pre-quantized int threshold floor(r² · 1e12) — the identical
-    BIGINT rule on the SQL side. Points never shuffle: each batch emits
-    ≤ g² (node, dq) partial-min rows, ONE coarse node-bucket min-fold,
-    then the g²-row node table reduces to len(radii) rows on the driver.
-    """
+def _nearest_probe_fold(points: Dataset, gres: int) -> Dataset:
+    """(node, dq) for every g×g probe-grid node: min over int64-
+    quantized squared distances to the point set (floor is monotone,
+    so the distributed min is exact). Each batch emits ≤ g² partial
+    rows; ONE coarse node-bucket min-fold; points never shuffle."""
     g = 1 << gres
     gi = np.arange(g, dtype=np.float64)
     nx = (gi + 0.5) / float(g)
     node_x = np.repeat(nx, g)
     node_y = np.tile(nx, g)
     node_id = np.arange(g * g, dtype=np.int64)
-    thresholds = [int(np.floor(r * r * F_SCALE)) for r in radii]
 
     def partial(tbl: pa.Table) -> pa.Table:
         px = st.col_np(tbl, "px")
@@ -319,9 +304,33 @@ def empty_space_f(
         zero_copy_batch=True,
         batch_size=4096,
     )
-    nearest = bucketed_sum(
+    return bucketed_sum(
         partials, key_col="node", value_cols=("dq",), reduce="min"
     )
+
+
+def empty_space_f(
+    points: Dataset,
+    gres: int = GRES,
+    radii: tuple[float, ...] = F_RADII,
+) -> Dataset:
+    """Empty-space (F) function: share of g×g probe-grid nodes whose
+    nearest data point lies within r, for each fixed radius r — the
+    complement of the nearest-neighbour G statistic (probes are *empty
+    space*, not events).
+
+    Exactness: the per-node nearest distance is folded as min over
+    QUANTIZED squared distances dq = floor(d² · 1e12); floor is
+    monotone, so min(floor(x)) == floor(min(x)) and the distributed min
+    is exact and order-independent. The radius test compares dq against
+    the pre-quantized int threshold floor(r² · 1e12) — the identical
+    BIGINT rule on the SQL side. Points never shuffle: each batch emits
+    ≤ g² (node, dq) partial-min rows, ONE coarse node-bucket min-fold,
+    then the g²-row node table reduces to len(radii) rows on the driver.
+    """
+    g = 1 << gres
+    thresholds = [int(np.floor(r * r * F_SCALE)) for r in radii]
+    nearest = _nearest_probe_fold(points, gres)
 
     import ray
 
@@ -370,4 +379,57 @@ SELECT CAST(thr.r_idx AS BIGINT) AS r_idx,
        CAST(COUNT(*) FILTER (WHERE nearest.dq <= thr.t) AS DOUBLE)
          / {float(g * g)!r} AS f_share
 FROM nearest, thr GROUP BY thr.r_idx
+"""
+
+
+# ------------------------------------------------ largest empty circle
+
+
+def largest_empty_circle(points: Dataset, gres: int = GRES) -> Dataset:
+    """Largest-empty-circle (grid-probe approximation): the probe-grid
+    node FARTHEST from every data point — the classic facility /
+    coverage-gap query, discretized to the same g×g probe lattice as
+    the F-function. ONE row ``(node, dq, dist)``.
+
+    Exactness: shares :func:`_nearest_probe_fold` (per-node nearest
+    distance as an exact int min over floor(d²·1e12)); the argmax over
+    the g² node table is a driver fold with deterministic ties
+    (largest dq, then smallest node). ``dist = SQRT(dq / 1e12)`` —
+    sqrt and division are correctly rounded IEEE, identical to the
+    SQL twin's expression.
+    """
+    import ray
+
+    rows = _nearest_probe_fold(points, gres).take_all()
+    best = max(rows, key=lambda r: (int(r["dq"]), -int(r["node"])))
+    dq = int(best["dq"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([int(best["node"])], pa.int64()),
+                "dq": pa.array([dq], pa.int64()),
+                "dist": pa.array(
+                    [float(np.sqrt(dq / F_SCALE))], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def largest_empty_circle_sql(points_cte: str, gres: int = GRES) -> str:
+    """DuckDB twin of :func:`largest_empty_circle`."""
+    g = 1 << gres
+    return f"""
+WITH p AS ({points_cte}),
+     nodes AS (SELECT gi.i * {g} + gj.j AS node,
+                      (CAST(gi.i AS DOUBLE) + 0.5) / {float(g)!r} AS nx,
+                      (CAST(gj.j AS DOUBLE) + 0.5) / {float(g)!r} AS ny
+               FROM range({g}) gi(i), range({g}) gj(j)),
+     nearest AS (SELECT n.node,
+                        MIN(CAST(FLOOR(((p.px - n.nx) * (p.px - n.nx)
+                             + (p.py - n.ny) * (p.py - n.ny))
+                            * {F_SCALE!r}) AS BIGINT)) AS dq
+                 FROM nodes n, p GROUP BY n.node)
+SELECT node, dq, SQRT(dq / {F_SCALE!r}) AS dist
+FROM nearest ORDER BY dq DESC, node LIMIT 1
 """

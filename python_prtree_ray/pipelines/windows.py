@@ -816,6 +816,139 @@ FROM r WHERE prevmax IS NULL OR cents > prevmax
 """
 
 
+LATE_JITTER = 1000  # max simulated ingest delay, in sequence slots
+LATE_CHANNEL = 11
+
+
+def late_arrival_slot(seq: np.ndarray) -> np.ndarray:
+    """Deterministic simulated ARRIVAL order: each event lands at slot
+    ``seq + hash(seq) % LATE_JITTER`` — the multiply-mod hash family
+    shared with the SQL twins, standing in for network/ingest delay
+    (the synthetic stream is otherwise perfectly ordered)."""
+    from ..functions import derive
+
+    a, b = derive.CHANNELS[LATE_CHANNEL % len(derive.CHANNELS)]
+    return seq + ((seq * a + b) % derive.MOD) % np.int64(LATE_JITTER)
+
+
+def late_events(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Out-of-order (LATE) arrival stats per entity — the watermark
+    diagnostic of a streaming ingest: an event is late iff its event
+    time is strictly below the running max event time of the entity's
+    EARLIER arrivals. Arrival order is :func:`late_arrival_slot`
+    (hash-jittered sequence, tie-broken by ``seq_col``). One row per
+    entity ``(user_id, n_events, n_late, max_lateness_us)`` where the
+    lateness of a late event is ``running_max_ts − ts`` in exact
+    microseconds.
+
+    Scale shape: ONE entity-bucket shuffle of fixed-width ints; the
+    per-bucket fold computes the grouped prefix max over arrival order
+    with the same segmented Hillis-Steele doubling scan as
+    :func:`record_events` (O(n log n) vectorized, no per-row Python),
+    then one reduceat pass collapses to entity rows. All-int output —
+    bitwise-exact vs the SQL window twin at any parallelism.
+    """
+    tune_context()
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": bucket_of(k, n_buckets),
+                "k": k,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                    "max_lateness_us": pa.array([], pa.int64()),
+                }
+            )
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((seq, late_arrival_slot(seq), k))
+        k_s, ts_s = k[order], ts[order]
+        # segmented inclusive prefix max over arrival order
+        res = ts_s.copy()
+        d = 1
+        n = res.size
+        while d < n:
+            valid = k_s[d:] == k_s[:-d]
+            np.maximum(
+                res[d:],
+                np.where(valid, res[:-d], np.iinfo(np.int64).min),
+                out=res[d:],
+            )
+            d *= 2
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        prevmax = np.r_[np.iinfo(np.int64).min, res[:-1]]
+        prevmax[first] = np.iinfo(np.int64).min
+        late = ts_s < prevmax
+        lateness = np.where(late, prevmax - ts_s, 0)
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                key_col: k_s[starts],
+                "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+                "n_late": np.add.reduceat(
+                    late.astype(np.int64), starts
+                ),
+                "max_lateness_us": np.maximum.reduceat(lateness, starts),
+            }
+        )
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def late_events_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`late_events` — running MAX window over
+    the hash-jittered arrival order, 1-preceding frame, identical
+    strict compare."""
+    from ..functions import derive
+
+    a, b = derive.CHANNELS[LATE_CHANNEL % len(derive.CHANNELS)]
+    slot = (
+        f"event_id + ((event_id * {a} + {b}) % {derive.MOD})"
+        f" % {LATE_JITTER}"
+    )
+    return f"""
+WITH m AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+                  MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY {slot}, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pm
+           FROM {table})
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE tus < pm) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(pm - tus) FILTER (WHERE tus < pm), 0) AS BIGINT)
+         AS max_lateness_us
+FROM m GROUP BY 1
+"""
+
+
 WEEK_US = 604_800_000_000  # 7 * 86400e6
 
 
