@@ -2252,6 +2252,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return late_events(ev)
 
+    def q_user_journeys(sf):
+        # path mining: each user's first-4 event-type sequence, counted
+        # across users — types recode to ints against a metadata
+        # vocabulary, ONE user-bucket shuffle, base-B digit pack
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray
+        from python_prtree_ray.pipelines.windows import user_journeys
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+
+        def tstage(tbl: pa.Table) -> pa.Table:
+            return pa.table({"t": _pc.unique(tbl.column("event_type"))})
+
+        types = sorted(
+            {
+                r["t"]
+                for r in ev.map_batches(
+                    tstage, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            }
+        )
+        return user_journeys(ev, types, k=4)
+
     def q_record_events(sf):
         # per-user record-breaking events (running max, segmented
         # doubling scan — no per-entity Python); record-sized output
@@ -8654,6 +8681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_asymmetry": q_od_asymmetry,
         "record_events": q_record_events,
         "late_events": q_late_events,
+        "user_journeys": q_user_journeys,
         "session_type_pairs": q_session_type_pairs,
         "value_peaks": q_value_peaks,
         "user_gini": q_user_gini,
@@ -8771,6 +8799,7 @@ def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.windows import (
         record_events_sql as _record_events_sql,
         late_events_sql as _late_events_sql,
+        user_journeys_sql as _user_journeys_sql,
         cohort_retention_sql as _cohort_retention_sql,
         session_type_pairs_sql as _session_type_pairs_sql,
         value_peaks_sql as _value_peaks_sql,
@@ -10466,6 +10495,7 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
 """,
         "record_events": _record_events_sql("events"),
         "late_events": _late_events_sql("events"),
+        "user_journeys": _user_journeys_sql(4, "events"),
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),

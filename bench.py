@@ -190,6 +190,12 @@ QUERY_SUBSET = (
     " discount_revenue nation_trade_pairs segment_order_dist"
     " small_qty_revenue large_orders promo_revenue benford_hist"
     " user_max_drawdown gram_novelty knn_hubness covisit_triangles"
+    " bracket_revenue sales_opportunity part_supplier_counts"
+    " user_burstiness daily_cusum lifecycle_query kde_grid empty_space_f"
+    " largest_empty_circle returned_cust_revenue top_supplier_qtr"
+    " nation_profit priority_fill_rate heavy_hitters co_travelers"
+    " travel_groups source_jaccard flow_accumulation watershed_sizes"
+    " late_events user_journeys"
 ).split()
 
 

@@ -949,6 +949,138 @@ FROM m GROUP BY 1
 """
 
 
+def user_journeys(
+    events: Dataset,
+    types: list[str],
+    k: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Journey (path) mining: the sequence of each entity's FIRST ``k``
+    event types in (ts, seq) order, counted across entities — "what do
+    users do first". Output ``(path, n_users)`` with ``path`` the
+    '>'-joined type sequence (shorter for entities with < k events).
+
+    Scale shape: types recode to small ints against the broadcast
+    ``types`` vocabulary (metadata, from a distinct fold); ONE
+    entity-bucket shuffle of fixed-width ints; the per-bucket fold is
+    one lexsort + rank mask + base-B digit pack (paths of different
+    lengths cannot collide: the leading digit is nonzero), then ONE
+    tiny path-key sum; path strings decode only for the final
+    path-cardinality rows (≤ (|types|+1)^k, a model artifact).
+    """
+    tune_context()
+    base = np.int64(len(types) + 1)
+    if (base ** k) > np.iinfo(np.int64).max // base:
+        raise ValueError("types**k overflows the path key")
+    type_arr = pa.array(types, pa.string())
+
+    import ray
+
+    ref_types = ray.put(type_arr)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        tarr = ray.get(ref_types)
+        kk = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        code = (
+            pc.index_in(tbl.column(type_col), value_set=tarr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(kk, n_buckets),
+                "k": kk,
+                "ts": tbl.column(ts_col),
+                "seq": tbl.column(seq_col),
+                "code": code,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        kk = group.column("k").to_numpy(zero_copy_only=False)
+        if kk.size == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+        code = group.column("code").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, kk))
+        k_s, c_s = kk[order], code[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        counts = np.diff(np.r_[starts, k_s.shape[0]])
+        rank = np.arange(k_s.shape[0], dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        keep = rank < k
+        seg = np.repeat(np.arange(starts.shape[0], dtype=np.int64), counts)[
+            keep
+        ]
+        lens = np.minimum(counts, k)
+        digit = (c_s[keep] + 1) * base ** (
+            np.repeat(lens, lens) - 1 - rank[keep]
+        )
+        # one key per entity: segment sum of place-valued digits
+        seg_starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        keys = np.add.reduceat(digit, seg_starts)
+        uk, n = np.unique(keys, return_counts=True)
+        return pa.table({"key": uk, "n": n.astype(np.int64)})
+
+    from .merge import bucketed_sum
+
+    keyed = events.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    folded = keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+    summed = bucketed_sum(folded, key_col="key", value_cols=("n",))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
+        # decode base-B digits back to type names (path-cardinality
+        # rows only — metadata-sized by construction)
+        paths = []
+        for key in keys:
+            digs = []
+            x = int(key)
+            while x:
+                digs.append(x % int(base) - 1)
+                x //= int(base)
+            paths.append(">".join(types[d] for d in reversed(digs)))
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "n_users": tbl.column("n"),
+            }
+        )
+
+    return summed.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def user_journeys_sql(k: int = 4, table: str = "events") -> str:
+    """DuckDB twin of :func:`user_journeys`."""
+    return f"""
+WITH r AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM {table}),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {k} GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1
+"""
+
+
 WEEK_US = 604_800_000_000  # 7 * 86400e6
 
 
