@@ -2047,6 +2047,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return empty_space_f(tables.points_dataset(sf))
 
+    def q_hex_bin(sf):
+        # H3-style hex binning: axial cube-rounded (q, r) hex cells
+        # over customer points — per-batch unique fold on a packed
+        # key, ONE coarse bucket-sum; the alternative tiling system to
+        # the square quadkey grid (same FLOOR(v+0.5) rule both sides)
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import hex_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        OFF = np.int64(1 << 20)
+        M = np.int64(1 << 21)
+        pts = tables.points_dataset(sf)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            px = tbl.column("px").to_numpy(zero_copy_only=False)
+            py = tbl.column("py").to_numpy(zero_copy_only=False)
+            q, r = hex_of_points(px, py)
+            key, n = np.unique((q + OFF) * M + (r + OFF), return_counts=True)
+            return pa.table({"key": key, "n_points": n.astype(np.int64)})
+
+        summed = bucketed_sum(
+            pts.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="key",
+            value_cols=("n_points",),
+        )
+
+        def unpack(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "hq": key // M - OFF,
+                    "hr": key % M - OFF,
+                    "n_points": tbl.column("n_points"),
+                }
+            )
+
+        return summed.map_batches(
+            unpack, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def q_largest_empty_circle(sf):
         # coverage-gap query: probe-grid node farthest from every data
         # point (grid-discretized largest empty circle); exact int
@@ -8500,6 +8546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kde_grid": q_kde_grid,
         "empty_space_f": q_empty_space_f,
         "largest_empty_circle": q_largest_empty_circle,
+        "hex_bin": q_hex_bin,
         "haversine_join": q_haversine_join,
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
@@ -9099,6 +9146,15 @@ FROM s GROUP BY cell
     kde_grid_sql_q = kde_grid_sql(p_cust)
     empty_space_f_sql_q = empty_space_f_sql(p_cust)
     largest_empty_circle_sql_q = largest_empty_circle_sql(p_cust)
+
+    from python_prtree_ray.functions.cells import hex_cell_sql
+
+    hex_bin_sql_q = (
+        f"WITH p AS ({p_cust}), "
+        f"h AS (SELECT {hex_cell_sql('px', 'py')} FROM p) "
+        "SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n_points "
+        "FROM h GROUP BY 1, 2"
+    )
     haversine_join_sql_q = haversine_join_sql(p_cust, p_supp)
 
     tile_pyramid_sql = "\nUNION ALL\n".join(
@@ -9721,6 +9777,7 @@ FROM v GROUP BY query_id
         "kde_grid": kde_grid_sql_q,
         "empty_space_f": empty_space_f_sql_q,
         "largest_empty_circle": largest_empty_circle_sql_q,
+        "hex_bin": hex_bin_sql_q,
         "haversine_join": haversine_join_sql_q,
         "tile_pyramid": tile_pyramid_sql,
         "lifecycle_query": lifecycle_sql,

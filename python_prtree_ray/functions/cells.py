@@ -124,3 +124,70 @@ def cell_bounds(cell: np.ndarray, res: int) -> np.ndarray:
     x0 = ix.astype(np.float64) * w
     y0 = iy.astype(np.float64) * w
     return np.stack([x0, y0, x0 + w, y0 + w], axis=1)
+
+
+# ------------------------------------------------------------ hex grid
+
+HEX_SIZE = 1.0 / 24.0  # axial hex circumradius in unit-square coords
+_SQRT3_3 = 0.5773502691896257  # sqrt(3)/3, embedded verbatim both sides
+_THIRD = 1.0 / 3.0
+_TWO_THIRDS = 2.0 / 3.0
+
+
+def hex_of_points(
+    x: np.ndarray, y: np.ndarray, size: float = HEX_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Axial (q, r) hex-cell assignment — pointy-top hexagons of
+    circumradius ``size``, the H3-style alternative to the square
+    quadkey grid. Fractional axial coords are snapped with the
+    standard CUBE ROUNDING rule (round each cube coordinate, then fix
+    the one with the largest error so q+r+s == 0 stays exact).
+
+    Determinism: rounding is ``floor(v + 0.5)`` on both engine and SQL
+    (numpy ``round`` is half-to-even, DuckDB ``ROUND`` half-away — so
+    neither is used); the sqrt(3)/3 constant is embedded verbatim, so
+    every arithmetic step is the identical double expression.
+    """
+    qf = (_SQRT3_3 * x - _THIRD * y) / size
+    rf = (_TWO_THIRDS * y) / size
+    xf = qf
+    zf = rf
+    yf = -xf - zf
+    rx = np.floor(xf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(zf + 0.5)
+    dx = np.abs(rx - xf)
+    dy = np.abs(ry - yf)
+    dz = np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def hex_cell_sql(x: str, y: str, size: float = HEX_SIZE) -> str:
+    """DuckDB twin of :func:`hex_of_points`: one SELECT-able struct-
+    free expression pair via a CTE fragment — returns SQL producing
+    columns ``hq`` and ``hr`` from point columns ``x``/``y``. Meant to
+    be spliced as ``SELECT {hex_cell_sql(...)} FROM ...``."""
+    qf = f"(({_SQRT3_3!r} * {x} - {_THIRD!r} * {y}) / {size!r})"
+    rf = f"(({_TWO_THIRDS!r} * {y}) / {size!r})"
+    # cube coords: xf = qf, zf = rf, yf = -xf - zf
+    xf, zf = qf, rf
+    yf = f"(-{qf} - {rf})"
+    rx = f"FLOOR({xf} + 0.5)"
+    ry = f"FLOOR({yf} + 0.5)"
+    rz = f"FLOOR({zf} + 0.5)"
+    dx = f"ABS({rx} - {xf})"
+    dy = f"ABS({ry} - {yf})"
+    dz = f"ABS({rz} - {zf})"
+    fix_x = f"({dx} > {dy} AND {dx} > {dz})"
+    fix_z = f"(NOT {fix_x} AND {dz} > {dy})"
+    hq = f"CAST(CASE WHEN {fix_x} THEN -{ry} - {rz} ELSE {rx} END AS BIGINT)"
+    hr = (
+        f"CAST(CASE WHEN {fix_z} THEN "
+        f"-(CASE WHEN {fix_x} THEN -{ry} - {rz} ELSE {rx} END) - {ry} "
+        f"ELSE {rz} END AS BIGINT)"
+    )
+    return f"{hq} AS hq, {hr} AS hr"

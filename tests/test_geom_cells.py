@@ -130,3 +130,31 @@ def test_adaptive_epsilon_clamps():
     assert 10 * np.finfo(np.float64).eps <= eps <= 0.01
     big = cfg.epsilon_for(1e12)
     assert big <= 0.01 * 1e12
+
+
+def test_hex_of_points_nearest_center():
+    # cube rounding must assign each point to the NEAREST hex center
+    # (pointy-top axial, circumradius HEX_SIZE)
+    import numpy as np
+    from python_prtree_ray.functions.cells import HEX_SIZE, hex_of_points
+
+    rng = np.random.default_rng(17)
+    x = rng.random(3000)
+    y = rng.random(3000)
+    q, r = hex_of_points(x, y)
+
+    def center(qq, rr):
+        # inverse of the axial transform: x = s*sqrt(3)*(q + r/2), y = s*3/2*r
+        s = HEX_SIZE
+        return s * np.sqrt(3.0) * (qq + rr / 2.0), s * 1.5 * rr
+
+    cx, cy = center(q.astype(float), r.astype(float))
+    d_own = (x - cx) ** 2 + (y - cy) ** 2
+    # against all neighbors in a 2-ring (covers every rounding case)
+    for dq in range(-2, 3):
+        for dr in range(-2, 3):
+            if dq == 0 and dr == 0:
+                continue
+            nx, ny = center((q + dq).astype(float), (r + dr).astype(float))
+            d_n = (x - nx) ** 2 + (y - ny) ** 2
+            assert (d_own <= d_n + 1e-12).all()
