@@ -852,6 +852,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
         return tiling.watershed_sizes(pts, res=TILE_RES)
 
+    def q_bivariate_moran(sf):
+        # bivariate Moran's I: are customer-density hotspots adjacent
+        # to event-density hotspots? two exact tile-count folds; the
+        # union tile table is parameter-sized, so moments fold on the
+        # driver in arbitrary-precision ints (ONE sqrt + ONE division)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+
+        def geo(tbl):
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            return pa.table({"px": p["px"], "py": p["py"]})
+
+        evp = ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True)
+        return tiling.bivariate_moran(
+            tables.points_dataset(sf), evp, res=TILE_RES
+        )
+
     def q_cross_k(sf):
         # bivariate Ripley's cross-K between customer points (type A)
         # and event points (type B) at r=RADIUS: exact integer
@@ -2297,6 +2317,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
         )
         return late_events(ev)
+
+    def q_order_running_totals(sf):
+        # per-customer running order totals (billing-balance
+        # transform): ONE custkey-bucket shuffle, exact segmented
+        # cumsum (global cumsum + per-segment rebase), input-sized out
+        from python_prtree_ray.pipelines.windows import running_totals
+        import ray
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        return running_totals(
+            od,
+            key_col="o_custkey",
+            order_cols=("o_orderdate", "o_orderkey"),
+            value_col="o_totalprice",
+        )
 
     def q_user_journeys(sf):
         # path mining: each user's first-4 event-type sequence, counted
@@ -7153,6 +7191,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return emb_top_eigen(emb)
 
+    def q_emb_top2_eigen(sf):
+        # 2-D PCA basis via Hotelling deflation on the exact covariance
+        # fold (rows-only: no SQL eigensolver; pytest pins vs eigh)
+        import ray
+        from python_prtree_ray.pipelines.ann import emb_top2_eigen
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        return emb_top2_eigen(emb)
+
     def q_supplier_reach_hist(sf):
         # two-level DISTINCT aggregate: distinct orders served per
         # supplier, then the distribution of that reach
@@ -8637,6 +8686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_cohesion": q_label_cohesion,
         "label_separation": q_label_separation,
         "emb_top_eigen": q_emb_top_eigen,
+        "emb_top2_eigen": q_emb_top2_eigen,
         "supplier_reach_hist": q_supplier_reach_hist,
         "value_ks": q_value_ks,
         "convert_delay_quantiles": q_convert_delay_quantiles,
@@ -8729,6 +8779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_events": q_record_events,
         "late_events": q_late_events,
         "user_journeys": q_user_journeys,
+        "order_running_totals": q_order_running_totals,
         "session_type_pairs": q_session_type_pairs,
         "value_peaks": q_value_peaks,
         "user_gini": q_user_gini,
@@ -8775,6 +8826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lorenz_curve": q_lorenz_curve,
         "flow_direction": q_flow_direction,
         "flow_accumulation": q_flow_accumulation,
+        "bivariate_moran": q_bivariate_moran,
         "watershed_sizes": q_watershed_sizes,
         "cross_k": q_cross_k,
         "semivariogram": q_semivariogram,
@@ -8847,6 +8899,7 @@ def oracle_sql() -> dict[str, str]:
         record_events_sql as _record_events_sql,
         late_events_sql as _late_events_sql,
         user_journeys_sql as _user_journeys_sql,
+        order_running_totals_sql as _order_running_totals_sql,
         cohort_retention_sql as _cohort_retention_sql,
         session_type_pairs_sql as _session_type_pairs_sql,
         value_peaks_sql as _value_peaks_sql,
@@ -8908,6 +8961,7 @@ def oracle_sql() -> dict[str, str]:
         flow_direction_sql as _flow_direction_sql,
         flow_accumulation_sql as _flow_accumulation_sql,
         watershed_sizes_sql as _watershed_sizes_sql,
+        bivariate_moran_sql as _bivariate_moran_sql,
         cross_k_sql as _cross_k_sql,
         semivariogram_sql as _semivariogram_sql,
         join_counts_sql as _join_counts_sql,
@@ -10553,6 +10607,7 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "record_events": _record_events_sql("events"),
         "late_events": _late_events_sql("events"),
         "user_journeys": _user_journeys_sql(4, "events"),
+        "order_running_totals": _order_running_totals_sql("orders"),
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),
@@ -11335,6 +11390,11 @@ FROM deg GROUP BY indegree
         ),
         "watershed_sizes": _watershed_sizes_sql(
             derive.points_sql("events", "event_id", "event_id"), TILE_RES
+        ),
+        "bivariate_moran": _bivariate_moran_sql(
+            p_cust,
+            derive.points_sql("events", "event_id", "event_id"),
+            TILE_RES,
         ),
         "cross_k": _cross_k_sql(
             p_cust,

@@ -1050,3 +1050,78 @@ def emb_top_eigen(
             }
         )
     )
+
+
+def emb_top2_eigen(
+    vectors: Dataset,
+    col: str = "embedding",
+    scale_bits: int = 20,
+    n_iter: int = 60,
+) -> Dataset:
+    """Top-2 eigenpairs of the embedding covariance — the 2-D PCA
+    basis (projection plane for corpus visualization / drift): one row
+    per dimension ``(dim, eig1, comp1, eig2, comp2)``. Same exact
+    integer moment fold as :func:`emb_top_eigen`; the second pair
+    comes from HOTELLING DEFLATION (power-iterate C − λ₁v₁v₁ᵀ, with a
+    re-orthogonalization against v₁ each step to stop drift). Fixed
+    deterministic starts → bit-stable across runs and parallelism.
+
+    No SQL twin (eigensolver); pytest pins both pairs against
+    ``numpy.linalg.eigh`` on the identical matrix.
+    """
+    tune_context()
+    cov_rows = emb_covariance(vectors, col=col, scale_bits=scale_bits).take_all()
+    if not cov_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "eig1": pa.array([], pa.float64()),
+                    "comp1": pa.array([], pa.float64()),
+                    "eig2": pa.array([], pa.float64()),
+                    "comp2": pa.array([], pa.float64()),
+                }
+            )
+        )
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d), np.float64)
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+
+    def power(mat, v0, ortho=None):
+        v = v0 / np.sqrt((v0 * v0).sum())
+        for _ in range(n_iter):
+            w = mat @ v
+            if ortho is not None:
+                w = w - (w @ ortho) * ortho
+            nrm = np.sqrt((w * w).sum())
+            if nrm == 0.0:
+                break
+            v = w / nrm
+        return v
+
+    v1 = power(C, np.ones(d, np.float64))
+    lam1 = float(v1 @ (C @ v1))
+    C2 = C - lam1 * np.outer(v1, v1)
+    # deterministic start orthogonal-ish to v1: alternating signs
+    s0 = np.ones(d, np.float64)
+    s0[1::2] = -1.0
+    s0 = s0 - (s0 @ v1) * v1
+    if float((s0 * s0).sum()) == 0.0:  # pragma: no cover - degenerate start
+        s0 = np.zeros(d, np.float64)
+        s0[0] = 1.0
+        s0 = s0 - (s0 @ v1) * v1
+    v2 = power(C2, s0, ortho=v1)
+    lam2 = float(v2 @ (C @ v2))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "eig1": pa.array(np.full(d, lam1), pa.float64()),
+                "comp1": pa.array(v1, pa.float64()),
+                "eig2": pa.array(np.full(d, lam2), pa.float64()),
+                "comp2": pa.array(v2, pa.float64()),
+            }
+        )
+    )

@@ -5315,3 +5315,156 @@ FROM fd JOIN sink ON sink.cell = fd.cell
 GROUP BY 1
 """
     )
+
+
+def bivariate_moran(
+    points_x: Dataset, points_y: Dataset, res: int, n_buckets: int = 256
+) -> Dataset:
+    """Global BIVARIATE Moran's I between two point populations'
+    tile densities — "are X's hotspots near Y's hotspots?" (queen
+    weights, cells = union of tiles occupied by either set, the
+    missing side counting 0). ONE row ``(n_cells, w_pairs,
+    moran_xy)``.
+
+    Exactness: with Sx, Sy, SX2, SY2 the exact per-cell count sums,
+    P = Σ_w x_i·y_j and Qx = Σ_w x_i, Qy = Σ_w y_j over ordered
+    neighbor pairs, the N² factors cancel to
+
+        I_xy = (N²·P − N·Sy·Qx − N·Sx·Qy + W·Sx·Sy)
+               / (W · sqrt((N·SX2 − Sx²) · (N·SY2 − Sy²)))
+
+    — integer numerator and radicand in arbitrary-precision Python
+    ints, then ONE sqrt and ONE division in the same shape as the SQL
+    twin (HUGEINT sums, CAST-to-DOUBLE) — bitwise-equal.
+
+    Scale shape: each side collapses to its exact occupied-tile count
+    table (per-batch distinct-cell partials + ONE bucketed fold); the
+    two tile tables are parameter-sized (≤ 4^res), so the union join,
+    neighbor expansion and moment fold run on the driver.
+    """
+    import math
+
+    import numpy as np
+    import ray
+
+    from ..functions.buckets import bucket_of  # noqa: F401  (parity w/ siblings)
+    from .merge import bucketed_sum
+
+    g = 1 << res
+
+    def count_fold(points: Dataset) -> dict[int, int]:
+        def partial(tbl: pa.Table) -> pa.Table:
+            px = st.col_np(tbl, "px")
+            py = st.col_np(tbl, "py")
+            c, n = np.unique(
+                cellmod.cell_of_points(px, py, res), return_counts=True
+            )
+            return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+        rows = bucketed_sum(
+            points.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=COMBINE_BATCH,
+            ),
+            key_col="cell",
+            value_cols=("x",),
+        ).take_all()
+        return {int(r["cell"]): int(r["x"]) for r in rows}
+
+    xs = count_fold(points_x)
+    ys = count_fold(points_y)
+    cells = np.array(sorted(set(xs) | set(ys)), np.int64)
+    if cells.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_cells": pa.array([0], pa.int64()),
+                    "w_pairs": pa.array([0], pa.int64()),
+                    "moran_xy": pa.array([None], pa.float64()),
+                }
+            )
+        )
+    x = np.array([xs.get(int(c), 0) for c in cells], np.int64)
+    y = np.array([ys.get(int(c), 0) for c in cells], np.int64)
+    N = int(cells.size)
+    Sx, Sy = int(x.sum()), int(y.sum())
+    SX2, SY2 = int((x * x).sum()), int((y * y).sum())
+    # ordered queen-neighbor pairs over the union cell set
+    ix, iy = cells // g, cells % g
+    W = 0
+    P = Qx = Qy = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nxc = ix + dx
+            nyc = iy + dy
+            ok = (nxc >= 0) & (nxc < g) & (nyc >= 0) & (nyc < g)
+            tgt = nxc * g + nyc
+            pos = np.searchsorted(cells, tgt)
+            hit = ok & (pos < cells.size) & (
+                cells[np.minimum(pos, cells.size - 1)] == tgt
+            )
+            j = np.minimum(pos, cells.size - 1)[hit]
+            i = np.nonzero(hit)[0]
+            W += int(i.size)
+            P += int((x[i] * y[j]).sum())
+            Qx += int(x[i].sum())
+            Qy += int(y[j].sum())
+    num = N * N * P - N * Sy * Qx - N * Sx * Qy + W * Sx * Sy
+    d1 = N * SX2 - Sx * Sx
+    d2 = N * SY2 - Sy * Sy
+    val = (
+        float(num) / (float(W) * math.sqrt(float(d1 * d2)))
+        if W and d1 > 0 and d2 > 0
+        else None
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([N], pa.int64()),
+                "w_pairs": pa.array([W], pa.int64()),
+                "moran_xy": pa.array([val], pa.float64()),
+            }
+        )
+    )
+
+
+def bivariate_moran_sql(cte_x: str, cte_y: str, res: int) -> str:
+    """DuckDB twin of :func:`bivariate_moran` — HUGEINT-exact sums,
+    ONE SQRT and ONE division in the identical shape."""
+    ix = derive.tile_index_sql("px", res)
+    iy = derive.tile_index_sql("py", res)
+    return f"""
+WITH p1 AS ({cte_x}), p2 AS ({cte_y}),
+cx AS (SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS x
+       FROM p1 GROUP BY 1, 2),
+cy AS (SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS y
+       FROM p2 GROUP BY 1, 2),
+c AS (SELECT COALESCE(cx.ix, cy.ix) AS ix, COALESCE(cx.iy, cy.iy) AS iy,
+             COALESCE(cx.x, 0) AS x, COALESCE(cy.y, 0) AS y
+      FROM cx FULL JOIN cy ON cx.ix = cy.ix AND cx.iy = cy.iy),
+gsum AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS sx,
+                CAST(SUM(y) AS HUGEINT) AS sy,
+                CAST(SUM(x * x) AS HUGEINT) AS sx2,
+                CAST(SUM(y * y) AS HUGEINT) AS sy2 FROM c),
+e AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w,
+             CAST(COALESCE(SUM(a.x * b.y), 0) AS HUGEINT) AS p,
+             CAST(COALESCE(SUM(a.x), 0) AS HUGEINT) AS qx,
+             CAST(COALESCE(SUM(b.y), 0) AS HUGEINT) AS qy
+      FROM c a JOIN c b
+      ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+         AND NOT (a.ix = b.ix AND a.iy = b.iy))
+SELECT CAST(gsum.n AS BIGINT) AS n_cells,
+       CAST(e.w AS BIGINT) AS w_pairs,
+       CAST(gsum.n * gsum.n * e.p - gsum.n * gsum.sy * e.qx
+            - gsum.n * gsum.sx * e.qy + e.w * gsum.sx * gsum.sy AS DOUBLE)
+       / (CAST(e.w AS DOUBLE)
+          * SQRT(CAST((gsum.n * gsum.sx2 - gsum.sx * gsum.sx)
+                      * (gsum.n * gsum.sy2 - gsum.sy * gsum.sy) AS DOUBLE)))
+       AS moran_xy
+FROM gsum, e
+"""

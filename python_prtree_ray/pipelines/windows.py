@@ -1081,6 +1081,105 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1
 """
 
 
+def running_totals(
+    ds: Dataset,
+    key_col: str,
+    order_cols: tuple[str, str],
+    value_col: str,
+    out_seq: str = "seq",
+    out_total: str = "running_cents",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-entity RUNNING TOTAL transform — every input row out, with
+    its 1-based sequence number and the inclusive prefix sum of its
+    value (exact floor-cents), ordered by ``order_cols`` within the
+    entity. The per-entity balance/LTV transform of a billing stream.
+
+    Scale shape: ONE entity-bucket shuffle; the per-bucket fold is one
+    lexsort + ONE global cumsum with per-segment rebasing
+    (``cs − cs[seg_start] + v[seg_start]`` — exact int arithmetic,
+    O(n), no doubling passes needed for sums). Output is input-sized
+    (a transform, not an aggregate); at any parallelism the (entity,
+    order) pair determines the row, so results are exact vs the SQL
+    window twin.
+    """
+    tune_context()
+    oc1, oc2 = order_cols
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(
+            pc.floor(pc.multiply(tbl.column(value_col), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": bucket_of(k, n_buckets),
+                "k": k,
+                "o1": tbl.column(oc1),
+                "o2": tbl.column(oc2),
+                "cents": cents,
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    oc2: pa.array([], pa.int64()),
+                    out_seq: pa.array([], pa.int64()),
+                    out_total: pa.array([], pa.int64()),
+                }
+            )
+        o1 = group.column("o1").to_numpy(zero_copy_only=False)
+        if o1.dtype.kind == "M":
+            o1 = o1.astype("datetime64[us]").astype(np.int64)
+        o2 = group.column("o2").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o2, o1, k))
+        k_s, o2_s, v_s = k[order], o2[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        counts = np.diff(np.r_[starts, k_s.shape[0]])
+        cs = np.cumsum(v_s)
+        base = cs[starts] - v_s[starts]
+        running = cs - np.repeat(base, counts)
+        seq = (
+            np.arange(k_s.shape[0], dtype=np.int64)
+            - np.repeat(starts, counts)
+            + 1
+        )
+        return pa.table(
+            {
+                key_col: k_s,
+                oc2: o2_s,
+                out_seq: seq,
+                out_total: running,
+            }
+        )
+
+    keyed = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
+    )
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def order_running_totals_sql(table: str = "orders") -> str:
+    """DuckDB twin of :func:`running_totals` wired to the orders
+    table: per-customer running order totals in exact cents."""
+    return f"""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents
+FROM {table}
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 WEEK_US = 604_800_000_000  # 7 * 86400e6
 
 

@@ -7104,3 +7104,43 @@ def test_flow_accumulation_conservation_and_invariance(ray_session):
             row = [r for r in prev if r[0] == sink][0]
             if row[3] == sink:  # genuine occupied sink
                 assert row[2] == mass
+
+
+def test_emb_top2_eigen_matches_numpy(ray_session):
+    # deflated power iteration: both eigenpairs vs numpy.linalg.eigh,
+    # orthogonal components, bit-stable across parallelism
+    ray = ray_session
+    from python_prtree_ray.pipelines.ann import emb_top2_eigen
+
+    rng = np.random.default_rng(57)
+    n, d = 300, 6
+    base = rng.normal(size=(n, 1)) * np.array([[3, 2, 1, 0.5, 0.2, 0.1]])
+    second = rng.normal(size=(n, 1)) * np.array([[0.1, 1.5, -2, 0.3, 0.8, 0]])
+    E = (base + second + 0.3 * rng.normal(size=(n, d))).astype(np.float32)
+
+    t = pa.table({"embedding": pa.array(list(E), pa.list_(pa.float32()))})
+    prev = None
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = sorted(emb_top2_eigen(ds).take_all(), key=lambda r: r["dim"])
+        got = tuple(
+            (r["eig1"], r["comp1"], r["eig2"], r["comp2"]) for r in rows
+        )
+        if prev is not None:
+            assert got == prev
+        prev = got
+    lam1 = prev[0][0]
+    lam2 = prev[0][2]
+    v1 = np.array([r[1] for r in prev])
+    v2 = np.array([r[3] for r in prev])
+
+    Q = np.floor(E.astype(np.float64) * float(1 << 20))
+    m = Q.shape[0]
+    C = ((Q.T @ Q) * m - np.outer(Q.sum(0), Q.sum(0))) / float(m * m)
+    w, V = np.linalg.eigh(C)
+    assert abs(lam1 - w[-1]) / w[-1] < 1e-9
+    assert abs(lam2 - w[-2]) / w[-2] < 1e-6
+    for v, ref in ((v1, V[:, -1]), (v2, V[:, -2])):
+        cos = abs(float(v @ ref) / np.sqrt(float(v @ v) * float(ref @ ref)))
+        assert cos > 1.0 - 1e-6
+    assert abs(float(v1 @ v2)) < 1e-9
