@@ -118,6 +118,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), res=RES
         )
 
+    def q_tree_stats(sf):
+        # index-quality audit of the packed PR-tree: per level, node
+        # count + int-quantized MBR area and perimeter sums across the
+        # per-partition trees — the bulk-load quality metric (lower
+        # area/overlap = better packing). Rows-only: tree internals
+        # aren't SQL; pytest pins the single-partition stats against a
+        # directly-built PRTree.
+        import pyarrow as pa
+        from python_prtree_ray.functions.prtree import PRTree
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ASCALE = np.int64(1 << 40)
+        boxes = tables.boxes_dataset(sf)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            idx = tbl.column("idx").to_numpy(zero_copy_only=False)
+            b = np.column_stack(
+                [
+                    tbl.column(c).to_numpy(zero_copy_only=False)
+                    for c in ("xmin", "ymin", "xmax", "ymax")
+                ]
+            )
+            if idx.size == 0:
+                return pa.table(
+                    {
+                        "level": pa.array([], pa.int64()),
+                        "n_nodes": pa.array([], pa.int64()),
+                        "area_q": pa.array([], pa.int64()),
+                        "perim_q": pa.array([], pa.int64()),
+                    }
+                )
+            tree = PRTree(idx, b)
+            lv_rows = []
+            for li, lv in enumerate(tree.levels):
+                w = lv[:, 2] - lv[:, 0]
+                h = lv[:, 3] - lv[:, 1]
+                lv_rows.append(
+                    (
+                        li,
+                        lv.shape[0],
+                        int(np.floor(w * h * ASCALE).astype(np.int64).sum()),
+                        int(
+                            np.floor((w + h) * ASCALE).astype(np.int64).sum()
+                        ),
+                    )
+                )
+            return pa.table(
+                {
+                    "level": pa.array([r[0] for r in lv_rows], pa.int64()),
+                    "n_nodes": pa.array([r[1] for r in lv_rows], pa.int64()),
+                    "area_q": pa.array([r[2] for r in lv_rows], pa.int64()),
+                    "perim_q": pa.array([r[3] for r in lv_rows], pa.int64()),
+                }
+            )
+
+        return bucketed_sum(
+            boxes.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="level",
+            value_cols=("n_nodes", "area_q", "perim_q"),
+        )
+
+    def q_box_count(sf):
+        # range-COUNT flavor of batch_query: hits per query box without
+        # materializing pairs downstream — per-batch reduceat inside
+        # the join output, ONE tiny query-key sum (the aggregate
+        # pushdown a 100-TB "how many per region" scan wants)
+        import pyarrow as pa
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        pairs = sj.spatial_join(
+            tables.boxes_dataset(sf), tables.query_boxes_dataset(sf), res=RES
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+            k, n = np.unique(q, return_counts=True)
+            return pa.table({"query_id": k, "n_hits": n.astype(np.int64)})
+
+        return bucketed_sum(
+            pairs.map_batches(
+                partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="query_id",
+            value_cols=("n_hits",),
+        )
+
     def q_spatial_join_shuffle(sf):
         # the FORCED big-big cell-shuffle physical plan (broadcast=False)
         # driven through the driver oracle: same pair set as the
@@ -8570,6 +8664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "spatial_join": q_spatial_join,
+        "box_count": q_box_count,
+        "tree_stats": q_tree_stats,
         "spatial_join_shuffle": q_spatial_join_shuffle,
         "knn_ring": q_knn_ring,
         "self_join": q_self_join,
@@ -9000,6 +9096,12 @@ def oracle_sql() -> dict[str, str]:
     spatial_join_sql = f"""
 WITH b AS ({b_orders}), q AS ({q_cust})
 SELECT q.query_id AS query_id, b.idx AS idx FROM q, b WHERE {intersects}
+"""
+
+    box_count_sql = f"""
+WITH b AS ({b_orders}), q AS ({q_cust})
+SELECT q.query_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM q, b WHERE {intersects} GROUP BY 1
 """
 
     self_join_sql = f"""
@@ -9796,6 +9898,7 @@ WHERE {intersects}
 
     return {
         "spatial_join": spatial_join_sql,
+        "box_count": box_count_sql,
         # same semantics, forced cell-shuffle physical plan
         "spatial_join_shuffle": spatial_join_sql,
         "self_join": self_join_sql,

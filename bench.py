@@ -195,7 +195,8 @@ QUERY_SUBSET = (
     " largest_empty_circle returned_cust_revenue top_supplier_qtr"
     " nation_profit priority_fill_rate heavy_hitters co_travelers"
     " travel_groups source_jaccard flow_accumulation watershed_sizes"
-    " late_events user_journeys"
+    " late_events user_journeys hex_bin bivariate_moran"
+    " order_running_totals emb_top2_eigen"
 ).split()
 
 

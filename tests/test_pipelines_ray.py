@@ -7144,3 +7144,57 @@ def test_emb_top2_eigen_matches_numpy(ray_session):
         cos = abs(float(v @ ref) / np.sqrt(float(v @ v) * float(ref @ ref)))
         assert cos > 1.0 - 1e-6
     assert abs(float(v1 @ v2)) < 1e-9
+
+
+def test_tree_stats_matches_direct_build(ray_session):
+    # single-partition tree_stats must equal the per-level stats of a
+    # directly built PRTree; multi-partition sums the partition trees
+    ray = ray_session
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_ts", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q = mod.queries()["tree_stats"]
+    rows = sorted(
+        (r["level"], r["n_nodes"], r["area_q"], r["perim_q"])
+        for r in q("/root/testdata/sf0.001").take_all()
+    )
+    # invariants: levels contiguous from 0; node counts shrink by at
+    # least the fanout ratio per level within each partition tree
+    assert rows[0][0] == 0
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    for (l1, n1, a1, p1), (l2, n2, a2, p2) in zip(rows, rows[1:]):
+        assert n2 < n1
+    # direct single-tree reference over the same derived boxes
+    import pyarrow.parquet as pq
+    from python_prtree_ray.functions.prtree import PRTree
+    from python_prtree_ray.functions import derive as dv
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"]
+    )
+    k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+    cols = dv.derive_boxes(k)
+    b = np.column_stack(
+        [cols["xmin"], cols["ymin"], cols["xmax"], cols["ymax"]]
+    )
+    tree = PRTree(np.asarray(k, np.int64), b)
+    ASCALE = np.int64(1 << 40)
+    want = []
+    for li, lv in enumerate(tree.levels):
+        w = lv[:, 2] - lv[:, 0]
+        h = lv[:, 3] - lv[:, 1]
+        want.append(
+            (
+                li,
+                lv.shape[0],
+                int(np.floor(w * h * ASCALE).astype(np.int64).sum()),
+                int(np.floor((w + h) * ASCALE).astype(np.int64).sum()),
+            )
+        )
+    # the driver pipeline may split into several partition trees; at
+    # sf0.001 the orders table is one parquet row group -> one tree
+    assert rows == want
