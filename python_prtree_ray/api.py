@@ -81,6 +81,20 @@ class RayPRTree:
 
             boxes = validated_boxes_dataset(boxes, self._precision)
         self._base = boxes
+        # dimensionality from the schema, once: canonical coordinate
+        # names in (mins..., maxs...) order. A 3D/4D tree MUST join on
+        # all its axes — the 2D default silently widens results.
+        self._box_cols: tuple[str, ...] | None = None
+        if boxes is not None:
+            names = set(boxes.schema().base_schema.names)
+            mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in names]
+            maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in names]
+            if len(mins) != len(maxs) or len(mins) < 2:
+                raise ValueError(
+                    f"boxes dataset needs paired min/max coordinate "
+                    f"columns, got {sorted(names)}"
+                )
+            self._box_cols = tuple(mins + maxs)
         self._deltas: list[Dataset] = []
         # generational tombstones: (ids, n_deltas_at_erase) — each entry
         # masks the base and deltas[:n_deltas_at_erase] only
@@ -243,6 +257,12 @@ class RayPRTree:
             from .functions.validate import validated_boxes_dataset
 
             boxes = validated_boxes_dataset(boxes, self._precision)
+        if self._box_cols is None:
+            names = set(boxes.schema().base_schema.names)
+            mins = [c for c in ("xmin", "ymin", "zmin", "tmin") if c in names]
+            maxs = [c for c in ("xmax", "ymax", "zmax", "tmax") if c in names]
+            if len(mins) == len(maxs) and len(mins) >= 2:
+                self._box_cols = tuple(mins + maxs)
         if self.strict:
             new = (
                 self._collect_keys_bounded(boxes)
@@ -531,6 +551,8 @@ class RayPRTree:
             queries = queries.map_batches(
                 widen, batch_format="pyarrow", zero_copy_batch=True
             )
+        if self._box_cols is not None and "box_cols" not in kw:
+            kw = {**kw, "box_cols": self._box_cols}
         pairs = sj.spatial_join(ds, queries, res=self.res, **kw)
         if not return_obj:
             return pairs
@@ -564,6 +586,8 @@ class RayPRTree:
         ds = self.dataset()
         if ds is None:
             raise ValueError("Cannot query an empty tree")
+        if self._box_cols is not None and "box_cols" not in kw:
+            kw = {**kw, "box_cols": self._box_cols}
         return sj.self_join(ds, res=self.res, **kw)
 
     # ------------------------------------------------------- persistence

@@ -301,6 +301,7 @@ def self_join(
     boxes: Dataset,
     res: int = DEFAULT_RES,
     salt_threshold: int | None = None,
+    box_cols: tuple[str, ...] = st.BOX_COLS,
 ) -> Dataset:
     """All intersecting stored-box pairs, ``idx_a < idx_b`` (reference
     ``query_intersections`` contract incl. its dedup rule).
@@ -320,10 +321,11 @@ def self_join(
         st.expand_self_to_cells,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs=dict(res=res, id_col="idx", salt_plan=plan),
+        fn_kwargs=dict(res=res, id_col="idx", salt_plan=plan, box_cols=box_cols),
     )
     return union.groupby("key").map_groups(
-        st.make_cell_join(res, self_join=True), batch_format="pyarrow"
+        st.make_cell_join(res, self_join=True, box_cols=box_cols),
+        batch_format="pyarrow",
     )
 
 

@@ -111,6 +111,7 @@ def expand_self_to_cells(
     res: int,
     id_col: str = "idx",
     salt_plan: dict[int, int] | None = None,
+    box_cols: tuple = BOX_COLS,
 ) -> pa.Table:
     """Self-join cell expansion with hot-cell salting by PROBE-ROLE
     REPLICATION: cold cells emit one dual-role row (``SIDE_SELF``); hot
@@ -120,9 +121,11 @@ def expand_self_to_cells(
     ``query_id < idx`` rule — so salting never loses within-cell pairs
     (the reason a plain build-side scatter can't be used for self-joins).
     """
-    b = boxes_np(tbl)
+    b = boxes_np(tbl, box_cols)
     ids = col_np(tbl, id_col)
-    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, 2], b[:, 3], res)
+    d = len(box_cols) // 2
+    # cells partition on x/y only; the per-cell kernel tests full-D
+    row, cell = cellmod.cover_boxes(b[:, 0], b[:, 1], b[:, d], b[:, d + 1], res)
     ids_r, b_r = ids[row], b[row]
     if not salt_plan:
         out = {
@@ -131,7 +134,7 @@ def expand_self_to_cells(
             "side": np.full(cell.shape[0], SIDE_SELF, dtype=np.int8),
             "id": ids_r,
         }
-        for j, c in enumerate(BOX_COLS):
+        for j, c in enumerate(box_cols):
             out[c] = b_r[:, j]
         return pa.table(out)
     nsalt = np.ones(cell.shape[0], dtype=np.int64)
@@ -179,7 +182,7 @@ def expand_self_to_cells(
         "side": np.concatenate(parts_side),
         "id": np.concatenate(parts_id),
     }
-    for j, c in enumerate(BOX_COLS):
+    for j, c in enumerate(box_cols):
         out[c] = box_all[:, j]
     return pa.table(out)
 
