@@ -321,6 +321,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_pip(sf):
         return pip.pip_join(tables.points_dataset(sf))
 
+    def q_pip_nonconvex(sf):
+        # even-odd crossing-number PIP over the concave star fixture —
+        # non-convex zones the half-plane test can't express; broadcast
+        # polys, per-batch vectorized edge sweep, zero shuffle
+        return pip.pip_nonconvex(tables.points_dataset(sf))
+
     def q_zonal_stats(sf):
         # per-polygon point aggregates (zonal statistics): broadcast
         # zones, map-side combine, tiny poly_id groupby
@@ -8678,6 +8684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_clusters": q_point_clusters,
         "dbscan": q_dbscan,
         "pip": q_pip,
+        "pip_nonconvex": q_pip_nonconvex,
         "zonal_stats": q_zonal_stats,
         "tile_points": q_tile_points,
         "tile_cover": q_tile_cover,
@@ -9058,6 +9065,11 @@ def oracle_sql() -> dict[str, str]:
         flow_accumulation_sql as _flow_accumulation_sql,
         watershed_sizes_sql as _watershed_sizes_sql,
         bivariate_moran_sql as _bivariate_moran_sql,
+    )
+    from python_prtree_ray.pipelines.pip import (
+        pip_nonconvex_sql as _pip_nonconvex_sql,
+    )
+    from python_prtree_ray.pipelines.tiling import (
         cross_k_sql as _cross_k_sql,
         semivariogram_sql as _semivariogram_sql,
         join_counts_sql as _join_counts_sql,
@@ -9921,6 +9933,7 @@ FROM v GROUP BY query_id
         "point_clusters": point_clusters_sql,
         "dbscan": dbscan_sql,
         "pip": pip_sql,
+        "pip_nonconvex": _pip_nonconvex_sql(p_cust),
         "zonal_stats": zonal_stats_sql,
         "tile_points": tile_points_sql,
         "tile_cover": tile_cover_sql,

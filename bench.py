@@ -196,7 +196,8 @@ QUERY_SUBSET = (
     " nation_profit priority_fill_rate heavy_hitters co_travelers"
     " travel_groups source_jaccard flow_accumulation watershed_sizes"
     " late_events user_journeys hex_bin bivariate_moran"
-    " order_running_totals emb_top2_eigen"
+    " order_running_totals emb_top2_eigen box_count tree_stats"
+    " pip_nonconvex"
 ).split()
 
 

@@ -268,16 +268,49 @@ def polygon_arrays() -> list[tuple[int, np.ndarray]]:
     return [(pid, np.array(v, dtype=np.float64)) for pid, v in POLYGONS]
 
 
-def polygon_edges_sql() -> str:
+def polygon_edges_sql(polys=None) -> str:
     """VALUES literal of polygon edges: (poly_id, x1, y1, x2, y2)."""
     rows = []
-    for pid, verts in POLYGONS:
+    for pid, verts in (POLYGONS if polys is None else polys):
         n = len(verts)
         for i in range(n):
             x1, y1 = verts[i]
             x2, y2 = verts[(i + 1) % n]
             rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
     return "(VALUES " + ", ".join(rows) + ") AS poly_edges(poly_id, x1, y1, x2, y2)"
+
+
+# Fixed CONCAVE polygon set (10-vertex stars, CCW, alternating outer/
+# inner radius) — genuinely non-convex shapes for the crossing-number
+# PIP path. Same verbatim-double embedding contract as POLYGONS.
+CONCAVE_POLYGONS: list[tuple[int, list[tuple[float, float]]]] = []
+for _p in range(6):
+    _cx = 0.2 + 0.12 * _p
+    _cy = 0.7 - 0.05 * _p
+    _ro = 0.07 + 0.01 * (_p % 2)
+    _ri = 0.028
+    CONCAVE_POLYGONS.append(
+        (
+            _p,
+            [
+                (
+                    _cx
+                    + (_ro if _i % 2 == 0 else _ri)
+                    * math.cos(2.0 * math.pi * _i / 10.0),
+                    _cy
+                    + (_ro if _i % 2 == 0 else _ri)
+                    * math.sin(2.0 * math.pi * _i / 10.0),
+                )
+                for _i in range(10)
+            ],
+        )
+    )
+
+
+def concave_polygon_arrays() -> list[tuple[int, np.ndarray]]:
+    return [
+        (pid, np.array(v, dtype=np.float64)) for pid, v in CONCAVE_POLYGONS
+    ]
 
 
 # --------------------------------------------------------------- 3D boxes

@@ -134,3 +134,88 @@ def zonal_stats(
         Max("max_px", alias_name="max_px"),
         Max("max_py", alias_name="max_py"),
     )
+
+
+def pip_nonconvex(
+    points: Dataset,
+    polygons: list[tuple[int, np.ndarray]] | None = None,
+) -> Dataset:
+    """(query_id, poly_id) for every point strictly inside a polygon of
+    ARBITRARY shape (crossing-number / even-odd rule) — the non-convex
+    companion of :func:`pip_join` for star/L/donut-shaped zones the
+    half-plane test cannot express. Defaults to the engine's concave
+    star fixture (derive.CONCAVE_POLYGONS).
+
+    Exactness: an edge (x1,y1)→(x2,y2) crosses the rightward ray from
+    (px,py) iff ``(y1 > py) != (y2 > py)`` and
+    ``px < x1 + (py − y1)·(x2 − x1)/(y2 − y1)`` — the identical double
+    expression tree on both engine and SQL sides (horizontal edges
+    fail the first test before the division can differ: numpy inf vs
+    DuckDB NULL both exclude). Inside = odd crossing count.
+
+    Scale shape: identical to :func:`pip_join` — polygons broadcast
+    once via ``ray.put``, per-batch bbox prefilter then a vectorized
+    per-edge sweep (edges are a polygon constant, points are the
+    vector axis); points never shuffle.
+    """
+    polys = polygons if polygons is not None else derive.concave_polygon_arrays()
+    packed = [
+        (pid, v, v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
+        for pid, v in polys
+    ]
+    polys_ref = ray.put(packed)
+
+    def test_batch(tbl: pa.Table) -> pa.Table:
+        px = st.col_np(tbl, "px")
+        py = st.col_np(tbl, "py")
+        qid = st.col_np(tbl, "query_id")
+        out_q, out_p = [], []
+        for pid, verts, bx0, by0, bx1, by1 in ray.get(polys_ref):
+            sel = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
+            if not sel.any():
+                continue
+            x, y = px[sel], py[sel]
+            cross = np.zeros(x.shape[0], np.int64)
+            n = verts.shape[0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for i in range(n):
+                    x1, y1 = verts[i]
+                    x2, y2 = verts[(i + 1) % n]
+                    cond = (y1 > y) != (y2 > y)
+                    xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                    cross += (cond & (x < xint)).astype(np.int64)
+            inside = (cross % 2) == 1
+            out_q.append(qid[sel][inside])
+            out_p.append(np.full(int(inside.sum()), pid, np.int64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "poly_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "poly_id": np.concatenate(out_p),
+            }
+        )
+
+    return points.map_batches(
+        test_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+
+def pip_nonconvex_sql(points_cte: str) -> str:
+    """DuckDB twin of :func:`pip_nonconvex` — identical crossing test
+    per edge, COUNT(*) parity filter."""
+    edges = derive.polygon_edges_sql(derive.CONCAVE_POLYGONS)
+    return f"""
+WITH p AS ({points_cte}),
+e AS (SELECT * FROM {edges})
+SELECT p.query_id, e.poly_id
+FROM p JOIN e
+ON ((e.y1 > p.py) <> (e.y2 > p.py))
+   AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+GROUP BY 1, 2 HAVING COUNT(*) % 2 = 1
+"""
