@@ -3137,6 +3137,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return value_histogram(ev)
 
+    def q_knn_geo(sf):
+        # great-circle kNN: 5 nearest customers per supplier by
+        # haversine; ranks on the portable 'a' term, libm asin only on
+        # winners; query side broadcast, big side never shuffles
+        from python_prtree_ray.pipelines.geodesic import knn_geo
+
+        return knn_geo(
+            tables.points_dataset(sf),
+            tables.points_dataset(sf, "supplier", "s_suppkey"),
+            k=5,
+        )
+
     def q_lifecycle(sf):
         # build on even keys, insert odd keys, erase keys % 10 == 0, query:
         # exercises delta + tombstone + query union (reference
@@ -8700,6 +8712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "largest_empty_circle": q_largest_empty_circle,
         "hex_bin": q_hex_bin,
         "haversine_join": q_haversine_join,
+        "knn_geo": q_knn_geo,
         "lifecycle_query": q_lifecycle,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -9302,7 +9315,10 @@ SELECT cell,
 FROM s GROUP BY cell
 """
 
-    from python_prtree_ray.pipelines.geodesic import haversine_join_sql
+    from python_prtree_ray.pipelines.geodesic import (
+        haversine_join_sql,
+        knn_geo_sql,
+    )
     from python_prtree_ray.pipelines.interpolate import (
         empty_space_f_sql,
         idw_grid_sql,
@@ -9324,6 +9340,7 @@ FROM s GROUP BY cell
         "FROM h GROUP BY 1, 2"
     )
     haversine_join_sql_q = haversine_join_sql(p_cust, p_supp)
+    knn_geo_sql_q = knn_geo_sql(p_cust, p_supp, 5)
 
     tile_pyramid_sql = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS res,"
@@ -9949,6 +9966,7 @@ FROM v GROUP BY query_id
         "largest_empty_circle": largest_empty_circle_sql_q,
         "hex_bin": hex_bin_sql_q,
         "haversine_join": haversine_join_sql_q,
+        "knn_geo": knn_geo_sql_q,
         "tile_pyramid": tile_pyramid_sql,
         "lifecycle_query": lifecycle_sql,
         "dedup_exact": dedup_exact_sql,

@@ -197,7 +197,7 @@ QUERY_SUBSET = (
     " travel_groups source_jaccard flow_accumulation watershed_sizes"
     " late_events user_journeys hex_bin bivariate_moran"
     " order_running_totals emb_top2_eigen box_count tree_stats"
-    " pip_nonconvex"
+    " pip_nonconvex knn_geo"
 ).split()
 
 

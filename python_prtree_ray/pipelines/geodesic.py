@@ -181,3 +181,130 @@ WITH b0 AS ({big_cte}),
            FROM b, s)
 SELECT query_id, idx, dist_km FROM d WHERE dist_km <= {max_km!r}
 """
+
+
+def knn_geo(
+    big: Dataset,
+    small: Dataset,
+    k: int = 5,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Great-circle k-nearest-neighbours: the ``k`` big-side points
+    closest to each small-side query point by haversine distance —
+    ``(query_id, idx, dist_km, rank)``. The geodesic companion of the
+    planar ``knn_join``.
+
+    Exactness: candidates RANK on the haversine 'a' term (squared
+    half-chord — strictly monotone with distance, and bitwise-libm
+    equal between NumPy and DuckDB per the module contract), ties by
+    idx; the non-portable ``asin`` runs only on the k×Q winners via
+    exact libm (:func:`_asin_libm`). The SQL twin orders by the same
+    'a' expression, so row sets AND distances agree bitwise.
+
+    Scale shape: queries broadcast once via ``ray.put``; each big-side
+    batch computes the (Q × B) 'a' matrix (bounded by ``batch_size``),
+    sorts rows in (a, idx) order after an idx pre-sort (stable sort =
+    deterministic ties), and emits only k rows per query; ONE tiny
+    per-query merge (:func:`..merge.grouped_topk`) finishes. Big side
+    never shuffles.
+    """
+    from .knn import _try_collect_points
+    from .merge import grouped_topk
+
+    stbl = _try_collect_points(small, BROADCAST_LIMIT)
+    if stbl is None:
+        raise ValueError("knn_geo: query side exceeds broadcast limit")
+    s_ids = stbl.column("query_id").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    s_lon, s_lat = _lonlat(
+        stbl.column("px").to_numpy(zero_copy_only=False),
+        stbl.column("py").to_numpy(zero_copy_only=False),
+    )
+    ref = ray.put((s_ids, s_lon, s_lat))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids_q, lon_q, lat_q = ray.get(ref)
+        idx = st.col_np(tbl, "query_id").astype(np.int64)
+        lon, lat = _lonlat(st.col_np(tbl, "px"), st.col_np(tbl, "py"))
+        if idx.size == 0 or ids_q.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.float64()),
+                }
+            )
+        # idx pre-sort so the stable row sort breaks 'a' ties by idx
+        perm = np.argsort(idx, kind="stable")
+        idx, lon, lat = idx[perm], lon[perm], lat[perm]
+        a = _haversine_a(
+            lon_q[:, None], lat_q[:, None], lon[None, :], lat[None, :]
+        )
+        kk = min(k, idx.size)
+        order = np.argsort(a, axis=1, kind="stable")[:, :kk]
+        qid = np.repeat(ids_q, kk)
+        return pa.table(
+            {
+                "query_id": qid,
+                "idx": idx[order].ravel(),
+                "a": np.take_along_axis(a, order, axis=1)[:, :kk].ravel(),
+            }
+        )
+
+    partials = big.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    top = grouped_topk(
+        partials, k, key_col="query_id", id_col="idx", value_col="a",
+        descending=False,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": tbl.column("query_id"),
+                "idx": tbl.column("idx"),
+                "dist_km": pa.array(
+                    DIAM_KM * _asin_libm(np.sqrt(a)), pa.float64()
+                ),
+                "rank": tbl.column("rank"),
+            }
+        )
+
+    return top.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def knn_geo_sql(big_cte: str, small_cte: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`knn_geo` — ranks on the identical 'a'
+    expression, asin only on the winners."""
+    return f"""
+WITH b0 AS ({big_cte}),
+     s0 AS ({small_cte}),
+     b AS (SELECT query_id AS idx, px * 360.0 - 180.0 AS lon,
+                  py * 170.0 - 85.0 AS lat FROM b0),
+     s AS (SELECT query_id, px * 360.0 - 180.0 AS lon,
+                  py * 170.0 - 85.0 AS lat FROM s0),
+     g AS (SELECT s.query_id AS query_id, b.idx AS idx,
+                  LEAST(
+                      SIN((b.lat - s.lat) * {RAD!r} * 0.5)
+                      * SIN((b.lat - s.lat) * {RAD!r} * 0.5)
+                      + COS(s.lat * {RAD!r}) * COS(b.lat * {RAD!r})
+                      * SIN((b.lon - s.lon) * {RAD!r} * 0.5)
+                      * SIN((b.lon - s.lon) * {RAD!r} * 0.5),
+                      1.0) AS a
+           FROM s, b),
+     r AS (SELECT query_id, idx, a,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY a, idx) AS rank
+           FROM g)
+SELECT query_id, idx, {DIAM_KM!r} * ASIN(SQRT(a)) AS dist_km,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
