@@ -2418,6 +2418,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return late_events(ev)
 
+    def q_attribution_last_touch(sf):
+        # marketing attribution: each purchase joined to the user's most
+        # recent PRIOR view — ONE user-bucket shuffle, segmented
+        # forward-fill via global maximum.accumulate (global positions
+        # are monotone, so cross-segment carryover self-invalidates)
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+
+        def prep(tbl: pa.Table) -> pa.Table:
+            et = tbl.column("event_type")
+            is_v = _pc.equal(et, "view").to_numpy(zero_copy_only=False)
+            is_p = _pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+            m = is_v | is_p
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)[m]
+            return pa.table(
+                {
+                    "bucket": bucket_of(u.astype(np.int64), 256),
+                    "u": u,
+                    "seq": tbl.column("event_id").to_numpy(
+                        zero_copy_only=False
+                    )[m],
+                    "tus": tbl.column("ts")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[m],
+                    "is_view": is_v[m],
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            empty = pa.table(
+                {
+                    "purchase_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "view_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+            if u.size == 0:
+                return empty
+            seq = group.column("seq").to_numpy(zero_copy_only=False)
+            tus = group.column("tus").to_numpy(zero_copy_only=False)
+            isv = group.column("is_view").to_numpy(zero_copy_only=False)
+            order = np.lexsort((seq, tus, u))
+            u_s, seq_s, t_s, v_s = u[order], seq[order], tus[order], isv[order]
+            n = u_s.shape[0]
+            pos = np.arange(n, dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+            marker = np.where(v_s, pos, np.int64(-1))
+            ff = np.maximum.accumulate(marker)
+            prev_ff = np.r_[np.int64(-1), ff[:-1]]
+            ok = (~v_s) & (prev_ff >= seg_start)
+            if not ok.any():
+                return empty
+            vp = prev_ff[ok]
+            return pa.table(
+                {
+                    "purchase_id": seq_s[ok],
+                    "user_id": u_s[ok],
+                    "view_id": seq_s[vp],
+                    "gap_us": t_s[ok] - t_s[vp],
+                }
+            )
+
+        keyed = ev.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        return keyed.groupby("bucket").map_groups(
+            fold, batch_format="pyarrow"
+        )
+
     def q_order_running_totals(sf):
         # per-customer running order totals (billing-balance
         # transform): ONE custkey-bucket shuffle, exact segmented
@@ -8896,6 +8975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "user_journeys": q_user_journeys,
         "order_running_totals": q_order_running_totals,
+        "attribution_last_touch": q_attribution_last_touch,
         "session_type_pairs": q_session_type_pairs,
         "value_peaks": q_value_peaks,
         "user_gini": q_user_gini,
@@ -10742,6 +10822,22 @@ FROM pr GROUP BY user_a, user_b HAVING COUNT(*) >= {COLOC_MIN_SHARED}
         "late_events": _late_events_sql("events"),
         "user_journeys": _user_journeys_sql(4, "events"),
         "order_running_totals": _order_running_totals_sql("orders"),
+        "attribution_last_touch": (
+            "WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus, "
+            "event_type FROM events "
+            "WHERE event_type IN ('view', 'purchase')), "
+            "w AS (SELECT user_id, event_id, tus, event_type, "
+            "LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END "
+            "IGNORE NULLS) OVER win AS view_id, "
+            "LAST_VALUE(CASE WHEN event_type = 'view' THEN tus END "
+            "IGNORE NULLS) OVER win AS view_tus "
+            "FROM s WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY tus, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id AS purchase_id, user_id, view_id, "
+            "tus - view_tus AS gap_us "
+            "FROM w WHERE event_type = 'purchase' AND view_id IS NOT NULL"
+        ),
         "session_type_pairs": _session_type_pairs_sql("events"),
         "value_peaks": _value_peaks_sql("events"),
         "rolling_wau": _rolling_wau_sql("events"),

@@ -197,7 +197,7 @@ QUERY_SUBSET = (
     " travel_groups source_jaccard flow_accumulation watershed_sizes"
     " late_events user_journeys hex_bin bivariate_moran"
     " order_running_totals emb_top2_eigen box_count tree_stats"
-    " pip_nonconvex knn_geo"
+    " pip_nonconvex knn_geo attribution_last_touch"
 ).split()
 
 
