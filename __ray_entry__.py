@@ -8759,6 +8759,476 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_market_share(sf):
+        # TPC-H Q8 shape: of the revenue ASIA-region customers ordered,
+        # the share supplied by NATION_2 suppliers, per order year.
+        # customer/nation/region and supplier nationkeys fold to sorted
+        # int arrays broadcast ONCE via ray.put; orders gate + carry
+        # o_year map-side; ONE co-partitioned big-big lineitem=orders
+        # shuffle (pipelines/join.py); the joined stream combines to
+        # <= years x 2 exact-int partials per batch. Share = one
+        # int64->double division per year row (bitwise vs SQL CAST).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.pipelines.join import hash_equi_join
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        reg = pq.read_table(f"{sf}/region.parquet")
+        rkey = reg.column("r_regionkey").to_pylist()[
+            reg.column("r_name").to_pylist().index("ASIA")
+        ]
+        nat = pq.read_table(
+            f"{sf}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        )
+        asia_nations = set(
+            k
+            for k, r in zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_regionkey").to_pylist(),
+            )
+            if r == rkey
+        )
+        cust = pq.read_table(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+        asia_cust = np.sort(ck[np.isin(cn, np.array(sorted(asia_nations)))])
+        supp = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sn = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+        target_supp = np.sort(sk[sn == 2])
+        ref = ray.put((asia_cust, target_supp))
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+
+        def gate_orders(tbl: pa.Table) -> pa.Table:
+            ac, _ = ray.get(ref)
+            oc = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ac, oc)
+            hit = (pos < ac.size) & (ac[np.minimum(pos, ac.size - 1)] == oc)
+            year = (
+                tbl.column("o_orderdate")
+                .to_numpy(zero_copy_only=False)[hit]
+                .astype("datetime64[Y]")
+                .astype(np.int64)
+                + 1970
+            )
+            return pa.table(
+                {
+                    "o_orderkey": tbl.column("o_orderkey")
+                    .to_numpy(zero_copy_only=False)[hit]
+                    .astype(np.int64),
+                    "o_year": year,
+                }
+            )
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+
+        def li_prep(tbl: pa.Table) -> pa.Table:
+            ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            bp = np.floor(
+                tbl.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+                + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": tbl.column("l_orderkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "l_suppkey": tbl.column("l_suppkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "rev_e4": np.floor(ep * 100.0).astype(np.int64)
+                    * (100 - bp),
+                }
+            )
+
+        joined = hash_equi_join(
+            li.map_batches(
+                li_prep, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            od.map_batches(
+                gate_orders, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            on="l_orderkey", right_on="o_orderkey",
+            left_cols=("l_suppkey", "rev_e4"),
+            right_cols=("o_year",),
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            _, ts = ray.get(ref)
+            year = tbl.column("o_year").to_numpy(zero_copy_only=False)
+            rev = tbl.column("rev_e4").to_numpy(zero_copy_only=False)
+            ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ts, ls)
+            is_t = (pos < ts.size) & (ts[np.minimum(pos, ts.size - 1)] == ls)
+            order = np.argsort(year, kind="stable")
+            ys, rs, ms = year[order], rev[order], is_t[order]
+            starts = np.flatnonzero(np.r_[True, ys[1:] != ys[:-1]])
+            return pa.table(
+                {
+                    "o_year": ys[starts],
+                    "nation_rev_e4": np.add.reduceat(
+                        np.where(ms, rs, np.int64(0)), starts
+                    ),
+                    "total_rev_e4": np.add.reduceat(rs, starts),
+                }
+            )
+
+        summed = bucketed_sum(
+            joined.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            ),
+            key_col="o_year",
+            value_cols=("nation_rev_e4", "total_rev_e4"),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            num = tbl.column("nation_rev_e4").to_numpy(zero_copy_only=False)
+            den = tbl.column("total_rev_e4").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_year": tbl.column("o_year"),
+                    "nation_rev_e4": pa.array(num, pa.int64()),
+                    "total_rev_e4": pa.array(den, pa.int64()),
+                    "mkt_share": pa.array(
+                        num.astype(np.float64) / den.astype(np.float64),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        return summed.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_excess_parts(sf):
+        # TPC-H Q20 shape (sans partsupp — "excess share" is measured
+        # against the part's own per-supplier mean): suppliers that
+        # moved > 1.5x the average supplier's quantity of some '%red%'
+        # part, with the count of such parts. The part filter broadcasts
+        # once; lineitem folds per batch to (pk, sk, qty) partials; ONE
+        # partkey-bucket shuffle co-locates each part's pair sums with
+        # its total (division-free test 2*q*ns > 3*tq in exact int64);
+        # the survivor fold is a supplier-sized bucket sum.
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        part = pq.read_table(
+            f"{sf}/part.parquet", columns=["p_partkey", "p_name"]
+        )
+        m = _pc.match_substring(part.column("p_name"), "red").to_numpy(
+            zero_copy_only=False
+        )
+        red = np.sort(
+            part.column("p_partkey").to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+        ref = ray.put(red)
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            bp = ray.get(ref)
+            lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(bp, lp)
+            hit = (pos < bp.size) & (bp[np.minimum(pos, bp.size - 1)] == lp)
+            pk = lp[hit].astype(np.int64)
+            sk = (
+                tbl.column("l_suppkey")
+                .to_numpy(zero_copy_only=False)[hit]
+                .astype(np.int64)
+            )
+            q = (
+                tbl.column("l_quantity")
+                .to_numpy(zero_copy_only=False)[hit]
+                .astype(np.int64)
+            )
+            order = np.lexsort((sk, pk))
+            pk, sk, q = pk[order], sk[order], q[order]
+            starts = np.flatnonzero(
+                np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+            )
+            pk, sk = pk[starts], sk[starts]
+            return pa.table(
+                {
+                    "kb": bucket_of(pk, 512),
+                    "pk": pk,
+                    "sk": sk,
+                    "q": np.add.reduceat(q, starts)
+                    if q.size
+                    else np.empty(0, np.int64),
+                }
+            )
+
+        def per_part(group: pa.Table) -> pa.Table:
+            pk = group.column("pk").to_numpy(zero_copy_only=False)
+            empty = pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "n_parts": pa.array([], pa.int64()),
+                }
+            )
+            if pk.size == 0:
+                return empty
+            sk = group.column("sk").to_numpy(zero_copy_only=False)
+            q = group.column("q").to_numpy(zero_copy_only=False)
+            order = np.lexsort((sk, pk))
+            pk, sk, q = pk[order], sk[order], q[order]
+            pstarts = np.flatnonzero(
+                np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+            )
+            pk, sk = pk[pstarts], sk[pstarts]
+            q = np.add.reduceat(q, pstarts)
+            tstarts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+            grp = np.cumsum(np.r_[False, pk[1:] != pk[:-1]])
+            tq = np.add.reduceat(q, tstarts)
+            ns = np.diff(np.r_[tstarts, pk.size]).astype(np.int64)
+            win = 2 * q * ns[grp] > 3 * tq[grp]
+            if not win.any():
+                return empty
+            wsk = np.sort(sk[win])
+            sstarts = np.flatnonzero(np.r_[True, wsk[1:] != wsk[:-1]])
+            return pa.table(
+                {
+                    "s_suppkey": wsk[sstarts],
+                    "n_parts": np.diff(np.r_[sstarts, wsk.size]).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        survivors = (
+            li.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            )
+            .groupby("kb")
+            .map_groups(per_part, batch_format="pyarrow")
+        )
+        summed = bucketed_sum(
+            survivors, key_col="s_suppkey", value_cols=("n_parts",)
+        )
+        names = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        nmap = dict(
+            zip(
+                names.column("s_suppkey").to_pylist(),
+                names.column("s_name").to_pylist(),
+            )
+        )
+        ref_n = ray.put(nmap)
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            nm = ray.get(ref_n)
+            keys = tbl.column("s_suppkey").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "s_suppkey": pa.array(keys, pa.int64()),
+                    "s_name": pa.array([nm[int(k)] for k in keys]),
+                    "n_parts": tbl.column("n_parts"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_waiting_suppliers(sf):
+        # TPC-H Q21 shape (late := shipped > 60 days after the order
+        # date): on multi-supplier orders where EXACTLY ONE supplier
+        # shipped late, count blamed orders per supplier. Both sides
+        # are big -> ONE co-partitioned orderkey-bucket shuffle carries
+        # (orderkey, suppkey, ship_us) + (orderkey, order_us); the
+        # in-bucket fold joins via searchsorted, collapses to distinct
+        # (order, supplier, any-late) pairs, applies the exactly-one
+        # rule, and emits supplier-count partials.
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.buckets import bucket_of
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        LATE_US = np.int64(60) * 86400 * 1000000
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+
+        def li_prep(tbl: pa.Table) -> pa.Table:
+            ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "kb": bucket_of(ok, 512),
+                    "ok": ok,
+                    "sk": tbl.column("l_suppkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "t": tbl.column("l_shipdate")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "side": np.zeros(ok.size, np.int8),
+                }
+            )
+
+        def od_prep(tbl: pa.Table) -> pa.Table:
+            ok = tbl.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "kb": bucket_of(ok, 512),
+                    "ok": ok,
+                    "sk": np.zeros(ok.size, np.int64),
+                    "t": tbl.column("o_orderdate")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "side": np.ones(ok.size, np.int8),
+                }
+            )
+
+        tagged = li.map_batches(
+            li_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        ).union(
+            od.map_batches(
+                od_prep, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            )
+        )
+
+        def fold(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+            side = group.column("side").to_numpy(zero_copy_only=False)
+            ok = group.column("ok").to_numpy(zero_copy_only=False)
+            sk = group.column("sk").to_numpy(zero_copy_only=False)
+            t = group.column("t").to_numpy(zero_copy_only=False)
+            is_o = side == 1
+            ook = ok[is_o]
+            oord = np.argsort(ook, kind="stable")
+            ook_s, ot_s = ook[oord], t[is_o][oord]
+            lok, lsk, lt = ok[~is_o], sk[~is_o], t[~is_o]
+            if lok.size == 0 or ook_s.size == 0:
+                return empty
+            pos = np.searchsorted(ook_s, lok)
+            # inner join: every lineitem's order exists (FK), but stay
+            # defensive about partial buckets
+            okm = (pos < ook_s.size) & (
+                ook_s[np.minimum(pos, ook_s.size - 1)] == lok
+            )
+            lok, lsk, lt = lok[okm], lsk[okm], lt[okm]
+            if lok.size == 0:
+                return empty
+            late = (
+                lt > ot_s[np.searchsorted(ook_s, lok)] + LATE_US
+            ).astype(np.int64)
+            order = np.lexsort((lsk, lok))
+            lok, lsk, late = lok[order], lsk[order], late[order]
+            pstarts = np.flatnonzero(
+                np.r_[True, (lok[1:] != lok[:-1]) | (lsk[1:] != lsk[:-1])]
+            )
+            pok, psk = lok[pstarts], lsk[pstarts]
+            plate = np.maximum.reduceat(late, pstarts)
+            ostarts = np.flatnonzero(np.r_[True, pok[1:] != pok[:-1]])
+            n_supp = np.diff(np.r_[ostarts, pok.size]).astype(np.int64)
+            n_late = np.add.reduceat(plate, ostarts)
+            blamed = (n_supp >= 2) & (n_late == 1)
+            if not blamed.any():
+                return empty
+            # the single late pair inside each blamed order: argmax of
+            # plate within the order segment (exactly one 1 by the rule)
+            grp = np.cumsum(np.r_[False, pok[1:] != pok[:-1]])
+            late_sk = psk[plate == 1]
+            late_ok_grp = grp[plate == 1]
+            want = late_sk[blamed[late_ok_grp]]
+            wsk = np.sort(want)
+            sstarts = np.flatnonzero(np.r_[True, wsk[1:] != wsk[:-1]])
+            return pa.table(
+                {
+                    "s_suppkey": wsk[sstarts],
+                    "n_orders": np.diff(np.r_[sstarts, wsk.size]).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        partials = tagged.groupby("kb").map_groups(
+            fold, batch_format="pyarrow"
+        )
+        summed = bucketed_sum(
+            partials, key_col="s_suppkey", value_cols=("n_orders",)
+        )
+        import pyarrow.parquet as pq
+
+        names = pq.read_table(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        nmap = dict(
+            zip(
+                names.column("s_suppkey").to_pylist(),
+                names.column("s_name").to_pylist(),
+            )
+        )
+        ref_n = ray.put(nmap)
+
+        def decode(tbl: pa.Table) -> pa.Table:
+            nm = ray.get(ref_n)
+            keys = tbl.column("s_suppkey").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "s_suppkey": pa.array(keys, pa.int64()),
+                    "s_name": pa.array([nm[int(k)] for k in keys]),
+                    "n_orders": tbl.column("n_orders"),
+                }
+            )
+
+        return summed.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_closest_pair(sf):
+        # GLOBAL minimum-separation pair (min companion of
+        # points_diameter's max): rides nn_pairs — the closest pair is
+        # mutually nearest, so no all-pairs sweep; 1-row partials per
+        # batch, exact double comparison (pipelines/knn.py)
+        from python_prtree_ray.pipelines.knn import closest_pair
+
+        return closest_pair(tables.points_dataset(sf))
+
     return {
         "spatial_join": q_spatial_join,
         "box_count": q_box_count,
@@ -9063,6 +9533,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_opportunity": q_sales_opportunity,
         "user_burstiness": q_user_burstiness,
         "daily_cusum": q_daily_cusum,
+        "market_share": q_market_share,
+        "excess_parts": q_excess_parts,
+        "waiting_suppliers": q_waiting_suppliers,
+        "closest_pair": q_closest_pair,
     }
 
 
@@ -9070,6 +9544,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from python_prtree_ray.pipelines.knn import (
+        closest_pair_sql as _closest_pair_sql,
+    )
     from python_prtree_ray.pipelines.movement import (
         cell_hours_sql as _cell_hours_sql,
         cell_slope_sql as _cell_slope_sql,
@@ -11872,6 +12349,59 @@ FROM c GROUP BY event_type, bin
             "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) "
             "AS cusum_scaled FROM c, k"
         ),
+        "market_share": (
+            "WITH jo AS ("
+            "SELECT EXTRACT(year FROM o.o_orderdate) AS yr, "
+            "CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) "
+            "* (100 - CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT)) "
+            "AS rev, s.s_nationkey AS snat "
+            "FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = cn.n_regionkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "WHERE r.r_name = 'ASIA') "
+            "SELECT CAST(yr AS BIGINT) AS o_year, "
+            "CAST(SUM(CASE WHEN snat = 2 THEN rev ELSE 0 END) AS BIGINT) "
+            "AS nation_rev_e4, "
+            "CAST(SUM(rev) AS BIGINT) AS total_rev_e4, "
+            "CAST(SUM(CASE WHEN snat = 2 THEN rev ELSE 0 END) AS DOUBLE) "
+            "/ CAST(SUM(rev) AS DOUBLE) AS mkt_share "
+            "FROM jo GROUP BY 1"
+        ),
+        "excess_parts": (
+            "WITH ps AS ("
+            "SELECT l.l_partkey AS pk, l.l_suppkey AS sk, "
+            "SUM(CAST(l.l_quantity AS BIGINT)) AS q "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_name LIKE '%red%' GROUP BY 1, 2), "
+            "pt AS (SELECT pk, SUM(q) AS tq, COUNT(*) AS ns "
+            "FROM ps GROUP BY 1), "
+            "w AS (SELECT ps.sk FROM ps JOIN pt USING (pk) "
+            "WHERE 2 * ps.q * pt.ns > 3 * pt.tq) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_parts "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.sk "
+            "GROUP BY 1, 2"
+        ),
+        "waiting_suppliers": (
+            "WITH j AS ("
+            "SELECT l.l_orderkey AS ok, l.l_suppkey AS sk, "
+            "CASE WHEN epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) "
+            "+ 5184000000000 THEN 1 ELSE 0 END AS late "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey), "
+            "p AS (SELECT ok, sk, MAX(late) AS late FROM j GROUP BY 1, 2), "
+            "o2 AS (SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late, "
+            "MAX(CASE WHEN late = 1 THEN sk END) AS late_sk "
+            "FROM p GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM o2 JOIN supplier s ON s.s_suppkey = o2.late_sk "
+            "WHERE n_supp >= 2 AND n_late = 1 "
+            "GROUP BY 1, 2"
+        ),
+        "closest_pair": _closest_pair_sql(p_cust),
         # simhash / minhash_pairs / embedding_neardup / ann_lsh / kmeans:
         # algorithm-defined (hash-seeded / approximate / iterative)
         # outputs with no ANSI-SQL equivalent → rows-only check.

@@ -198,6 +198,7 @@ QUERY_SUBSET = (
     " late_events user_journeys hex_bin bivariate_moran"
     " order_running_totals emb_top2_eigen box_count tree_stats"
     " pip_nonconvex knn_geo attribution_last_touch"
+    " market_share excess_parts waiting_suppliers closest_pair"
 ).split()
 
 

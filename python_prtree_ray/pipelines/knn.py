@@ -908,3 +908,104 @@ def knn_regress(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+def closest_pair(
+    points: Dataset,
+    res: int = 5,
+    broadcast: bool | None = None,
+    coords=None,
+) -> Dataset:
+    """GLOBAL closest pair of a point set: ONE row ``(id_a, id_b, d2)``
+    with ``id_a < id_b`` — the corpus-wide minimum-separation scalar
+    (the min-companion of :func:`points_diameter`'s max).
+
+    Exactness: the global closest pair (a*, b*) is each other's nearest
+    neighbor (nothing sits closer to a* than b*), so the pair is IN the
+    :func:`nn_pairs` stream — no all-pairs sweep. ``d2`` is recomputed
+    per candidate from the ids (``coords(ids) -> {px, py}``, defaulting
+    to the derive channels the oracle tables use) as the ONE double
+    expression ``dx*dx + dy*dy`` — IEEE negation symmetry makes the two
+    orientations of a pair bitwise equal, and double comparison (unlike
+    summation) is order-independent, so the per-batch argmin partials
+    and the final single-group min pick the identical winner at any
+    parallelism. Deterministic tie-break: (d2, id_a, id_b).
+
+    Scale shape: rides nn_pairs (cell/ring kNN); each candidate batch
+    folds to a 1-row partial; the final merge sees one row per block."""
+    from ..functions import derive
+
+    if coords is None:
+        coords = derive.derive_points
+
+    nn = nn_pairs(points, res=res, broadcast=broadcast)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+            }
+        )
+        q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        if q.size == 0:
+            return empty
+        m = tbl.column("nn_id").to_numpy(zero_copy_only=False)
+        cq, cm = coords(q), coords(m)
+        dx = cq["px"] - cm["px"]
+        dy = cq["py"] - cm["py"]
+        d2 = dx * dx + dy * dy
+        a, b = np.minimum(q, m), np.maximum(q, m)
+        i = np.lexsort((b, a, d2))[0]
+        return pa.table(
+            {
+                "k": pa.array([np.int64(0)], pa.int64()),
+                "id_a": pa.array([a[i]], pa.int64()),
+                "id_b": pa.array([b[i]], pa.int64()),
+                "d2": pa.array([d2[i]], pa.float64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        if a.size == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        d2 = group.column("d2").to_numpy(zero_copy_only=False)
+        i = np.lexsort((b, a, d2))[0]
+        return pa.table(
+            {
+                "id_a": pa.array([a[i]], pa.int64()),
+                "id_b": pa.array([b[i]], pa.int64()),
+                "d2": pa.array([d2[i]], pa.float64()),
+            }
+        )
+
+    return (
+        nn.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["id_a", "id_b", "d2"])
+    )
+
+
+def closest_pair_sql(points_cte: str) -> str:
+    """DuckDB twin of :func:`closest_pair` — the O(n²) min self-join
+    (oracle baseline, not the scale path); same single-expression d2
+    and the same (d2, id_a, id_b) tie-break."""
+    return f"""
+WITH p AS ({points_cte}),
+d AS (
+  SELECT a.query_id AS id_a, b.query_id AS id_b,
+         (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+  FROM p a JOIN p b ON a.query_id < b.query_id
+)
+SELECT id_a, id_b, d2 FROM d ORDER BY d2, id_a, id_b LIMIT 1
+"""

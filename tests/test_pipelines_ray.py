@@ -7198,3 +7198,44 @@ def test_tree_stats_matches_direct_build(ray_session):
     # the driver pipeline may split into several partition trees; at
     # sf0.001 the orders table is one parquet row group -> one tree
     assert rows == want
+
+
+def test_closest_pair_matches_bruteforce(ray_session):
+    # global minimum-separation pair vs the O(n^2) brute force, with
+    # the (d2, id_a, id_b) tie-break, at two parallelisms; coords come
+    # from a custom `coords` fn so the test controls the geometry
+    ray = ray_session
+    from python_prtree_ray.pipelines.knn import closest_pair
+
+    rng = np.random.default_rng(47)
+    n = 400
+    ids = rng.permutation(np.arange(10, 10 + n)).astype(np.int64)
+    px = rng.random(n)
+    py = rng.random(n)
+    # a planted near-duplicate pair far tighter than random spacing
+    px[37], py[37] = px[251] + 1e-7, py[251] + 1e-7
+    by_id = {int(i): (px[k], py[k]) for k, i in enumerate(ids)}
+
+    def coords(keys):
+        xs = np.array([by_id[int(k)][0] for k in keys], np.float64)
+        ys = np.array([by_id[int(k)][1] for k in keys], np.float64)
+        return {"px": xs, "py": ys}
+
+    # brute force with the same single-expression d2 + tie-break
+    best = None
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = px[i] - px[j], py[i] - py[j]
+            d2 = dx * dx + dy * dy
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            key = (d2, a, b)
+            if best is None or key < best:
+                best = key
+
+    t = pa.table({"query_id": ids, "px": px, "py": py})
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = closest_pair(ds, coords=coords).take_all()
+        assert len(out) == 1
+        got = (out[0]["d2"], out[0]["id_a"], out[0]["id_b"])
+        assert got == best
