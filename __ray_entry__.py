@@ -1347,8 +1347,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "n_name": pa.array([nmap[k] for k in keys], pa.string()),
                     "n_customers": nc,
                     "n_suppliers": ns,
-                    "cust_per_supplier": nc.astype(np.float64)
-                    / ns.astype(np.float64),
+                    # SQL-parity: x / 0.0 is NULL in DuckDB, not +inf
+                    "cust_per_supplier": pa.array(
+                        np.divide(
+                            nc.astype(np.float64),
+                            ns.astype(np.float64),
+                            out=np.full(nc.size, np.nan),
+                            where=ns != 0,
+                        ),
+                        pa.float64(),
+                        mask=ns == 0,
+                    ),
                 }
             )
         )
@@ -8815,8 +8824,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def gate_orders(tbl: pa.Table) -> pa.Table:
             ac, _ = ray.get(ref)
             oc = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ac, oc)
-            hit = (pos < ac.size) & (ac[np.minimum(pos, ac.size - 1)] == oc)
+            if ac.size == 0:
+                hit = np.zeros(oc.size, np.bool_)
+            else:
+                pos = np.searchsorted(ac, oc)
+                hit = (pos < ac.size) & (
+                    ac[np.minimum(pos, ac.size - 1)] == oc
+                )
             year = (
                 tbl.column("o_orderdate")
                 .to_numpy(zero_copy_only=False)[hit]
@@ -8876,8 +8890,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             year = tbl.column("o_year").to_numpy(zero_copy_only=False)
             rev = tbl.column("rev_e4").to_numpy(zero_copy_only=False)
             ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ts, ls)
-            is_t = (pos < ts.size) & (ts[np.minimum(pos, ts.size - 1)] == ls)
+            if ts.size == 0:
+                is_t = np.zeros(ls.size, np.bool_)
+            else:
+                pos = np.searchsorted(ts, ls)
+                is_t = (pos < ts.size) & (
+                    ts[np.minimum(pos, ts.size - 1)] == ls
+                )
             order = np.argsort(year, kind="stable")
             ys, rs, ms = year[order], rev[order], is_t[order]
             starts = np.flatnonzero(np.r_[True, ys[1:] != ys[:-1]])

@@ -3271,7 +3271,23 @@ def contour_cases(points: Dataset, res: int, threshold: int, n_buckets: int = 25
             }
         )
 
-    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    out = summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    # Schema anchor: when NO tile clears the threshold (tiny inputs) the
+    # shuffle emits only schema-less empty blocks and the dataset would
+    # surface with no schema at all; union one typed empty block FIRST so
+    # downstream readers always see (block, case_code) even for a
+    # zero-row iso-line.
+    import ray
+
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                "block": pa.array([], pa.int64()),
+                "case_code": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return anchor.union(out)
 
 
 def contour_cases_sql(points_cte: str, res: int, threshold: int) -> str:
