@@ -19,6 +19,20 @@ import numpy as np
 
 from python_prtree_ray.functions import derive
 
+
+def _isin_sorted(sorted_keys: "np.ndarray", values: "np.ndarray") -> "np.ndarray":
+    """Membership mask of ``values`` in an ascending ``sorted_keys`` —
+    the broadcast-semi-join primitive. Safe on an EMPTY key array
+    (tiny scale factors can drain any dimension-side filter), where
+    the inline ``keys[np.minimum(pos, size-1)]`` idiom indexes -1."""
+    if sorted_keys.size == 0:
+        return np.zeros(values.size, np.bool_)
+    pos = np.searchsorted(sorted_keys, values)
+    return (pos < sorted_keys.size) & (
+        sorted_keys[np.minimum(pos, sorted_keys.size - 1)] == values
+    )
+
+
 RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
 TILE_QRES = 3  # coarser grid for per-tile quantiles (8x8: >=dozens of pts/cell)
@@ -3775,8 +3789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             c = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
-            pos = np.searchsorted(ks, c)
-            hit = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == c)
+            hit = _isin_sorted(ks, c)
             return tbl.filter(pa.array(~hit))
 
         return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
@@ -5696,10 +5709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def partial(tbl: pa.Table) -> pa.Table:
             keys = ray.get(ref)
             k = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keys, k)
-            hit = (pos < keys.size) & (
-                keys[np.minimum(pos, keys.size - 1)] == k
-            )
+            hit = _isin_sorted(keys, k)
             ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
             bp = np.floor(
                 tbl.column("l_discount").to_numpy(zero_copy_only=False)
@@ -8210,10 +8220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def pick(tbl: pa.Table) -> pa.Table:
             keys = ray.get(ref_win)
             ck = tbl.column("c_custkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keys, ck)
-            m = (pos < keys.size) & (
-                keys[np.minimum(pos, keys.size - 1)] == ck
-            )
+            m = _isin_sorted(keys, ck)
             return tbl.filter(pa.array(m))
 
         crows = {
@@ -8408,10 +8415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def partial(tbl: pa.Table) -> pa.Table:
             bpk, brc, bsk, bsn = ray.get(ref)
             lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(bpk, lp)
-            hit = (pos < bpk.size) & (
-                bpk[np.minimum(pos, bpk.size - 1)] == lp
-            )
+            hit = _isin_sorted(bpk, lp)
             if not hit.any():
                 return pa.table(
                     {
@@ -8420,7 +8424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "n_items": pa.array([], pa.int64()),
                     }
                 )
-            retail = brc[np.minimum(pos, bpk.size - 1)[hit]]
+            retail = brc[np.searchsorted(bpk, lp[hit])]
             ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)[hit]
             nk = bsn[np.searchsorted(bsk, ls)]
             qty = (
@@ -8824,13 +8828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def gate_orders(tbl: pa.Table) -> pa.Table:
             ac, _ = ray.get(ref)
             oc = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
-            if ac.size == 0:
-                hit = np.zeros(oc.size, np.bool_)
-            else:
-                pos = np.searchsorted(ac, oc)
-                hit = (pos < ac.size) & (
-                    ac[np.minimum(pos, ac.size - 1)] == oc
-                )
+            hit = _isin_sorted(ac, oc)
             year = (
                 tbl.column("o_orderdate")
                 .to_numpy(zero_copy_only=False)[hit]
@@ -8890,13 +8888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             year = tbl.column("o_year").to_numpy(zero_copy_only=False)
             rev = tbl.column("rev_e4").to_numpy(zero_copy_only=False)
             ls = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
-            if ts.size == 0:
-                is_t = np.zeros(ls.size, np.bool_)
-            else:
-                pos = np.searchsorted(ts, ls)
-                is_t = (pos < ts.size) & (
-                    ts[np.minimum(pos, ts.size - 1)] == ls
-                )
+            is_t = _isin_sorted(ts, ls)
             order = np.argsort(year, kind="stable")
             ys, rs, ms = year[order], rev[order], is_t[order]
             starts = np.flatnonzero(np.r_[True, ys[1:] != ys[:-1]])
@@ -8973,8 +8965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def partial(tbl: pa.Table) -> pa.Table:
             bp = ray.get(ref)
             lp = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(bp, lp)
-            hit = (pos < bp.size) & (bp[np.minimum(pos, bp.size - 1)] == lp)
+            hit = _isin_sorted(bp, lp)
             pk = lp[hit].astype(np.int64)
             sk = (
                 tbl.column("l_suppkey")
@@ -9237,6 +9228,306 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return summed.map_batches(
             decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def q_cube_revenue(sf):
+        # OLAP ROLLUP(priority, year) over orders in ONE fact-table
+        # pass: per-batch exact-int partials keyed by the packed
+        # (priority-code, year) pair; the finest-level aggregate is
+        # metadata-sized (5 priorities x ~7 years), so the coarser
+        # rollup levels are derived from it driver-side without a
+        # second scan or shuffle. Revenue stays int cents end to end.
+        import pyarrow as pa
+        import ray
+
+        od = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            d = tbl.column("o_orderpriority").combine_chunks().dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            cats = d.dictionary.to_pylist()
+            year = (
+                tbl.column("o_orderdate")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]")
+                .astype(np.int64)
+                + 1970
+            )
+            cents = np.floor(
+                tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            key = codes * 4096 + (year - 1900)
+            uk, inv = np.unique(key, return_inverse=True)
+            n = np.bincount(inv, minlength=uk.size).astype(np.int64)
+            rc = np.zeros(uk.size, np.int64)
+            np.add.at(rc, inv, cents)
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        [cats[int(k) // 4096] for k in uk], pa.string()
+                    ),
+                    "o_year": uk % 4096 + 1900,
+                    "n_orders": n,
+                    "revenue_c": rc,
+                }
+            )
+
+        rows = od.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        agg: dict[tuple[str | None, int | None], list[int]] = {}
+        for r in rows:
+            for k in (
+                (r["o_orderpriority"], int(r["o_year"])),  # finest
+                (r["o_orderpriority"], None),  # per-priority subtotal
+                (None, None),  # grand total
+            ):
+                a = agg.setdefault(k, [0, 0])
+                a[0] += int(r["n_orders"])
+                a[1] += int(r["revenue_c"])
+        keys = sorted(agg, key=lambda k: (k[0] is None, k[0] or "", k[1] is None, k[1] or 0))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        [k[0] for k in keys], pa.string()
+                    ),
+                    "o_year": pa.array(
+                        [k[1] for k in keys], pa.int64()
+                    ),
+                    "n_orders": pa.array(
+                        [agg[k][0] for k in keys], pa.int64()
+                    ),
+                    "revenue_c": pa.array(
+                        [agg[k][1] for k in keys], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def q_events_pivot(sf):
+        # long->wide pivot: event counts by type x day-of-week as ONE
+        # wide row per type (dow_0..dow_6 columns) — per-batch packed
+        # (type-code, dow) partials, driver-side pivot of the
+        # metadata-sized fold (types x 7)
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "ts"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            d = tbl.column("event_type").combine_chunks().dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            cats = d.dictionary.to_pylist()
+            days = (
+                tbl.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]")
+                .astype(np.int64)
+            )
+            dow = (days + 4) % 7  # 1970-01-01 is a Thursday; 0 = Sunday
+            key = codes * 7 + dow
+            uk, inv = np.unique(key, return_inverse=True)
+            n = np.bincount(inv, minlength=uk.size).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": pa.array(
+                        [cats[int(k) // 7] for k in uk], pa.string()
+                    ),
+                    "dow": uk % 7,
+                    "n": n,
+                }
+            )
+
+        rows = ev.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        agg: dict[str, np.ndarray] = {}
+        for r in rows:
+            agg.setdefault(r["event_type"], np.zeros(7, np.int64))[
+                int(r["dow"])
+            ] += int(r["n"])
+        types = sorted(agg)
+        cols: dict[str, Any] = {
+            "event_type": pa.array(types, pa.string())
+        }
+        for d in range(7):
+            cols[f"dow_{d}"] = pa.array(
+                [int(agg[t][d]) for t in types], pa.int64()
+            )
+        return ray.data.from_arrow(pa.table(cols))
+
+    def q_source_lang_entropy(sf):
+        # per-source Shannon entropy of the language mix: ONE
+        # (source, lang) count fold (20 x 5 = metadata-sized), entropy
+        # assembled driver-side as an explicit left-to-right chain of
+        # -(p)*ln(p) terms in sorted-lang order with libm math.log —
+        # the exact expression tree the SQL twin spells out, so the
+        # doubles match bitwise (numpy's vectorized log differs from
+        # DuckDB's LN by 1 ulp on ~27% of inputs; libm does not)
+        import math
+
+        import pyarrow as pa
+        import ray
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "lang"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            ds_ = tbl.column("source").combine_chunks().dictionary_encode()
+            dl = tbl.column("lang").combine_chunks().dictionary_encode()
+            sc = ds_.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            lc = dl.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            scat = ds_.dictionary.to_pylist()
+            lcat = dl.dictionary.to_pylist()
+            key = sc * 4096 + lc
+            uk, inv = np.unique(key, return_inverse=True)
+            n = np.bincount(inv, minlength=uk.size).astype(np.int64)
+            return pa.table(
+                {
+                    "source": pa.array(
+                        [scat[int(k) // 4096] for k in uk], pa.string()
+                    ),
+                    "lang": pa.array(
+                        [lcat[int(k) % 4096] for k in uk], pa.string()
+                    ),
+                    "n": n,
+                }
+            )
+
+        rows = docs.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        agg: dict[str, dict[str, int]] = {}
+        for r in rows:
+            agg.setdefault(r["source"], {})
+            agg[r["source"]][r["lang"]] = (
+                agg[r["source"]].get(r["lang"], 0) + int(r["n"])
+            )
+        sources = sorted(agg)
+        n_docs, ent = [], []
+        for s in sources:
+            tot = sum(agg[s].values())
+            e = 0.0
+            for lang in sorted(agg[s]):  # sorted-lang chain = SQL order
+                n = agg[s][lang]
+                if n:
+                    p = float(n) / float(tot)
+                    e = e + (0.0 - (p * math.log(p)))
+            n_docs.append(tot)
+            ent.append(e)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(sources, pa.string()),
+                    "n_docs": pa.array(n_docs, pa.int64()),
+                    "entropy": pa.array(ent, pa.float64()),
+                }
+            )
+        )
+
+    def q_custkey_setops(sf):
+        # key-set algebra across fact tables: every customer classified
+        # as appearing in orders only / events only / both / neither.
+        # The two distinct-key sets are CUSTOMER-DIMENSION-sized (TPC-H
+        # invariant: custkeys are the small side), so they fold to
+        # sorted arrays broadcast ONCE via ray.put — the same
+        # broadcast-semi-join shape as orders_semi_bloom; the customer
+        # scan then emits 4 int counters per batch.
+        import pyarrow as pa
+        import ray
+
+        def distinct_keys(path: str, col: str) -> np.ndarray:
+            ds_ = ray.data.read_parquet(path, columns=[col])
+
+            def uniq(tbl: pa.Table) -> pa.Table:
+                v = np.unique(
+                    tbl.column(col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                return pa.table({"k": v})
+
+            parts = ds_.map_batches(
+                uniq,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            ).take_all()
+            if not parts:
+                return np.zeros(0, np.int64)
+            return np.unique(np.array([r["k"] for r in parts], np.int64))
+
+        ok = distinct_keys(f"{sf}/orders.parquet", "o_custkey")
+        ek = distinct_keys(f"{sf}/events.parquet", "user_id")
+        ref = ray.put((ok, ek))
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey"]
+        )
+
+        def classify(tbl: pa.Table) -> pa.Table:
+            o, e = ray.get(ref)
+            ck = (
+                tbl.column("c_custkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            in_o = _isin_sorted(o, ck)
+            in_e = _isin_sorted(e, ck)
+            counts = np.array(
+                [
+                    int((in_o & in_e).sum()),
+                    int((in_o & ~in_e).sum()),
+                    int((~in_o & in_e).sum()),
+                    int((~in_o & ~in_e).sum()),
+                ],
+                np.int64,
+            )
+            return pa.table(
+                {
+                    "category": pa.array(
+                        ["both", "orders_only", "events_only", "neither"],
+                        pa.string(),
+                    ),
+                    "n_customers": counts,
+                }
+            )
+
+        rows = cust.map_batches(
+            classify,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        agg = {"both": 0, "orders_only": 0, "events_only": 0, "neither": 0}
+        for r in rows:
+            agg[r["category"]] += int(r["n_customers"])
+        cats = sorted(k for k, v in agg.items() if v > 0)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "category": pa.array(cats, pa.string()),
+                    "n_customers": pa.array(
+                        [agg[c] for c in cats], pa.int64()
+                    ),
+                }
+            )
         )
 
     def q_closest_pair(sf):
@@ -9556,6 +9847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "excess_parts": q_excess_parts,
         "waiting_suppliers": q_waiting_suppliers,
         "closest_pair": q_closest_pair,
+        "cube_revenue": q_cube_revenue,
+        "events_pivot": q_events_pivot,
+        "source_lang_entropy": q_source_lang_entropy,
+        "custkey_setops": q_custkey_setops,
     }
 
 
@@ -11816,6 +12111,59 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "CAST(SUM(CASE WHEN rn <= 10 THEN n ELSE 0 END) AS DOUBLE) / "
             "CAST(tot.total AS DOUBLE) AS coverage FROM r, tot "
             "GROUP BY tot.total"
+        ),
+        "cube_revenue": (
+            "SELECT o_orderpriority, "
+            "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS revenue_c "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_year)"
+        ),
+        "events_pivot": (
+            "SELECT event_type, "
+            + ", ".join(
+                "CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = "
+                f"{d} THEN 1 ELSE 0 END) AS BIGINT) AS dow_{d}"
+                for d in range(7)
+            )
+            + " FROM events GROUP BY event_type"
+        ),
+        # the lang set is the generator's closed alphabet; the entropy
+        # chain is spelled term-by-term in sorted-lang order so the
+        # double addition order is pinned (bitwise vs the engine's
+        # driver-side libm chain)
+        "source_lang_entropy": (
+            "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{L}"
+                for L in ("de", "en", "es", "fr", "zh")
+            )
+            + " FROM documents GROUP BY source), "
+            "t AS (SELECT source, tot, "
+            + ", ".join(
+                f"CASE WHEN n_{L} = 0 THEN 0.0 ELSE 0.0 - "
+                f"((CAST(n_{L} AS DOUBLE) / CAST(tot AS DOUBLE)) * "
+                f"LN(CAST(n_{L} AS DOUBLE) / CAST(tot AS DOUBLE))) END "
+                f"AS t_{L}"
+                for L in ("de", "en", "es", "fr", "zh")
+            )
+            + " FROM c) "
+            "SELECT source, tot AS n_docs, "
+            "((((t_de + t_en) + t_es) + t_fr) + t_zh) AS entropy FROM t"
+        ),
+        "custkey_setops": (
+            "WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders), "
+            "e AS (SELECT DISTINCT user_id AS k FROM events) "
+            "SELECT CASE "
+            "WHEN o.k IS NOT NULL AND e.k IS NOT NULL THEN 'both' "
+            "WHEN o.k IS NOT NULL THEN 'orders_only' "
+            "WHEN e.k IS NOT NULL THEN 'events_only' "
+            "ELSE 'neither' END AS category, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM customer LEFT JOIN o ON o.k = c_custkey "
+            "LEFT JOIN e ON e.k = c_custkey GROUP BY 1"
         ),
         "nation_balance": (
             "WITH c AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS"

@@ -199,6 +199,7 @@ QUERY_SUBSET = (
     " order_running_totals emb_top2_eigen box_count tree_stats"
     " pip_nonconvex knn_geo attribution_last_touch"
     " market_share excess_parts waiting_suppliers closest_pair"
+    " cube_revenue events_pivot source_lang_entropy custkey_setops"
 ).split()
 
 

@@ -2774,8 +2774,14 @@ def flow_direction(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
         zcode = np.broadcast_to(recv_code, ok.shape)[ok]
         # offers addressed to occupied receivers in this bucket
         off = ~own
-        pos = np.searchsorted(occ, cell[off])
-        pos_ok = (pos < occ.size) & (occ[np.minimum(pos, occ.size - 1)] == cell[off])
+        if occ.size:
+            pos = np.searchsorted(occ, cell[off])
+            pos_ok = (pos < occ.size) & (
+                occ[np.minimum(pos, occ.size - 1)] == cell[off]
+            )
+        else:  # offers into a bucket with no occupied receiver
+            pos = np.zeros(int(off.sum()), np.int64)
+            pos_ok = np.zeros(int(off.sum()), np.bool_)
         orow = pos[pos_ok]
         ocode = code[off][pos_ok]
         ox = x[off][pos_ok]
@@ -5187,9 +5193,11 @@ def flow_accumulation(points: Dataset, res: int, n_buckets: int = 256) -> Datase
     occ_next = (
         flows
         & (pos < cell.size)
-        & (cell[np.minimum(pos, cell.size - 1)] == nxt_cell)
+        & (cell[np.minimum(pos, max(cell.size - 1, 0))] == nxt_cell)
+        if cell.size
+        else np.zeros(nxt_cell.size, np.bool_)
     )
-    nxt_idx = np.where(occ_next, np.minimum(pos, cell.size - 1), -1)
+    nxt_idx = np.where(occ_next, np.minimum(pos, max(cell.size - 1, 0)), -1)
     # descending-count sweep: every edge strictly descends in x, so
     # when a tile is processed all its upstream mass has arrived
     # (parameter-sized loop: <= 4^res iterations)
@@ -5419,6 +5427,8 @@ def bivariate_moran(
             nyc = iy + dy
             ok = (nxc >= 0) & (nxc < g) & (nyc >= 0) & (nyc < g)
             tgt = nxc * g + nyc
+            if cells.size == 0:
+                continue
             pos = np.searchsorted(cells, tgt)
             hit = ok & (pos < cells.size) & (
                 cells[np.minimum(pos, cells.size - 1)] == tgt
