@@ -9530,6 +9530,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_user_first_last(sf):
+        # FIRST_VALUE/LAST_VALUE window shape: each user's first and
+        # last event (type + ts) and count — types shuffle as int codes,
+        # one user-bucket shuffle (pipelines/movement.py)
+        import ray
+        from python_prtree_ray.pipelines.movement import user_first_last
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return user_first_last(ev)
+
+    def q_acctbal_deciles(sf):
+        # NTILE(10) per nation over (acctbal, custkey) — deterministic
+        # tie-break; per-nation vectorized tiling inside map_groups,
+        # exact-int cents sums per decile
+        import pyarrow as pa
+        import ray
+
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_nationkey", "c_custkey", "c_acctbal"],
+        )
+
+        def tile(group: pa.Table) -> pa.Table:
+            bal = group.column("c_acctbal").to_numpy(zero_copy_only=False)
+            ck = group.column("c_custkey").to_numpy(zero_copy_only=False)
+            nk = group.column("c_nationkey").to_numpy(zero_copy_only=False)
+            if bal.size == 0:
+                return pa.table(
+                    {
+                        "n_nationkey": pa.array([], pa.int64()),
+                        "decile": pa.array([], pa.int64()),
+                        "n_customers": pa.array([], pa.int64()),
+                        "acctbal_c": pa.array([], pa.int64()),
+                    }
+                )
+            order = np.lexsort((ck, bal))
+            n = bal.size
+            k = 10
+            # NTILE sizing: first n%k tiles get ceil(n/k) rows
+            base, extra = divmod(n, k)
+            sizes = np.full(min(k, n), base, np.int64)
+            sizes[:extra] += 1
+            sizes = sizes[sizes > 0]
+            cents = np.floor(bal[order] * 100.0).astype(np.int64)
+            starts = np.r_[0, np.cumsum(sizes)[:-1]]
+            return pa.table(
+                {
+                    "n_nationkey": pa.array(
+                        np.full(sizes.size, int(nk[0]), np.int64)
+                    ),
+                    "decile": np.arange(1, sizes.size + 1, dtype=np.int64),
+                    "n_customers": sizes,
+                    "acctbal_c": np.add.reduceat(cents, starts),
+                }
+            )
+
+        return cust.groupby("c_nationkey").map_groups(
+            tile, batch_format="pyarrow"
+        )
+
+    def q_boxes_union_area(sf):
+        # exact rectangle-union measure (Klee) of the orders box set:
+        # integer-grid quantization makes every partial an exact int64;
+        # slab-partitioned sweep, one vectorized gaps-and-islands pass
+        # per slab (pipelines/measure.py)
+        from python_prtree_ray.pipelines.measure import boxes_union_area
+
+        return boxes_union_area(tables.boxes_dataset(sf), n_slabs=64)
+
     def q_closest_pair(sf):
         # GLOBAL minimum-separation pair (min companion of
         # points_diameter's max): rides nn_pairs — the closest pair is
@@ -9847,6 +9919,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "excess_parts": q_excess_parts,
         "waiting_suppliers": q_waiting_suppliers,
         "closest_pair": q_closest_pair,
+        "boxes_union_area": q_boxes_union_area,
+        "user_first_last": q_user_first_last,
+        "acctbal_deciles": q_acctbal_deciles,
         "cube_revenue": q_cube_revenue,
         "events_pivot": q_events_pivot,
         "source_lang_entropy": q_source_lang_entropy,
@@ -9860,6 +9935,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from python_prtree_ray.pipelines.knn import (
         closest_pair_sql as _closest_pair_sql,
+    )
+    from python_prtree_ray.pipelines.measure import (
+        boxes_union_area_sql as _boxes_union_area_sql,
+    )
+    from python_prtree_ray.pipelines.movement import (
+        user_first_last_sql as _user_first_last_sql,
     )
     from python_prtree_ray.pipelines.movement import (
         cell_hours_sql as _cell_hours_sql,
@@ -12111,6 +12192,19 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
             "CAST(SUM(CASE WHEN rn <= 10 THEN n ELSE 0 END) AS DOUBLE) / "
             "CAST(tot.total AS DOUBLE) AS coverage FROM r, tot "
             "GROUP BY tot.total"
+        ),
+        "boxes_union_area": _boxes_union_area_sql(b_orders),
+        "user_first_last": _user_first_last_sql(),
+        "acctbal_deciles": (
+            "WITH r AS (SELECT c_nationkey, "
+            "CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents, "
+            "NTILE(10) OVER (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal, c_custkey) AS d FROM customer) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey, "
+            "CAST(d AS BIGINT) AS decile, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(cents) AS BIGINT) AS acctbal_c "
+            "FROM r GROUP BY 1, 2"
         ),
         "cube_revenue": (
             "SELECT o_orderpriority, "

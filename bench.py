@@ -200,6 +200,7 @@ QUERY_SUBSET = (
     " pip_nonconvex knn_geo attribution_last_touch"
     " market_share excess_parts waiting_suppliers closest_pair"
     " cube_revenue events_pivot source_lang_entropy custkey_setops"
+    " boxes_union_area user_first_last acctbal_deciles"
 ).split()
 
 

@@ -2246,3 +2246,93 @@ SELECT a AS cell_a, b AS cell_b,
        CAST(SUM(fw) - SUM(rv) AS BIGINT) AS net
 FROM m2 GROUP BY a, b
 """
+
+
+def user_first_last(
+    events: Dataset,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    n_buckets: int = 256,
+) -> Dataset:
+    """FIRST_VALUE / LAST_VALUE window shape per entity stream: each
+    user's first and last event type (ordered by ts then seq — fully
+    deterministic under ties) plus first/last timestamps and the event
+    count. Types shuffle as small int codes from one metadata-sized
+    vocabulary pass; ONE user-bucket shuffle of fixed-width columns,
+    segment boundaries found by a vectorized lexsort per bucket."""
+    tune_context()
+    import pyarrow.compute as pc
+
+    types = distinct_strings(events, type_col)
+    tarr = pa.array(types, pa.string())
+    code_col = "_mv_code"
+
+    def recode(tbl: pa.Table) -> pa.Table:
+        code = pc.index_in(tbl.column(type_col), value_set=tarr).cast(pa.int64())
+        return tbl.append_column(code_col, code)
+
+    keyed = _bucketed(
+        events, key_col, ts_col, seq_col, (code_col,), n_buckets, recode=recode
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        key = group.column("_mv_key").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "first_type": pa.array([], pa.string()),
+                    "last_type": pa.array([], pa.string()),
+                    "first_ts": pa.array([], pa.timestamp("us")),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        ts = (
+            group.column("_mv_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        seq = group.column("_mv_seq").to_numpy(zero_copy_only=False)
+        code = group.column(code_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ts, key))
+        k_s, ts_s, c_s = key[order], ts[order], code[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], k_s.size] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(k_s[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.r_[starts, k_s.size]).astype(np.int64)
+                ),
+                "first_type": tarr.take(pa.array(c_s[starts], pa.int64())),
+                "last_type": tarr.take(pa.array(c_s[ends], pa.int64())),
+                "first_ts": pa.array(
+                    ts_s[starts].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "last_ts": pa.array(
+                    ts_s[ends].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return keyed.groupby("_mv_bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def user_first_last_sql() -> str:
+    """DuckDB twin of :func:`user_first_last` on the events table."""
+    return """
+WITH r AS (SELECT user_id, event_type, ts,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_type,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM r GROUP BY user_id, n
+"""

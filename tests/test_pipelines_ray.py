@@ -7239,3 +7239,55 @@ def test_closest_pair_matches_bruteforce(ray_session):
         assert len(out) == 1
         got = (out[0]["d2"], out[0]["id_a"], out[0]["id_b"])
         assert got == best
+
+
+def test_boxes_union_area_matches_bruteforce(ray_session):
+    """Exact Klee measure vs per-box inclusion on the quantized grid,
+    partition- and slab-count-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from python_prtree_ray.pipelines.measure import boxes_union_area
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x0 = rng.uniform(0, 0.9, n)
+    y0 = rng.uniform(0, 0.9, n)
+    x1 = x0 + rng.uniform(0.001, 0.08, n)
+    y1 = y0 + rng.uniform(0.001, 0.08, n)
+    tbl = pa.table(
+        {
+            "xmin": x0,
+            "ymin": y0,
+            "xmax": np.minimum(x1, 0.999),
+            "ymax": np.minimum(y1, 0.999),
+        }
+    )
+
+    # brute force on a coarse grid: quantize to the SAME grid the
+    # pipeline uses, then paint a boolean raster (quant_bits small
+    # enough for a dense array)
+    qb = 10
+    q = 1 << qb
+    gx0 = np.floor(x0 * q).astype(np.int64)
+    gx1 = np.floor(np.minimum(x1, 0.999) * q).astype(np.int64)
+    gy0 = np.floor(y0 * q).astype(np.int64)
+    gy1 = np.floor(np.minimum(y1, 0.999) * q).astype(np.int64)
+    grid = np.zeros((q, q), bool)
+    for a, b, c, d in zip(gx0, gx1, gy0, gy1):
+        grid[a:b, c:d] = True
+    want = int(grid.sum())
+
+    got = {}
+    for slabs in (1, 7, 64):
+        for nparts in (1, 5):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            out = boxes_union_area(ds, n_slabs=slabs, quant_bits=qb).take_all()
+            assert len(out) == 1
+            r = out[0]
+            assert r["n_boxes"] == n
+            got[(slabs, nparts)] = r["union_area_q"]
+            assert r["union_area_q"] == want, (slabs, nparts)
+            assert r["union_area"] == want / float(q * q)
+    assert len(set(got.values())) == 1
