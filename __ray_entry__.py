@@ -33,6 +33,50 @@ def _isin_sorted(sorted_keys: "np.ndarray", values: "np.ndarray") -> "np.ndarray
     )
 
 
+def _tile_pagerank_sql(res: int | None = None, scale: int = 10**12, k: int = 10) -> str:
+    """Unrolled integer-PageRank oracle: od edges at TILE_RES, then K
+    chained CTE steps, each `teleport + 85*inflow(v)//100` with
+    inflow(v) = sum over in-edges of `r(u)*w//wout(u)` — every division
+    a BIGINT floor, mirroring the engine's // sequence exactly."""
+    r = TILE_RES if res is None else res
+    head = (
+        f"WITH q AS ({derive.points_sql('events', 'event_id', 'event_id')}), "
+        "p AS (SELECT e.user_id, e.ts, e.event_id, "
+        f"{derive.tile_cell_sql('q.px', 'q.py', r)} AS cell "
+        "FROM events e JOIN q USING (event_id)), "
+        "d AS (SELECT LAG(cell) OVER w AS f, cell AS t FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "e AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS w FROM d "
+        "WHERE f IS NOT NULL GROUP BY f, t), "
+        "nodes AS (SELECT DISTINCT c FROM "
+        "(SELECT f AS c FROM e UNION ALL SELECT t FROM e)), "
+        "meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), "
+        "outw AS (SELECT f, CAST(SUM(w) AS BIGINT) AS wout FROM e "
+        "GROUP BY f), "
+        f"pr0 AS (SELECT c AS cell, CAST({scale} AS BIGINT) // "
+        "(SELECT n FROM meta) AS r FROM nodes)"
+    )
+    steps = []
+    for i in range(k):
+        steps.append(
+            f", pr{i + 1} AS (SELECT nd.c AS cell, "
+            f"(CAST(15 AS BIGINT) * {scale}) // "
+            "(CAST(100 AS BIGINT) * (SELECT n FROM meta)) + "
+            "(CAST(85 AS BIGINT) * COALESCE(s.infl, 0)) // 100 AS r "
+            "FROM nodes nd LEFT JOIN "
+            f"(SELECT e.t AS c, CAST(SUM((pr{i}.r * e.w) // o.wout) "
+            f"AS BIGINT) AS infl FROM pr{i} "
+            f"JOIN e ON e.f = pr{i}.cell "
+            f"JOIN outw o ON o.f = pr{i}.cell GROUP BY e.t) s "
+            "ON s.c = nd.c)"
+        )
+    tail = (
+        f" SELECT cell, r AS rank_s, "
+        f"CAST(r AS DOUBLE) / {float(scale)!r} AS rank FROM pr{k}"
+    )
+    return head + "".join(steps) + tail
+
+
 RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
 TILE_QRES = 3  # coarser grid for per-tile quantiles (8x8: >=dozens of pts/cell)
@@ -9530,6 +9574,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_tile_pagerank(sf):
+        # integer-exact damped PageRank over the tile flow graph: the
+        # corpus-scale work is the od-edge fold (one user-bucket shuffle
+        # of int codes); the tile graph itself is parameter-sized
+        # (<= 4^res nodes), so the K iterations run driver-side in
+        # exact int64 arithmetic with an explicit floor at every
+        # division — the same truncation sequence the unrolled SQL twin
+        # performs, making an ITERATIVE graph algorithm value-hash
+        # checkable. Mass bound: ranks sum to <= SCALE, so
+        # r*w < 2^63 needs max edge weight < 9.2e6 (holds to ~sf100).
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.movement import od_matrix
+
+        edges = od_matrix(_event_tracks(sf, TILE_RES), res=TILE_RES).take_all()
+        S = 10**12
+        K = 10
+        frm = np.array([r["from_cell"] for r in edges], np.int64)
+        to = np.array([r["to_cell"] for r in edges], np.int64)
+        w = np.array([r["n_moves"] for r in edges], np.int64)
+        nodes = np.unique(np.concatenate([frm, to]))
+        n = nodes.size
+        fi = np.searchsorted(nodes, frm)
+        ti = np.searchsorted(nodes, to)
+        wout = np.zeros(n, np.int64)
+        np.add.at(wout, fi, w)
+        teleport = (15 * S) // (100 * n)
+        r = np.full(n, S // n, np.int64)
+        for _ in range(K):
+            contrib = (r[fi] * w) // wout[fi]
+            infl = np.zeros(n, np.int64)
+            np.add.at(infl, ti, contrib)
+            r = teleport + (85 * infl) // 100
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell": nodes,
+                    "rank_s": r,
+                    "rank": pa.array(
+                        r.astype(np.float64) / np.float64(S), pa.float64()
+                    ),
+                }
+            )
+        )
+
+    def q_value_mwu(sf):
+        # Mann–Whitney U between purchase and click values on the
+        # distinct-cents grid (same quantization as value_ks): exact
+        # integer doubled rank-sums via one (cents, n_p, n_c) fold,
+        # then ONE pinned float chain for U and the normal-approx z
+        import math
+
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "value"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            et = tbl.column("event_type")
+            is_p = pc.equal(et, "purchase").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            is_c = pc.equal(et, "click").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            keep = is_p | is_c
+            isp = is_p[keep].astype(np.int64)
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False)[keep]
+                * 100.0
+            ).astype(np.int64)
+            order = np.argsort(cents, kind="stable")
+            c_s, p_s = cents[order], isp[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            n_p = np.add.reduceat(p_s, starts)
+            n_t = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
+            return pa.table(
+                {"cents": c_s[starts], "n_p": n_p, "n_t": n_t}
+            )
+
+        hist = bucketed_sum(
+            ev.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="cents",
+            value_cols=("n_p", "n_t"),
+        ).take_all()  # distinct-cents grid: metadata-sized
+        vals = np.array([r["cents"] for r in hist], np.int64)
+        n_p = np.array([r["n_p"] for r in hist], np.int64)
+        n_t = np.array([r["n_t"] for r in hist], np.int64)
+        order = np.argsort(vals)
+        n_p, n_t = n_p[order], n_t[order]
+        cb = np.r_[0, np.cumsum(n_t)[:-1]]  # ranks before this value
+        # doubled average rank of a tied block = 2*cb + n_t + 1 (int)
+        r1x2 = int(np.sum(n_p * (2 * cb + n_t + 1)))
+        n1 = int(n_p.sum())
+        n2 = int(n_t.sum()) - n1
+        u1x2 = r1x2 - n1 * (n1 + 1)
+        u = float(u1x2) / 2.0
+        z = (u - float(n1 * n2) / 2.0) / math.sqrt(
+            float(n1) * float(n2) * float(n1 + n2 + 1) / 12.0
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n1": pa.array([n1], pa.int64()),
+                    "n2": pa.array([n2], pa.int64()),
+                    "u1x2": pa.array([u1x2], pa.int64()),
+                    "u": pa.array([u], pa.float64()),
+                    "z": pa.array([z], pa.float64()),
+                }
+            )
+        )
+
     def q_user_first_last(sf):
         # FIRST_VALUE/LAST_VALUE window shape: each user's first and
         # last event (type + ts) and count — types shuffle as int codes,
@@ -9922,6 +10085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boxes_union_area": q_boxes_union_area,
         "user_first_last": q_user_first_last,
         "acctbal_deciles": q_acctbal_deciles,
+        "tile_pagerank": q_tile_pagerank,
+        "value_mwu": q_value_mwu,
         "cube_revenue": q_cube_revenue,
         "events_pivot": q_events_pivot,
         "source_lang_entropy": q_source_lang_entropy,
@@ -12195,6 +12360,31 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         ),
         "boxes_union_area": _boxes_union_area_sql(b_orders),
         "user_first_last": _user_first_last_sql(),
+        # iterative PageRank unrolled to K fixed CTE steps — pure
+        # integer arithmetic at every stage (floor division mirrors the
+        # engine's // exactly), so an ITERATIVE graph algorithm gets a
+        # value-hash oracle instead of a rows-only check
+        "tile_pagerank": _tile_pagerank_sql(),
+        "value_mwu": (
+            "WITH e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,"
+            " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp "
+            "FROM events WHERE event_type IN ('purchase', 'click')), "
+            "c AS (SELECT cents, CAST(SUM(isp) AS BIGINT) AS np, "
+            "CAST(COUNT(*) AS BIGINT) AS nt FROM e GROUP BY cents), "
+            "r AS (SELECT cents, np, nt, COALESCE(SUM(nt) OVER "
+            "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS cb FROM c), "
+            "s AS (SELECT CAST(SUM(np * (2 * cb + nt + 1)) AS BIGINT) AS"
+            " r1x2, CAST(SUM(np) AS BIGINT) AS n1, "
+            "CAST(SUM(nt - np) AS BIGINT) AS n2 FROM r) "
+            "SELECT n1, n2, "
+            "CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2, "
+            "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u, "
+            "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 - "
+            "CAST(n1 * n2 AS DOUBLE) / 2.0) / "
+            "SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * "
+            "CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) AS z FROM s"
+        ),
         "acctbal_deciles": (
             "WITH r AS (SELECT c_nationkey, "
             "CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents, "
