@@ -77,6 +77,48 @@ def _tile_pagerank_sql(res: int | None = None, scale: int = 10**12, k: int = 10)
     return head + "".join(steps) + tail
 
 
+def _tile_kcore_sql(res: int | None = None, k: int = 8, rounds: int = 10) -> str:
+    """Unrolled k-core oracle: occupied tiles, then ``rounds`` peel
+    steps (keep tiles with >= k alive 8-neighbors), final LEFT-JOIN
+    degree count — all-integer, mirrors q_tile_kcore exactly."""
+    r = TILE_RES if res is None else res
+    g = 1 << r
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    head = (
+        f"WITH q AS ({derive.points_sql('events', 'event_id', 'event_id')}), "
+        "p AS (SELECT "
+        f"{derive.tile_cell_sql('q.px', 'q.py', r)} AS cell FROM q), "
+        "offs(dx, dy) AS (VALUES " + offs + "), "
+        "alive0 AS MATERIALIZED (SELECT DISTINCT cell FROM p)"
+    )
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f", alive{i + 1} AS MATERIALIZED (SELECT a.cell FROM alive{i} a "
+            "CROSS JOIN offs o "
+            f"JOIN alive{i} b ON b.cell = "
+            f"(a.cell // {g} + o.dx) * {g} + (a.cell % {g} + o.dy) "
+            f"AND a.cell // {g} + o.dx BETWEEN 0 AND {g - 1} "
+            f"AND a.cell % {g} + o.dy BETWEEN 0 AND {g - 1} "
+            f"GROUP BY a.cell HAVING COUNT(*) >= {k})"
+        )
+    tail = (
+        f" SELECT a.cell, CAST(COUNT(b.cell) AS BIGINT) AS degree "
+        f"FROM alive{rounds} a CROSS JOIN offs o "
+        f"LEFT JOIN alive{rounds} b ON b.cell = "
+        f"(a.cell // {g} + o.dx) * {g} + (a.cell % {g} + o.dy) "
+        f"AND a.cell // {g} + o.dx BETWEEN 0 AND {g - 1} "
+        f"AND a.cell % {g} + o.dy BETWEEN 0 AND {g - 1} "
+        "GROUP BY a.cell"
+    )
+    return head + "".join(steps) + tail
+
+
 RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
 TILE_QRES = 3  # coarser grid for per-tile quantiles (8x8: >=dozens of pts/cell)
@@ -9619,6 +9661,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_tile_kcore(sf):
+        # k-core decomposition of the occupied-tile 8-neighborhood
+        # graph: 10 fixed peeling rounds (tiles with < K alive
+        # neighbors drop) — all-integer, so the unrolled SQL twin
+        # value-hashes. Corpus-scale work is the occupancy fold; the
+        # peel runs driver-side on the parameter-sized tile set.
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        # k=8 demands the FULL 8-ring: on a saturated grid each round
+        # peels exactly the outer boundary ring, so 10 rounds produce a
+        # genuine 10-deep erosion wavefront (k<=3 is degenerate at the
+        # wired scales: sparse grids die instantly, dense ones never peel)
+        KCORE = 8
+        ROUNDS = 10
+        g = np.int64(1 << TILE_RES)
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id"]
+        )
+
+        def geo(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            c = np.unique(cell_of_points(p["px"], p["py"], TILE_RES))
+            return pa.table({"cell": c, "one": np.ones(c.size, np.int64)})
+
+        occ_rows = bucketed_sum(
+            ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("one",),
+        ).take_all()  # occupied-tile set: parameter-sized (<= 4^res)
+        alive = np.unique(np.array([r["cell"] for r in occ_rows], np.int64))
+        offs = [
+            (dx, dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+
+        def degrees(cells: np.ndarray) -> np.ndarray:
+            ix, iy = cells // g, cells % g
+            d = np.zeros(cells.size, np.int64)
+            for dx, dy in offs:
+                nx, ny = ix + dx, iy + dy
+                ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+                d += ok & _isin_sorted(cells, nx * g + ny)
+            return d
+
+        for _ in range(ROUNDS):
+            if alive.size == 0:
+                break
+            deg = degrees(alive)
+            keep = deg >= KCORE
+            if keep.all():
+                break
+            alive = alive[keep]
+        deg = degrees(alive) if alive.size else np.zeros(0, np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell": pa.array(alive, pa.int64()),
+                    "degree": pa.array(deg, pa.int64()),
+                }
+            )
+        )
+
     def q_value_mwu(sf):
         # Mann–Whitney U between purchase and click values on the
         # distinct-cents grid (same quantization as value_ks): exact
@@ -10086,6 +10196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q_user_first_last,
         "acctbal_deciles": q_acctbal_deciles,
         "tile_pagerank": q_tile_pagerank,
+        "tile_kcore": q_tile_kcore,
         "value_mwu": q_value_mwu,
         "cube_revenue": q_cube_revenue,
         "events_pivot": q_events_pivot,
@@ -12365,6 +12476,7 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         # engine's // exactly), so an ITERATIVE graph algorithm gets a
         # value-hash oracle instead of a rows-only check
         "tile_pagerank": _tile_pagerank_sql(),
+        "tile_kcore": _tile_kcore_sql(),
         "value_mwu": (
             "WITH e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,"
             " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp "
