@@ -119,6 +119,50 @@ def _tile_kcore_sql(res: int | None = None, k: int = 8, rounds: int = 10) -> str
     return head + "".join(steps) + tail
 
 
+def _tile_distance_sql(res: int | None = None, rounds: int = 10) -> str:
+    """Unrolled Chebyshev distance-transform oracle from the peak-count
+    tiles: MATERIALIZED ring CTEs (anti-join keeps only newly reached
+    cells each round), unreached occupied tiles -> -1. Mirrors
+    q_tile_distance exactly."""
+    r = TILE_RES if res is None else res
+    g = 1 << r
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    head = (
+        f"WITH q AS ({derive.points_sql('events', 'event_id', 'event_id')}), "
+        "p AS (SELECT "
+        f"{derive.tile_cell_sql('q.px', 'q.py', r)} AS cell FROM q), "
+        "offs(dx, dy) AS (VALUES " + offs + "), "
+        "occ AS MATERIALIZED (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM p GROUP BY cell), "
+        "r0 AS MATERIALIZED (SELECT cell, 0 AS d FROM occ "
+        "WHERE n >= (SELECT MAX(n) FROM occ))"
+    )
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f", r{i + 1} AS MATERIALIZED (SELECT cell, d FROM r{i} "
+            "UNION ALL "
+            f"SELECT nb.cell, {i + 1} AS d FROM "
+            f"(SELECT DISTINCT b.cell FROM r{i} a CROSS JOIN offs o "
+            "JOIN occ b ON b.cell = "
+            f"(a.cell // {g} + o.dx) * {g} + (a.cell % {g} + o.dy) "
+            f"AND a.cell // {g} + o.dx BETWEEN 0 AND {g - 1} "
+            f"AND a.cell % {g} + o.dy BETWEEN 0 AND {g - 1}) nb "
+            f"LEFT JOIN r{i} seen ON seen.cell = nb.cell "
+            "WHERE seen.cell IS NULL)"
+        )
+    tail = (
+        f" SELECT o.cell, CAST(COALESCE(r.d, -1) AS BIGINT) AS dist "
+        f"FROM occ o LEFT JOIN r{rounds} r ON r.cell = o.cell"
+    )
+    return head + "".join(steps) + tail
+
+
 RES = 6  # join partitioning resolution (64x64 grid at test scale)
 TILE_RES = 6
 TILE_QRES = 3  # coarser grid for per-tile quantiles (8x8: >=dozens of pts/cell)
@@ -9729,6 +9773,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_tile_distance(sf):
+        # Chebyshev distance transform on the tile raster: BFS rings
+        # from the PEAK-count tiles (count == global max — the derived
+        # points are equidistributed, so any fixed threshold is
+        # degenerate at some scale; argmax is scale-relative and
+        # exactly SQL-expressible) over the 8-neighborhood, 10 unrolled
+        # rounds, unreached occupied tiles -> -1. Corpus work is the
+        # count fold; the wavefront runs driver-side on the
+        # parameter-sized tile set — same all-integer unrolled-CTE
+        # oracle pattern as tile_kcore.
+        import pyarrow as pa
+        import ray
+        from python_prtree_ray.functions.cells import cell_of_points
+        from python_prtree_ray.pipelines.merge import bucketed_sum
+
+        ROUNDS = 10
+        g = np.int64(1 << TILE_RES)
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id"]
+        )
+
+        def geo(tbl: pa.Table) -> pa.Table:
+            eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+            p = derive.derive_points(eid)
+            c, n = np.unique(
+                cell_of_points(p["px"], p["py"], TILE_RES),
+                return_counts=True,
+            )
+            return pa.table({"cell": c, "x": n.astype(np.int64)})
+
+        rows = bucketed_sum(
+            ev.map_batches(geo, batch_format="pyarrow", zero_copy_batch=True),
+            key_col="cell",
+            value_cols=("x",),
+        ).take_all()  # occupied-tile counts: parameter-sized
+        cells = np.array([r["cell"] for r in rows], np.int64)
+        cnt = np.array([r["x"] for r in rows], np.int64)
+        order = np.argsort(cells)
+        cells, cnt = cells[order], cnt[order]
+        dist = np.full(cells.size, np.int64(-1))
+        is_src = cnt == cnt.max() if cnt.size else np.zeros(0, np.bool_)
+        frontier = cells[is_src]
+        dist[is_src] = 0
+        offs = [
+            (dx, dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+        for d in range(1, ROUNDS + 1):
+            if frontier.size == 0:
+                break
+            ix, iy = frontier // g, frontier % g
+            nbr = []
+            for dx, dy in offs:
+                nx, ny = ix + dx, iy + dy
+                ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+                nbr.append((nx[ok] * g + ny[ok]))
+            cand = np.unique(np.concatenate(nbr)) if nbr else np.zeros(0, np.int64)
+            pos = np.searchsorted(cells, cand)
+            hit = _isin_sorted(cells, cand)
+            idx = pos[hit]
+            fresh = idx[dist[idx] == -1]
+            dist[fresh] = d
+            frontier = cells[fresh]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell": pa.array(cells, pa.int64()),
+                    "dist": pa.array(dist, pa.int64()),
+                }
+            )
+        )
+
+    def q_value_welch_t(sf):
+        # Welch's t-test (purchase vs view values, cents grid): exact
+        # int64 moment partials (n, sum, sum-of-squares per group fit
+        # comfortably: q <= n * cents_max^2), ONE pinned float chain
+        # for means, t, and the Welch–Satterthwaite df
+        import math
+
+        import pyarrow as pa
+        import ray
+
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "value"]
+        )
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            et = tbl.column("event_type")
+            cents = np.floor(
+                tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            out = []
+            for name in ("purchase", "view"):
+                m = pc.equal(et, name).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                c = cents[m]
+                out.extend(
+                    [int(c.size), int(c.sum()), int(np.sum(c * c))]
+                )
+            return pa.table(
+                {
+                    "n1": pa.array([out[0]], pa.int64()),
+                    "s1": pa.array([out[1]], pa.int64()),
+                    "q1": pa.array([out[2]], pa.int64()),
+                    "n2": pa.array([out[3]], pa.int64()),
+                    "s2": pa.array([out[4]], pa.int64()),
+                    "q2": pa.array([out[5]], pa.int64()),
+                }
+            )
+
+        rows = ev.map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65536,
+        ).take_all()
+        n1 = sum(int(r["n1"]) for r in rows)
+        s1 = sum(int(r["s1"]) for r in rows)
+        q1 = sum(int(r["q1"]) for r in rows)
+        n2 = sum(int(r["n2"]) for r in rows)
+        s2 = sum(int(r["s2"]) for r in rows)
+        q2 = sum(int(r["q2"]) for r in rows)
+        m1 = float(s1) / float(n1)
+        m2 = float(s2) / float(n2)
+        v1 = (float(q1) - float(s1) * float(s1) / float(n1)) / float(n1 - 1)
+        v2 = (float(q2) - float(s2) * float(s2) / float(n2)) / float(n2 - 1)
+        a = v1 / float(n1)
+        b = v2 / float(n2)
+        t = (m1 - m2) / math.sqrt(a + b)
+        df = (a + b) * (a + b) / (
+            a * a / float(n1 - 1) + b * b / float(n2 - 1)
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n1": pa.array([n1], pa.int64()),
+                    "n2": pa.array([n2], pa.int64()),
+                    "mean1": pa.array([m1], pa.float64()),
+                    "mean2": pa.array([m2], pa.float64()),
+                    "t_stat": pa.array([t], pa.float64()),
+                    "df": pa.array([df], pa.float64()),
+                }
+            )
+        )
+
     def q_value_mwu(sf):
         # Mann–Whitney U between purchase and click values on the
         # distinct-cents grid (same quantization as value_ks): exact
@@ -10197,7 +10391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_deciles": q_acctbal_deciles,
         "tile_pagerank": q_tile_pagerank,
         "tile_kcore": q_tile_kcore,
+        "tile_distance": q_tile_distance,
         "value_mwu": q_value_mwu,
+        "value_welch_t": q_value_welch_t,
         "cube_revenue": q_cube_revenue,
         "events_pivot": q_events_pivot,
         "source_lang_entropy": q_source_lang_entropy,
@@ -12477,6 +12673,38 @@ FROM d WHERE from_type IS NOT NULL GROUP BY from_type, to_type
         # value-hash oracle instead of a rows-only check
         "tile_pagerank": _tile_pagerank_sql(),
         "tile_kcore": _tile_kcore_sql(),
+        "tile_distance": _tile_distance_sql(),
+        "value_welch_t": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events "
+            "WHERE event_type IN ('purchase', 'view')), "
+            "m AS (SELECT "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n1, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 "
+            "END) AS BIGINT) AS s1, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN c * c ELSE "
+            "0 END) AS BIGINT) AS q1, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n2, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN c ELSE 0 END) "
+            "AS BIGINT) AS s2, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN c * c ELSE 0 "
+            "END) AS BIGINT) AS q2 FROM e), "
+            "d AS (SELECT n1, n2, "
+            "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1, "
+            "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2, "
+            "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+            "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / "
+            "CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS a, "
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * "
+            "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / "
+            "CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS b FROM m) "
+            "SELECT n1, n2, m1 AS mean1, m2 AS mean2, "
+            "(m1 - m2) / SQRT(a + b) AS t_stat, "
+            "(a + b) * (a + b) / (a * a / CAST(n1 - 1 AS DOUBLE) + "
+            "b * b / CAST(n2 - 1 AS DOUBLE)) AS df FROM d"
+        ),
         "value_mwu": (
             "WITH e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,"
             " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp "

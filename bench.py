@@ -201,7 +201,7 @@ QUERY_SUBSET = (
     " market_share excess_parts waiting_suppliers closest_pair"
     " cube_revenue events_pivot source_lang_entropy custkey_setops"
     " boxes_union_area user_first_last acctbal_deciles"
-    " tile_pagerank value_mwu tile_kcore"
+    " tile_pagerank value_mwu tile_kcore tile_distance value_welch_t"
 ).split()
 
 
