@@ -732,7 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             d2 = tbl.column("d2").to_numpy(zero_copy_only=False)
             order = np.argsort(s, kind="stable")
             s_s, n_s, c_s = s[order], n[order], (n * d2)[order]
-            starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]][: s_s.size])
             return pa.table(
                 {
                     "seed": s_s[starts],
@@ -778,7 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             week = us // WEEK_US
             order = np.lexsort((week, u))
             u_s, w_s = u[order], week[order]
-            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])][: u_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(u_s[keep], 256),
@@ -799,7 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             w = group.column("week").to_numpy(zero_copy_only=False)
             order = np.lexsort((w, u))
             u_s, w_s = u[order], w[order]
-            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])][: u_s.size]
             wk, n = np.unique(w_s[keep], return_counts=True)
             return pa.table({"week": wk, "n_users": n.astype(np.int64)})
 
@@ -1282,7 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(cell, kind="stable")
             c_s = cell[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             c_u = c_s[starts]
             v = np.add.reduceat(cents[order], starts)
             row, nb = neighbor_cells(c_u, TILE_RES, ring=1)
@@ -1713,7 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.argsort(code, kind="stable")
             c_s = code[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             return pa.table(
                 {
                     "k": np.zeros(starts.size, np.int64),
@@ -1738,7 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n = group.column("n_items").to_numpy(zero_copy_only=False)
             order = np.argsort(b, kind="stable")
             b_s, r_s, n_s = b[order], rev[order], n[order]
-            starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]][: b_s.size])
             bb = b_s[starts]
             rr = np.add.reduceat(r_s, starts)
             nn = np.add.reduceat(n_s, starts)
@@ -1854,7 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.argsort(code, kind="stable")
             c_s = code[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             return pa.table(
                 {
                     "event_type": enc.dictionary.take(pa.array(c_s[starts])),
@@ -1889,7 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             siy = group.column("siy").to_numpy(zero_copy_only=False)
             order = np.argsort(et, kind="stable")
             e_s = et[order]
-            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]][: e_s.size])
             nn = np.add.reduceat(n[order], starts)
             sx = np.add.reduceat(six[order], starts)
             sy = np.add.reduceat(siy[order], starts)
@@ -2013,7 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cls = group.column("cls").to_numpy(zero_copy_only=False)
             order = np.lexsort((seq, t, u))
             u_s, c_s = u[order], cls[order]
-            new = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            new = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])][: u_s.size]
             starts = np.flatnonzero(new)
             lens = np.diff(np.r_[starts, u_s.size]).astype(np.int64)
             ll, n = np.unique(lens, return_counts=True)
@@ -2107,7 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             r = group.column("rank").to_numpy(zero_copy_only=False)
             order = np.lexsort((r, u))
             u_s, c_s, n_s, r_s = u[order], c[order], n[order], r[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             sizes = np.diff(np.r_[starts, u_s.size])
             two = sizes == 2  # users with two distinct cells
             s2 = starts[two]
@@ -2511,7 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(u, kind="stable")
             u_s, c_s = u[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             return pa.table(
                 {
                     "user_id": u_s[starts],
@@ -2625,7 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             u_s, seq_s, t_s, v_s = u[order], seq[order], tus[order], isv[order]
             n = u_s.shape[0]
             pos = np.arange(n, dtype=np.int64)
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
             marker = np.where(v_s, pos, np.int64(-1))
             ff = np.maximum.accumulate(marker)
@@ -2757,7 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             order = np.lexsort((cell, u))
             u_s, c_s = u[order], cell[order]
-            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])][: u_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(u_s[keep], 256),
@@ -2776,7 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             c = group.column("cell").to_numpy(zero_copy_only=False)
             order = np.lexsort((c, u))
             u_s, c_s = u[order], c[order]
-            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])][: u_s.size]
             u_s, c_s = u_s[keep], c_s[keep]
             pa_l, pb_l = [], []
             d = 1
@@ -2853,7 +2853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             st = day * g2 + cell
             order = np.lexsort((u, st))
             s_s, u_s = st[order], u[order]
-            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])][: s_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(s_s[keep], 256),
@@ -2872,7 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             u = group.column("u").to_numpy(zero_copy_only=False)
             order = np.lexsort((u, st))
             s_s, u_s = st[order], u[order]
-            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])][: s_s.size]
             s_s, u_s = s_s[keep], u_s[keep]
             pa_l, pb_l = [], []
             d = 1
@@ -3554,7 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((n, code))
             c_s, n_s = code[order], n[order]
             starts = np.flatnonzero(
-                np.r_[True, (c_s[1:] != c_s[:-1]) | (n_s[1:] != n_s[:-1])]
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (n_s[1:] != n_s[:-1])][: c_s.size]
             )
             return pa.table(
                 {
@@ -3660,7 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seq = group.column("seq").to_numpy(zero_copy_only=False)
             order = np.lexsort((seq, t, u))
             u_s, t_s = u[order], t[order]
-            new = np.r_[True, (u_s[1:] != u_s[:-1]) | (t_s[1:] - t_s[:-1] > GAP)]
+            new = np.r_[True, (u_s[1:] != u_s[:-1]) | (t_s[1:] - t_s[:-1] > GAP)][: u_s.size]
             starts = np.flatnonzero(new)
             ends = np.r_[starts[1:], u_s.size] - 1
             dur = t_s[ends] - t_s[starts]
@@ -3692,7 +3692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((b, a))
             a_s, b_s = a[order], b[order]
             starts = np.flatnonzero(
-                np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+                np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])][: a_s.size]
             )
             return pa.table(
                 {
@@ -3718,7 +3718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((b, a))
             a_s, b_s, n_s = a[order], b[order], n[order]
             starts = np.flatnonzero(
-                np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+                np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])][: a_s.size]
             )
             return pa.table(
                 {
@@ -3789,7 +3789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(code, kind="stable")
             c_s, l_s, v_s = code[order], late[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             n_all = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
             n_late = np.add.reduceat(l_s.astype(np.int64), starts)
             s_all = np.add.reduceat(v_s, starts)
@@ -3830,7 +3830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
             order = np.argsort(et, kind="stable")
             e_s = et[order]
-            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]][: e_s.size])
             ne = np.add.reduceat(cols["n_early"][order], starts)
             nl = np.add.reduceat(cols["n_late"][order], starts)
             se = np.add.reduceat(cols["s_early"][order], starts)
@@ -4852,7 +4852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
             order = np.argsort(ok, kind="stable")
             ks, cs = ok[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "l_orderkey": ks[starts],
@@ -4909,7 +4909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
             order = np.lexsort((p, o))
             o_s, p_s = o[order], p[order]
-            keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])]
+            keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])][: o_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(o_s[keep], 256),
@@ -4928,7 +4928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p = group.column("p").to_numpy(zero_copy_only=False)
             order = np.lexsort((p, o))
             o_s, p_s = o[order], p[order]
-            keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])]
+            keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])][: o_s.size]
             o_s, p_s = o_s[keep], p_s[keep]
             pa_l, pb_l = [], []
             d = 1
@@ -4998,7 +4998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(week, kind="stable")
             w_s, c_s = week[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]][: w_s.size])
             return pa.table(
                 {
                     "week": w_s[starts],
@@ -5109,7 +5109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             c = cents[keep]
             order = np.argsort(nk, kind="stable")
             nk_s, c_s = nk[order], c[order]
-            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]][: nk_s.size])
             return pa.table(
                 {
                     "n_nationkey": nk_s[starts],
@@ -5261,7 +5261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(nk, kind="stable")
             nk_s, c_s, r_s = nk[order], cents[order], ret[order]
-            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]][: nk_s.size])
             return pa.table(
                 {
                     "n_nationkey": nk_s[starts],
@@ -5501,7 +5501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rev = rev[keep]
             order = np.argsort(key, kind="stable")
             ks, rs = key[order], rev[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {"pk": ks[starts], "revenue_e4": np.add.reduceat(rs, starts)}
             )
@@ -5669,7 +5669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(k, kind="stable")
             ks, qs = k[order], q[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "l_partkey": ks[starts],
@@ -5709,7 +5709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ks, cs = k[keep], cents[keep]
             order = np.argsort(ks, kind="stable")
             ks, cs = ks[order], cs[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "p_partkey": ks[starts],
@@ -5753,7 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(k, kind="stable")
             ks, qs = k[order], q[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "o_orderkey": ks[starts],
@@ -5856,7 +5856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             order = np.argsort(mo, kind="stable")
             ms, rs, hs = mo[order], rev[order], hit[order]
-            starts = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1]])
+            starts = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1]][: ms.size])
             return pa.table(
                 {
                     "month_us": ms[starts],
@@ -5988,7 +5988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             u_s, d_s = u[order], d[order]
             n = u_s.size
             cumg = np.cumsum(d_s)
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             lens = np.diff(np.r_[starts, n])
             base = np.repeat(np.r_[0, cumg[starts[1:] - 1]], lens)
             cum = cumg - base
@@ -6245,7 +6245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ).astype(np.int64)
                 order = np.argsort(u, kind="stable")
                 u_s, c_s = u[order], cents[order]
-                starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+                starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
                 return pa.table(
                     {
                         "user_id": u_s[starts],
@@ -6303,7 +6303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             wknd = (dow == 0) | (dow == 6)
             order = np.argsort(u, kind="stable")
             u_s, w_s = u[order], wknd[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             n = np.diff(np.r_[starts, u_s.size]).astype(np.int64)
             n_wk = np.add.reduceat(w_s.astype(np.int64), starts)
             return pa.table(
@@ -6418,7 +6418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((dow, code))
             c_s, d_s = code[order], dow[order]
             starts = np.flatnonzero(
-                np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])][: c_s.size]
             )
             return pa.table(
                 {
@@ -6446,7 +6446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((dow, cls))
             c_s, d_s, n_s = cls[order], dow[order], n[order]
             starts = np.flatnonzero(
-                np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])][: c_s.size]
             )
             o = np.add.reduceat(n_s, starts)
             cu, du = c_s[starts], d_s[starts]
@@ -6503,7 +6503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(mo, kind="stable")
             m_s, c_s = mo[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, m_s[1:] != m_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, m_s[1:] != m_s[:-1]][: m_s.size])
             return pa.table(
                 {
                     "month_us": m_s[starts],
@@ -6604,7 +6604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # per-user min signup ts
             order = np.argsort(u, kind="stable")
             u_s, t_s, g_s = u[order], t[order], sgn[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             sizes = np.diff(np.r_[starts, u_s.size])
             t_anchor = np.where(g_s, t_s, np.iinfo(np.int64).max)
             anchor = np.repeat(
@@ -6666,7 +6666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dev = np.abs(2 * vals - m2)
         dorder = np.argsort(dev)
         dv, dn = dev[dorder], cnts[dorder]
-        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]][: dv.size])
         mad2x = _interp_quantiles(dv[starts], np.add.reduceat(dn, starts), [0.5])[0]
         mad4 = int(round(2 * mad2x))  # 2·(2·MAD): exact int
         thr = ray.put((m2, mad4))
@@ -6717,7 +6717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             no = group.column("n_outliers").to_numpy(zero_copy_only=False)
             order = np.argsort(et, kind="stable")
             e_s, n_s, o_s = et[order], n[order], no[order]
-            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]][: e_s.size])
             return pa.table(
                 {
                     "event_type": pa.array(e_s[starts], pa.string()),
@@ -6757,7 +6757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             day = us // DAY_US
             order = np.argsort(u, kind="stable")
             u_s, d_s = u[order], day[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             return pa.table(
                 {
                     "bucket": bucket_of(u_s[starts], 256),
@@ -6777,7 +6777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hi = group.column("hi").to_numpy(zero_copy_only=False)
             order = np.argsort(u, kind="stable")
             u_s = u[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             span = np.maximum.reduceat(hi[order], starts) - np.minimum.reduceat(
                 lo[order], starts
             )
@@ -6885,7 +6885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(u, kind="stable")
             u_s, c_s = u[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             return pa.table(
                 {
                     "user_id": u_s[starts],
@@ -6941,7 +6941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_out = np.concatenate([np.zeros(keep.sum(), np.int64), n[keep]])
             order = np.argsort(cells, kind="stable")
             c_s = cells[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             return pa.table(
                 {
                     "cell": c_s[starts],
@@ -6985,7 +6985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             order = np.argsort(u, kind="stable")
             u_s, p_s = u[order], is_p[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             return pa.table(
                 {
                     "user_id": u_s[starts],
@@ -7046,7 +7046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             day = us // DAY_US
             order = np.argsort(u, kind="stable")
             u_s, d_s = u[order], day[order]
-            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
             return pa.table(
                 {
                     "user_id": u_s[starts],
@@ -7095,7 +7095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             day = us // DAY_US
             order = np.lexsort((day, u))
             u_s, d_s = u[order], day[order]
-            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])][: u_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(u_s[keep], 256),
@@ -7117,9 +7117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             day = group.column("day").to_numpy(zero_copy_only=False)
             order = np.lexsort((day, u))
             u_s, d_s = u[order], day[order]
-            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])][: u_s.size]
             u_u, d_u = u_s[keep], d_s[keep]
-            is_first = np.r_[True, u_u[1:] != u_u[:-1]]
+            is_first = np.r_[True, u_u[1:] != u_u[:-1]][: u_u.size]
             dd, inv = np.unique(d_u, return_inverse=True)
             n_new = np.bincount(inv, weights=is_first, minlength=dd.size).astype(
                 np.int64
@@ -7175,7 +7175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dorder = np.argsort(dev)
         dv, dn = dev[dorder], cnts[dorder]
         # merge duplicate deviations (values symmetric around m)
-        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]][: dv.size])
         dv_u = dv[starts]
         dn_u = np.add.reduceat(dn, starts)
         mad2 = _interp_quantiles(dv_u, dn_u, [0.5])[0]
@@ -7220,7 +7220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kind = is_p.astype(np.int64)
             order = np.lexsort((us, kind, u))
             u_s, k_s, t_s = u[order], kind[order], us[order]
-            first = np.r_[True, (u_s[1:] != u_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            first = np.r_[True, (u_s[1:] != u_s[:-1]) | (k_s[1:] != k_s[:-1])][: u_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(u_s[first], 256),
@@ -7240,7 +7240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t = group.column("t").to_numpy(zero_copy_only=False)
             order = np.lexsort((t, kind, u))
             u_s, k_s, t_s = u[order], kind[order], t[order]
-            first = np.r_[True, (u_s[1:] != u_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            first = np.r_[True, (u_s[1:] != u_s[:-1]) | (k_s[1:] != k_s[:-1])][: u_s.size]
             u_f, k_f, t_f = u_s[first], k_s[first], t_s[first]
             # users with BOTH kinds appear as consecutive (view, purchase)
             both = (u_f[:-1] == u_f[1:]) & (k_f[:-1] == 0) & (k_f[1:] == 1)
@@ -7345,7 +7345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(cents, kind="stable")
             c_s, w_s = cents[order], wknd[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             nw = np.add.reduceat(w_s.astype(np.int64), starts)
             nt = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
             return pa.table(
@@ -7426,7 +7426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(nk, kind="stable")
             nk_s, c_s = nk[order], cents[order]
-            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]][: nk_s.size])
             return pa.table(
                 {
                     "n_nationkey": nk_s[starts],
@@ -7559,7 +7559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             o = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
             order = np.lexsort((o, s))
             s_s, o_s = s[order], o[order]
-            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])][: s_s.size]
             return pa.table(
                 {
                     "bucket": bucket_of(s_s[keep], 256),
@@ -7580,9 +7580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             o = group.column("o").to_numpy(zero_copy_only=False)
             order = np.lexsort((o, s))
             s_s, o_s = s[order], o[order]
-            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])]
+            keep = np.r_[True, (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])][: s_s.size]
             s_u = s_s[keep]
-            starts = np.flatnonzero(np.r_[True, s_u[1:] != s_u[:-1]])
+            starts = np.flatnonzero(np.r_[True, s_u[1:] != s_u[:-1]][: s_u.size])
             reach = np.diff(np.r_[starts, s_u.size]).astype(np.int64)
             rr, n = np.unique(reach, return_counts=True)
             return pa.table(
@@ -8199,7 +8199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             nk_m, cents_m = nk[m].astype(np.int64), cents[m]
             o = np.argsort(nk_m, kind="stable")
             nk_s, c_s = nk_m[o], cents_m[o]
-            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]][: nk_s.size])
             if nk_s.size == 0:
                 starts = np.zeros(0, np.int64)
             return pa.table(
@@ -8281,7 +8281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rev = np.floor(ep * 100.0).astype(np.int64) * (100 - bp)
             order = np.argsort(ok, kind="stable")
             ks, rs = ok[order], rev[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "l_orderkey": ks[starts],
@@ -8446,7 +8446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rev = np.floor(ep * 100.0).astype(np.int64) * (100 - bp)
             order = np.argsort(sk, kind="stable")
             ks, rs = sk[order], rev[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "l_suppkey": ks[starts],
@@ -8584,7 +8584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key = nk * 10000 + year
             korder = np.argsort(key, kind="stable")
             ks, ps = key[korder], profit[korder]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table(
                 {
                     "key": ks[starts],
@@ -8661,7 +8661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             order = np.lexsort((ts, ok))
             ks, ss = ok[order], ts[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
             return pa.table({"l_orderkey": ks[starts], "ms": ss[starts]})
 
         min_ship = bucketed_sum(
@@ -8734,7 +8734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fast = (ms <= odate + US_30D).astype(np.int64)
             order = np.argsort(prio, kind="stable")
             ps, fs = prio[order], fast[order]
-            starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+            starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]][: ps.size])
             return pa.table(
                 {
                     "prio": ps[starts],
@@ -8824,7 +8824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             du = u_s[1:][gap_ok]
             if du.size == 0:
                 return empty
-            starts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+            starts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]][: du.size])
             s1 = np.add.reduceat(d, starts)
             s2 = np.add.reduceat(d * d, starts)
             n = np.diff(np.r_[starts, du.size])
@@ -9021,7 +9021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             is_t = _isin_sorted(ts, ls)
             order = np.argsort(year, kind="stable")
             ys, rs, ms = year[order], rev[order], is_t[order]
-            starts = np.flatnonzero(np.r_[True, ys[1:] != ys[:-1]])
+            starts = np.flatnonzero(np.r_[True, ys[1:] != ys[:-1]][: ys.size])
             return pa.table(
                 {
                     "o_year": ys[starts],
@@ -9110,7 +9110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((sk, pk))
             pk, sk, q = pk[order], sk[order], q[order]
             starts = np.flatnonzero(
-                np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+                np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])][: pk.size]
             )
             pk, sk = pk[starts], sk[starts]
             return pa.table(
@@ -9139,11 +9139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((sk, pk))
             pk, sk, q = pk[order], sk[order], q[order]
             pstarts = np.flatnonzero(
-                np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+                np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])][: pk.size]
             )
             pk, sk = pk[pstarts], sk[pstarts]
             q = np.add.reduceat(q, pstarts)
-            tstarts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+            tstarts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]][: pk.size])
             grp = np.cumsum(np.r_[False, pk[1:] != pk[:-1]])
             tq = np.add.reduceat(q, tstarts)
             ns = np.diff(np.r_[tstarts, pk.size]).astype(np.int64)
@@ -9151,7 +9151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             if not win.any():
                 return empty
             wsk = np.sort(sk[win])
-            sstarts = np.flatnonzero(np.r_[True, wsk[1:] != wsk[:-1]])
+            sstarts = np.flatnonzero(np.r_[True, wsk[1:] != wsk[:-1]][: wsk.size])
             return pa.table(
                 {
                     "s_suppkey": wsk[sstarts],
@@ -9299,11 +9299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order = np.lexsort((lsk, lok))
             lok, lsk, late = lok[order], lsk[order], late[order]
             pstarts = np.flatnonzero(
-                np.r_[True, (lok[1:] != lok[:-1]) | (lsk[1:] != lsk[:-1])]
+                np.r_[True, (lok[1:] != lok[:-1]) | (lsk[1:] != lsk[:-1])][: lok.size]
             )
             pok, psk = lok[pstarts], lsk[pstarts]
             plate = np.maximum.reduceat(late, pstarts)
-            ostarts = np.flatnonzero(np.r_[True, pok[1:] != pok[:-1]])
+            ostarts = np.flatnonzero(np.r_[True, pok[1:] != pok[:-1]][: pok.size])
             n_supp = np.diff(np.r_[ostarts, pok.size]).astype(np.int64)
             n_late = np.add.reduceat(plate, ostarts)
             blamed = (n_supp >= 2) & (n_late == 1)
@@ -9316,7 +9316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             late_ok_grp = grp[plate == 1]
             want = late_sk[blamed[late_ok_grp]]
             wsk = np.sort(want)
-            sstarts = np.flatnonzero(np.r_[True, wsk[1:] != wsk[:-1]])
+            sstarts = np.flatnonzero(np.r_[True, wsk[1:] != wsk[:-1]][: wsk.size])
             return pa.table(
                 {
                     "s_suppkey": wsk[sstarts],
@@ -9976,7 +9976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64)
             order = np.argsort(cents, kind="stable")
             c_s, p_s = cents[order], isp[order]
-            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
             n_p = np.add.reduceat(p_s, starts)
             n_t = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
             return pa.table(
@@ -10085,12 +10085,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_boxes_union_area(sf):
         # exact rectangle-union measure (Klee) of the orders box set:
-        # integer-grid quantization makes every partial an exact int64;
-        # slab-partitioned sweep, one vectorized gaps-and-islands pass
-        # per slab (pipelines/measure.py)
+        # integer-grid quantization makes every partial an exact int64.
+        # Two-level cover (pipelines/measure.py): fully-covered tiles
+        # short-circuit through a difference-array fold, only boundary
+        # pieces in uncovered tiles reach the sweep — O(n·span) vs the
+        # strip expansion's O(n²·box_width) (19 s → ~2 s at sf0.1;
+        # method-equality pytest vs the slab sweep and brute force)
         from python_prtree_ray.pipelines.measure import boxes_union_area
 
-        return boxes_union_area(tables.boxes_dataset(sf), n_slabs=64)
+        return boxes_union_area(tables.boxes_dataset(sf), method="tiles")
 
     def q_closest_pair(sf):
         # GLOBAL minimum-separation pair (min companion of

@@ -72,7 +72,7 @@ def pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-02") -> Dataset:
         )
         order = np.argsort(key, kind="stable")
         ks = key[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if ks.size else (
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size]) if ks.size else (
             np.array([], dtype=np.int64)
         )
         if ks.size == 0:
@@ -177,7 +177,7 @@ def mapped_rollup(
         ).astype(np.int64)
         order = np.argsort(g, kind="stable")
         gs = g[order]
-        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]]) if gs.size else (
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]][: gs.size]) if gs.size else (
             np.array([], dtype=np.int64)
         )
         return pa.table(
@@ -232,7 +232,7 @@ def funnel_counts(
         ]
         order = np.argsort(uid, kind="stable")
         us = uid[order]
-        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]]) if us.size else (
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]][: us.size]) if us.size else (
             np.array([], dtype=np.int64)
         )
         if us.size == 0:
@@ -298,7 +298,7 @@ def skyline(points: Dataset, id_col: str = "query_id") -> Dataset:
         order = np.lexsort((py, px))
         pxs, pys, ids_s = px[order], py[order], ids[order]
         pref_before = np.r_[np.inf, np.minimum.accumulate(pys)[:-1]]
-        grp_start = np.r_[True, pxs[1:] != pxs[:-1]]
+        grp_start = np.r_[True, pxs[1:] != pxs[:-1]][: pxs.size]
         gs = np.flatnonzero(grp_start)
         counts = np.diff(np.r_[gs, pxs.size])
         m1 = np.repeat(pref_before[gs], counts)  # min py with px' < px
@@ -414,7 +414,7 @@ def above_group_mean(
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
         k_s, v_s, i_s = k[order], v[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         sizes = np.diff(np.r_[starts, k_s.size])
         s = np.repeat(np.add.reduceat(v_s, starts), sizes)
         n = np.repeat(sizes.astype(np.int64), sizes)

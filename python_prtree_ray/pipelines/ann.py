@@ -362,7 +362,7 @@ def label_centroid_sums(
         lab = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(lab, kind="stable")
         ls, qs = lab[order], q[order]
-        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]][: ls.size])
         sums = np.add.reduceat(qs, starts, axis=0)
         cnt = np.diff(np.r_[starts, ls.shape[0]]).astype(np.int64)
         k, d = sums.shape
@@ -804,7 +804,7 @@ def label_cohesion(
         order = np.argsort(lab, kind="stable")
         l_s = lab[order]
         q_s = q[order]
-        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]][: l_s.size])
         sv = np.add.reduceat(q_s, starts, axis=0)
         ssq = np.add.reduceat((q_s * q_s).sum(axis=1), starts)
         return pa.table(
@@ -923,7 +923,7 @@ def label_separation(
         order = np.argsort(lab, kind="stable")
         l_s = lab[order]
         q_s = q[order]
-        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]][: l_s.size])
         sv = np.add.reduceat(q_s, starts, axis=0)
         return pa.table(
             {

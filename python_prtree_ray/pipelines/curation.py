@@ -56,7 +56,7 @@ def doc_token_codes(tbl: pa.Table, text_col: str = "text"):
 def _segment_reduce(keys: np.ndarray, *values: np.ndarray):
     """Run-length reduce over SORTED keys: returns (unique_keys, starts,
     counts) — callers slice/aggregate values with np.add.reduceat etc."""
-    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]][: keys.size])
     counts = np.diff(np.r_[starts, keys.shape[0]])
     return keys[starts], starts, counts
 
@@ -94,7 +94,7 @@ def doc_repetition(docs: Dataset) -> Dataset:
         order = np.lexsort((bg_id, bg_doc))
         bd, bi = bg_doc[order], bg_id[order]
         # collapse to per-(doc, bigram) counts
-        pair_change = np.r_[True, (bd[1:] != bd[:-1]) | (bi[1:] != bi[:-1])]
+        pair_change = np.r_[True, (bd[1:] != bd[:-1]) | (bi[1:] != bi[:-1])][: bd.size]
         starts = np.flatnonzero(pair_change)
         cnt = np.diff(np.r_[starts, bd.shape[0]]).astype(np.int64)
         pd_doc = bd[starts]
@@ -204,7 +204,7 @@ def decontaminate(
         # distinct (doc, gram) then membership against the broadcast set
         order = np.lexsort((gh, gd))
         gd, gh = gd[order], gh[order]
-        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])][: gd.size]
         gd, gh = gd[first], gh[first]
         bg = ray.get(bench_ref)
         pos = np.searchsorted(bg, gh)
@@ -580,7 +580,7 @@ def dup_ngram_coverage(docs: Dataset, n: int = 3, n_buckets: int = 512) -> Datas
             return _empty_part
         order = np.lexsort((gh, gd))
         gd, gh = gd[order], gh[order]
-        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])][: gd.size]
         starts = np.flatnonzero(first)
         npos = np.diff(np.r_[starts, gd.shape[0]]).astype(np.int64)
         gd, gh = gd[starts], gh[starts]
@@ -611,12 +611,12 @@ def dup_ngram_coverage(docs: Dataset, n: int = 3, n_buckets: int = 512) -> Datas
         order = np.lexsort((doc, gh))
         gh, doc, npos = gh[order], doc[order], npos[order]
         # collapse same-(gram, doc) partials from different batches
-        pd_first = np.r_[True, (gh[1:] != gh[:-1]) | (doc[1:] != doc[:-1])]
+        pd_first = np.r_[True, (gh[1:] != gh[:-1]) | (doc[1:] != doc[:-1])][: gh.size]
         p_starts = np.flatnonzero(pd_first)
         npos_t = np.add.reduceat(npos, p_starts)
         gh, doc = gh[p_starts], doc[p_starts]
         # distinct-doc count per gram (rows are now unique (gram, doc))
-        g_starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        g_starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]][: gh.size])
         ndocs = np.diff(np.r_[g_starts, gh.shape[0]])
         dup = np.repeat(ndocs >= 2, ndocs)
         return pa.table(
@@ -697,7 +697,7 @@ def gram_novelty(docs: Dataset, n: int = 2, n_buckets: int = 512) -> Dataset:
             return _empty_part
         order = np.lexsort((gh, gd))
         gd, gh = gd[order], gh[order]
-        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        first = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])][: gd.size]
         ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         gd, gh = gd[first], gh[first]
         return pa.table(
@@ -724,11 +724,11 @@ def gram_novelty(docs: Dataset, n: int = 2, n_buckets: int = 512) -> Dataset:
         order = np.lexsort((doc, gh))
         gh, doc = gh[order], doc[order]
         # collapse same-(gram, doc) pairs from different batches
-        keep = np.r_[True, (gh[1:] != gh[:-1]) | (doc[1:] != doc[:-1])]
+        keep = np.r_[True, (gh[1:] != gh[:-1]) | (doc[1:] != doc[:-1])][: gh.size]
         gh, doc = gh[keep], doc[keep]
         # rows are unique (gram, doc), doc-sorted within gram: the first
         # row of each gram run carries the gram's minimum doc
-        g_starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        g_starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]][: gh.size])
         win = doc[g_starts]
         du, dc = np.unique(doc, return_counts=True)
         wu, wc = np.unique(win, return_counts=True)
@@ -830,7 +830,7 @@ def source_jaccard(docs: Dataset, n_buckets: int = 512) -> Dataset:
         m = bit[doc_row]
         order = np.argsort(codes, kind="stable")
         c_s, m_s = codes[order], m[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         masks = np.bitwise_or.reduceat(m_s, starts)
         words = dic.take(pa.array(c_s[starts]))
         h = hash_str_array(words)
@@ -857,7 +857,7 @@ def source_jaccard(docs: Dataset, n_buckets: int = 512) -> Dataset:
         m = group.column("mask").to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         h_s, m_s = h[order], m[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]][: h_s.size])
         masks = np.bitwise_or.reduceat(m_s, starts)
         bits = (
             (masks[:, None] >> np.arange(n_src, dtype=np.int64)[None, :]) & 1
@@ -882,7 +882,7 @@ def source_jaccard(docs: Dataset, n_buckets: int = 512) -> Dataset:
         key = i * np.int64(n_src) + j
         order = np.argsort(key, kind="stable")
         k_s, n_s = key[order], n[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         tot = np.add.reduceat(n_s, starts)
         ii = (k_s[starts] // n_src).astype(np.int64)
         jj = (k_s[starts] % n_src).astype(np.int64)

@@ -286,7 +286,7 @@ def source_dedup_stats(
         nu = group.column("n_unique").to_numpy(zero_copy_only=False)
         order = np.argsort(sk, kind="stable")
         sk_s = sk[order]
-        starts = np.flatnonzero(np.r_[True, sk_s[1:] != sk_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, sk_s[1:] != sk_s[:-1]][: sk_s.size])
         first_pos = pa.array(np.asarray(order[starts]))
         return pa.table(
             {

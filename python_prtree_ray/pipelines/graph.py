@@ -357,7 +357,7 @@ def _batch_node_counts(tbl: pa.Table, col: str) -> pa.Table:
             {"node": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
         )
     s = np.sort(a)
-    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]][: s.size])
     return pa.table(
         {
             "node": pa.array(s[starts]),
@@ -596,7 +596,7 @@ def dbscan_clusters(
             )
         order = np.lexsort((c, a))
         a_s, c_s = a[order], c[order]
-        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]][: a_s.size])
         return pa.table(
             {"node": pa.array(a_s[starts]), "cid": pa.array(c_s[starts])}
         )
@@ -628,7 +628,7 @@ def dbscan_clusters(
             )
         order = np.argsort(a, kind="stable")
         a_s = a[order]
-        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]][: a_s.size])
         return pa.table(
             {
                 "node": pa.array(a_s[starts]),

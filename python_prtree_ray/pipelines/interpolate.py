@@ -84,7 +84,7 @@ def idw_grid(
         # one row per node per batch: sorted-run reduceat combine
         order = np.argsort(ni, kind="stable")
         ns = ni[order]
-        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]][: ns.size])
         return pa.table(
             {
                 "node": pa.array(node_id[ns[starts]]),
@@ -199,7 +199,7 @@ def kde_grid(
         kq = np.floor((1.0 - d2[ni, pi] / r2) * KDE_SCALE).astype(np.int64)
         order = np.argsort(ni, kind="stable")
         ns = ni[order]
-        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]][: ns.size])
         return pa.table(
             {
                 "node": pa.array(node_id[ns[starts]]),

@@ -199,7 +199,7 @@ def interval_union_len(
         e = s + w
         order = np.lexsort((e, s, key))
         k_s, s_s, e_s = key[order], s[order], e[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         seg = np.cumsum(np.r_[False, k_s[1:] != k_s[:-1]]).astype(np.int64)
         # reset-able running max of ends per key segment: shift each
         # segment into its own disjoint value band, one global cummax

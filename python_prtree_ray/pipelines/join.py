@@ -280,7 +280,7 @@ def sum_semi_join(
         lk = k[lsel]
         order = np.argsort(lk, kind="stable")
         ks = lk[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
         uk = ks[starts]
         rk = np.unique(k[~lmask])
         pos = np.searchsorted(rk, uk)

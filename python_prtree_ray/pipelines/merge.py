@@ -106,7 +106,7 @@ def bucketed_sum(
             )
         order = np.argsort(kv, kind="stable")
         ks = kv[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]][: ks.size])
         out = {key_col: pa.array(ks[starts], pa.int64())}
         for c in value_cols:
             v = group.column(c).to_numpy(zero_copy_only=False)[order]
@@ -203,7 +203,7 @@ def grouped_topk(
             return pa.table(cols)
         order = np.lexsort((ids, -val if descending else val, kv))
         k_s = kv[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         sizes = np.diff(np.r_[starts, k_s.shape[0]])
         rank = np.arange(k_s.shape[0]) - np.repeat(starts, sizes)
         keep = rank < k

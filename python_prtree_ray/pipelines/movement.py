@@ -190,7 +190,7 @@ def cell_dwell(
         cell = fx.astype(np.int64) * g + fy.astype(np.int64)
         order = np.argsort(cell)
         c_s, d_s = cell[order], dt[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         return pa.table(
             {
                 "cell": c_s[starts],
@@ -325,7 +325,7 @@ def colocation_pairs(
             )
         order = np.lexsort((u, c))
         cu, cc = u[order], c[order]
-        keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])]
+        keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])][: cu.size]
         cu, cc = cu[keep], cc[keep]
         return pa.table(
             {
@@ -353,11 +353,11 @@ def colocation_pairs(
         # global dedup inside the bucket (all copies of a cell are here)
         order = np.lexsort((u, c))
         cu, cc = u[order], c[order]
-        keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])]
+        keep = np.r_[True, (cu[1:] != cu[:-1]) | (cc[1:] != cc[:-1])][: cu.size]
         cu, cc = cu[keep], cc[keep]
         # per-cell triangular pair expansion, fully vectorized:
         # row with local rank r in a cell of size n is 'a' of (n-1-r) pairs
-        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]][: cc.size])
         sizes = np.diff(np.r_[starts, cc.shape[0]])
         loc = np.arange(cc.shape[0]) - np.repeat(starts, sizes)
         rep = np.repeat(sizes, sizes) - 1 - loc
@@ -373,7 +373,7 @@ def colocation_pairs(
         pair = (lo << np.int64(31)) | hi
         # combine within the bucket: one row per (pair) with its count
         pair.sort()
-        ps = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]])
+        ps = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]][: pair.size])
         return pa.table(
             {
                 "pair": pa.array(pair[ps]),
@@ -1247,7 +1247,7 @@ def cell_slope(
         b = key - cell * nb
         order = np.argsort(cell, kind="stable")
         c_s, b_s, n_s = cell[order], b[order], n[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         sy = np.add.reduceat(n_s, starts)
         sxy = np.add.reduceat(b_s * n_s, starts)
         num = n_bins * sxy - sx * sy
@@ -1374,7 +1374,7 @@ def home_cells(
         # ascending (-n, cell) puts the winner first
         order = np.lexsort((cell, -n, user))
         u_s = user[order]
-        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]][: u_s.size])
         win = order[starts]
         totals = np.add.reduceat(n[order], starts)
         return pa.table(
@@ -2103,12 +2103,12 @@ def max_dwell_run(
         cell = x * g + y
         # run starts: entity change OR tile change
         rstart = np.flatnonzero(
-            np.r_[True, (k_s[1:] != k_s[:-1]) | (cell[1:] != cell[:-1])]
+            np.r_[True, (k_s[1:] != k_s[:-1]) | (cell[1:] != cell[:-1])][: k_s.size]
         )
         rlen = np.diff(np.r_[rstart, k_s.size]).astype(np.int64)
         rkey = k_s[rstart]
         # per-entity max run (runs of one entity are contiguous)
-        ustart = np.flatnonzero(np.r_[True, rkey[1:] != rkey[:-1]])
+        ustart = np.flatnonzero(np.r_[True, rkey[1:] != rkey[:-1]][: rkey.size])
         return pa.table(
             {
                 key_col: rkey[ustart],
@@ -2301,7 +2301,7 @@ def user_first_last(
         code = group.column(code_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, ts, key))
         k_s, ts_s, c_s = key[order], ts[order], code[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size] - 1
         return pa.table(
             {

@@ -53,7 +53,7 @@ def grouped_moments(
         c = np.floor(v * scale).astype(np.int64)
         order = np.argsort(code)
         code_s, c_s = code[order], c[order]
-        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]][: code_s.size])
         k = code_s[starts]
         return pa.table(
             {
@@ -81,7 +81,7 @@ def grouped_moments(
             )
         order = np.argsort(code)
         code_s = code[order]
-        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]][: code_s.size])
         out = {key_col: karr.take(pa.array(code_s[starts], pa.int64()))}
         for c, uf in (
             ("n", np.add),

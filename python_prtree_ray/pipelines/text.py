@@ -423,7 +423,7 @@ def vocab_topk(docs: Dataset, k: int = 100, n_buckets: int = 512) -> Dataset:
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]][: h_s.size])
         tot = np.add.reduceat(n[order], starts)
         words = (
             group.column("word").take(pa.array(order[starts])).to_numpy(zero_copy_only=False)
@@ -550,7 +550,7 @@ def doc_tfidf_top(docs: Dataset) -> Dataset:
         order = np.lexsort((codes, doc_row))
         dr_s, c_s = doc_row[order], codes[order]
         starts = np.flatnonzero(
-            np.r_[True, (dr_s[1:] != dr_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            np.r_[True, (dr_s[1:] != dr_s[:-1]) | (c_s[1:] != c_s[:-1])][: dr_s.size]
         )
         counts = np.diff(np.r_[starts, c_s.shape[0]])
         return dr_s[starts], c_s[starts], counts.astype(np.int64), d.dictionary
@@ -831,7 +831,7 @@ def bigram_lift(
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]][: h_s.size])
         tot = np.add.reduceat(n[order], starts)
         pairs = group.column("pair").take(pa.array(order[starts]))
         split = pc.split_pattern(pairs, SEP, max_splits=1)
@@ -1112,12 +1112,12 @@ def lexical_diversity(docs: Dataset) -> Dataset:
         order = np.lexsort((code, parent))
         p_s, c_s = parent[order], code[order]
         starts = np.flatnonzero(
-            np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])][: p_s.size]
         )
         c = np.diff(np.r_[starts, p_s.size]).astype(np.int64)
         p_u = p_s[starts]
         # per-doc fold
-        dstarts = np.flatnonzero(np.r_[True, p_u[1:] != p_u[:-1]])
+        dstarts = np.flatnonzero(np.r_[True, p_u[1:] != p_u[:-1]][: p_u.size])
         n_tok = np.add.reduceat(c, dstarts)
         n_dis = np.diff(np.r_[dstarts, p_u.size]).astype(np.int64)
         num = np.add.reduceat(c * (c - 1), dstarts)
@@ -1211,7 +1211,7 @@ def word_counts(docs: Dataset, n_buckets: int = 512) -> Dataset:
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]][: h_s.size])
         tot = np.add.reduceat(n[order], starts)
         words = group.column("word").take(pa.array(order[starts]))
         return pa.table({"word": words, "n": tot})
@@ -1324,9 +1324,9 @@ def typo_pairs(docs: Dataset, max_dist: int = 2, n_buckets: int = 512) -> Datase
         words = group.column("word").to_numpy(zero_copy_only=False)
         order = np.lexsort((words, keys))
         k_s, w_s = keys[order], words[order]
-        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])][: k_s.size]
         k_s, w_s = k_s[keep], w_s[keep]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         sizes = np.diff(np.r_[starts, k_s.size])
         out = {}
         for s0, sz in zip(starts, sizes):
@@ -1487,7 +1487,7 @@ def heavy_hitters(
         w = group.column("weight").to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]][: h_s.size])
         tot = np.add.reduceat(w[order], starts)
         words = group.column("word").take(
             pa.array(order[starts])

@@ -109,7 +109,7 @@ def tile_extent(boxes: Dataset, res: int) -> Dataset:
             )
         order = np.argsort(cell, kind="stable")
         cs, rs = cell[order], row[order]
-        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]][: cs.size])
         return pa.table(
             {
                 "cell": cs[starts],
@@ -193,7 +193,7 @@ def tile_pyramid(points: Dataset, res: int) -> Dataset:
                 p = parent_cell(c, r)
                 order = np.argsort(p, kind="stable")
                 ps = p[order]
-                starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+                starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]][: ps.size])
                 n = np.add.reduceat(n[order], starts)
                 c = ps[starts]
         return pa.table(
@@ -773,7 +773,7 @@ def ripley_k(
         own = group.column("own").to_numpy(zero_copy_only=False) == 1
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
-        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]][: cell_s.size])
         ends = np.r_[starts[1:], cell_s.size]
         pairs = 0
         n_own = int(own.sum())
@@ -937,7 +937,7 @@ def local_morans(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
         occ = group.column("is_occ").to_numpy(zero_copy_only=False) == 1
         order = np.lexsort((~occ, c))  # per cell: occupancy row first
         c_s, x_s, occ_s = c[order], xv[order], occ[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         sizes = np.diff(np.r_[starts, c_s.size])
         has_occ = occ_s[starts]  # offers to empty cells have no marker
         tj_all = np.add.reduceat(x_s, starts)
@@ -1096,7 +1096,7 @@ def getis_ord(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
         occ = group.column("is_occ").to_numpy(zero_copy_only=False) == 1
         order = np.lexsort((~occ, c))
         c_s, x_s, occ_s = c[order], xv[order], occ[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         sizes = np.diff(np.r_[starts, c_s.size])
         has_occ = occ_s[starts]
         g_all = np.add.reduceat(x_s, starts)
@@ -1367,7 +1367,7 @@ def hilbert_ranges(points: Dataset, res: int, n_parts: int) -> Dataset:
     n_total = int(c.sum())
     before = np.cumsum(c) - c  # count strictly before each key
     part = (np.int64(n_parts) * before) // np.int64(n_total)
-    starts = np.flatnonzero(np.r_[True, part[1:] != part[:-1]])
+    starts = np.flatnonzero(np.r_[True, part[1:] != part[:-1]][: part.size])
     ends = np.r_[starts[1:], h.size]
     return ray.data.from_arrow(
         pa.table(
@@ -1488,7 +1488,7 @@ def knox_stat(
         own = group.column("own").to_numpy(zero_copy_only=False) == 1
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
-        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]][: cell_s.size])
         ends = np.r_[starts[1:], cell_s.size]
         n_s = n_st = 0
         n_own = int(own.sum())
@@ -1542,7 +1542,7 @@ def knox_stat(
         own = group.column("own").to_numpy(zero_copy_only=False) == 1
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
-        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]][: cell_s.size])
         ends = np.r_[starts[1:], cell_s.size]
         n_t = 0
         n_own = int(own.sum())
@@ -2067,7 +2067,7 @@ def raster_regions(
         ix, iy = cell // g, cell % g
         order = np.argsort(reg, kind="stable")
         r_s = reg[order]
-        starts = np.flatnonzero(np.r_[True, r_s[1:] != r_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, r_s[1:] != r_s[:-1]][: r_s.size])
         red = np.minimum.reduceat
         redmax = np.maximum.reduceat
         addred = np.add.reduceat
@@ -2287,7 +2287,7 @@ def tile_distinct_users(
         cell = cellmod.cell_of_points(px, py, res)
         order = np.lexsort((u, cell))
         c_s, u_s = cell[order], u[order]
-        new = np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        new = np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])][: c_s.size]
         starts = np.flatnonzero(new)
         n = np.diff(np.r_[starts, c_s.size])
         return pa.table(
@@ -2313,10 +2313,10 @@ def tile_distinct_users(
             )
         order = np.lexsort((user, cell))
         c_s, u_s, n_s = cell[order], user[order], n[order]
-        new_pair = np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        new_pair = np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])][: c_s.size]
         pair_starts = np.flatnonzero(new_pair)
         pc_ = c_s[pair_starts]
-        new_cell = np.r_[True, pc_[1:] != pc_[:-1]]
+        new_cell = np.r_[True, pc_[1:] != pc_[:-1]][: pc_.size]
         cell_starts = np.flatnonzero(new_cell)
         n_users = np.diff(np.r_[cell_starts, pc_.size])
         # per-pair point sums, then regrouped to cells
@@ -2792,7 +2792,7 @@ def flow_direction(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
         order = np.lexsort((acode, arow))
         arow, acode, ax = arow[order], acode[order], ax[order]
         starts = np.flatnonzero(
-            np.r_[True, (arow[1:] != arow[:-1]) | (acode[1:] != acode[:-1])]
+            np.r_[True, (arow[1:] != arow[:-1]) | (acode[1:] != acode[:-1])][: arow.size]
         )
         rrow = arow[starts]
         rcode2 = acode[starts]
@@ -2800,7 +2800,7 @@ def flow_direction(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
         # per receiver: argmin by (value, code) — lexsort then first
         order2 = np.lexsort((rcode2, rval, rrow))
         rrow, rcode2, rval = rrow[order2], rcode2[order2], rval[order2]
-        first = np.flatnonzero(np.r_[True, rrow[1:] != rrow[:-1]])
+        first = np.flatnonzero(np.r_[True, rrow[1:] != rrow[:-1]][: rrow.size])
         win_row = rrow[first]
         win_code = rcode2[first]
         win_val = rval[first]
@@ -2938,7 +2938,7 @@ def cross_k(
         n_b = int((role == 2).sum())
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
-        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]][: cell_s.size])
         ends = np.r_[starts[1:], cell_s.size]
         pairs = 0
         for a, b in zip(starts, ends):
@@ -3102,7 +3102,7 @@ def semivariogram(
         own = group.column("own").to_numpy(zero_copy_only=False) == 1
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
-        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]][: cell_s.size])
         ends = np.r_[starts[1:], cell_s.size]
         n = np.zeros(n_bins, np.int64)
         s = np.zeros(n_bins, np.int64)
@@ -3352,7 +3352,7 @@ def tile_majority(
         order = np.lexsort((code, cell))
         c_s, k_s = cell[order], code[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])][: c_s.size]
         )
         n = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
         return pa.table(
@@ -3380,14 +3380,14 @@ def tile_majority(
         order = np.lexsort((cls, cell))
         c_s, k_s, n_s = cell[order], cls[order], n[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])][: c_s.size]
         )
         tot = np.add.reduceat(n_s, starts)
         c_u, k_u = c_s[starts], k_s[starts]
         # per-cell argmax by (n DESC, cls ASC)
         order2 = np.lexsort((k_u, -tot, c_u))
         c_o, k_o, t_o = c_u[order2], k_u[order2], tot[order2]
-        first = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]])
+        first = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]][: c_o.size])
         return pa.table(
             {
                 "cell": c_o[first],
@@ -3496,7 +3496,7 @@ def ripley_curve(
         own = group.column("own").to_numpy(zero_copy_only=False) == 1
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
-        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]][: cell_s.size])
         ends = np.r_[starts[1:], cell_s.size]
         n = np.zeros(n_bins, np.int64)
         n_own = int(own.sum())
@@ -3626,7 +3626,7 @@ def type_colocation(
         code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((code, cell))
         c_s, k_s = cell[order], code[order]
-        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])][: c_s.size]
         return pa.table(
             {
                 "bucket": bucket_of(c_s[keep], n_buckets),
@@ -3651,9 +3651,9 @@ def type_colocation(
         cls = group.column("cls").to_numpy(zero_copy_only=False)
         order = np.lexsort((cls, cell))
         c_s, k_s = cell[order], cls[order]
-        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])][: c_s.size]
         c_s, k_s = c_s[keep], k_s[keep]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         ends = np.r_[starts[1:], c_s.size]
         from collections import Counter
 
@@ -3828,7 +3828,7 @@ def tile_focal_mean(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
         own = group.column("own").to_numpy(zero_copy_only=False)
         order = np.argsort(cell, kind="stable")
         c_s, x_s, o_s = cell[order], x[order], own[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         fsum = np.add.reduceat(x_s, starts)
         has_self = np.add.reduceat(o_s.astype(np.int64), starts) > 0
         self_x = np.add.reduceat(x_s * o_s, starts)
@@ -4030,7 +4030,7 @@ def tile_simpson(
         order = np.lexsort((code, cell))
         c_s, k_s = cell[order], code[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])][: c_s.size]
         )
         n = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
         return pa.table(
@@ -4060,12 +4060,12 @@ def tile_simpson(
         order = np.lexsort((cls, cell))
         c_s, k_s, n_s = cell[order], cls[order], n[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])][: c_s.size]
         )
         tot = np.add.reduceat(n_s, starts)
         c_u = c_s[starts]
         # per-cell fold of the class totals
-        cstarts = np.flatnonzero(np.r_[True, c_u[1:] != c_u[:-1]])
+        cstarts = np.flatnonzero(np.r_[True, c_u[1:] != c_u[:-1]][: c_u.size])
         N = np.add.reduceat(tot, cstarts)
         n_types = np.diff(np.r_[cstarts, c_u.size]).astype(np.int64)
         num = np.add.reduceat(tot * (tot - 1), cstarts)
@@ -4174,7 +4174,7 @@ def voronoi_assign(
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(cell, kind="stable")
         c_s, n_s = cell[order], n[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         c_u = c_s[starts]
         tot = np.add.reduceat(n_s, starts)
         ix = c_u // g
@@ -4373,7 +4373,7 @@ def tile_rank_corr(
         order = np.lexsort((u, cell))
         c_s, u_s = cell[order], u[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])][: c_s.size]
         )
         n = np.diff(np.r_[starts, c_s.size]).astype(np.int64)
         return pa.table(
@@ -4401,11 +4401,11 @@ def tile_rank_corr(
         order = np.lexsort((u, cell))
         c_s, u_s, n_s = cell[order], u[order], n[order]
         pair_starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])][: c_s.size]
         )
         pair_n = np.add.reduceat(n_s, pair_starts)
         pc_ = c_s[pair_starts]
-        cstarts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+        cstarts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]][: pc_.size])
         return pa.table(
             {
                 "k": np.zeros(cstarts.size, np.int64),
@@ -4534,7 +4534,7 @@ def gravity_access(
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(cell, kind="stable")
         c_s, n_s = cell[order], n[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         c_u = c_s[starts]
         tot = np.add.reduceat(n_s, starts)
         ix = c_u // g
@@ -4660,7 +4660,7 @@ def tile_turnover(
         order = np.lexsort((u, cell))
         c_s, u_s, m_s = cell[order], u[order], mask[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])][: c_s.size]
         )
         m_or = np.bitwise_or.reduceat(m_s, starts)
         return pa.table(
@@ -4681,11 +4681,11 @@ def tile_turnover(
         order = np.lexsort((u, cell))
         c_s, u_s, m_s = cell[order], u[order], m[order]
         starts = np.flatnonzero(
-            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])][: c_s.size]
         )
         m_or = np.bitwise_or.reduceat(m_s, starts)
         pc_ = c_s[starts]
-        cstarts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+        cstarts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]][: pc_.size])
         early = np.add.reduceat((m_or & 1).astype(np.int64), cstarts)
         late = np.add.reduceat(((m_or >> 1) & 1).astype(np.int64), cstarts)
         both = np.add.reduceat((m_or == 3).astype(np.int64), cstarts)
@@ -4777,7 +4777,7 @@ def region_count_curve(
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(cell, kind="stable")
         c_s, n_s = cell[order], n[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         return pa.table(
             {
                 "k": np.zeros(starts.size, np.int64),
@@ -5036,7 +5036,7 @@ def adaptive_quadtree(
         n = group.column("n").to_numpy(zero_copy_only=False)
         order = np.argsort(cell, kind="stable")
         c_s, n_s = cell[order], n[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]][: c_s.size])
         return pa.table(
             {
                 "k": np.zeros(starts.size, np.int64),
@@ -5254,7 +5254,7 @@ def watershed_sizes(points: Dataset, res: int, n_buckets: int = 256) -> Dataset:
     x = np.array([r["x"] for r in rows], np.int64)
     o = np.argsort(sink, kind="stable")
     s_s, x_s = sink[o], x[o]
-    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]][: s_s.size])
     return ray.data.from_arrow(
         pa.table(
             {

@@ -74,7 +74,7 @@ def trajectory_length(
         step = np.abs(np.diff(gx_s)) + np.abs(np.diff(gy_s))
         owner = k_s[1:][same]  # sorted, since k_s is sorted
         step = step[same]
-        starts = np.flatnonzero(np.r_[True, owner[1:] != owner[:-1]])
+        starts = np.flatnonzero(np.r_[True, owner[1:] != owner[:-1]][: owner.size])
         return pa.table(
             {
                 key_col: pa.array(owner[starts], pa.int64()),
@@ -195,7 +195,7 @@ def trajectory_simplify(
         order = np.lexsort((seq, ts, key))
         k_s, s_s = key[order], seq[order]
         gx_s, gy_s = gx[order], gy[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size]
         keep = np.zeros(k_s.size, dtype=bool)
         for a, b in zip(starts, ends):  # loop over tracks, not rows
@@ -229,7 +229,7 @@ def _hull_indices(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     order = np.lexsort((np.arange(n), y, x))
     xs, ys = x[order], y[order]
-    uniq = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
+    uniq = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])][: xs.size]
     order = order[uniq]
     xs, ys = xs[uniq], ys[uniq]
     m = order.shape[0]
@@ -309,7 +309,7 @@ def trajectory_hull(
         gy = group.column("gy").to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         k_s, x_s, y_s = key[order], gx[order], gy[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size]
         out_k, out_s, out_x, out_y = [], [], [], []
         for a, b in zip(starts, ends):  # loop over tracks, not rows
@@ -429,7 +429,7 @@ def stay_points(
             order = np.lexsort((seq, ts, key))
             k_s, ts_s = key[order], ts[order]
             gx_s, gy_s = gx[order], gy[order]
-            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
             ends = np.r_[starts[1:], k_s.size]
             for s, e in zip(starts, ends):
                 for t0, t1, np_, sx, sy in stay_points_ref(
@@ -517,7 +517,7 @@ def resample_track(
         order = np.lexsort((seq, ts, key))
         k_s, ts_s = key[order], ts[order]
         x_s, y_s = px[order], py[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size]
         # per-entity epoch ranges (assumes ts >= t0_us: ceil/floor by
         # nonnegative integer division, same arithmetic as the SQL twin)
@@ -668,7 +668,7 @@ def trajectory_hausdorff(
         gy = group.column("gy").to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, ts, key))
         k_s = key[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         first = order[starts]  # first event row per entity
         tile_per_entity = (gx[first] >> shift) * gb + (gy[first] >> shift)
         # broadcast each entity's start tile onto all its rows
@@ -686,7 +686,7 @@ def trajectory_hausdorff(
         gy = group.column("gy").to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         k_s, x_s, y_s = key[order], gx[order], gy[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size]
         # per-pair cross blocks only — peak memory is max |A|·|B|, never
         # the full tile-points² matrix
@@ -870,7 +870,7 @@ def trajectory_dtw(
         gy = group.column("gy").to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, ts, key))
         k_s = key[order]
-        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        new = np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size]
         starts = np.flatnonzero(new)
         first = order[starts]
         tile_per_entity = (gx[first] >> shift) * gb + (gy[first] >> shift)
@@ -960,7 +960,7 @@ def trajectory_dtw(
         gy = group.column("gy").to_numpy(zero_copy_only=False)
         order = np.lexsort((rk, key))
         k_s, x_s, y_s = key[order], gx[order], gy[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size]
         lens = ends - starts
         L = int(lens.max())
@@ -1062,7 +1062,7 @@ def track_diameter(
         gy = group.column("gy").to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         k_s, x_s, y_s = key[order], gx[order], gy[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         ends = np.r_[starts[1:], k_s.size]
         out_k = k_s[starts]
         out_n = (ends - starts).astype(np.int64)

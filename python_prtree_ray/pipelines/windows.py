@@ -586,7 +586,7 @@ def user_activity_features(
         ty = tbl.column("event_type").to_numpy(zero_copy_only=False)
         order = np.argsort(uid, kind="stable")
         us, ts_s, c_s = uid[order], ts[order], cents[order]
-        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]][: us.size])
         ends = np.r_[starts[1:], us.shape[0]]
         cols = {
             "user_id": us[starts],
@@ -784,7 +784,7 @@ def record_events(
                 res[d:], np.where(valid, res[:-d], np.iinfo(np.int64).min), out=res[d:]
             )
             d *= 2
-        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        first = np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size]
         rec = first | (v_s > np.r_[np.iinfo(np.int64).min, res[:-1]])
         return pa.table(
             {
@@ -900,7 +900,7 @@ def late_events(
                 out=res[d:],
             )
             d *= 2
-        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        first = np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size]
         prevmax = np.r_[np.iinfo(np.int64).min, res[:-1]]
         prevmax[first] = np.iinfo(np.int64).min
         late = ts_s < prevmax
@@ -1017,7 +1017,7 @@ def user_journeys(
         code = group.column("code").to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, ts, kk))
         k_s, c_s = kk[order], code[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         counts = np.diff(np.r_[starts, k_s.shape[0]])
         rank = np.arange(k_s.shape[0], dtype=np.int64) - np.repeat(
             starts, counts
@@ -1031,7 +1031,7 @@ def user_journeys(
             np.repeat(lens, lens) - 1 - rank[keep]
         )
         # one key per entity: segment sum of place-valued digits
-        seg_starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        seg_starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]][: seg.size])
         keys = np.add.reduceat(digit, seg_starts)
         uk, n = np.unique(keys, return_counts=True)
         return pa.table({"key": uk, "n": n.astype(np.int64)})
@@ -1140,7 +1140,7 @@ def running_totals(
         v = group.column("cents").to_numpy(zero_copy_only=False)
         order = np.lexsort((o2, o1, k))
         k_s, o2_s, v_s = k[order], o2[order], v[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         counts = np.diff(np.r_[starts, k_s.shape[0]])
         cs = np.cumsum(v_s)
         base = cs[starts] - v_s[starts]
@@ -1224,7 +1224,7 @@ def cohort_retention(
         # active-user-week grid
         order = np.lexsort((week, k))
         k_s, w_s = k[order], week[order]
-        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])][: k_s.size]
         return pa.table(
             {
                 "bucket": bucket_of(k_s[keep], n_buckets),
@@ -1242,9 +1242,9 @@ def cohort_retention(
         week = group.column("week").to_numpy(zero_copy_only=False)
         order = np.lexsort((week, k))
         k_s, w_s = k[order], week[order]
-        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])][: k_s.size]
         k_u, w_u = k_s[keep], w_s[keep]
-        starts = np.flatnonzero(np.r_[True, k_u[1:] != k_u[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_u[1:] != k_u[:-1]][: k_u.size])
         sizes = np.diff(np.r_[starts, k_u.size])
         cohort = np.repeat(w_u[starts], sizes)  # per-user min week
         off = w_u - cohort
@@ -1343,13 +1343,13 @@ def session_type_pairs(
         cls = group.column("cls").to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, ts, k))
         k_s, t_s, c_s = k[order], ts[order], cls[order]
-        new_user = np.r_[True, k_s[1:] != k_s[:-1]]
+        new_user = np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size]
         brk = np.r_[False, (t_s[1:] - t_s[:-1]) > gap_us]
         sid = np.cumsum(new_user | brk)  # globally-unique session ids
         # distinct (session, type)
         o2 = np.lexsort((c_s, sid))
         s2, c2 = sid[o2], c_s[o2]
-        keep = np.r_[True, (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])]
+        keep = np.r_[True, (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])][: s2.size]
         s2, c2 = s2[keep], c2[keep]
         # within-session pair expansion by offset: types sorted -> a < b
         pa_l: list[np.ndarray] = []
@@ -1370,7 +1370,7 @@ def session_type_pairs(
         o3 = np.lexsort((b, a))
         a_s, b_s = a[o3], b[o3]
         starts = np.flatnonzero(
-            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])][: a_s.size]
         )
         n = np.diff(np.r_[starts, a_s.size]).astype(np.int64)
         return pa.table(
@@ -1397,7 +1397,7 @@ def session_type_pairs(
         order = np.lexsort((b, a))
         a_s, b_s, n_s = a[order], b[order], n[order]
         starts = np.flatnonzero(
-            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])][: a_s.size]
         )
         return pa.table(
             {
@@ -1504,7 +1504,7 @@ def value_peaks(
         v = group.column("cents").to_numpy(zero_copy_only=False)
         order = np.lexsort((seq, ts, k))
         k_s, t_s, seq_s, v_s = k[order], ts[order], seq[order], v[order]
-        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]][: k_s.size])
         sizes = np.diff(np.r_[starts, n])
         seg_id = np.repeat(np.arange(starts.size, dtype=np.int64), sizes)
         if starts.size >= (1 << (63 - SEG_SHIFT)):
@@ -1605,7 +1605,7 @@ def rolling_wau(
         day = us // DAY_US
         order = np.lexsort((day, k))
         k_s, d_s = k[order], day[order]
-        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])][: k_s.size]
         return pa.table(
             {
                 "bucket": bucket_of(k_s[keep], n_buckets),
@@ -1623,11 +1623,11 @@ def rolling_wau(
         day = group.column("day").to_numpy(zero_copy_only=False)
         order = np.lexsort((day, k))
         k_s, d_s = k[order], day[order]
-        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        keep = np.r_[True, (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])][: k_s.size]
         k_u, d_u = k_s[keep], d_s[keep]
         # merge [d, d+w-1] intervals per user: a new covered RUN starts
         # at a user change or a gap > w-1 days
-        new_run = np.r_[True, (k_u[1:] != k_u[:-1]) | (d_u[1:] - d_u[:-1] > w - 1)]
+        new_run = np.r_[True, (k_u[1:] != k_u[:-1]) | (d_u[1:] - d_u[:-1] > w - 1)][: k_u.size]
         run_id = np.cumsum(new_run) - 1
         starts = np.flatnonzero(new_run)
         run_start = d_u[starts]

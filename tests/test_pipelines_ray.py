@@ -7283,13 +7283,26 @@ def test_boxes_union_area_matches_bruteforce(ray_session):
     for slabs in (1, 7, 64):
         for nparts in (1, 5):
             ds = ray.data.from_arrow(tbl).repartition(nparts)
-            out = boxes_union_area(ds, n_slabs=slabs, quant_bits=qb).take_all()
+            out = boxes_union_area(
+                ds, n_slabs=slabs, quant_bits=qb, method="slabs"
+            ).take_all()
             assert len(out) == 1
             r = out[0]
             assert r["n_boxes"] == n
             got[(slabs, nparts)] = r["union_area_q"]
             assert r["union_area_q"] == want, (slabs, nparts)
             assert r["union_area"] == want / float(q * q)
+    # two-level tiles path (the scale default): same exact area at any
+    # grid granularity and partitioning
+    for gb in (2, 5, 8):
+        for nparts in (1, 5):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            r = boxes_union_area(
+                ds, quant_bits=qb, method="tiles", grid_bits=gb
+            ).take_all()[0]
+            assert r["n_boxes"] == n
+            assert r["union_area_q"] == want, (gb, nparts)
+            got[("tiles", gb, nparts)] = r["union_area_q"]
     assert len(set(got.values())) == 1
 
 
