@@ -104,10 +104,15 @@ def headline(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         )
 
     docs = interleaved_docs(n_docs, override_num_blocks=max(num_cpus * 4, 16))
-    rows = docs.map_batches(
+    pipe = docs.map_batches(
         fused, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
-    ).take_all()
+    )
+    rows = pipe.take_all()
     wall = time.time() - t0
+    if "--stats" in sys.argv:
+        # diagnostic mode: per-stage Ray Data execution stats to stderr
+        # (stdout keeps the one-JSON-line contract)
+        print(pipe.stats(), file=sys.stderr)
     agg = {k: 0 for k in ("n_tiles", "n_pairs")}
     cks = {"ck_tiles": 0, "ck_pairs": 0}
     for r in rows:
