@@ -3982,6 +3982,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
         return span_tiles(interleaved_docs(n), res=TILE_RES)
 
+    def q_span_box_join(sf):
+        # the north-star composite as an ORACLE-CHECKED query: the
+        # interleaved-span corpus georeferenced at SPAN granularity and
+        # box-intersection-joined against the orders box set — the
+        # flagship bench pipeline's join stage, value-hash checked
+        # (query_id = sid = doc_num*16 + seq identifies the span)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from python_prtree_ray.pipelines.multimodal import span_tiles
+        from python_prtree_ray.sources.synth import interleaved_docs
+
+        n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+        spans = span_tiles(interleaved_docs(n), res=TILE_RES)
+
+        def to_points(tbl: pa.Table) -> pa.Table:
+            doc_num = pc.cast(
+                pc.utf8_slice_codeunits(
+                    tbl.column("doc_id").combine_chunks(), 3
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            seq = (
+                tbl.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "query_id": doc_num * 16 + seq,
+                    "px": tbl.column("px"),
+                    "py": tbl.column("py"),
+                }
+            )
+
+        pts = spans.map_batches(
+            to_points, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return sj.point_query(tables.boxes_dataset(sf), pts, res=RES)
+
     def q_span_windows(sf):
         # multimodal context-window packing: cumulative-cost window
         # assignment over ordered spans (text = word count, media =
@@ -10379,6 +10417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_transitions": q_span_transitions,
         "span_windows": q_span_windows,
         "span_tiles": q_span_tiles,
+        "span_box_join": q_span_box_join,
         "cell_trend": q_cell_trend,
         "cell_slope": q_cell_slope,
         "home_cells": q_home_cells,
@@ -11476,6 +11515,24 @@ WHERE list_cosine_similarity(q.embedding, e.embedding) >= {ANN_RANGE_T}
         + ")",
         # span-level georeference + tile: sid = doc_num*16 + seq, the
         # same derive channels and clamped-floor tile math both sides
+        # span-granular flagship join: the same closed-interval
+        # point-probe predicate as point_query, over the regenerated
+        # span corpus's derive-channel points
+        "span_box_join": f"""
+WITH sp AS ({interleaved_spans_sql(
+        "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
+    )}),
+s AS (SELECT CAST(substr(doc_id, 4) AS BIGINT) * 16 + seq AS query_id
+      FROM sp),
+p AS (SELECT query_id,
+             {derive._frac_sql('query_id', 4)} AS px,
+             {derive._frac_sql('query_id', 5)} AS py
+      FROM s),
+b AS ({b_orders})
+SELECT p.query_id AS query_id, b.idx AS idx
+FROM p, b
+WHERE p.px <= b.xmax AND b.xmin <= p.px AND p.py <= b.ymax AND b.ymin <= p.py
+""",
         "span_tiles": f"""
 WITH sp AS ({interleaved_spans_sql(
         "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all"
