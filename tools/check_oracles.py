@@ -5,6 +5,7 @@ and order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -63,7 +64,11 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    sys.path.insert(0, "/root/repo")
+    # __ray_entry__ is the driver contract at the repo root (not part of
+    # the installable package) — resolve the root relative to this file
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __ray_entry__ as mod
 
     con = duckdb.connect()
