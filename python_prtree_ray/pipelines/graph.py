@@ -42,6 +42,30 @@ from ..config import COMBINE_BATCH
 N_BUCKETS = 512
 
 
+def _pin_or_spill(
+    ds: Dataset, spill_dir: str | None, tag: str
+) -> "tuple[Dataset, str | None]":
+    """Pin an edge-list-sized Dataset for multi-pass reuse; returns
+    ``(dataset, checkpoint_path)`` — path is None on the pin path.
+
+    ``spill_dir=None`` pins in the object store (``materialize()`` —
+    fastest when it fits; Ray spills under pressure but the pin
+    survives). With a ``spill_dir``, the rows are checkpointed to
+    parquet there and re-streamed per pass — the shape for edge lists
+    larger than the cluster's aggregate object store. Identical rows
+    either way."""
+    if spill_dir is None:
+        return ds.materialize(), None
+    import os as _os
+    import uuid as _uuid
+
+    import ray
+
+    path = _os.path.join(spill_dir, f"{tag}-{_uuid.uuid4().hex[:12]}")
+    ds.write_parquet(path)
+    return ray.data.read_parquet(path), path
+
+
 def _seed_labels(pairs: Dataset, id_a: str, id_b: str) -> Dataset:
     """(node, lab=node) for every node appearing in any pair — per-batch
     dedup, coarse-bucket global dedup."""
@@ -164,18 +188,7 @@ def connected_components(
     edges = pairs.map_batches(
         sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=COMBINE_BATCH
     )
-    epath = None
-    if spill_dir is not None:
-        import os as _os
-        import uuid as _uuid
-
-        import ray
-
-        epath = _os.path.join(spill_dir, f"cc-edges-{_uuid.uuid4().hex[:12]}")
-        edges.write_parquet(epath)
-        edges = ray.data.read_parquet(epath)
-    else:
-        edges = edges.materialize()
+    edges, epath = _pin_or_spill(edges, spill_dir, "cc-edges")
     labels = _seed_labels(pairs, id_a, id_b).materialize()
 
     for _round in range(max_rounds):
@@ -460,6 +473,7 @@ def dbscan_clusters(
     eps: float,
     min_pts: int,
     res: int = 5,
+    spill_dir: str | None = None,
 ) -> Dataset:
     """Exact DBSCAN over 2D points: ``(doc_id, cluster_id, role)`` with
     role in {core, border, noise}. A point is CORE when its closed
@@ -503,7 +517,11 @@ def dbscan_clusters(
     pairs = radius_join(boxes, points, radius=eps, res=res).map_batches(
         directed, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = pairs.materialize()  # reused 4x below; edge-list sized
+    # reused 4x below; edge-list sized -> honors spill_dir (at 100 TB a
+    # dense eps-graph outgrows the object store). The checkpoints stay on
+    # disk: the returned Dataset is lazy over them (unlike CC, which
+    # materializes its labels and can delete its edge checkpoint).
+    pairs, _ = _pin_or_spill(pairs, spill_dir, "dbscan-pairs")
 
     # degree (neighbors excluding self) -> core node set
     deg = bucketed_sum(
@@ -540,7 +558,8 @@ def dbscan_clusters(
         "a_core",
         0,
         payload={"b": pa.int64(), "b_core": pa.int64()},
-    ).materialize()
+    )
+    tagged, _ = _pin_or_spill(tagged, spill_dir, "dbscan-tagged")
 
     # components over core-core edges; singleton cores label themselves
     def both_core(tbl: pa.Table) -> pa.Table:
@@ -552,7 +571,7 @@ def dbscan_clusters(
     core_edges = tagged.map_batches(
         both_core, batch_format="pyarrow", zero_copy_batch=True
     )
-    cc = connected_components(core_edges, id_a="a", id_b="b")
+    cc = connected_components(core_edges, id_a="a", id_b="b", spill_dir=spill_dir)
     core_labels = _bucket_lookup(
         core, "node", cc, "doc_id", "cluster_id", "cid", -1, payload={}
     ).map_batches(

@@ -2820,6 +2820,33 @@ def test_dbscan_matches_bruteforce(ray_session):
     assert roles == {"core", "border", "noise"}, "workload must exercise all roles"
 
 
+def test_dbscan_spill_dir_identical(ray_session, tmp_path):
+    # spill_dir checkpoints the eps-pair edge list (and the core-tagged
+    # reuse table + CC edges) to parquet instead of pinning them in the
+    # object store — the 100-TB escape hatch. Labels must be identical.
+    ray = ray_session
+    from python_prtree_ray.pipelines.graph import dbscan_clusters
+
+    keys = np.arange(1, 601, dtype=np.int64)
+    pts = ray.data.from_arrow(_point_table(keys)).repartition(6)
+    base = {
+        r["doc_id"]: (r["cluster_id"], r["role"])
+        for r in dbscan_clusters(pts, eps=0.05, min_pts=5).take_all()
+    }
+    spilled = {
+        r["doc_id"]: (r["cluster_id"], r["role"])
+        for r in dbscan_clusters(
+            pts, eps=0.05, min_pts=5, spill_dir=str(tmp_path)
+        ).take_all()
+    }
+    assert spilled == base
+    # the spill path really wrote edge checkpoints
+    import os
+
+    assert any(d.startswith("dbscan-pairs-") for d in os.listdir(tmp_path))
+    assert any(d.startswith("dbscan-tagged-") for d in os.listdir(tmp_path))
+
+
 def test_doc_chunks_layout(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.packing import doc_chunks
