@@ -60,12 +60,92 @@ def _prefix_matrix(arr: pa.Array, nbytes: int) -> np.ndarray:
     return out
 
 
+def decode_image(buf: bytes) -> "np.ndarray | None":
+    """Pure-NumPy image decode for the two formats parseable without any
+    media library: binary PPM (P6) and uncompressed 24/32-bit BMP.
+    Returns an (h, w, 3) uint8 RGB array, or ``None`` when the payload
+    is not one of these formats (caller falls back to the deterministic
+    stub). Malformed headers raise ``ValueError`` like a real decoder.
+    """
+    if len(buf) >= 2 and buf[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+        # ('#' comments allowed in the header per the netpbm spec)
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(buf) and buf[pos : pos + 1] == b"#":
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header")
+            fields.append(int(buf[start:pos]))
+        pos += 1  # exactly one whitespace byte before the raster
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        need = w * h * 3
+        if len(buf) - pos < need:
+            raise ValueError("truncated PPM raster")
+        return (
+            np.frombuffer(buf, np.uint8, count=need, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    if len(buf) >= 54 and buf[:2] == b"BM":
+        data_off = int.from_bytes(buf[10:14], "little")
+        hdr_size = int.from_bytes(buf[14:18], "little")
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        compression = int.from_bytes(buf[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3  # rows padded to 4 bytes
+        if len(buf) - data_off < stride * h:
+            raise ValueError("truncated BMP raster")
+        rows = np.frombuffer(
+            buf, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        px = rows[:, : w * nb].reshape(h, w, nb)
+        rgb = px[:, :, [2, 1, 0]]  # stored BGR(A)
+        return (rgb[::-1] if flip else rgb).copy()
+    return None
+
+
+def _image_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Fixed-width feature of a decoded RGB image: mean gray level of
+    ``dim`` horizontal bands, scaled to [0, 1] — the stand-in for a real
+    embedding model, applied to REAL pixels."""
+    gray = img.astype(np.float32).mean(axis=2)
+    h = gray.shape[0]
+    bands = np.array_split(gray, dim, axis=0) if h >= dim else None
+    if bands is None:
+        # fewer rows than bands: repeat rows up to dim
+        gray = np.repeat(gray, -(-dim // h), axis=0)[:dim]
+        bands = np.array_split(gray, dim, axis=0)
+    return np.array([b.mean() for b in bands], np.float32) / 255.0
+
+
 def _decode_media(payload: pa.Array, kind: "pa.Array | pa.ChunkedArray") -> np.ndarray:
-    """STUB decoder: a real build wires PIL/ffmpeg here. The deterministic
-    fake folds the payload's first 64 bytes into a fixed-length feature so
-    pipelines and tests exercise real data flow. Raises for unknown kinds
-    exactly as a real decoder would. The kind check is an Arrow ``is_in``
-    kernel — no Python-object materialization of the string column."""
+    """Decoder swap point. Real decode path: PPM (P6) / uncompressed BMP
+    image payloads parse to actual pixels (``decode_image``) and feature
+    via ``_image_features``. Everything else falls back to the
+    deterministic stub (fold the first 64 payload bytes) so synthetic
+    corpora keep exercising the full data flow — a real build swaps the
+    stub for PIL/ffmpeg without touching the Ray plumbing. Raises for
+    unknown kinds exactly as a real decoder would. The kind check is an
+    Arrow ``is_in`` kernel — no Python-object materialization of the
+    string column."""
     import pyarrow.compute as pc
 
     ok = pc.fill_null(
@@ -75,7 +155,22 @@ def _decode_media(payload: pa.Array, kind: "pa.Array | pa.ChunkedArray") -> np.n
         first_bad = pc.filter(kind, pc.invert(pc.fill_null(ok, False)))[0].as_py()
         raise NotImplementedError(f"no decoder for media kind {first_bad!r}")
     mat = _prefix_matrix(payload, 64).astype(np.float32)
-    return mat.reshape(-1, 8, 8).mean(axis=2) / 255.0
+    feats = mat.reshape(-1, 8, 8).mean(axis=2) / 255.0
+    # rows with a decodable magic number get REAL pixel features; the
+    # magic probe is vectorized, only genuine images pay decode cost
+    magic = _prefix_matrix(payload, 2)
+    decodable = np.flatnonzero(
+        ((magic[:, 0] == 0x50) & (magic[:, 1] == 0x36))  # P6
+        | ((magic[:, 0] == 0x42) & (magic[:, 1] == 0x4D))  # BM
+    )
+    if decodable.size:
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        for i in decodable:
+            img = decode_image(payload[int(i)].as_py())
+            if img is not None:
+                feats[int(i)] = _image_features(img, 8)
+    return feats
 
 
 class MediaFeatureExtractor:

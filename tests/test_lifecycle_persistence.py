@@ -478,6 +478,94 @@ def test_multimodal_actor_stage_plumbing(ray_session):
     assert rows[0]["features"] == rows[0]["features"]
 
 
+def _make_ppm(pix: np.ndarray) -> bytes:
+    # binary PPM with a header comment (netpbm allows them)
+    h, w, _ = pix.shape
+    return b"P6\n# test fixture\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
+def _make_bmp(pix: np.ndarray, bottom_up: bool = True) -> bytes:
+    # uncompressed 24-bit BMP, rows padded to 4 bytes, stored BGR
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = pix[:, :, [2, 1, 0]].reshape(h, w * 3)
+    if bottom_up:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (h if bottom_up else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + data
+
+
+def test_decode_image_ppm_bmp_exact():
+    # the real (non-stub) decode path: pure-NumPy PPM/BMP parsing
+    from python_prtree_ray.stages.multimodal import decode_image
+
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, size=(8, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_ppm(pix)), pix)
+    # w=3 exercises the 3-byte row padding; both row orders
+    assert np.array_equal(decode_image(_make_bmp(pix, bottom_up=True)), pix)
+    assert np.array_equal(decode_image(_make_bmp(pix, bottom_up=False)), pix)
+    assert decode_image(b"\x00not an image") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n\x00")  # truncated raster
+
+
+def test_media_features_real_decoder(ray_session):
+    # VERDICT r4 #8: a real decodable format through the actor decode
+    # swap point — PPM + BMP fixtures produce pixel-derived features,
+    # stub payloads in the SAME batch keep the deterministic fake
+    ray = ray_session
+    from python_prtree_ray.stages.multimodal import MediaFeatureExtractor
+
+    row_vals = np.arange(8, dtype=np.uint8) * 16
+    pix = np.repeat(row_vals, 4 * 3).reshape(8, 4, 3)  # gray = 16*row
+    t = pa.table(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "kind": ["image", "image", "audio"],
+            "payload": [_make_ppm(pix), _make_bmp(pix), bytes(range(100))],
+        }
+    )
+    rows = sorted(
+        ray.data.from_arrow(t)
+        .map_batches(
+            MediaFeatureExtractor,
+            concurrency=2,
+            batch_size=2,
+            batch_format="pyarrow",
+        )
+        .take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    expect = (row_vals.astype(np.float32) / 255.0).tolist()
+    for r in rows[:2]:
+        assert np.allclose(r["features"], expect, atol=1e-6)
+        assert max(r["features"]) > 0  # nonzero features from real pixels
+    # stub row unchanged: fold of the first 64 payload bytes
+    stub = np.arange(64, dtype=np.float32).reshape(8, 8).mean(axis=1) / 255.0
+    assert np.allclose(rows[2]["features"], stub, atol=1e-6)
+
+
 def test_fingerprint_matches_slow_reference(ray_session):
     ray = ray_session
     from python_prtree_ray.pipelines.text import fingerprint, hash_str_array
