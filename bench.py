@@ -324,6 +324,72 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def scaling_protocol(
+    sf_dir: str, lo: int, hi: int, reps: int, mult: str
+) -> dict:
+    """The interleaved paired-median scaling measurement (the sandbox
+    stand-in for the north-rule's N vs 4N cluster criterion): the SAME
+    headline job at ``lo`` and ``hi`` CPUs in fresh processes,
+    ``reps`` interleaved pairs (lo,hi,lo,hi,…) so both levels sample
+    the same host-drift windows; the paired-pair MEDIAN is the
+    drift-robust headline (BASELINE.md round-4 adjudication). Returns a
+    machine-readable dict for the bench JSON."""
+    import statistics
+
+    results: dict[int, dict] = {}
+    per_rep: list[dict[int, float]] = []
+    for _rep in range(reps):
+        per_rep.append({})
+        for n in (lo, hi):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(n)
+            env["GRAFT_SF_DIR"] = sf_dir
+            env["GRAFT_HEADLINE_MULT"] = mult
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(
+                    f"scaling subprocess (num_cpus={n}) produced no JSON; "
+                    f"stderr tail:\n{p.stderr[-2000:]}\n"
+                )
+                continue
+            r = json.loads(lines[-1])
+            per_rep[-1][n] = r["value"]
+            if n not in results or r["value"] < results[n]["value"]:
+                results[n] = r
+    if lo not in results or hi not in results:
+        return {"error": "no successful run at one or both levels"}
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    pair_effs = [
+        (p[lo] / p[hi]) / (hi / lo) for p in per_rep if lo in p and hi in p
+    ]
+    return {
+        "docs": results[hi]["headline_docs"],
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "t_low_sec": t_lo,
+        "t_high_sec": t_hi,
+        "docs_per_sec_low": results[lo]["docs_per_sec"],
+        "docs_per_sec_high": results[hi]["docs_per_sec"],
+        "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        "scaling_efficiency_paired_median": (
+            round(statistics.median(pair_effs), 3) if pair_effs else None
+        ),
+        "pair_efficiencies": [round(x, 3) for x in pair_effs],
+        # identical result checksums at both parallelism levels
+        # == value-level determinism across cluster sizes
+        "deterministic_across_parallelism": (
+            results[lo]["tile_checksum"] == results[hi]["tile_checksum"]
+            and results[lo]["pair_checksum"] == results[hi]["pair_checksum"]
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -345,75 +411,13 @@ def main() -> None:
         # measure the saturated-host variant.
         lv = os.environ.get("GRAFT_SCALE_LEVELS", "4,16")
         lo, hi = (int(x) for x in lv.split(","))
-        results: dict[int, dict] = {}
-        per_rep: list[dict[int, float]] = []
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
-        for _rep in range(reps):
-            per_rep.append({})
-            for n in (lo, hi):
-                env = dict(os.environ)
-                env["RAY_GRAFT_CPUS"] = str(n)
-                env["GRAFT_SF_DIR"] = sf_dir
-                env["GRAFT_HEADLINE_MULT"] = os.environ.get("GRAFT_SCALE_MULT", "16")
-                p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                )
-                lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-                if not lines:
-                    sys.stderr.write(
-                        f"scaling subprocess (num_cpus={n}) produced no JSON; "
-                        f"stderr tail:\n{p.stderr[-2000:]}\n"
-                    )
-                    continue
-                r = json.loads(lines[-1])
-                per_rep[-1][n] = r["value"]
-                if n not in results or r["value"] < results[n]["value"]:
-                    results[n] = r
-        if lo not in results or hi not in results:
-            raise SystemExit("scaling: no successful run at one or both levels")
-        t8 = results[lo]["value"]
-        t32 = results[hi]["value"]
-        eff = (t8 / t32) / (hi / lo)
-        # the sandbox VM's available CPU drifts 2-3x over minutes;
-        # best-of-N picks each level's best from DIFFERENT windows, which
-        # can skew efficiency either way. Per-rep pairing divides runs
-        # that executed back-to-back (same window), so its median is the
-        # drift-robust headline number; both are reported.
-        import statistics
-
-        pair_effs = [
-            (p[lo] / p[hi]) / (hi / lo) for p in per_rep if lo in p and hi in p
-        ]
-        eff_paired = statistics.median(pair_effs) if pair_effs else None
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_scaling",
-                    "sf_dir": sf_dir,
-                    "docs": results[hi]["headline_docs"],
-                    "cpus_low": lo,
-                    "cpus_high": hi,
-                    "t_low_sec": t8,
-                    "t_high_sec": t32,
-                    "docs_per_sec_low": results[lo]["docs_per_sec"],
-                    "docs_per_sec_high": results[hi]["docs_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
-                    "scaling_efficiency_paired_median": (
-                        round(eff_paired, 3) if eff_paired is not None else None
-                    ),
-                    "pair_efficiencies": [round(x, 3) for x in pair_effs],
-                    # identical result checksums at both parallelism levels
-                    # == value-level determinism across cluster sizes
-                    "deterministic_across_parallelism": (
-                        results[lo]["tile_checksum"] == results[hi]["tile_checksum"]
-                        and results[lo]["pair_checksum"] == results[hi]["pair_checksum"]
-                    ),
-                }
-            )
+        sc = scaling_protocol(
+            sf_dir, lo, hi, reps, os.environ.get("GRAFT_SCALE_MULT", "16")
         )
+        if "error" in sc:
+            raise SystemExit(f"scaling: {sc['error']}")
+        print(json.dumps({"metric": "headline_scaling", "sf_dir": sf_dir, **sc}))
         return
 
     _init_ray(num_cpus)
@@ -426,6 +430,23 @@ def main() -> None:
     for k, v in skew.items():
         queries[k] = v["sec"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # north-rule scaling criterion as a first-class, machine-readable
+    # field of EVERY full bench run (VERDICT r4 #1): the interleaved
+    # paired-median protocol, >=5 pairs, in fresh subprocesses AFTER
+    # this session's Ray shuts down (no CPU oversubscription).
+    # GRAFT_BENCH_SCALING=0 skips it (e.g. quick local iteration).
+    scaling = None
+    if not headline_only and os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
+        ray.shutdown()
+        lv = os.environ.get("GRAFT_SCALE_LEVELS", "4,16")
+        lo, hi = (int(x) for x in lv.split(","))
+        scaling = scaling_protocol(
+            sf_dir,
+            lo,
+            hi,
+            int(os.environ.get("GRAFT_SCALE_REPS", "5")),
+            os.environ.get("GRAFT_SCALE_MULT", "16"),
+        )
     print(
         json.dumps(
             {
@@ -442,10 +463,17 @@ def main() -> None:
                 "tile_checksum": h["tile_checksum"],
                 "pair_checksum": h["pair_checksum"],
                 "skew": skew,
+                "scaling_efficiency_paired_median": (
+                    scaling.get("scaling_efficiency_paired_median")
+                    if scaling
+                    else None
+                ),
+                "scaling": scaling,
             }
         )
     )
-    ray.shutdown()
+    if ray.is_initialized():
+        ray.shutdown()
 
 
 if __name__ == "__main__":
