@@ -71,20 +71,36 @@ def _centroid_histogram(
         uc, counts = np.unique(cell, return_counts=True)
         return pa.table({"cell": uc, "n": counts.astype(np.int64)})
 
-    rows = (
-        boxes.map_batches(
-            partial,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=COMBINE_BATCH,
-        )
-        .groupby("cell")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+    partials = boxes.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_BATCH,
     )
     g = 1 << res
     dims = len(box_cols) // 2
     grid = np.zeros(g**dims, dtype=np.int64)
+    # each partial batch is <= g^D rows, so up to ~CAP rows the driver
+    # fold is a metadata-sized stream — one executor run, no Aggregate
+    # shuffle round. Past the cap (thousands of blocks — the true
+    # 100-TB regime) fall back to the distributed groupby sum.
+    CAP = 2_000_000
+    seen = 0
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        seen += b.num_rows
+        if seen > CAP:
+            break
+        c = b.column("cell").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        np.add.at(grid, c, n)
+    else:
+        return grid
+    rows = (
+        partials.groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    grid[:] = 0
     for r in rows:
         grid[int(r["cell"])] = int(r["n"])
     return grid
@@ -344,7 +360,9 @@ def knn_join(
     qboxes = points.map_batches(
         to_radius_boxes, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = _cell_dist_pairs(boxes, qboxes, res, box_cols, point_cols)
+    pairs = _cell_dist_pairs(
+        boxes, qboxes, res, box_cols, point_cols, prune_k=k_eff
+    )
     return _bucketed_topk(pairs, k)
 
 
@@ -354,6 +372,7 @@ def _cell_dist_pairs(
     res: int,
     box_cols: tuple = st.BOX_COLS,
     point_cols: tuple = POINT_COLS,
+    prune_k: int | None = None,
 ) -> Dataset:
     """Cell-shuffle (query point, box centroid, dist2) candidates.
 
@@ -361,7 +380,15 @@ def _cell_dist_pairs(
     coordinates (*point_cols*); every centroid falling inside a query's
     search box is emitted once (owner-cell dedup) with its exact dist2.
     Shared by the kNN ring path (per-query adaptive radius → top-k merge)
-    and :func:`radius_join` (constant radius → threshold filter)."""
+    and :func:`radius_join` (constant radius → threshold filter).
+
+    ``prune_k``: keep only each query's ``k`` best candidates PER CELL
+    (same (dist2, idx) total order as the downstream merge). Owner-cell
+    dedup makes per-cell sets disjoint, so the global top-k over pruned
+    sets equals the top-k over everything — but the merge shuffle ships
+    O(queries x cells_touched x k) rows instead of every centroid in
+    every search disc (the kNN path's dominant volume). Must stay None
+    for threshold consumers (radius_join needs ALL in-disc rows)."""
     d = len(point_cols)
     mins, maxs = box_cols[:d], box_cols[d:]
 
@@ -408,7 +435,7 @@ def _cell_dist_pairs(
     )
     union = build.union(probe)
     return union.groupby("key").map_groups(
-        _make_knn_cell(res, box_cols, point_cols), batch_format="pyarrow"
+        _make_knn_cell(res, box_cols, point_cols, prune_k), batch_format="pyarrow"
     )
 
 
@@ -547,7 +574,10 @@ def _expand_probe_with_coords(
 
 
 def _make_knn_cell(
-    res: int, box_cols: tuple = st.BOX_COLS, point_cols: tuple = POINT_COLS
+    res: int,
+    box_cols: tuple = st.BOX_COLS,
+    point_cols: tuple = POINT_COLS,
+    prune_k: int | None = None,
 ):
     d = len(point_cols)
 
@@ -585,9 +615,19 @@ def _make_knn_cell(
         )
         C = tree.boxes[pos, :d]  # degenerate box mins == centroid coords
         d2 = _dist2(P, C)
-        return pa.table(
-            {"query_id": ids[qsel][qi], "idx": tree.idx[pos], "dist2": d2}
-        )
+        qids, idxs = ids[qsel][qi], tree.idx[pos]
+        if prune_k is not None and qids.size > prune_k:
+            # per-query top-k inside this cell, in the EXACT
+            # (dist2, idx) order bucketed_topk uses — disjoint per-cell
+            # candidate sets (owner dedup) make this lossless
+            order = np.lexsort((idxs, d2, qids))
+            q_s = qids[order]
+            starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
+            sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
+            rank = np.arange(q_s.shape[0]) - np.repeat(starts, sizes)
+            keep = order[rank < prune_k]
+            qids, idxs, d2 = qids[keep], idxs[keep], d2[keep]
+        return pa.table({"query_id": qids, "idx": idxs, "dist2": d2})
 
     return knn_cell
 
