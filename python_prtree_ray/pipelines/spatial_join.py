@@ -282,8 +282,11 @@ def spatial_semi_join(
             keep = ~hit if anti else hit
             return pa.table({"idx": pa.array(ids[keep], pa.int64())})
 
+        # batch sized like broadcast_join: each batch pays one probe of
+        # the full broadcast side, so tiny default batches multiply
+        # that fixed probe cost ~40x
         return boxes.map_batches(
-            mask, batch_format="pyarrow", zero_copy_batch=True
+            mask, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
         )
 
     from .join import hash_equi_join

@@ -125,65 +125,98 @@ def q_knn_geo(sf):
 
 
 def q_mutual_nn(sf):
-    # NN-graph symmetry: share of points whose nearest neighbor
-    # points back — ONE co-partitioned self-join of the nn stream
-    # (never collected), single-row exact counts
+    # NN-graph symmetry: share of points whose nearest neighbor points
+    # back. Each point emits exactly ONE nn edge, so an UNORDERED pair
+    # key (a, b) = (min, max) appears once (one-way) or twice (mutual)
+    # — mutuality is a pair-count fold, not a self-join: the nn stream
+    # (never collected) takes ONE coarse pair-hash shuffle of
+    # batch-deduped (a, b, c) partials instead of the two-sided
+    # hash_equi_join this op previously ran (same exact counts; the
+    # join-based plan cost ~3 extra executor rounds, which dominated
+    # this metadata-sized op at every sf).
     import pyarrow as pa
     import ray
-    from python_prtree_ray.pipelines.join import hash_equi_join
+    from python_prtree_ray.functions.buckets import bucket_of
     from python_prtree_ray.pipelines.knn import nn_pairs
 
     nn = nn_pairs(tables.points_dataset(sf))
-    right = nn.map_batches(
-        lambda t: pa.table(
-            {"rq": t.column("query_id"), "rnn": t.column("nn_id")}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    joined = hash_equi_join(
-        nn, right,
-        on="nn_id", right_on="rq",
-        left_cols=("query_id",),
-        right_cols=("rnn",),
-    )
 
-    def partial(tbl: pa.Table) -> pa.Table:
+    def pair_partial(tbl: pa.Table) -> pa.Table:
         q = tbl.column("query_id").to_numpy(zero_copy_only=False)
-        rnn = tbl.column("rnn").to_numpy(zero_copy_only=False)
+        n = tbl.column("nn_id").to_numpy(zero_copy_only=False)
+        a = np.minimum(q, n)
+        b = np.maximum(q, n)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        starts = np.flatnonzero(
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])][
+                : a_s.size
+            ]
+        )
+        c = np.diff(np.r_[starts, a_s.size])
+        a_u, b_u = a_s[starts], b_s[starts]
         return pa.table(
             {
-                "k": pa.array([np.int64(0)], pa.int64()),
-                "n_points": pa.array([np.int64(q.size)], pa.int64()),
+                "kb": bucket_of(a_u ^ (b_u * np.int64(2654435761)), 64),
+                "a": a_u,
+                "b": b_u,
+                "c": c.astype(np.int64),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s, c_s = a[order], b[order], c[order]
+        starts = np.flatnonzero(
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])][
+                : a_s.size
+            ]
+        )
+        csum = np.add.reduceat(c_s, starts) if starts.size else c_s[:0]
+        return pa.table(
+            {
+                "n_points": pa.array([np.int64(c_s.sum())], pa.int64()),
+                # each mutual pair contributes its TWO reciprocal edges
                 "n_mutual": pa.array(
-                    [np.int64((q == rnn).sum())], pa.int64()
+                    [np.int64(2 * (csum == 2).sum())], pa.int64()
                 ),
             }
         )
 
-    from python_prtree_ray.pipelines.merge import bucketed_sum
-
-    summed = bucketed_sum(
-        joined.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        key_col="k",
-        value_cols=("n_points", "n_mutual"),
-    )
-
-    def finish(tbl: pa.Table) -> pa.Table:
-        n = tbl.column("n_points").to_numpy(zero_copy_only=False)
-        m = tbl.column("n_mutual").to_numpy(zero_copy_only=False)
-        return pa.table(
+    rows = (
+        nn.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("kb")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .take_all()
+    )  # <= 64 bucket rows: metadata-sized
+    n_points = np.int64(sum(int(r["n_points"]) for r in rows))
+    n_mutual = np.int64(sum(int(r["n_mutual"]) for r in rows))
+    if n_points == 0:  # degenerate tiny-scale input: keep 0-row shape
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("n_points", pa.int64()),
+                    ("n_mutual", pa.int64()),
+                    ("share", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "n_points": n,
-                "n_mutual": m,
-                "share": m.astype(np.float64) / n.astype(np.float64),
+                "n_points": pa.array([n_points], pa.int64()),
+                "n_mutual": pa.array([n_mutual], pa.int64()),
+                "share": pa.array(
+                    [np.float64(n_mutual) / np.float64(n_points)],
+                    pa.float64(),
+                ),
             }
         )
-
-    return summed.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
