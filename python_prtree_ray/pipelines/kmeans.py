@@ -69,13 +69,33 @@ def _assign(x: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _fold_partials(parts: Dataset, k: int, d: int) -> np.ndarray:
-    """Collect the tiny bucket-summed (key, v) table: k x (d+1) rows max.
-    Layout: key = cluster * (d+1) + dim for sums, dim == d for counts."""
+    """Fold the (key, v) partials into a (k, d+1) int64 matrix.
+    Layout: key = cluster * (d+1) + dim for sums, dim == d for counts.
+
+    Each source batch emits <= k*(d+1) rows, so up to a generous cap the
+    driver streams and sums them directly — ONE executor round per Lloyd
+    iteration instead of two (the groupby fold round halved kmeans'
+    wall time, which is executor-round-bound, not compute-bound). Past
+    the cap (tens of thousands of blocks — the true cluster regime) it
+    falls back to the distributed bucket sum. Integer adds are exact
+    and order-independent, so both paths are bit-identical."""
     import ray
 
     from .merge import bucketed_sum
 
     out = np.zeros((k, d + 1), np.int64)
+    CAP = 4_000_000
+    seen = 0
+    for t in parts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        seen += t.num_rows
+        if seen > CAP:
+            break
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        np.add.at(out, (key // (d + 1), key % (d + 1)), v)
+    else:
+        return out
+    out[:] = 0
     folded = bucketed_sum(parts, key_col="key", value_cols=("v",), n_buckets=32)
     for ref in folded.to_arrow_refs():
         t = ray.get(ref)
