@@ -348,9 +348,19 @@ def scaling_protocol(
     machine-readable dict for the bench JSON."""
     import statistics
 
+    # wall-clock budget: a slow host window must degrade the protocol
+    # to fewer pairs, never push the whole bench run past a driver
+    # timeout (>= 2 pairs always complete before the guard applies)
+    budget_s = float(os.environ.get("GRAFT_SCALE_BUDGET_S", "420"))
+    t_start = time.time()
     results: dict[int, dict] = {}
     per_rep: list[dict[int, float]] = []
     for _rep in range(reps):
+        if _rep >= 2 and time.time() - t_start > budget_s:
+            sys.stderr.write(
+                f"scaling: budget {budget_s}s reached after {_rep} pairs\n"
+            )
+            break
         per_rep.append({})
         for n in (lo, hi):
             env = dict(os.environ)
