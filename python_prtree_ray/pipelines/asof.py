@@ -245,3 +245,131 @@ def band_join(
         )
 
     return union.groupby("b").map_groups(match, batch_format="pyarrow")
+
+
+def next_event_join(
+    left: Dataset,
+    right: Dataset,
+    window_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+) -> Dataset:
+    """FORWARD-first as-of join: for every left row, the EARLIEST right
+    row of the same key with ``left.ts < right.ts <= left.ts +
+    window_us`` — the conversion-attribution primitive ("first purchase
+    after each view within T"). Inner semantics (unmatched lefts drop);
+    right rows tying on (key, ts) dedup to the MIN right-id, and the
+    winner is the (ts, r_id)-smallest match, so the result is
+    deterministic and the SQL oracle well-defined. Output:
+    ``(l_id, key, l_ts, r_id, r_ts, gap_us)``.
+
+    Same physical shape as :func:`asof_join`: ONE coarse key-hash
+    bucket shuffle, then a vectorized packed-(key_rank, ts_rank)
+    ``searchsorted`` per group — no per-key loop. The distinction from
+    :func:`band_join` is the 1:1 first-match fold riding the probe
+    itself (no pair fan-out to reduce afterwards)."""
+    tune_context()
+    win = np.int64(window_us)
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "b": bucket_of(k, N_BUCKETS),
+                    "side": np.full(tbl.num_rows, side, dtype=np.int8),
+                    "key": k,
+                    "ts": tbl.column(ts_col).cast(pa.timestamp("us")),
+                    "rid": tbl.column(left_id if side == 0 else right_id).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    union = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        empty = pa.table(
+            {
+                "l_id": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "l_ts": pa.array([], pa.timestamp("us")),
+                "r_id": pa.array([], pa.int64()),
+                "r_ts": pa.array([], pa.timestamp("us")),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if not lm.any() or lm.all():
+            return empty
+        lk, lt, lid_ = key[lm], ts[lm], rid[lm]
+        rk, rt, rid_ = key[~lm], ts[~lm], rid[~lm]
+        # dedup right per (key, ts): keep MIN rid (deterministic ties)
+        order = np.lexsort((rid_, rt, rk))
+        rk, rt, rid_ = rk[order], rt[order], rid_[order]
+        first = np.ones(rk.shape[0], dtype=bool)
+        first[1:] = (np.diff(rk) != 0) | (np.diff(rt) != 0)
+        rk, rt, rid_ = rk[first], rt[first], rid_[first]
+        # packed (key_rank, ts_rank) probe — ranks, not µs offsets, so
+        # the product stays bounded (see asof_join)
+        all_keys = np.unique(np.concatenate([lk, rk]))
+        all_ts = np.unique(np.concatenate([lt, rt]))
+        span = np.int64(all_ts.shape[0] + 1)
+        if all_keys.shape[0] < (1 << 62) // span:
+            r_packed = np.searchsorted(all_keys, rk) * span + np.searchsorted(
+                all_ts, rt
+            )
+            l_packed = np.searchsorted(all_keys, lk) * span + np.searchsorted(
+                all_ts, lt
+            )
+            # first right strictly after (key, l_ts)
+            pos = np.searchsorted(r_packed, l_packed, side="right")
+            valid = pos < r_packed.shape[0]
+            pv = np.minimum(pos, r_packed.shape[0] - 1)
+            valid &= (rk[pv] == lk) & (rt[pv] - lt <= win) & (rt[pv] > lt)
+        else:
+            pos = np.full(lk.shape[0], -1, dtype=np.int64)
+            seg_lo = np.searchsorted(rk, lk, side="left")
+            seg_hi = np.searchsorted(rk, lk, side="right")
+            for k_ in np.unique(lk):
+                sel = lk == k_
+                lo, hi = seg_lo[sel][0], seg_hi[sel][0]
+                if hi > lo:
+                    p = lo + np.searchsorted(rt[lo:hi], lt[sel], side="right")
+                    p[p >= hi] = -1
+                    pos[sel] = p
+            valid = pos >= 0
+            pv = np.maximum(pos, 0)
+            valid &= (rt[pv] - lt <= win) & (rt[pv] > lt)
+        pos_v = pv[valid]
+        return pa.table(
+            {
+                "l_id": pa.array(lid_[valid], pa.int64()),
+                "key": pa.array(lk[valid], pa.int64()),
+                "l_ts": pa.array(
+                    lt[valid].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "r_id": pa.array(rid_[pos_v], pa.int64()),
+                "r_ts": pa.array(
+                    rt[pos_v].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "gap_us": pa.array(rt[pos_v] - lt[valid], pa.int64()),
+            }
+        )
+
+    return union.groupby("b").map_groups(match, batch_format="pyarrow")

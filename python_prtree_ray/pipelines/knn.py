@@ -252,6 +252,7 @@ def knn_broadcast(
     k: int,
     box_cols: tuple = st.BOX_COLS,
     point_cols: tuple = POINT_COLS,
+    with_dist: bool = False,
 ) -> Dataset:
     """Zero-shuffle-build kNN for a small query side: per batch of boxes,
     each query keeps every candidate with dist2 <= its local k-th
@@ -261,11 +262,14 @@ def knn_broadcast(
     ``box_cols``/``point_cols`` (6/3 names for 3D, 8/4 for 4D)."""
     tune_context()
     if points_table.num_rows == 0:
-        return ray.data.from_arrow(
-            pa.schema(
-                [("query_id", pa.int64()), ("idx", pa.int64()), ("rank", pa.int64())]
-            ).empty_table()
-        )
+        fields = [
+            ("query_id", pa.int64()),
+            ("idx", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+        if with_dist:
+            fields.append(("dist2", pa.float64()))
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
     qids = points_table.column("query_id").to_numpy(zero_copy_only=False)
     Q = np.stack(
         [
@@ -289,15 +293,24 @@ def knn_broadcast(
     partials = boxes.map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
     )
-    return _bucketed_topk(partials, k)
+    return _bucketed_topk(partials, k, with_dist)
 
 
-def _bucketed_topk(partials: Dataset, k: int) -> Dataset:
-    """(query_id, idx, dist2) partials → (query_id, idx, rank) via the
-    shared coarse-bucket merge (dist2 ASC, idx tie-break)."""
+def _bucketed_topk(
+    partials: Dataset, k: int, with_dist: bool = False
+) -> Dataset:
+    """(query_id, idx, dist2) partials → (query_id, idx, rank[, dist2])
+    via the shared coarse-bucket merge (dist2 ASC, idx tie-break)."""
     from .merge import bucketed_topk
 
-    return bucketed_topk(partials, k, id_col="idx", value_col="dist2", descending=False)
+    return bucketed_topk(
+        partials,
+        k,
+        id_col="idx",
+        value_col="dist2",
+        descending=False,
+        keep_value="dist2" if with_dist else None,
+    )
 
 
 def knn_join(
@@ -308,8 +321,11 @@ def knn_join(
     broadcast: bool | None = None,
     box_cols: tuple = st.BOX_COLS,
     point_cols: tuple = POINT_COLS,
+    with_dist: bool = False,
 ) -> Dataset:
-    """k nearest box centroids per query point → (query_id, idx, rank).
+    """k nearest box centroids per query point → (query_id, idx, rank)
+    — plus the exact float64 ``dist2`` when ``with_dist`` is set (the
+    sklearn-kneighbors-style contract; both physical paths emit it).
 
     Small point sides (``KNN_BROADCAST_LIMIT``) take the one-shuffle
     broadcast local-top-k path; large ones the histogram ring-expansion
@@ -325,7 +341,7 @@ def knn_join(
         cap = KNN_BROADCAST_LIMIT if broadcast is None else FORCE_BROADCAST_LIMIT
         ptbl = _try_collect_points(points, cap)
         if ptbl is not None:
-            return knn_broadcast(boxes, ptbl, k, box_cols, point_cols)
+            return knn_broadcast(boxes, ptbl, k, box_cols, point_cols, with_dist)
         if broadcast is True:
             raise ValueError(
                 f"knn_join(broadcast=True): point side exceeds "
@@ -363,7 +379,7 @@ def knn_join(
     pairs = _cell_dist_pairs(
         boxes, qboxes, res, box_cols, point_cols, prune_k=k_eff
     )
-    return _bucketed_topk(pairs, k)
+    return _bucketed_topk(pairs, k, with_dist)
 
 
 def _cell_dist_pairs(

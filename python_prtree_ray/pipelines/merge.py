@@ -26,7 +26,13 @@ def bucketed_topk(
     id_col: str,
     value_col: str,
     descending: bool,
+    keep_value: str | None = None,
 ) -> Dataset:
+    """Exact global per-query top-k over (query_id, id, value) partials
+    via ONE coarse query-bucket shuffle. ``keep_value`` names an output
+    column that carries each kept row's value (e.g. the kNN distance);
+    None preserves the classic (query_id, id, rank) shape."""
+
     def add_bucket(tbl: pa.Table) -> pa.Table:
         qv = tbl.column("query_id").to_numpy(zero_copy_only=False)
         return tbl.append_column("qb", pa.array(bucket_of(qv, N_QBUCKETS)))
@@ -36,26 +42,28 @@ def bucketed_topk(
         val = group.column(value_col).to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         if qv.size == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+            if keep_value is not None:
+                cols[keep_value] = pa.array([], pa.float64())
+            return pa.table(cols)
         order = np.lexsort((ids, -val if descending else val, qv))
         q_s, id_s = qv[order], ids[order]
         starts = np.concatenate([[0], np.nonzero(np.diff(q_s))[0] + 1])
         sizes = np.diff(np.concatenate([starts, [q_s.shape[0]]]))
         rank = np.arange(q_s.shape[0]) - np.repeat(starts, sizes)
         keep = rank < k
-        return pa.table(
-            {
-                "query_id": pa.array(q_s[keep], pa.int64()),
-                id_col: pa.array(id_s[keep], pa.int64()),
-                "rank": pa.array(rank[keep] + 1, pa.int64()),
-            }
-        )
+        cols = {
+            "query_id": pa.array(q_s[keep], pa.int64()),
+            id_col: pa.array(id_s[keep], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+        }
+        if keep_value is not None:
+            cols[keep_value] = pa.array(val[order][keep])
+        return pa.table(cols)
 
     keyed = partials.map_batches(
         add_bucket,

@@ -1823,7 +1823,44 @@ def q_events_pivot(sf):
     return ray.data.from_arrow(pa.table(cols))
 
 
+def q_next_event(sf):
+    # conversion attribution: the FIRST purchase after each view within
+    # 24h per user — forward-first windowed as-of (the 1:1 complement
+    # of events_band_join's pair fan-out); one user-bucket shuffle
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray
+    from python_prtree_ray.pipelines.asof import next_event_join
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "ts"],
+    )
+
+    def side(kind, idname):
+        def f(t):
+            t = t.filter(_pc.equal(t.column("event_type"), kind))
+            return pa.table(
+                {
+                    idname: t.column("event_id"),
+                    "user_id": t.column("user_id"),
+                    "ts": t.column("ts"),
+                }
+            )
+
+        return f
+
+    left = ev.map_batches(
+        side("view", "l_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = ev.map_batches(
+        side("purchase", "r_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return next_event_join(left, right, window_us=86_400_000_000)
+
+
 QUERIES = {
+    "next_event": q_next_event,
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "events_session": q_events_session,
@@ -1876,6 +1913,20 @@ QUERIES = {
 }
 
 SQL = {
+    "next_event": """
+WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+r0 AS (SELECT user_id, ts, MIN(event_id) AS r_id FROM events
+       WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT l.l_id, l.user_id AS key, l.ts AS l_ts, r0.r_id, r0.ts AS r_ts,
+             ROW_NUMBER() OVER (PARTITION BY l.l_id
+                                ORDER BY r0.ts, r0.r_id) AS rn
+      FROM l JOIN r0 ON r0.user_id = l.user_id AND r0.ts > l.ts
+        AND r0.ts <= l.ts + INTERVAL 24 HOUR)
+SELECT l_id, key, l_ts, r_id, r_ts,
+       CAST(date_diff('microsecond', l_ts, r_ts) AS BIGINT) AS gap_us
+FROM c WHERE rn = 1
+""",
     "events_window": events_window_sql,
     "events_hopping": events_hopping_sql,
     "events_session": events_session_sql,

@@ -18,6 +18,8 @@ from python_prtree_ray.queries._common import (  # noqa: F401
 )
 from python_prtree_ray.queries._sqlparts import (  # noqa: F401
     _nn_histogram_sql,
+    b_orders,
+    p_supp,
     haversine_join_sql_q,
     knn_3d_sql,
     knn_4d_sql,
@@ -122,6 +124,21 @@ def q_knn_geo(sf):
         k=5,
     )
 
+
+
+def q_knn_dist(sf):
+    # kNN with the exact float64 squared distance carried through the
+    # merge — the sklearn-kneighbors-style contract (rank alone loses
+    # the measure a downstream density/outlier score needs). Same
+    # machinery as q_knn with with_dist=True; dist2 is bitwise the SQL
+    # expression (px-cx)^2 + (py-cy)^2.
+    return knn.knn_join(
+        tables.boxes_dataset(sf),
+        tables.points_dataset(sf, "supplier", "s_suppkey"),
+        k=KNN_K,
+        res=5,
+        with_dist=True,
+    )
 
 
 def q_mutual_nn(sf):
@@ -298,6 +315,7 @@ def q_nn_pairs(sf):
 
 QUERIES = {
     "knn_ring": q_knn_ring,
+    "knn_dist": q_knn_dist,
     "knn": q_knn,
     "knn_3d": q_knn_3d,
     "knn_4d": q_knn_4d,
@@ -313,6 +331,17 @@ QUERIES = {
 
 SQL = {
     "knn": knn_sql,
+    "knn_dist": f"""
+WITH b AS ({b_orders}), p AS ({p_supp}),
+c AS (SELECT idx, (xmin + xmax) * 0.5 AS cx, (ymin + ymax) * 0.5 AS cy FROM b),
+d AS (SELECT p.query_id, c.idx,
+             (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) AS dist2
+      FROM p, c),
+r AS (SELECT query_id, idx, dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, idx) AS rn
+      FROM d)
+SELECT query_id, idx, rn AS "rank", dist2 FROM r WHERE rn <= {KNN_K}
+""",
     "knn_regress": f"""
 WITH t AS ({knn_sql}),
 v AS (SELECT query_id, {derive.point_measure_sql("idx")} AS v FROM t)

@@ -577,6 +577,110 @@ def test_payload_carry_in_broadcast_join(ray_session):
     assert _pairs_set(out) == set(zip(oq.tolist(), ob.tolist()))
 
 
+def test_next_event_join_matches_brute_force(ray_session):
+    # forward-first windowed as-of: earliest right strictly after each
+    # left within the window, min-id ties, unmatched lefts drop
+    ray = ray_session
+    from python_prtree_ray.pipelines.asof import next_event_join
+
+    rng = np.random.default_rng(17)
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    n_l, n_r, win_s = 300, 300, 500
+    lk = rng.integers(0, 20, n_l)
+    lt = rng.integers(0, 5000, n_l)
+    rk = rng.integers(0, 20, n_r)
+    rt = rng.integers(0, 5000, n_r)
+    # force ts ties on both sides
+    rt[:40] = lt[:40]
+    rt[40:60] = rt[60:80]
+    left = pa.table(
+        {
+            "l_id": pa.array(np.arange(n_l), pa.int64()),
+            "user_id": pa.array(lk, pa.int64()),
+            "ts": pa.array(t0 + lt.astype("timedelta64[s]"), pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "r_id": pa.array(np.arange(1000, 1000 + n_r), pa.int64()),
+            "user_id": pa.array(rk, pa.int64()),
+            "ts": pa.array(t0 + rt.astype("timedelta64[s]"), pa.timestamp("us")),
+        }
+    )
+    out = next_event_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        window_us=win_s * 1_000_000,
+    ).take_all()
+    expect = {}
+    for i in range(n_l):
+        best = None
+        for j in range(n_r):
+            if rk[j] != lk[i]:
+                continue
+            gap = int(rt[j]) - int(lt[i])
+            if 0 < gap <= win_s:
+                cand = (int(rt[j]), 1000 + j)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            expect[i] = (best[1], best[0] * 1_000_000 - int(lt[i]) * 1_000_000)
+    got = {r["l_id"]: (r["r_id"], r["gap_us"]) for r in out}
+    assert got == expect
+    assert len(expect) > 20  # workload actually exercises matches
+
+
+def test_knn_dist_matches_brute(ray_session):
+    # with_dist carries the exact float64 dist2 through both the merge
+    # and the kept (dist2, idx) order
+    ray = ray_session
+    from python_prtree_ray.pipelines.knn import knn_join
+
+    rng = np.random.default_rng(23)
+    n, m, k = 400, 25, 4
+    c = rng.random((n, 2))
+    boxes = pa.table(
+        {
+            "idx": pa.array(np.arange(n), pa.int64()),
+            "xmin": c[:, 0],
+            "ymin": c[:, 1],
+            "xmax": c[:, 0],
+            "ymax": c[:, 1],
+        }
+    )
+    q = rng.random((m, 2))
+    pts = pa.table(
+        {
+            "query_id": pa.array(np.arange(m), pa.int64()),
+            "px": q[:, 0],
+            "py": q[:, 1],
+        }
+    )
+    for forced in (None, False):  # broadcast and ring physical paths
+        out = knn_join(
+            ray.data.from_arrow(boxes).repartition(4),
+            ray.data.from_arrow(pts),
+            k=k,
+            res=4,
+            broadcast=forced,
+            with_dist=True,
+        ).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["idx"], r["dist2"])
+            )
+        for qi in range(m):
+            dx = q[qi, 0] - c[:, 0]
+            dy = q[qi, 1] - c[:, 1]
+            d2 = dx * dx + dy * dy
+            order = np.lexsort((np.arange(n), d2))[:k]
+            rows = sorted(got[qi])
+            assert [(r[1], r[2]) for r in rows] == [
+                (int(i), float(d2[i])) for i in order
+            ]
+
+
 def test_asof_join_semantics(ray_session):
     # ties match (<=), duplicate right (key, ts) keeps max id, left with
     # only-later rights drops — all across multiple blocks
