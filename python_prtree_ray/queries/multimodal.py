@@ -188,7 +188,105 @@ def q_span_box_join(sf):
     return sj.point_query(tables.boxes_dataset(sf), pts, res=RES)
 
 
+def q_span_dedup(sf):
+    # SPAN-level exact dedup across the interleaved corpus: per doc,
+    # how many of its text spans also occur (byte-identical) anywhere
+    # else in the corpus — the interleaved-payload crossover of
+    # dedup_exact (doc granularity is too coarse when docs share
+    # boilerplate spans). Text never shuffles: spans hash in-batch,
+    # ONE hash-bucket shuffle of (hash, doc_num) int64 rows computes
+    # corpus-wide occurrence counts and collapses to per-doc partials,
+    # ONE doc-bucket fold sums them. doc_id strings are reconstructed
+    # from doc_num only at the metadata-sized output.
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    from python_prtree_ray.functions.buckets import bucket_of
+    from python_prtree_ray.pipelines.merge import bucketed_sum
+    from python_prtree_ray.pipelines.multimodal import explode_spans
+    from python_prtree_ray.pipelines.text import hash_str_array
+    from python_prtree_ray.sources.synth import interleaved_docs
+
+    n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+    docs = interleaved_docs(n)
+
+    def spans_partial(tbl: pa.Table) -> pa.Table:
+        flat = explode_spans(tbl)
+        flat = flat.filter(_pc.equal(flat.column("kind"), "text"))
+        h = hash_str_array(flat.column("text"))
+        doc_num = _pc.cast(
+            _pc.utf8_slice_codeunits(flat.column("doc_id").combine_chunks(), 3),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"hb": bucket_of(h, 256), "h": h, "doc": doc_num}
+        )
+
+    def hash_fold(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_dup_spans": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(h, kind="stable")
+        h_s, doc_s = h[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]][: h_s.size])
+        total = np.diff(np.r_[starts, h_s.size])
+        dup = (np.repeat(total, total) > 1).astype(np.int64)
+        # collapse to per-doc partials inside the bucket
+        d_order = np.argsort(doc_s, kind="stable")
+        d_s = doc_s[d_order]
+        dup_d = dup[d_order]
+        d_starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]][: d_s.size])
+        return pa.table(
+            {
+                "doc": pa.array(d_s[d_starts], pa.int64()),
+                "n_spans": pa.array(
+                    np.diff(np.r_[d_starts, d_s.size]), pa.int64()
+                ),
+                "n_dup_spans": pa.array(
+                    np.add.reduceat(dup_d, d_starts), pa.int64()
+                ),
+            }
+        )
+
+    folded = bucketed_sum(
+        docs.map_batches(
+            spans_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hb")
+        .map_groups(hash_fold, batch_format="pyarrow"),
+        key_col="doc",
+        value_cols=("n_spans", "n_dup_spans"),
+    )
+
+    def to_doc_id(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": _pc.binary_join_element_wise(
+                    "doc",
+                    _pc.utf8_lpad(
+                        _pc.cast(tbl.column("doc"), pa.string()), 12, "0"
+                    ),
+                    "",
+                ),
+                "n_spans": tbl.column("n_spans"),
+                "n_dup_spans": tbl.column("n_dup_spans"),
+            }
+        )
+
+    return folded.map_batches(
+        to_doc_id, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 QUERIES = {
+    "span_dedup": q_span_dedup,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
     "span_sequence": q_span_sequence,
@@ -200,6 +298,14 @@ QUERIES = {
 }
 
 SQL = {
+    "span_dedup": f"""
+WITH t AS (SELECT doc_id, text FROM ({interleaved_spans_sql(
+        "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="text")})),
+c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY text)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+FROM t JOIN c USING (text) GROUP BY t.doc_id
+""",
     "media_features": media_features_sql,
     "video_frames": video_frames_sql,
     # full span-sequence invariant (kind, text, media_ref, order)
