@@ -29,6 +29,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENTRY = os.path.join(ROOT, "__ray_entry__.py")
 QDIR = os.path.join(ROOT, "python_prtree_ray", "queries")
 
+# One-shot guard: the split already ran (round 5) and the family modules
+# have since been hand-edited (new ops, perf rewrites). Re-running would
+# regenerate them from an entry module that no longer holds the sources.
+if os.path.exists(os.path.join(QDIR, "__init__.py")):
+    sys.exit(
+        "split_entry.py already ran: python_prtree_ray/queries/ exists. "
+        "This tool is kept for provenance only; remove the package first "
+        "if you REALLY mean to re-split."
+    )
+
 # ---------------------------------------------------------------- families
 
 FAMILIES: dict[str, list[str]] = {
