@@ -219,7 +219,7 @@ QUERY_SUBSET = (
     " cube_revenue events_pivot source_lang_entropy custkey_setops"
     " boxes_union_area user_first_last acctbal_deciles"
     " tile_pagerank value_mwu tile_kcore tile_distance value_welch_t"
-    " span_box_join knn_dist next_event span_dedup"
+    " span_box_join knn_dist next_event span_dedup span_runs"
 ).split()
 
 

@@ -285,7 +285,72 @@ def q_span_dedup(sf):
     )
 
 
+def q_span_runs(sf):
+    # sequence structure of the interleaved payload: per (doc, kind),
+    # the LONGEST run of consecutive same-kind spans — the "media
+    # burst / text block" profile a context-packing policy keys on.
+    # Zero shuffle: explode keeps each doc's spans contiguous and
+    # in order inside its batch, so runs fold per batch with
+    # boundary masks + reduceat; rows are (doc_id, kind, max_run).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from python_prtree_ray.pipelines.multimodal import explode_spans
+    from python_prtree_ray.sources.synth import interleaved_docs
+
+    n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+    docs = interleaved_docs(n)
+
+    def runs(tbl: pa.Table) -> pa.Table:
+        flat = explode_spans(tbl)
+        if flat.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.string()),
+                    "max_run": pa.array([], pa.int64()),
+                }
+            )
+        doc = flat.column("doc_id").combine_chunks()
+        kind = flat.column("kind").combine_chunks()
+        dcode = (
+            doc.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        kcode = (
+            kind.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = dcode.size
+        # run boundaries: doc change OR kind change (spans are in seq
+        # order per doc within the batch)
+        start = np.r_[True, (dcode[1:] != dcode[:-1]) | (kcode[1:] != kcode[:-1])][:m]
+        sidx = np.flatnonzero(start)
+        rlen = np.diff(np.r_[sidx, m])
+        rdoc, rkind = dcode[sidx], kcode[sidx]
+        # max run per (doc, kind): lexsort + segment max
+        order = np.lexsort((rkind, rdoc))
+        d_s, k_s, l_s = rdoc[order], rkind[order], rlen[order]
+        gstart = np.flatnonzero(
+            np.r_[True, (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])][: d_s.size]
+        )
+        mx = np.maximum.reduceat(l_s, gstart)
+        # map the winning run back to a SPAN row for the string gathers
+        sel = pa.array(sidx[order[gstart]])
+        return pa.table(
+            {
+                "doc_id": doc.take(sel),
+                "kind": kind.take(sel),
+                "max_run": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(runs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
+    "span_runs": q_span_runs,
     "span_dedup": q_span_dedup,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -298,6 +363,18 @@ QUERIES = {
 }
 
 SQL = {
+    "span_runs": f"""
+WITH sp AS ({interleaved_spans_sql(
+        "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="all")}),
+g AS (SELECT doc_id, kind, seq,
+             seq - ROW_NUMBER() OVER (PARTITION BY doc_id, kind
+                                      ORDER BY seq) AS isl
+      FROM sp),
+r AS (SELECT doc_id, kind, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM g GROUP BY doc_id, kind, isl)
+SELECT doc_id, kind, CAST(MAX(run_len) AS BIGINT) AS max_run
+FROM r GROUP BY doc_id, kind
+""",
     "span_dedup": f"""
 WITH t AS (SELECT doc_id, text FROM ({interleaved_spans_sql(
         "(SELECT row_number() OVER () - 1 AS i FROM orders)", kinds="text")})),
